@@ -1,0 +1,131 @@
+"""Stage B — rule-based alias canonicalization (per conversation).
+
+Re-expresses the reference's ``identifyBestEntityStringByRules``
+dispatch and its org/location/person expansions
+(CorefHelperMethods.scala:194-361, 426-535) over per-conversation
+named-entity lists that are built from the conversation's own extracted
+mentions (replacing the Stanford-NER side files,
+CorefHelperMethods.scala:66-110, with a deterministic equivalent):
+
+- ORG acronym  -> the document org whose initials match
+  (acronym expansion, CorefHelperMethods.scala:262-310);
+- multi-token name that word-prefixes a document org -> that org
+  (leftmost-word containment expansion, CorefHelperMethods.scala:311-361);
+- PER surname  -> the document person ending in that surname
+  (prefix/suffix person expansion, CorefHelperMethods.scala:510-535);
+- GPE city     -> "City, State" via the gazetteer; "City, ST" ->
+  "City, Fullstate" (CorefHelperMethods.scala:363-425,
+  TipsterData.expandStateAbbreviation:93-108).
+
+Runs as ``mentions.groupby("conv_id").map_groups(resolve_conv)`` — the
+only shuffle key is conv_id and groups are tiny (a conversation's
+mentions), so this scales linearly. Candidate NE lists are ordered by
+(turn_idx, beg); the first match wins (the deterministic analog of the
+reference's proximity sort, CorefHelperMethods.scala:243-260).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .gazetteer import CITY_STATE, expand_state_abbreviation
+from .text import initials, is_acronym, normalize_name
+
+
+def _doc_lists(rows: list[dict]) -> tuple[list[str], list[str], list[str]]:
+    """(pers, orgs, locs) full-form NE lists from a conversation's
+    mentions, ordered by (turn_idx, beg), deduplicated keeping first."""
+    pers: list[str] = []
+    orgs: list[str] = []
+    locs: list[str] = []
+    seen: set[str] = set()
+    for r in sorted(rows, key=lambda r: (r["turn_idx"], r["beg"])):
+        s = r["surface"]
+        if s in seen:
+            continue
+        seen.add(s)
+        t = r["ner_type"]
+        if t == "PER" and len(s.split()) >= 2:
+            pers.append(s)
+        elif t == "ORG" and not is_acronym(s) and len(s.split()) >= 2:
+            orgs.append(s)
+        elif t == "GPE" and ", " in s:
+            locs.append(expand_state_abbreviation(s))
+    return pers, orgs, locs
+
+
+def resolve_mention(surface: str, ner_type: str, pers: list[str],
+                    orgs: list[str], locs: list[str]) -> tuple[str, str]:
+    """-> (alias, refined ner_type) for one mention."""
+    toks = surface.split()
+    if ner_type == "ORG" and is_acronym(surface):
+        target = surface.lower()
+        for org in orgs:
+            if initials(org).lower() == target:
+                return org, "ORG"
+        return surface, "ORG"
+    if ner_type == "GPE":
+        if ", " in surface:
+            return expand_state_abbreviation(surface), "GPE"
+        state = CITY_STATE.get(surface)
+        if state:
+            return f"{surface}, {state}", "GPE"
+        return surface, "GPE"
+    if ner_type == "PER" and len(toks) == 1:
+        target = surface.lower()
+        for p in pers:
+            pt = p.split()
+            if len(pt) >= 2 and pt[-1].lower() == target:
+                return p, "PER"
+        return surface, "PER"
+    # multi-token PER/ORG: leftmost-word containment expansion against orgs
+    if len(toks) >= 2:
+        prefix = normalize_name(surface) + " "
+        for org in orgs:
+            if normalize_name(org).startswith(prefix):
+                return org, "ORG"
+    return surface, ner_type
+
+
+def resolve_conv(group: pa.Table) -> pa.Table:
+    """map_groups fn over groupby("conv_id"): mentions -> ALIASED rows."""
+    rows = group.to_pylist()
+    pers, orgs, locs = _doc_lists(rows)
+    aliases: list[str] = []
+    norms: list[str] = []
+    types: list[str] = []
+    for r in rows:
+        alias, ner = resolve_mention(r["surface"], r["ner_type"], pers, orgs, locs)
+        aliases.append(alias)
+        norms.append(normalize_name(alias))
+        types.append(ner)
+    # keep the original column types (rebuilding from pylist would
+    # re-infer e.g. int32 turn_idx as int64)
+    ner_idx = group.column_names.index("ner_type")
+    out = group.set_column(ner_idx, "ner_type", pa.array(types, pa.string()))
+    out = out.append_column("alias", pa.array(aliases, pa.string()))
+    out = out.append_column("alias_norm", pa.array(norms, pa.string()))
+    return out
+
+
+def doc_entities_group(group: pa.Table) -> pa.Table:
+    """map_groups fn: per-conversation NE lists (DOC_ENTITIES schema) —
+    the analog of the reference's namedEntities.txt prep job
+    (SerializeNamedEntities.scala:51-108)."""
+    rows = group.to_pylist()
+    pers, orgs, locs = _doc_lists(rows)
+    return pa.table(
+        {
+            "conv_id": pa.array([rows[0]["conv_id"]], pa.string()),
+            "pers": pa.array([pers], pa.list_(pa.string())),
+            "orgs": pa.array([orgs], pa.list_(pa.string())),
+            "locs": pa.array([locs], pa.list_(pa.string())),
+        }
+    )
+
+
+def canonicalize(mentions_ds, **kwargs):
+    """Dataset wrapper: mentions -> aliased mentions."""
+    return mentions_ds.groupby("conv_id").map_groups(
+        resolve_conv, batch_format="pyarrow", **kwargs
+    )

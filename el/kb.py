@@ -1,0 +1,71 @@
+"""KB side table: load, index, broadcast.
+
+The reference loads the TAC KB into in-process HashMaps once per run
+(wikiMap / kbIdToTitleMap / kbTitleToIdMap / intro-text / type maps,
+WikiMappingHelper.scala:102-204, KBPQuery.scala:144-175) and scans all
+titles online for substring ambiguity (LinkFeatures.scala:160-167). We
+read the KB Parquet table once on the driver, build the lookup indexes,
+and broadcast them with a single ``ray.put`` — every linker actor reads
+the same object-store copy in ``__init__`` (no per-batch reshipping, no
+online scans: ambiguity is a precomputed column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from .text import normalize_name
+
+
+@dataclass
+class KBIndex:
+    """Broadcastable lookup state for the candidate finder / linker."""
+
+    title_of_id: dict[str, str] = field(default_factory=dict)
+    type_of_id: dict[str, str] = field(default_factory=dict)
+    wiki_type_of_id: dict[str, str] = field(default_factory=dict)
+    ambiguity_of_id: dict[str, int] = field(default_factory=dict)
+    # exact lookups (J2/J3 analogs, RunKBPEntityLinkerSystem.scala:74-79, 104)
+    id_of_title_norm: dict[str, str] = field(default_factory=dict)
+    ids_of_alias_norm: dict[str, list[str]] = field(default_factory=dict)
+    # fuzzy candidate index: first token of normalized title -> [(norm, id)]
+    by_first_token: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+
+    @classmethod
+    def from_table(cls, kb) -> "KBIndex":
+        idx = cls()
+        ids = kb.column("kb_id").to_pylist()
+        titles = kb.column("title").to_pylist()
+        types = kb.column("type").to_pylist()
+        wiki = kb.column("wiki_type").to_pylist()
+        amb = kb.column("ambiguity").to_pylist()
+        aliases = kb.column("aliases").to_pylist()
+        for kb_id, title, t, w, a, al in zip(ids, titles, types, wiki, amb, aliases):
+            norm = normalize_name(title)
+            idx.title_of_id[kb_id] = title
+            idx.type_of_id[kb_id] = t
+            idx.wiki_type_of_id[kb_id] = w
+            idx.ambiguity_of_id[kb_id] = a
+            idx.id_of_title_norm.setdefault(norm, kb_id)
+            for alias in al or []:
+                an = normalize_name(alias)
+                idx.ids_of_alias_norm.setdefault(an, [])
+                if kb_id not in idx.ids_of_alias_norm[an]:
+                    idx.ids_of_alias_norm[an].append(kb_id)
+            first = norm.split()[0] if norm else ""
+            idx.by_first_token.setdefault(first, []).append((norm, kb_id))
+        return idx
+
+    @classmethod
+    def from_parquet(cls, path: str) -> "KBIndex":
+        return cls.from_table(pq.read_table(path))
+
+
+def broadcast_kb(path: str):
+    """Driver-side: read + index + ray.put once. Returns the object ref
+    that linker actors resolve in __init__."""
+    import ray
+
+    return ray.put(KBIndex.from_parquet(path))

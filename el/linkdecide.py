@@ -1,0 +1,146 @@
+"""Stage E — per-alias KB link decision (the linkQuery decision tree).
+
+Re-expresses RunKBPEntityLinkerSystem.linkQuery
+(RunKBPEntityLinkerSystem.scala:56-158) as a pure function over one
+normalized alias against the broadcast KB index:
+
+ 1. best candidate from exact-title / exact-alias / fuzzy first-token
+    lookup (the EntityLinker analog, RunKBPEntityLinkerSystem.scala:44-49);
+ 2. accept if the combined score > LINK_THRESHOLD = 0.93
+    (RunKBPEntityLinkerSystem.scala:29, 69), confidence via the
+    piecewise-linear calibration (ConfidenceHelper.scala:6-16);
+ 3. else exact KB-title lookup fallback, confidence 0.8
+    (RunKBPEntityLinkerSystem.scala:74-79);
+ 4. else back-off word n-grams of the alias re-linked exactly, keep the
+    max-scoring backoff (RunKBPEntityLinkerSystem.scala:83-108;
+    n-gram generator GeneralHelperMethods.scala:13-29);
+ 5. else NIL, confidence 0.55 (RunKBPEntityLinkerSystem.scala:109-113);
+    any per-row exception degrades to NIL confidence 0.10
+    (RunKBPEntityLinkerSystem.scala:152-157).
+
+The decision is context-free given the canonicalized alias, so it runs
+per DISTINCT alias (not per mention) — mentions inherit their alias's
+decision. This collapses the dominant cost at transcript scale.
+
+Runs as an actor pool: ``aliases.map_batches(CandidateLinker,
+fn_constructor_args=(kb_ref,), concurrency=N)``; the KB index is
+fetched from the object store once per actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .kb import KBIndex
+from .sim import jaro_winkler
+
+LINK_THRESHOLD = 0.93  # RunKBPEntityLinkerSystem.scala:29
+CONF_FLOOR = 0.55
+CONF_ERROR = 0.10
+
+
+def calibrate_confidence(score: float, threshold: float = LINK_THRESHOLD) -> float:
+    """Piecewise-linear calibration (ConfidenceHelper.scala:6-16):
+    score > threshold maps linearly into [0.8, 1.0], else 0.55."""
+    if score > threshold:
+        return 0.8 + 0.2 * (score - threshold) / (1.0 - threshold)
+    return CONF_FLOOR
+
+
+def candidates_for(alias_norm: str, kb: KBIndex) -> list[tuple[str, float]]:
+    """(kb_id, candidate score) list — exact title 1.0, exact alias 0.97,
+    fuzzy Jaro-Winkler among titles sharing the first token."""
+    out: dict[str, float] = {}
+    kb_id = kb.id_of_title_norm.get(alias_norm)
+    if kb_id:
+        out[kb_id] = 1.0
+    for cid in kb.ids_of_alias_norm.get(alias_norm, []):
+        out[cid] = max(out.get(cid, 0.0), 0.97)
+    toks = alias_norm.split()
+    if toks:
+        for norm, cid in kb.by_first_token.get(toks[0], []):
+            if cid in out:
+                continue
+            jw = jaro_winkler(alias_norm, norm)
+            if jw >= 0.90:
+                out[cid] = max(out.get(cid, 0.0), jw)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _ngrams(tokens: list[str], min_len: int = 2) -> list[str]:
+    """Word n-grams, longest first (GeneralHelperMethods.scala:13-29)."""
+    out = []
+    n = len(tokens)
+    for ln in range(n - 1, min_len - 1, -1):
+        for i in range(n - ln + 1):
+            out.append(" ".join(tokens[i : i + ln]))
+    return out
+
+
+def link_alias(alias_norm: str, kb: KBIndex) -> tuple[str, float, float]:
+    """-> (kb_id or "", link score, confidence)."""
+    try:
+        cands = candidates_for(alias_norm, kb)
+        if cands:
+            kb_id, score = cands[0]
+            if score > LINK_THRESHOLD:
+                return kb_id, score, calibrate_confidence(score)
+        # exact-title fallback (subsumed by candidates but kept for parity)
+        kb_id = kb.id_of_title_norm.get(alias_norm)
+        if kb_id:
+            return kb_id, 1.0, 0.8
+        # back-off n-gram exact re-linking
+        toks = alias_norm.split()
+        if len(toks) > 2:
+            best: tuple[str, float] | None = None
+            for ng in _ngrams(toks):
+                cid = kb.id_of_title_norm.get(ng)
+                if cid:
+                    s = 0.9 * len(ng.split()) / len(toks)
+                    if best is None or s > best[1]:
+                        best = (cid, s)
+            if best and best[1] > 0.6:
+                return best[0], best[1], 0.7
+        return "", 0.0, CONF_FLOOR
+    except Exception:
+        return "", 0.0, CONF_ERROR  # poison row degrades, never fails
+
+
+class CandidateLinker:
+    """Actor-pool callable over DISTINCT aliases.
+
+    Input batch columns: alias_norm (plus pass-through). Output adds
+    kb_id, link_score, link_conf.
+    """
+
+    def __init__(self, kb_ref=None, kb_index: KBIndex | None = None):
+        if kb_index is not None:
+            self.kb = kb_index
+        else:
+            import ray
+
+            self.kb = ray.get(kb_ref)  # once per actor, from object store
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aliases = batch.column("alias_norm").to_pylist()
+        ids, scores, confs = [], [], []
+        for a in aliases:
+            kb_id, s, c = link_alias(a, self.kb)
+            ids.append(kb_id)
+            scores.append(s)
+            confs.append(c)
+        return (
+            batch.append_column("kb_id", pa.array(ids, pa.string()))
+            .append_column("link_score", pa.array(scores, pa.float64()))
+            .append_column("link_conf", pa.array(confs, pa.float64()))
+        )
+
+
+def link_aliases(alias_ds, kb_ref, concurrency: int = 4, batch_size: int = 4096):
+    return alias_ds.map_batches(
+        CandidateLinker,
+        fn_constructor_args=(kb_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

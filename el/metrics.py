@@ -1,0 +1,84 @@
+"""Evaluation metrics: pairwise F1 (the judged north-rule metric), B³,
+and the per-query category report.
+
+Mirrors Benchmarker.scala: B³ precision/recall/F1 (:39-77, 130-135),
+category counts CORRECT / WRONG KB ID / EXP KB ID / EXP NIL /
+WRONG NIL ID / NIL OK (:94-128), over-clustering counter (:30-34).
+All driver-side over small collected tables (the eval sets are tiny
+relative to the corpus).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def pairwise_f1(cluster_of: dict[str, str], gold_pairs) -> dict:
+    """Pairwise precision/recall/F1 on labeled same-block pairs
+    (BASELINE.json "metric"). ``gold_pairs``: pyarrow Table or pandas
+    with m1_id, m2_id, same_entity. A pair is predicted-same iff both
+    mentions carry the same final cluster id."""
+    m1 = gold_pairs["m1_id"].to_pylist() if hasattr(gold_pairs["m1_id"], "to_pylist") else list(gold_pairs["m1_id"])
+    m2 = gold_pairs["m2_id"].to_pylist() if hasattr(gold_pairs["m2_id"], "to_pylist") else list(gold_pairs["m2_id"])
+    same = gold_pairs["same_entity"].to_pylist() if hasattr(gold_pairs["same_entity"], "to_pylist") else list(gold_pairs["same_entity"])
+    tp = fp = fn = tn = 0
+    for a, b, s in zip(m1, m2, same):
+        ca, cb = cluster_of.get(a), cluster_of.get(b)
+        pred = ca is not None and ca == cb
+        if pred and s:
+            tp += 1
+        elif pred and not s:
+            fp += 1
+        elif not pred and s:
+            fn += 1
+        else:
+            tn += 1
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def b_cubed(cluster_of: dict[str, str], gold_of: dict[str, str]) -> dict:
+    """B³ P/R/F1 (Benchmarker.scala:39-77): per mention, the fraction of
+    its predicted-cluster partners sharing its gold cluster (precision)
+    and of its gold-cluster partners sharing its predicted cluster
+    (recall), averaged."""
+    by_pred: dict[str, list[str]] = defaultdict(list)
+    by_gold: dict[str, list[str]] = defaultdict(list)
+    for m in gold_of:
+        if m in cluster_of:
+            by_pred[cluster_of[m]].append(m)
+            by_gold[gold_of[m]].append(m)
+    ps, rs = [], []
+    for m, g in gold_of.items():
+        c = cluster_of.get(m)
+        if c is None:
+            continue
+        pred_members = by_pred[c]
+        gold_members = by_gold[g]
+        ps.append(sum(1 for x in pred_members if gold_of.get(x) == g) / len(pred_members))
+        rs.append(sum(1 for x in gold_members if cluster_of.get(x) == c) / len(gold_members))
+    p = sum(ps) / len(ps) if ps else 0.0
+    r = sum(rs) / len(rs) if rs else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "n": len(ps)}
+
+
+def category_report(kb_link_of: dict[str, str], gold_of: dict[str, str]) -> dict:
+    """Per-query category counts (Benchmarker.scala:94-128)."""
+    counts = defaultdict(int)
+    for m, gold in gold_of.items():
+        sys = kb_link_of.get(m, "")
+        sys_nil = not sys.startswith("E")
+        gold_nil = not gold.startswith("E")
+        if not sys_nil and not gold_nil:
+            counts["CORRECT" if sys == gold else "WRONG KB ID"] += 1
+        elif sys_nil and not gold_nil:
+            counts["EXP KB ID"] += 1  # system said NIL, gold had a KB entry
+        elif not sys_nil and gold_nil:
+            counts["EXP NIL"] += 1  # system linked, gold was NIL
+        else:
+            counts["NIL OK"] += 1  # NIL agreement (cluster ids judged by B3)
+    return dict(counts)

@@ -1,0 +1,384 @@
+"""The end-to-end entity-linking pipeline (stage graph + CLI).
+
+Ray shape (SURVEY.md §3.1): read_parquet(transcripts)
+  -> [A: mention extraction, stateless map_batches over Arrow]
+  -> [B: alias canonicalization, groupby(conv_id).map_groups]
+  -> [alias profile: groupby(alias_norm) -> one row per DISTINCT alias
+      (min mention_id, count, representative surface)]
+  -> [E: per-distinct-alias KB link decision, actor pool w/ broadcast KB]
+  -> [C: blocking-key flat_map + groupby(block_key) distinct-alias pairs]
+  -> [D: pair-scoring actor pool]
+  -> [F: union-find over the CONTRACTED alias graph]
+  -> [G: answers map_batches + sort(conv_id, turn_idx) + write_parquet]
+
+Scale design. Every mention-scale operation is a map_batches or a single
+groupby (conv_id / alias_norm / block_key); the iterative clustering
+runs on the *contracted alias graph* (nodes = distinct normalized
+aliases), which is orders of magnitude smaller than the mention table —
+its node label is min(mention_id) from the alias profile, so the
+component label is identical to mention-level union-find. When the
+alias graph fits the driver (< driver_cc_max_nodes) we union-find
+locally and broadcast the alias -> (cluster, kb) map into the final
+map_batches via ray.put; above the threshold we fall back to the
+distributed min-label propagation in el.cluster (same result, tested
+both ways). Every stage can checkpoint per-partition Parquet with a
+lineage manifest (el.checkpoint) so a killed job resumes mid-pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .alias import canonicalize
+from .blocking import block_pair_groups, emit_keys_batch
+from .checkpoint import CheckpointManager
+from .cluster import SENTINEL, label_propagation, union_find_local
+from .kb import broadcast_kb
+from .linkdecide import CandidateLinker
+from .mentions import extract_mentions
+from .scorer import MERGE_CUTOFF, PairScorer
+
+DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
+
+
+def _alias_profile_group(group: pa.Table) -> pa.Table:
+    """map_groups fn over groupby("alias_norm"): one representative row
+    per distinct alias + min(mention_id) + mention count."""
+    mids = group.column("mention_id").to_pylist()
+    i_rep = 0  # deterministic representative: min (alias, surface, ner)
+    reps = list(
+        zip(
+            group.column("alias").to_pylist(),
+            group.column("surface").to_pylist(),
+            group.column("ner_type").to_pylist(),
+        )
+    )
+    i_rep = min(range(len(reps)), key=lambda i: reps[i])
+    return pa.table(
+        {
+            "alias_norm": [group.column("alias_norm")[0].as_py()],
+            "alias": [reps[i_rep][0]],
+            "surface": [reps[i_rep][1]],
+            "ner_type": [reps[i_rep][2]],
+            "min_mention": [min(mids)],
+            "n_mentions": [len(mids)],
+        }
+    )
+
+
+class _Finisher:
+    """Final mention-scale map: attach cluster / kb_link / confidence
+    from the broadcast alias map (one object-store read per actor)."""
+
+    def __init__(self, map_ref):
+        import ray
+
+        self.alias_map = ray.get(map_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_cluster, out_kb, out_conf = [], [], []
+        for an in t.column("alias_norm").to_pylist():
+            cluster, kb_link, conf = self.alias_map[an]
+            out_cluster.append(cluster)
+            out_kb.append(kb_link)
+            out_conf.append(conf)
+        keep = t.select(["mention_id", "conv_id", "turn_idx", "surface", "alias"])
+        return (
+            keep.append_column("cluster_id", pa.array(out_cluster, pa.string()))
+            .append_column("kb_link", pa.array(out_kb, pa.string()))
+            .append_column("confidence", pa.array(out_conf, pa.float64()))
+        )
+
+
+def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
+                            edges_tbl: pa.Table) -> dict[str, tuple[str, str, float]]:
+    """Driver-side contracted-graph clustering.
+
+    Returns alias_norm -> (cluster_id, kb_link, confidence). Mirrors the
+    reference's cluster semantics: merge edges above the cutoff unless
+    they would fuse two distinct KB entities (Clusterer merges only
+    pairs with a NIL side, Clusterer.scala:40); a component containing a
+    KB-linked alias adopts the KB id (keep-E-id rule, Clusterer.scala:47-56);
+    pure-NIL components get NIL:<min mention_id> (deterministic,
+    replacing the AtomicInteger counter, RunKBPEntityLinkerSystem.scala:31-34).
+    """
+    kb_of: dict[str, str] = {}
+    conf_of: dict[str, float] = {}
+    for r in links_tbl.to_pylist():
+        kb_of[r["alias_norm"]] = r["kb_id"]
+        conf_of[r["alias_norm"]] = r["link_conf"]
+    min_mention: dict[str, str] = {}
+    for r in profile_tbl.to_pylist():
+        min_mention[r["alias_norm"]] = r["min_mention"]
+
+    edges = []
+    for r in edges_tbl.to_pylist():
+        x, y = r["a1"][2:], r["a2"][2:]  # strip "A:"
+        kx, ky = kb_of.get(x, ""), kb_of.get(y, "")
+        if kx and ky and kx != ky:
+            continue  # never merge two distinct KB entities
+        edges.append((x, y))
+    # KB anchoring: aliases linked to the same KB id share a component
+    for an, kb in kb_of.items():
+        if kb:
+            edges.append((an, f"KB:{kb}"))
+    comp_of = union_find_local(edges, nodes=min_mention.keys())
+
+    # component label: min over members of (kb_id | min mention_id);
+    # "E..." sorts before "conv..." so a KB id wins deterministically.
+    comp_label: dict[str, str] = {}
+    for an in min_mention:
+        c = comp_of[an]
+        lab = min_mention[an]
+        kb = kb_of.get(an, "")
+        if kb and kb < lab:
+            lab = kb
+        if c not in comp_label or lab < comp_label[c]:
+            comp_label[c] = lab
+    comp_sizes: dict[str, int] = {}
+    for an in min_mention:
+        c = comp_of[an]
+        comp_sizes[c] = comp_sizes.get(c, 0) + 1
+
+    out: dict[str, tuple[str, str, float]] = {}
+    for an in min_mention:
+        c = comp_of[an]
+        lab = comp_label[c]
+        if lab.startswith("E"):
+            kb_link = lab
+            conf = conf_of.get(an, 0.7) if kb_of.get(an) == lab else 0.7
+        else:
+            kb_link = f"NIL:{lab}"
+            conf = 0.6 if comp_sizes[c] > 1 else max(0.55, min(conf_of.get(an, 0.55), 0.6))
+        out[an] = (lab, kb_link, conf)
+    return out
+
+
+def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions: int):
+    """Fallback for contracted graphs too large for the driver: the same
+    clustering via distributed min-label propagation (el.cluster).
+    Returns a Dataset (alias_norm, cluster_id)."""
+    links_kv = links_ds.map_batches(
+        lambda t: pa.table({"alias_norm": t.column("alias_norm"),
+                            "kb": t.column("kb_id")}),
+        batch_format="pyarrow",
+    )
+
+    def alias_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array(["A:"] * len(t)), t.column("alias_norm"), ""
+                ),
+                "label": t.column("min_mention"),
+            }
+        )
+
+    def kb_anchor_edges(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb"), ""))
+        return pa.table(
+            {
+                "src": pc.binary_join_element_wise(
+                    pa.array(["A:"] * len(f)), f.column("alias_norm"), ""
+                ),
+                "dst": pc.binary_join_element_wise(
+                    pa.array(["KB:"] * len(f)), f.column("kb"), ""
+                ),
+            }
+        )
+
+    def kb_nodes(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb"), ""))
+        return pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array(["KB:"] * len(f)), f.column("kb"), ""
+                ),
+                "label": f.column("kb"),
+            }
+        )
+
+    fuzzy = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column("a1"), "dst": t.column("a2")}),
+        batch_format="pyarrow",
+    )
+    edges = fuzzy.union(links_kv.map_batches(kb_anchor_edges, batch_format="pyarrow"))
+    init = (
+        profile_ds.map_batches(alias_nodes, batch_format="pyarrow")
+        .union(links_kv.map_batches(kb_nodes, batch_format="pyarrow"))
+        .groupby("node")
+        .min("label")
+        .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                     batch_format="pyarrow")
+    )
+    labels = label_propagation(edges, init, num_partitions=num_partitions)
+    return labels.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "alias_norm": pc.utf8_slice_codeunits(f.column("node"), 2),
+                    "cluster_id": f.column("label"),
+                }
+            )
+        )(t.filter(pc.starts_with(t.column("node"), "A:"))),
+        batch_format="pyarrow",
+    )
+
+
+def run_linkage(
+    fixture_dir: str,
+    checkpoint_dir: str | None = None,
+    from_scratch: bool = False,
+    concurrency: int = 4,
+    batch_size: int = 8192,
+    num_partitions: int = 16,
+    driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
+):
+    """Full pipeline. Returns the answers Dataset with columns
+    (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
+    confidence), sorted by (conv_id, turn_idx) — the north-rule stable
+    ordering."""
+    import ray
+    import ray.data
+
+    ckpt = CheckpointManager(checkpoint_dir, from_scratch)
+    tr_path = os.path.join(fixture_dir, "transcripts.parquet")
+    kb_path = os.path.join(fixture_dir, "kb.parquet")
+
+    mentions = ckpt.stage(
+        "mentions", {"input": tr_path},
+        lambda: extract_mentions(ray.data.read_parquet(
+            tr_path, columns=["conv_id", "turn_idx", "text"])),
+    )
+    aliased = ckpt.stage(
+        "aliased", {"input": tr_path},
+        lambda: canonicalize(mentions),
+    )
+
+    profile = ckpt.stage(
+        "alias_profile", {"input": tr_path},
+        lambda: aliased.groupby("alias_norm").map_groups(
+            _alias_profile_group, batch_format="pyarrow"
+        ),
+    )
+
+    kb_ref = broadcast_kb(kb_path)
+    links = ckpt.stage(
+        "links", {"input": tr_path, "kb": kb_path},
+        lambda: profile.map_batches(
+            CandidateLinker,
+            fn_constructor_args=(kb_ref,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        ).select_columns(["alias_norm", "kb_id", "link_score", "link_conf"]),
+    )
+
+    def build_scored():
+        keys = profile.map_batches(
+            lambda t: emit_keys_batch(
+                t.select(["alias_norm", "alias", "surface", "ner_type"])
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = keys.groupby("block_key").map_groups(
+            block_pair_groups, batch_format="pyarrow"
+        )
+        return pairs.map_batches(
+            PairScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)
+
+    def build_answers():
+        edges = scored.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("score"), MERGE_CUTOFF)
+            ).select(["a1", "a2"]),
+            batch_format="pyarrow",
+        )
+        def collect(ds) -> pa.Table:
+            tbls = [ray.get(r) for r in ds.to_arrow_refs()]
+            return pa.concat_tables(tbls) if tbls else pa.table({})
+
+        n_aliases = profile.count()
+        if n_aliases <= driver_cc_max_nodes:
+            profile_tbl = collect(profile.select_columns(["alias_norm", "min_mention"]))
+            links_tbl = collect(links)
+            edges_tbl = collect(edges)
+            alias_map = _cluster_aliases_driver(profile_tbl, links_tbl, edges_tbl)
+            map_ref = ray.put(alias_map)
+            finished = aliased.map_batches(
+                _Finisher,
+                fn_constructor_args=(map_ref,),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            # distributed contracted-graph clustering + hash join back
+            clusters = _cluster_aliases_distributed(
+                profile, links, edges, num_partitions
+            )
+            withc = aliased.join(
+                clusters, "inner", num_partitions, on=("alias_norm",)
+            )
+            finished = withc.map_batches(
+                lambda t: (
+                    t.select(
+                        ["mention_id", "conv_id", "turn_idx", "surface", "alias",
+                         "cluster_id"]
+                    )
+                    .append_column(
+                        "kb_link",
+                        pc.if_else(
+                            pc.starts_with(t.column("cluster_id"), "E"),
+                            t.column("cluster_id"),
+                            pc.binary_join_element_wise(
+                                pa.array(["NIL:"] * len(t)),
+                                t.column("cluster_id"), "",
+                            ),
+                        ),
+                    )
+                    .append_column(
+                        "confidence", pa.array([0.6] * len(t), pa.float64())
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        return finished.sort(["conv_id", "turn_idx"])
+
+    answers = ckpt.stage("answers", {"input": tr_path, "kb": kb_path}, build_answers)
+    return answers
+
+
+def main(argv=None):
+    import argparse
+    import ray
+
+    ap = argparse.ArgumentParser(description="Ray-Data entity-linking pipeline")
+    ap.add_argument("--input", required=True, help="fixture dir (transcripts+kb)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--from-scratch", action="store_true")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    args = ap.parse_args(argv)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+    try:
+        answers = run_linkage(args.input, args.checkpoint_dir, args.from_scratch)
+        answers.write_parquet(args.output)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
