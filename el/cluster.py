@@ -64,42 +64,82 @@ def _checksum(labels_ds) -> int:
         tot = 0
         for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
             h = hashlib.md5(f"{n}|{l}".encode()).digest()
-            tot = (tot + int.from_bytes(h[:8], "little")) % (1 << 62)
+            # mod 2^40 so per-batch sums aggregate inside int64 range
+            tot = (tot + int.from_bytes(h[:8], "little")) % (1 << 40)
         return pa.table({"h": pa.array([tot], pa.int64())})
 
     return labels_ds.map_batches(chk, batch_format="pyarrow").sum("h")
 
 
-def label_propagation(edges_ds, labels_ds, num_partitions: int = 16,
+def _scatter_group(group: pa.Table) -> pa.Table:
+    """One key's rows: >=1 label row (label != "") + edge rows
+    (dst != ""). Sends min(label) to itself and every neighbor."""
+    labs = [l for l in group.column("label").to_pylist() if l]
+    if not labs:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    lab = min(labs)
+    key = group.column("key")[0].as_py()
+    nodes = [key] + [d for d in group.column("dst").to_pylist() if d]
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "label": pa.array([lab] * len(nodes), pa.string())})
+
+
+def label_propagation(edges_ds, labels_ds, num_partitions: int = 8,
                       max_iters: int = 20):
-    """Iterated hash-to-min over (src, dst) edges.
+    """Iterated hash-to-min over (src, dst) edges — join-free.
 
     ``labels_ds``: (node, label) initial labels — a mention labels
     itself, an alias-group node starts at the SENTINEL. Returns the
-    converged (node, label) Dataset. Each iteration: one inner hash join
-    + one groupby-min; the edge set is materialized once (it is the
-    reused iterative working set), labels re-materialize per round.
+    converged (node, label) Dataset.
+
+    Each round is two groupby shuffles and no joins (Dataset.join spawns
+    an aggregator actor pool per call — prone to deadlock on small CPU
+    budgets and expensive inside a loop): (1) scatter — union the tagged
+    edge rows with the current labels, group by the source key, and emit
+    the group's min label to itself and all its neighbors; (2) gather —
+    groupby(node).min(label). The tagged edge set is materialized once
+    (the reused iterative working set); convergence is a label-checksum
+    fixpoint, bounded by the component diameter.
     """
     from ray.data.aggregate import Min
 
-    rev = edges_ds.map_batches(
-        lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
-        batch_format="pyarrow",
-    )
-    und = edges_ds.union(rev).materialize()
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.array([""] * (2 * n), pa.string())
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [t.column("src").combine_chunks().cast(pa.string()),
+                     t.column("dst").combine_chunks().cast(pa.string())]
+                ),
+                "dst": pa.concat_arrays(
+                    [t.column("dst").combine_chunks().cast(pa.string()),
+                     t.column("src").combine_chunks().cast(pa.string())]
+                ),
+                "label": empty,
+            }
+        )
+
+    und = edges_ds.map_batches(tag_edges, batch_format="pyarrow").materialize()
     labels = labels_ds.materialize()
     prev = _checksum(labels)
     for _ in range(max_iters):
-        msgs = und.join(
-            labels, "inner", num_partitions, on=("src",), right_on=("node",)
-        )
-        msgs = msgs.map_batches(
-            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("node"),
+                    "dst": pa.array([""] * len(t), pa.string()),
+                    "label": t.column("label"),
+                }
+            ),
             batch_format="pyarrow",
         )
+        msgs = und.union(tagged_labels).groupby("key").map_groups(
+            _scatter_group, batch_format="pyarrow"
+        )
         new = (
-            labels.union(msgs)
-            .groupby("node")
+            msgs.groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )

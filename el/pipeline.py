@@ -232,9 +232,9 @@ def run_linkage(
     fixture_dir: str,
     checkpoint_dir: str | None = None,
     from_scratch: bool = False,
-    concurrency: int = 4,
+    concurrency: int = 2,
     batch_size: int = 8192,
-    num_partitions: int = 16,
+    num_partitions: int = 8,
     driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
 ):
     """Full pipeline. Returns the answers Dataset with columns
@@ -274,6 +274,7 @@ def run_linkage(
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=concurrency,
+            num_cpus=0.5,
         ).select_columns(["alias_norm", "kb_id", "link_score", "link_conf"]),
     )
 
@@ -292,6 +293,7 @@ def run_linkage(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            num_cpus=0.5,
         )
 
     scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)
@@ -320,6 +322,7 @@ def run_linkage(
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=concurrency,
+                num_cpus=0.5,
             )
         else:
             # distributed contracted-graph clustering + hash join back
@@ -327,7 +330,8 @@ def run_linkage(
                 profile, links, edges, num_partitions
             )
             withc = aliased.join(
-                clusters, "inner", num_partitions, on=("alias_norm",)
+                clusters, "inner", num_partitions, on=("alias_norm",),
+                aggregator_ray_remote_args={"num_cpus": 0.25},
             )
             finished = withc.map_batches(
                 lambda t: (

@@ -31,13 +31,15 @@ COMMON_SURNAMES = frozenset(
     "smith jones johnson williams brown taylor miller davis wilson moore".split()
 )
 
-# Fixed LR weights (deterministic; fitted on the t2 fixture offline).
-# z = W_JW*(jw_alias - JW_PIVOT) + W_PREFIX*prefix2 + W_ABBR*abbr
-#     + W_JWS*(jw_surface - jw_alias) + W_OVL*overlap_margin - W_COMMON*common
+# Fixed weights (deterministic; calibrated on the t2 fixture offline).
+# The Jaro-Winkler margin is the dominant signal; the boolean
+# prefix/abbreviation features act as score FLOORS (the reference's
+# boolean pair features are near-decisive under its extreme merge
+# cutoff): base = max(W_JW*(jw - JW_PIVOT), 6 if prefix2, 6 if abbr),
+# then small context corrections and the common-surname penalty.
 W_JW = 60.0
 JW_PIVOT = 0.935
-W_PREFIX = 8.0
-W_ABBR = 8.0
+BOOL_FLOOR = 6.0
 W_JWS = 1.0
 W_OVL = 0.5
 W_COMMON = 2.0
@@ -72,10 +74,11 @@ def pair_features(alias1: str, alias2: str, surface1: str, surface2: str) -> dic
 
 
 def pair_score(f: dict) -> float:
+    base = W_JW * (f["jw_alias"] - JW_PIVOT)
+    if f["prefix2"] or f["abbr"]:
+        base = max(base, BOOL_FLOOR)
     z = (
-        W_JW * (f["jw_alias"] - JW_PIVOT)
-        + W_PREFIX * f["prefix2"]
-        + W_ABBR * f["abbr"]
+        base
         + W_JWS * (f["jw_surface"] - f["jw_alias"])
         + W_OVL * (f["tok_overlap"] - 0.5)
         - W_COMMON * f["common_surname"]

@@ -19,11 +19,12 @@ import math
 
 
 def jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
+    # empty-before-equality ordering matches DuckDB: jaro("","") == 0
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     if match_dist < 0:
         match_dist = 0

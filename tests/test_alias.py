@@ -1,0 +1,61 @@
+import pyarrow as pa
+
+from el.alias import resolve_conv, resolve_mention
+
+
+def test_acronym_expansion():
+    alias, ner = resolve_mention(
+        "UWCC", "ORG", [], ["United Western Commerce Council"], []
+    )
+    assert alias == "United Western Commerce Council"
+    assert ner == "ORG"
+
+
+def test_acronym_no_match_stays():
+    alias, _ = resolve_mention("UWCC", "ORG", [], ["Global Timber Group"], [])
+    assert alias == "UWCC"
+
+
+def test_surname_expansion():
+    alias, _ = resolve_mention("Smith", "PER", ["Janet Smith"], [], [])
+    assert alias == "Janet Smith"
+    # first (earliest-in-doc) match wins — proximity-analog determinism
+    alias, _ = resolve_mention("Smith", "PER", ["Janet Smith", "Ada Smith"], [], [])
+    assert alias == "Janet Smith"
+
+
+def test_city_expansion():
+    alias, _ = resolve_mention("Austin", "GPE", [], [], [])
+    assert alias == "Austin, Texas"
+    alias, _ = resolve_mention("Austin, TX", "GPE", [], [], [])
+    assert alias == "Austin, Texas"
+    alias, _ = resolve_mention("Austin, Texas", "GPE", [], [], [])
+    assert alias == "Austin, Texas"
+
+
+def test_org_prefix_expansion_refines_type():
+    alias, ner = resolve_mention(
+        "United Western", "PER", [], ["United Western Commerce Council"], []
+    )
+    assert alias == "United Western Commerce Council"
+    assert ner == "ORG"
+
+
+def test_resolve_conv_preserves_types_and_order():
+    g = pa.table(
+        {
+            "mention_id": ["m1", "m2"],
+            "conv_id": ["c", "c"],
+            "turn_idx": pa.array([0, 3], pa.int32()),
+            "beg": pa.array([0, 5], pa.int32()),
+            "end": pa.array([12, 10], pa.int32()),
+            "surface": ["Janet Harper", "Harper"],
+            "ner_type": ["PER", "PER"],
+            "context": ["x", "y"],
+        }
+    )
+    out = resolve_conv(g)
+    assert out.schema.field("turn_idx").type == "int32"
+    assert out["mention_id"].to_pylist() == ["m1", "m2"]
+    assert out["alias"].to_pylist() == ["Janet Harper", "Janet Harper"]
+    assert out["alias_norm"].to_pylist() == ["janet harper", "janet harper"]

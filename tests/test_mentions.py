@@ -1,0 +1,67 @@
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from el.mentions import extract_mentions_batch, type_surface
+
+
+def test_extraction_recovers_gold_exactly(t1_fixture):
+    """Extraction over turn text must recover the labeled mention set
+    exactly (ids, spans, surfaces) — the conformance contract for the
+    mention stage."""
+    tr = pq.read_table(f"{t1_fixture}/transcripts.parquet")
+    gm = pq.read_table(f"{t1_fixture}/gold_mentions.parquet")
+    ext = extract_mentions_batch(tr)
+    got = sorted(
+        zip(
+            ext["mention_id"].to_pylist(),
+            ext["surface"].to_pylist(),
+            ext["beg"].to_pylist(),
+            ext["end"].to_pylist(),
+        )
+    )
+    want = sorted(
+        zip(
+            gm["mention_id"].to_pylist(),
+            gm["surface"].to_pylist(),
+            gm["beg"].to_pylist(),
+            gm["end"].to_pylist(),
+        )
+    )
+    assert got == want
+
+
+def test_extraction_spans_and_types():
+    t = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": ["we met Janet Harper near Austin, TX with the UWCC team"],
+        }
+    )
+    out = extract_mentions_batch(t).to_pylist()
+    assert [(r["surface"], r["ner_type"]) for r in out] == [
+        ("Janet Harper", "PER"),
+        ("Austin, TX", "GPE"),
+        ("UWCC", "ORG"),
+    ]
+    for r in out:
+        assert t["text"][0].as_py()[r["beg"]:r["end"]] == r["surface"]
+
+
+def test_type_surface():
+    assert type_surface("UWCC") == "ORG"
+    assert type_surface("Austin") == "GPE"
+    assert type_surface("Austin, Texas") == "GPE"
+    assert type_surface("Smith") == "PER"
+    assert type_surface("Janet Smith") == "PER"
+    assert type_surface("Global Timber Group") == "ORG"
+    assert type_surface("Meridian Northern Fisheries Institute") == "ORG"
+
+
+def test_empty_batch():
+    t = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         "turn_idx": pa.array([], pa.int32()),
+         "text": pa.array([], pa.string())}
+    )
+    assert len(extract_mentions_batch(t)) == 0

@@ -1,0 +1,74 @@
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from el.metrics import b_cubed, pairwise_f1
+from el.pipeline import run_linkage
+
+
+@pytest.fixture(scope="module")
+def t1_answers(ray_session, t1_fixture):
+    return run_linkage(t1_fixture).to_pandas()
+
+
+def test_e2e_pairwise_f1(t1_answers, t1_fixture):
+    gp = pq.read_table(f"{t1_fixture}/gold_pairs.parquet")
+    cluster_of = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    res = pairwise_f1(cluster_of, gp)
+    assert res["f1"] >= 0.99, res  # BASELINE.json north rule
+
+
+def test_e2e_b_cubed(t1_answers, t1_fixture):
+    gm = pq.read_table(f"{t1_fixture}/gold_mentions.parquet")
+    gold_of = dict(zip(gm["mention_id"].to_pylist(), gm["gold_kb_id"].to_pylist()))
+    cluster_of = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    assert b_cubed(cluster_of, gold_of)["f1"] >= 0.99
+
+
+def test_e2e_output_ordering(t1_answers):
+    ordered = t1_answers.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert ordered[["conv_id", "turn_idx"]].equals(
+        t1_answers[["conv_id", "turn_idx"]].reset_index(drop=True)
+    )
+
+
+def test_e2e_kb_links_well_formed(t1_answers):
+    for link in t1_answers.kb_link:
+        assert link.startswith("E") or link.startswith("NIL:")
+    assert t1_answers.confidence.between(0.1, 1.0).all()
+
+
+def test_deterministic_across_runs(ray_session, t1_fixture, t1_answers):
+    """Cluster ids must be identical across executions (no global
+    counters, no order dependence)."""
+    df2 = run_linkage(t1_fixture).to_pandas()
+    a = t1_answers.sort_values("mention_id").reset_index(drop=True)
+    b = df2.sort_values("mention_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_distributed_cc_path_matches_driver(ray_session, t1_fixture, t1_answers):
+    """Force the distributed label-propagation fallback and compare
+    cluster assignments with the driver union-find path."""
+    df2 = run_linkage(t1_fixture, driver_cc_max_nodes=0).to_pandas()
+    a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    b = dict(zip(df2.mention_id, df2.cluster_id))
+    assert a == b
+
+
+def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    out1 = run_linkage(t1_fixture, checkpoint_dir=ck).to_pandas()
+    # simulate kill-after-stage-k: remove the final stage, keep earlier ones
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "stage-answers"))
+    out2 = run_linkage(t1_fixture, checkpoint_dir=ck).to_pandas()
+    a = out1.sort_values("mention_id").reset_index(drop=True)
+    b = out2.sort_values("mention_id").reset_index(drop=True)
+    assert a.equals(b)
+    # manifests exist with row counters
+    mans = glob.glob(os.path.join(ck, "stage-*", "manifest.json"))
+    assert len(mans) == 6

@@ -1,0 +1,56 @@
+import pyarrow as pa
+
+from el.scorer import MERGE_CUTOFF, PairScorer, pair_features, pair_score
+
+
+def s(a1, a2, s1=None, s2=None):
+    return pair_score(pair_features(a1, a2, s1 or a1, s2 or a2))
+
+
+def test_misspelling_merges():
+    assert s("Janet Harper", "Janet Harpr") >= MERGE_CUTOFF
+    assert s("Meridian Northern Fisheries Institute",
+             "Meridian Northern Fisheries Institte") >= MERGE_CUTOFF
+
+
+def test_distinct_entities_do_not_merge():
+    assert s("Janet Smith", "Robert Smith") < MERGE_CUTOFF
+    assert s("Janet Smith", "Janet Vance") < MERGE_CUTOFF
+    assert s("Global Timber Group", "Global Grain Group") < MERGE_CUTOFF
+    assert s("Austin, Texas", "Dallas, Texas") < MERGE_CUTOFF
+
+
+def test_prefix_backup_merges():
+    # unexpanded org prefix still merges via the prefix feature
+    assert s("United Western", "United Western Commerce Council") >= MERGE_CUTOFF
+
+
+def test_abbr_backup_merges():
+    assert s("UWCC", "United Western Commerce Council") >= MERGE_CUTOFF
+
+
+def test_features():
+    f = pair_features("Janet Smith", "Robert Smith", "Smith", "Smith")
+    assert f["common_surname"] is True
+    assert f["jw_surface"] == 1.0
+    f2 = pair_features("United Western", "United Western Commerce Council",
+                       "United Western", "UWCC")
+    assert f2["prefix2"] is True
+
+
+def test_scorer_batch():
+    t = pa.table(
+        {
+            "a1": ["A:janet harper"],
+            "a2": ["A:janet harpr"],
+            "alias1": ["Janet Harper"],
+            "alias2": ["Janet Harpr"],
+            "surface1": ["Janet Harper"],
+            "surface2": ["Janet Harpr"],
+            "ner1": ["PER"],
+            "ner2": ["PER"],
+            "block_key": ["p:janet"],
+        }
+    )
+    out = PairScorer()(t)
+    assert out["score"][0].as_py() >= MERGE_CUTOFF
