@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is
+  broadcast once (ray.put); each batch does one float64 matmul against
+  it (numpy), emits its local top-m per query, and a final tiny
+  groupby-per-query merge produces the global top-k. Wall-time is one
+  pass over the embedding table — the scale baseline.
+- ``lsh_topk``: random-hyperplane LSH variant — embeddings bucket by
+  sign-bit signature; only buckets matching a query's signature (within
+  ``probe`` Hamming distance) are scored. Trades recall for a large
+  candidate-set reduction; the scale path for fat corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class _BruteScorer:
+    def __init__(self, q_ref, top_m: int):
+        import ray
+
+        self.Q = ray.get(q_ref)  # (nq, d) float64, broadcast once
+        self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        self.top_m = top_m
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(df["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+        sims = self.Qn @ Xn.T  # (nq, batch)
+        vec_ids = df["vec_id"].to_numpy()
+        rows = []
+        m = min(self.top_m, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # local top-m, ties broken by vec_id ascending
+            order = np.lexsort((vec_ids, -sims[qi]))[:m]
+            for j in order:
+                rows.append((qi, int(vec_ids[j]), float(sims[qi, j])))
+        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+
+
+def _topk_group(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return fn
+
+
+def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                     concurrency: int = 2):
+    """Exact cosine top-k of each query row against the embedding table.
+    Returns (q_id, vec_id, sim, rank)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = emb_ds.map_batches(
+        _BruteScorer,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    import functools
+
+    return local.groupby("q_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pandas"
+    )
+
+
+def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def _signatures(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (X @ planes.T) > 0  # (n, nbits)
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    return bits @ weights
+
+
+class _LshScorer:
+    """Scores a batch only against queries whose bucket signature is
+    within ``probe`` Hamming bits of the row's signature."""
+
+    def __init__(self, q_ref, planes_ref, top_m: int, probe: int):
+        import ray
+
+        self.Q = ray.get(q_ref)
+        self.planes = ray.get(planes_ref)
+        self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        self.qsig = _signatures(self.Qn, self.planes)
+        self.top_m = top_m
+        self.probe = probe
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(df["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+        xsig = _signatures(Xn, self.planes)
+        vec_ids = df["vec_id"].to_numpy()
+        rows = []
+        for qi in range(len(self.Q)):
+            ham = np.array(
+                [bin(int(s) ^ int(self.qsig[qi])).count("1") for s in xsig]
+            )
+            mask = ham <= self.probe
+            if not mask.any():
+                continue
+            sims = Xn[mask] @ self.Qn[qi]
+            ids = vec_ids[mask]
+            order = np.lexsort((ids, -sims))[: self.top_m]
+            for j in order:
+                rows.append((qi, int(ids[j]), float(sims[j])))
+        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+
+
+def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
+             probe: int = 3, seed: int = 5, concurrency: int = 2):
+    """Approximate top-k via random-hyperplane LSH bucketing."""
+    import functools
+
+    import ray
+
+    Q = np.asarray(queries, dtype=np.float64)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((nbits, Q.shape[1]))
+    q_ref, p_ref = ray.put(Q), ray.put(planes)
+    local = emb_ds.map_batches(
+        _LshScorer,
+        fn_constructor_args=(q_ref, p_ref, k, probe),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return local.groupby("q_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pandas"
+    )
+
+
+def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
+                     seed: int = 5):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket by sign
+    signature, exact cosine within bucket (d1 < d2, sim >= threshold)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "planes" not in planes_holder:
+            d = len(df["embedding"].iloc[0])
+            planes_holder["planes"] = np.random.Generator(
+                np.random.PCG64(seed)
+            ).standard_normal((nbits, d))
+        X = _to_matrix(df["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+        out = df[["vec_id", "embedding"]].copy()
+        out["bucket"] = _signatures(Xn, planes_holder["planes"])
+        return out
+
+    bucketed = emb_ds.map_batches(add_bucket, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").head(500)
+        X = _to_matrix(g["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+        sims = Xn @ Xn.T
+        ids = g["vec_id"].to_numpy()
+        rows = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["d1", "d2", "sim"])
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the guide's sketch patterns):
+- exact: md5 fingerprint per batch -> ``groupby(fp).min(doc_id)`` —
+  one shuffle keyed on the hash, perfectly balanced.
+- n-gram Jaccard (exact): inverted shingle index
+  (explode -> groupby(shingle) -> within-group pairs with a hot-shingle
+  cap) -> co-occurrence counts via groupby((d1,d2)) -> jaccard from
+  per-doc shingle counts. No verification pass needed; the only skew
+  risk is hot shingles, which are capped with logged drops.
+- MinHash+LSH (approximate): vectorized per-batch signatures
+  (numpy universal hashing) -> band buckets -> groupby(band) candidate
+  pairs -> exact-Jaccard verify.
+- SimHash: 64-bit signature per doc; near-dups bucket on the top bits
+  and verify Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .textstats import fingerprint
+
+_MERSENNE = (1 << 61) - 1
+_HASH_RANGE = 1 << 32
+
+
+def exact_dedup(docs_ds):
+    """Kept representatives after exact-content dedup:
+    (fp, doc_id=min over duplicates)."""
+    fps = fingerprint(docs_ds)
+    out = fps.groupby("fp").min("doc_id")
+    return out.map_batches(
+        lambda t: t.rename_columns(["fp", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    import zlib
+
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: seeded universal-hash MinHash signatures +
+    LSH band keys. Hash parameters are built once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
+                 seed: int = 7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        if len(h) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        # (num_perm, n_shingles) universal hashes, min over shingles
+        vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows : (band + 1) * self.rows]
+                # stable digest (builtin hash() is per-process seeded)
+                bh = int.from_bytes(
+                    hashlib.md5(chunk.tobytes()).digest()[:8], "little"
+                ) & 0x7FFFFFFFFFFFFFFF
+                rows.append((doc_id, band, bh))
+        return pd.DataFrame(rows, columns=["doc_id", "band", "band_hash"])
+
+
+def _bucket_pairs_group(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    out1, out2 = [], []
+    cap = 200  # hot-bucket cap; beyond it the bucket is near-degenerate
+    ids = ids[:cap]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            out1.append(ids[i])
+            out2.append(ids[j])
+    return pa.table({"d1": pa.array(out1, pa.int64()),
+                     "d2": pa.array(out2, pa.int64())})
+
+
+def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
+                       k: int = 3, concurrency: int = 2):
+    """LSH candidate pairs (d1 < d2), deduped across bands."""
+    sigs = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs_group, batch_format="pyarrow"
+    )
+    dedup = pairs.groupby(["d1", "d2"]).count()
+    return dedup.map_batches(
+        lambda t: t.select(["d1", "d2"]), batch_format="pyarrow"
+    )
+
+
+def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
+    """Exact-Jaccard verification of candidate pairs against a broadcast
+    shingle map. At corpus scales beyond broadcast, swap this for the
+    inverted-index exact path (ngram_jaccard_pairs), which never
+    materializes documents on one node."""
+    import ray
+
+    shingle_map: dict[int, set[str]] = {}
+    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=4096, batch_format="pandas"
+    ):
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            shingle_map[int(doc_id)] = word_shingles(text, k)
+    ref = ray.put(shingle_map)
+
+    class Verify:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d1 = t.column("d1").to_pylist()
+            d2 = t.column("d2").to_pylist()
+            jac = []
+            for a, b in zip(d1, d2):
+                s1, s2 = self.m.get(a, set()), self.m.get(b, set())
+                u = len(s1 | s2)
+                jac.append(len(s1 & s2) / u if u else 0.0)
+            out = t.append_column("jaccard", pa.array(jac, pa.float64()))
+            import pyarrow.compute as pc
+
+            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return pairs_ds.map_batches(
+        Verify, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=2, num_cpus=0.5,
+    )
+
+
+def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **kw):
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
+    cands = minhash_candidates(docs_ds, **kw)
+    return verify_jaccard(cands, docs_ds, threshold, k=kw.get("k", 3))
+
+
+# ---------------------------------------------------------------- exact
+def _shingle_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    doc_ids, shingles = [], []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        for s in word_shingles(text, k):
+            doc_ids.append(doc_id)
+            shingles.append(s)
+    return pd.DataFrame({"doc_id": doc_ids, "shingle": shingles})
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                        hot_shingle_cap: int = 100):
+    """EXACT n-gram Jaccard similar pairs via an inverted shingle index —
+    no broadcast, no verification stage, fully shuffle-based:
+
+      explode (doc, shingle) -> groupby(shingle) pairs (hot cap)
+      -> groupby(d1, d2).count co-occurrence
+      -> jaccard = co / (|A| + |B| - co) with per-doc shingle counts
+         attached from a broadcast count map (ints only).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    rows = docs_ds.map_batches(
+        lambda df: _shingle_rows(df, k), batch_format="pandas"
+    )
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))[:hot_shingle_cap]
+        o1, o2 = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                o1.append(ids[i])
+                o2.append(ids[j])
+        return pa.table({"d1": pa.array(o1, pa.int64()),
+                         "d2": pa.array(o2, pa.int64())})
+
+    pairs = rows.groupby("shingle").map_groups(group_pairs, batch_format="pyarrow")
+    co = pairs.groupby(["d1", "d2"]).count()  # column "count()"
+
+    sizes = rows.groupby("doc_id").count()
+    size_map = {
+        int(r["doc_id"]): int(r["count()"]) for r in sizes.take_all()
+    }
+    ref = ray.put(size_map)
+
+    class Finish:
+        def __init__(self, ref):
+            self.sizes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d1 = t.column("d1").to_pylist()
+            d2 = t.column("d2").to_pylist()
+            co_ = t.column("count()").to_pylist()
+            jac = [
+                c / (self.sizes[a] + self.sizes[b] - c)
+                for a, b, c in zip(d1, d2, co_)
+            ]
+            out = pa.table(
+                {
+                    "d1": t.column("d1"),
+                    "d2": t.column("d2"),
+                    "jaccard": pa.array([round(j, 6) for j in jac], pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return co.map_batches(Finish, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+
+# --------------------------------------------------------------- simhash
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (weighted bit-vote)."""
+    import zlib
+
+    v = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        v += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[["doc_id"]].copy()
+    out["simhash"] = [simhash64(t) for t in df["text"]]
+    # bucket on the top 16 bits for near-dup candidate grouping
+    out["bucket"] = out["simhash"] // (1 << 48)
+    return out
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    """Near-dup pairs whose SimHashes fall in the same top-bit bucket and
+    verify within ``max_hamming`` bits."""
+    sigs = docs_ds.map_batches(simhash_batch, batch_format="pandas")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(),
+                group.column("simhash").to_pylist())
+        )[:200]
+        o1, o2, hd = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if d <= max_hamming:
+                    o1.append(rows[i][0])
+                    o2.append(rows[j][0])
+                    hd.append(d)
+        return pa.table({"d1": pa.array(o1, pa.int64()),
+                         "d2": pa.array(o2, pa.int64()),
+                         "hamming": pa.array(hd, pa.int64())})
+
+    return sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

@@ -1,0 +1,566 @@
+"""Driver-contract queries: one callable per implemented operator
+(SURVEY.md §2), each taking ``sf_dir`` and returning a Dataset /
+pandas DataFrame, plus the matching DuckDB oracle SQL.
+
+Entity-linking queries run over the deterministic transcript fixture
+derived from the sf scale (el.fixtures.ensure_fixture); the training-
+data-ops queries run directly over the driver's parquet tables
+(documents / embeddings / events / orders / customer / lineitem).
+
+Rounding discipline: every float column that must hash-match the SQL
+oracle is rounded with floor(x * 10^k + 0.5) / 10^k on BOTH sides —
+identical half-away behavior regardless of engine rounding mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fixtures import ensure_fixture
+from .mentions import extract_mentions
+from .ops.textstats import LANG_MARKERS
+from .pipeline import run_linkage
+from .sim import jaro_winkler, soundex
+from .text import normalize_name
+
+# The driver's correctness pass runs at sf0.01 -> fixture scale t2.
+FIXTURE_SQL_DIR = "/tmp/el_fixtures/t2"
+
+NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+STOPLIST_SQL = "('the','and','of','to','a','in','is','was','that','for')"
+
+
+def _round_half_away(series, k: int):
+    scale = 10 ** k
+    return np.floor(np.asarray(series, dtype=np.float64) * scale + 0.5) / scale
+
+
+def _roundsql(expr: str, k: int) -> str:
+    scale = 10 ** k
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ===================================================================== EL
+def q_el_mentions(sf_dir: str):
+    """Stage A conformance: extraction must recover the labeled mention
+    set exactly (oracle reads the generator's gold_mentions)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    m = extract_mentions(tr)
+    return m.select_columns(["mention_id", "conv_id", "turn_idx", "beg", "end",
+                             "surface"])
+
+
+def q_el_answers(sf_dir: str):
+    """Full pipeline output (non-SQL-expressible: actor scoring + union
+    find; rows-only driver check, quality gated in pytest)."""
+    fd = ensure_fixture(sf_dir)
+    return run_linkage(fd)
+
+
+def q_el_exact_cluster(sf_dir: str):
+    """Exact-alias NIL clustering semantics (clusterNils analog,
+    RunKBPEntityLinkerSystem.scala:160-192): cluster by normalized
+    surface, representative = min mention_id."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+
+    def add_norm(t: pa.Table) -> pa.Table:
+        norms = [normalize_name(s) for s in t.column("surface").to_pylist()]
+        return pa.table({"mention_id": t.column("mention_id"),
+                         "norm": pa.array(norms, pa.string())})
+
+    def group_min(g: pa.Table) -> pa.Table:
+        mids = g.column("mention_id").to_pylist()
+        lo = min(mids)
+        return pa.table({"mention_id": pa.array(mids, pa.string()),
+                         "cluster_id": pa.array([lo] * len(mids), pa.string())})
+
+    return (
+        gm.map_batches(add_norm, batch_format="pyarrow")
+        .groupby("norm")
+        .map_groups(group_min, batch_format="pyarrow")
+    )
+
+
+def q_el_block_keys(sf_dir: str):
+    """Blocking keys (normalized-exact + token-prefix) per mention."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        mids, out = [], []
+        for mid, s in zip(t.column("mention_id").to_pylist(),
+                          t.column("surface").to_pylist()):
+            norm = normalize_name(s)
+            if not norm:
+                continue
+            mids.append(mid)
+            out.append(f"n:{norm}")
+            first = norm.split()[0]
+            if len(first) >= 3:
+                mids.append(mid)
+                out.append(f"p:{first[:6]}")
+        return pa.table({"mention_id": pa.array(mids, pa.string()),
+                         "block_key": pa.array(out, pa.string())})
+
+    return gm.map_batches(keys, batch_format="pyarrow")
+
+
+def q_el_block_keys_phonetic(sf_dir: str):
+    """Phonetic (Soundex) blocking key — no SQL equivalent in DuckDB;
+    rows-only driver check, unit-tested against known Soundex values."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("surface").to_pylist():
+            norm = normalize_name(s)
+            last = norm.split()[-1]
+            out.append(f"ph:{soundex(last)}:{last[0]}")
+        return pa.table({"mention_id": t.column("mention_id"),
+                         "block_key": pa.array(out, pa.string())})
+
+    return gm.map_batches(keys, batch_format="pyarrow")
+
+
+def q_el_pair_jw(sf_dir: str):
+    """Jaro-Winkler over the labeled pair fixture — validates the scorer
+    kernel bit-for-bit against DuckDB's jaro_winkler_similarity."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+
+    class JW:
+        def __init__(self, ref):
+            self.surf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m1 = t.column("m1_id").to_pylist()
+            m2 = t.column("m2_id").to_pylist()
+            jw = [
+                jaro_winkler(normalize_name(self.surf[a]),
+                             normalize_name(self.surf[b]))
+                for a, b in zip(m1, m2)
+            ]
+            return t.append_column(
+                "jw", pa.array(_round_half_away(jw, 5), pa.float64())
+            )
+
+    return gp.map_batches(JW, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+
+def q_transcripts_passthrough(sf_dir: str):
+    """North-rule invariant surface: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after a map_batches round-trip."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    passthrough = tr.map_batches(lambda t: t, batch_format="pyarrow")
+    return passthrough.sort(["conv_id", "turn_idx"])
+
+
+# ============================================================== text ops
+def q_doc_fingerprint(sf_dir: str):
+    from .ops.textstats import fingerprint
+
+    return fingerprint(_read(sf_dir, "documents"))
+
+
+def q_exact_dedup(sf_dir: str):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def q_token_count(sf_dir: str):
+    from .ops.textstats import token_count
+
+    return token_count(_read(sf_dir, "documents"))
+
+
+def q_doc_quality(sf_dir: str):
+    from .ops.textstats import quality
+
+    return quality(_read(sf_dir, "documents"))
+
+
+def q_lang_id(sf_dir: str):
+    from .ops.textstats import lang_id
+
+    return lang_id(_read(sf_dir, "documents"))
+
+
+def _planted_dups(sf_dir: str):
+    """documents plus near-duplicates planted deterministically
+    (doc_id + 1_000_000, last two words dropped) — gives the near-dup
+    operators a known positive set."""
+    import ray.data
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 5 == 0].copy()  # every 5th doc gets a near-dup
+        c["doc_id"] = c["doc_id"] + 1_000_000
+        c["text"] = c["text"].str.split().str[:-2].str.join(" ")
+        return pd.concat([df, c], ignore_index=True)
+
+    return docs.map_batches(clones, batch_format="pandas")
+
+
+def q_minhash_dedup(sf_dir: str):
+    from .ops.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_planted_dups(sf_dir), threshold=0.8)
+
+
+def q_simhash_dedup(sf_dir: str):
+    from .ops.dedup import simhash_pairs
+
+    return simhash_pairs(_planted_dups(sf_dir), max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from .ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_planted_dups(sf_dir), threshold=0.5)
+
+
+# ====================================================== similarity search
+def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 for the first 3 vectors."""
+    from .ops.ann import brute_force_topk
+
+    Q = _query_matrix(sf_dir)
+    out = brute_force_topk(_read(sf_dir, "embeddings"), Q, k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_id"] = df["q_id"].astype("int64")  # q index == vec_id 0..2
+        df["sim"] = _round_half_away(df["sim"], 5)
+        df["rank"] = df["rank"].astype("int64")
+        return df[["q_id", "vec_id", "sim", "rank"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (recall vs brute force is asserted
+    in pytest; rows-only driver check)."""
+    from .ops.ann import lsh_topk
+
+    Q = _query_matrix(sf_dir)
+    return lsh_topk(_read(sf_dir, "embeddings"), Q, k=10)
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs over embeddings plus planted
+    exact copies (vec_id + 1_000_000)."""
+    from .ops.ann import cosine_dup_pairs
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["vec_id"] % 7 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        return pd.concat([df, c], ignore_index=True)
+
+    emb = _read(sf_dir, "embeddings").map_batches(clones, batch_format="pandas")
+    return cosine_dup_pairs(emb, threshold=0.9999)
+
+
+# ============================================================ relational
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate with per-batch PRE-AGGREGATION before
+    the groupby shuffle (combiner pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum")
+        )
+        return g
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["user_id", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype("int64")
+        df["sum_value"] = _round_half_away(df["sum_value"], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_segment_revenue(sf_dir: str):
+    """customer x orders broadcast-hash join (small side via ray.put)
+    + grouped aggregate."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg_of)
+    orders = _read(sf_dir, "orders")
+
+    class Attach:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return df[["c_mktsegment", "o_totalprice"]]
+
+    joined = orders.map_batches(Attach, fn_constructor_args=(ref,),
+                                batch_format="pandas", concurrency=2,
+                                num_cpus=0.5)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_orders"] = df["n_orders"].astype("int64")
+        df["total_price"] = _round_half_away(df["total_price"], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with column pruning at the
+    read and per-batch partial aggregation."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]), one=1
+        )
+        return df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            n_rows=("one", "sum"),
+        )
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("l_returnflag").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = _round_half_away(df["sum_qty"], 2)
+        df["sum_base"] = _round_half_away(df["sum_base"], 2)
+        df["revenue"] = _round_half_away(df["revenue"], 4)
+        df["n_rows"] = df["n_rows"].astype("int64")
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# ================================================================ oracle
+def oracle_sql() -> dict[str, str]:
+    norm = NORM_SQL.format(col="surface")
+    gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
+    gp = f"read_parquet('{FIXTURE_SQL_DIR}/gold_pairs.parquet')"
+    tr = f"read_parquet('{FIXTURE_SQL_DIR}/transcripts.parquet')"
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    lang_counts = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lang}"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    return {
+        "el_mentions": f"""
+            SELECT mention_id, conv_id, turn_idx, beg, "end", surface FROM {gm}
+        """,
+        "el_exact_cluster": f"""
+            SELECT mention_id,
+                   min(mention_id) OVER (PARTITION BY {norm}) AS cluster_id
+            FROM {gm}
+        """,
+        "el_block_keys": f"""
+            WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm})
+            SELECT mention_id, 'n:' || norm AS block_key FROM m WHERE norm != ''
+            UNION ALL
+            SELECT mention_id,
+                   'p:' || substr(split_part(norm, ' ', 1), 1, 6) AS block_key
+            FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+        """,
+        "el_pair_jw": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
+            SELECT p.m1_id, p.m2_id,
+                   {_roundsql('jaro_winkler_similarity(s1.norm, s2.norm)', 5)} AS jw
+            FROM {gp} p
+            JOIN s s1 ON p.m1_id = s1.mention_id
+            JOIN s s2 ON p.m2_id = s2.mention_id
+        """,
+        "transcripts_passthrough": f"""
+            SELECT conv_id, turn_idx, role, text, tool FROM {tr}
+            ORDER BY conv_id, turn_idx
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_uniq_tokens,
+                   {_roundsql('len(list_filter(toks, x -> x IN ' + STOPLIST_SQL + ')) / greatest(len(toks), 1)', 6)} AS stop_ratio,
+                   {_roundsql('len(list_distinct(toks)) / greatest(len(toks), 1)', 6)} AS uniq_ratio
+            FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            c AS (SELECT doc_id, {lang_counts} FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                        WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                        WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                        WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                        WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_guess
+            FROM c
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT q_id, vec_id, sim,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
+            FROM r WHERE rank <= 10
+        """,
+        "events_hourly": f"""
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   {_roundsql('sum(value)', 2)} AS sum_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "segment_revenue": f"""
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   {_roundsql('sum(o.o_totalprice)', 2)} AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "lineitem_pricing": f"""
+            SELECT l_returnflag,
+                   {_roundsql('sum(l_quantity)', 2)} AS sum_qty,
+                   {_roundsql('sum(l_extendedprice)', 2)} AS sum_base,
+                   {_roundsql('sum(l_extendedprice * (1.0 - l_discount))', 4)} AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+    }
+
+
+def queries():
+    return {
+        "el_mentions": q_el_mentions,
+        "el_answers": q_el_answers,
+        "el_exact_cluster": q_el_exact_cluster,
+        "el_block_keys": q_el_block_keys,
+        "el_block_keys_phonetic": q_el_block_keys_phonetic,
+        "el_pair_jw": q_el_pair_jw,
+        "transcripts_passthrough": q_transcripts_passthrough,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_dups": q_embedding_dups,
+        "events_hourly": q_events_hourly,
+        "segment_revenue": q_segment_revenue,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
