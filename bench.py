@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+  {"metric": "el_linkage_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pairs_scored_per_sec": ...}
+
+--scaling: run the same job in two fresh processes at num_cpus=8 and 32
+on the same input and print both throughputs + scaling efficiency
+(the sandbox proxy for the N vs 4N node criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    from el.fixtures import ensure_fixture
+
+    fixture = ensure_fixture(SF_DIR)  # generated once, cached on disk
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    ray.data.read_parquet(os.path.join(fixture, "transcripts.parquet")).count()
+
+    from el.pipeline import run_linkage
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    answers = run_linkage(fixture)
+    n_answers = answers.count()
+    el_sec = time.time() - t0
+    timings["el_linkage"] = round(el_sec, 3)
+
+    # isolated pair-scoring throughput (the BASELINE.json metric)
+    from el.blocking import block_pair_groups, emit_keys_batch
+    from el.pipeline import _alias_profile_block
+    from el.scorer import PairScorer
+
+    tr = ray.data.read_parquet(
+        os.path.join(fixture, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    from el.alias import canonicalize
+    from el.mentions import extract_mentions
+
+    from el.shuffle import group_blocks, group_map
+
+    profile = group_blocks(
+        canonicalize(extract_mentions(tr).select_columns(
+            ["mention_id", "conv_id", "turn_idx", "beg", "end", "surface",
+             "ner_type"]))
+        .select_columns(["mention_id", "alias", "alias_norm", "surface",
+                         "ner_type"]),
+        ["alias_norm"], _alias_profile_block, batch_format="pandas",
+    )
+    keys = profile.map_batches(
+        lambda t: emit_keys_batch(
+            t.select(["alias_norm", "alias", "surface", "ner_type"])),
+        batch_format="pyarrow",
+    )
+    pairs = group_map(keys, "block_key", block_pair_groups).materialize()
+    n_pairs = pairs.count()
+    t0 = time.time()
+    pairs.map_batches(PairScorer, batch_format="pyarrow", batch_size=4096,
+                      concurrency=max(2, min(8, NUM_CPUS // 4)),
+                      num_cpus=1).count()
+    score_sec = time.time() - t0
+    timings["pair_scoring"] = round(score_sec, 3)
+
+    # training-data ops over the sf tables
+    from el import queries as q
+
+    for name in ("lineitem_pricing", "events_hourly", "exact_dedup",
+                 "token_count", "ann_topk", "minhash_dedup"):
+        t0 = time.time()
+        q.queries()[name](SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_turns = json.load(
+        open(os.path.join(fixture, "fixture_manifest.json"))
+    )["n_turns"]
+    result = {
+        "metric": "el_linkage_sec",
+        "value": round(el_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "n_answers": n_answers,
+        "n_pairs": n_pairs,
+        "turns_per_sec": round(n_turns / el_sec, 1),
+        "pairs_scored_per_sec": round(n_pairs / score_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "pairs_scored_per_sec_lo": r_lo["pairs_scored_per_sec"],
+        "pairs_scored_per_sec_hi": r_hi["pairs_scored_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

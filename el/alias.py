@@ -125,7 +125,8 @@ def doc_entities_group(group: pa.Table) -> pa.Table:
 
 
 def canonicalize(mentions_ds, **kwargs):
-    """Dataset wrapper: mentions -> aliased mentions."""
-    return mentions_ds.groupby("conv_id").map_groups(
-        resolve_conv, batch_format="pyarrow", **kwargs
-    )
+    """Dataset wrapper: mentions -> aliased mentions. One hash exchange
+    on conv_id, per-conversation resolution inside co-located blocks."""
+    from .shuffle import group_map
+
+    return group_map(mentions_ds, "conv_id", resolve_conv, **kwargs)

@@ -141,6 +141,11 @@ class BlockPairGenerator:
         self.cap = max_aliases_per_block
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
+                     "ner1", "ner2", "block_key"]
+            t = pa.table({n: pa.array([], pa.string()) for n in names})
+            return t.append_column("dropped_pairs", pa.array([], pa.int64()))
         key = group.column("block_key")[0].as_py()
         aliases = zip(
             group.column("alias_norm").to_pylist(),

@@ -42,8 +42,11 @@ class CheckpointManager:
         import ray.data
 
         if self.root is None:
-            self.events.append({"stage": name, "action": "streamed"})
-            return build()
+            # no checkpoint dir: stage outputs are consumed by MULTIPLE
+            # downstream stages — pin them in the object store once
+            # instead of re-executing the upstream chain per consumer
+            self.events.append({"stage": name, "action": "materialized"})
+            return build().materialize()
         fp = fingerprint({"stage": name, **spec})
         # NOTE: no "=" in the dir name — hive-style "stage=<name>" paths
         # would be partition-inferred by read_parquet and leak a column.

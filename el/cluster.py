@@ -71,18 +71,45 @@ def _checksum(labels_ds) -> int:
     return labels_ds.map_batches(chk, batch_format="pyarrow").sum("h")
 
 
-def _scatter_group(group: pa.Table) -> pa.Table:
-    """One key's rows: >=1 label row (label != "") + edge rows
-    (dst != ""). Sends min(label) to itself and every neighbor."""
-    labs = [l for l in group.column("label").to_pylist() if l]
-    if not labs:
-        return pa.table({"node": pa.array([], pa.string()),
-                         "label": pa.array([], pa.string())})
-    lab = min(labs)
-    key = group.column("key")[0].as_py()
-    nodes = [key] + [d for d in group.column("dst").to_pylist() if d]
-    return pa.table({"node": pa.array(nodes, pa.string()),
-                     "label": pa.array([lab] * len(nodes), pa.string())})
+def _scatter_block(df):
+    """Vectorized block fn: rows for many keys, each key having >=1
+    label row (label != "") and its edge rows (dst != ""). Emits
+    min(label) of each key to the key itself and every neighbor."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=str),
+                             "label": pd.Series(dtype=str)})
+    lab_rows = df[df["label"] != ""]
+    per_key = lab_rows.groupby("key")["label"].min()
+    keymin = df["key"].map(per_key).fillna(SENTINEL)
+    edge_rows = df["dst"] != ""
+    out_nodes = pd.concat(
+        [df.loc[edge_rows, "dst"], df.loc[~edge_rows, "key"]],
+        ignore_index=True,
+    )
+    out_labels = pd.concat(
+        [keymin[edge_rows], keymin[~edge_rows]], ignore_index=True
+    )
+    return pd.DataFrame({"node": out_nodes, "label": out_labels})
+
+
+def gather_min(ds, key: str, value: str, num_partitions: int | None = None):
+    """groupby(key).min(value) via hash partition + block-local pandas
+    (Ray's sort/hash aggregate paths are 10-20x slower at high key
+    cardinality — see el.shuffle)."""
+    import pandas as pd
+
+    from .shuffle import group_blocks
+
+    def block_min(df):
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype=str),
+                                 value: pd.Series(dtype=str)})
+        return df.groupby(key, as_index=False)[value].min()
+
+    return group_blocks(ds, [key], block_min, batch_format="pandas",
+                        num_partitions=num_partitions)
 
 
 def label_propagation(edges_ds, labels_ds, num_partitions: int = 8,
@@ -93,16 +120,17 @@ def label_propagation(edges_ds, labels_ds, num_partitions: int = 8,
     itself, an alias-group node starts at the SENTINEL. Returns the
     converged (node, label) Dataset.
 
-    Each round is two groupby shuffles and no joins (Dataset.join spawns
+    Each round is two hash exchanges and no joins (Dataset.join spawns
     an aggregator actor pool per call — prone to deadlock on small CPU
     budgets and expensive inside a loop): (1) scatter — union the tagged
-    edge rows with the current labels, group by the source key, and emit
-    the group's min label to itself and all its neighbors; (2) gather —
-    groupby(node).min(label). The tagged edge set is materialized once
-    (the reused iterative working set); convergence is a label-checksum
-    fixpoint, bounded by the component diameter.
+    edge rows with the current labels, hash-partition by the source key,
+    and emit each key's min label to itself and all its neighbors
+    (vectorized block fn); (2) gather — block-local min per node. The
+    tagged edge set is materialized once (the reused iterative working
+    set); convergence is a label-checksum fixpoint, bounded by the
+    component diameter.
     """
-    from ray.data.aggregate import Min
+    from .shuffle import group_blocks
 
     def tag_edges(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -135,14 +163,12 @@ def label_propagation(edges_ds, labels_ds, num_partitions: int = 8,
             ),
             batch_format="pyarrow",
         )
-        msgs = und.union(tagged_labels).groupby("key").map_groups(
-            _scatter_group, batch_format="pyarrow"
+        msgs = group_blocks(
+            und.union(tagged_labels), ["key"], _scatter_block,
+            batch_format="pandas", num_partitions=num_partitions,
         )
-        new = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        new = gather_min(msgs, "node", "label",
+                         num_partitions=num_partitions).materialize()
         cur = _checksum(new)
         labels = new
         if cur == prev:

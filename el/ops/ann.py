@@ -72,9 +72,9 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
     )
     import functools
 
-    return local.groupby("q_id").map_groups(
-        functools.partial(_merge_topk, k=k), batch_format="pandas"
-    )
+    from ..shuffle import group_map_pandas
+
+    return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
 
 
 def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -143,9 +143,9 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
         concurrency=concurrency,
         num_cpus=0.5,
     )
-    return local.groupby("q_id").map_groups(
-        functools.partial(_merge_topk, k=k), batch_format="pandas"
-    )
+    from ..shuffle import group_map_pandas
+
+    return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
 
 
 def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
@@ -170,6 +170,10 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
     bucketed = emb_ds.map_batches(add_bucket, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         g = g.sort_values("vec_id").head(500)
         X = _to_matrix(g["embedding"])
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
@@ -183,4 +187,6 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
                     rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
         return pd.DataFrame(rows, columns=["d1", "d2", "sim"])
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ..shuffle import group_map_pandas
+
+    return group_map_pandas(bucketed, "bucket", bucket_pairs)

@@ -29,12 +29,19 @@ _HASH_RANGE = 1 << 32
 
 def exact_dedup(docs_ds):
     """Kept representatives after exact-content dedup:
-    (fp, doc_id=min over duplicates)."""
+    (fp, doc_id=min over duplicates). One hash exchange on the
+    fingerprint + block-local min."""
+    from ..shuffle import group_blocks
+
     fps = fingerprint(docs_ds)
-    out = fps.groupby("fp").min("doc_id")
-    return out.map_batches(
-        lambda t: t.rename_columns(["fp", "doc_id"]), batch_format="pyarrow"
-    )
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"fp": pd.Series(dtype=str),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return df.groupby("fp", as_index=False)["doc_id"].min()
+
+    return group_blocks(fps, ["fp"], block_min, batch_format="pandas")
 
 
 def word_shingles(text: str, k: int = 3) -> set[str]:
@@ -85,12 +92,14 @@ class MinHasher:
             sig = self.signature(text)
             for band in range(self.bands):
                 chunk = sig[band * self.rows : (band + 1) * self.rows]
-                # stable digest (builtin hash() is per-process seeded)
+                # stable digest (builtin hash() is per-process seeded);
+                # single bucket key = band tag + chunk digest
                 bh = int.from_bytes(
-                    hashlib.md5(chunk.tobytes()).digest()[:8], "little"
+                    hashlib.md5(bytes([band]) + chunk.tobytes()).digest()[:8],
+                    "little",
                 ) & 0x7FFFFFFFFFFFFFFF
-                rows.append((doc_id, band, bh))
-        return pd.DataFrame(rows, columns=["doc_id", "band", "band_hash"])
+                rows.append((doc_id, bh))
+        return pd.DataFrame(rows, columns=["doc_id", "bucket"])
 
 
 def _bucket_pairs_group(group: pa.Table) -> pa.Table:
@@ -106,9 +115,22 @@ def _bucket_pairs_group(group: pa.Table) -> pa.Table:
                      "d2": pa.array(out2, pa.int64())})
 
 
+def distinct_pairs(pairs_ds):
+    """Distinct (d1, d2) rows: hash-partition on d1 co-locates every
+    duplicate (both columns equal), block-local drop_duplicates."""
+    from ..shuffle import group_blocks
+
+    def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["d1", "d2"])[["d1", "d2"]]
+
+    return group_blocks(pairs_ds, ["d1"], block_distinct, batch_format="pandas")
+
+
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
                        k: int = 3, concurrency: int = 2):
     """LSH candidate pairs (d1 < d2), deduped across bands."""
+    from ..shuffle import group_map
+
     sigs = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
@@ -116,13 +138,8 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
         concurrency=concurrency,
         num_cpus=0.5,
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_group, batch_format="pyarrow"
-    )
-    dedup = pairs.groupby(["d1", "d2"]).count()
-    return dedup.map_batches(
-        lambda t: t.select(["d1", "d2"]), batch_format="pyarrow"
-    )
+    pairs = group_map(sigs, "bucket", _bucket_pairs_group)
+    return distinct_pairs(pairs)
 
 
 def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
@@ -190,11 +207,12 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
          attached from a broadcast count map (ints only).
     """
     import ray
-    from ray.data.aggregate import Count
+
+    from ..shuffle import group_blocks, group_map
 
     rows = docs_ds.map_batches(
         lambda df: _shingle_rows(df, k), batch_format="pandas"
-    )
+    ).materialize()  # reused by the pair stage AND the size stage
 
     def group_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))[:hot_shingle_cap]
@@ -206,13 +224,29 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         return pa.table({"d1": pa.array(o1, pa.int64()),
                          "d2": pa.array(o2, pa.int64())})
 
-    pairs = rows.groupby("shingle").map_groups(group_pairs, batch_format="pyarrow")
-    co = pairs.groupby(["d1", "d2"]).count()  # column "count()"
+    pairs = group_map(rows, "shingle", group_pairs)
 
-    sizes = rows.groupby("doc_id").count()
-    size_map = {
-        int(r["doc_id"]): int(r["count()"]) for r in sizes.take_all()
-    }
+    def block_co(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "co": pd.Series(dtype="int64")})
+        return df.groupby(["d1", "d2"], as_index=False).size().rename(
+            columns={"size": "co"}
+        )
+
+    co = group_blocks(pairs, ["d1"], block_co, batch_format="pandas")
+
+    def block_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return df.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    sizes = group_blocks(rows, ["doc_id"], block_sizes, batch_format="pandas")
+    size_map = {int(r["doc_id"]): int(r["n"]) for r in sizes.take_all()}
     ref = ray.put(size_map)
 
     class Finish:
@@ -224,7 +258,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
 
             d1 = t.column("d1").to_pylist()
             d2 = t.column("d2").to_pylist()
-            co_ = t.column("count()").to_pylist()
+            co_ = t.column("co").to_pylist()
             jac = [
                 c / (self.sizes[a] + self.sizes[b] - c)
                 for a, b, c in zip(d1, d2, co_)
@@ -270,6 +304,8 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs whose SimHashes fall in the same top-bit bucket and
     verify within ``max_hamming`` bits."""
+    from ..shuffle import group_map
+
     sigs = docs_ds.map_batches(simhash_batch, batch_format="pandas")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -289,4 +325,4 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                          "d2": pa.array(o2, pa.int64()),
                          "hamming": pa.array(hd, pa.int64())})
 
-    return sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return group_map(sigs, "bucket", bucket_pairs)

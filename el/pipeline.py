@@ -40,33 +40,37 @@ from .kb import broadcast_kb
 from .linkdecide import CandidateLinker
 from .mentions import extract_mentions
 from .scorer import MERGE_CUTOFF, PairScorer
+from .shuffle import group_blocks, group_map
 
 DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
 
 
-def _alias_profile_group(group: pa.Table) -> pa.Table:
-    """map_groups fn over groupby("alias_norm"): one representative row
-    per distinct alias + min(mention_id) + mention count."""
-    mids = group.column("mention_id").to_pylist()
-    i_rep = 0  # deterministic representative: min (alias, surface, ner)
-    reps = list(
-        zip(
-            group.column("alias").to_pylist(),
-            group.column("surface").to_pylist(),
-            group.column("ner_type").to_pylist(),
-        )
-    )
-    i_rep = min(range(len(reps)), key=lambda i: reps[i])
-    return pa.table(
-        {
-            "alias_norm": [group.column("alias_norm")[0].as_py()],
-            "alias": [reps[i_rep][0]],
-            "surface": [reps[i_rep][1]],
-            "ner_type": [reps[i_rep][2]],
-            "min_mention": [min(mids)],
-            "n_mentions": [len(mids)],
-        }
-    )
+def _alias_profile_block(df):
+    """Vectorized block fn over hash-partitioned alias_norm: one
+    representative row per distinct alias + min(mention_id) + count.
+    Representative = lexicographic min of (alias, surface, ner_type)."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame({
+            "alias_norm": pd.Series(dtype=str),
+            "alias": pd.Series(dtype=str),
+            "surface": pd.Series(dtype=str),
+            "ner_type": pd.Series(dtype=str),
+            "min_mention": pd.Series(dtype=str),
+            "n_mentions": pd.Series(dtype="int64"),
+        })
+    df = df.sort_values(["alias_norm", "alias", "surface", "ner_type"])
+    g = df.groupby("alias_norm", sort=False)
+    out = g.agg(
+        alias=("alias", "first"),
+        surface=("surface", "first"),
+        ner_type=("ner_type", "first"),
+        min_mention=("mention_id", "min"),
+        n_mentions=("mention_id", "size"),
+    ).reset_index()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out
 
 
 class _Finisher:
@@ -206,13 +210,12 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         batch_format="pyarrow",
     )
     edges = fuzzy.union(links_kv.map_batches(kb_anchor_edges, batch_format="pyarrow"))
-    init = (
+    from .cluster import gather_min
+
+    init = gather_min(
         profile_ds.map_batches(alias_nodes, batch_format="pyarrow")
-        .union(links_kv.map_batches(kb_nodes, batch_format="pyarrow"))
-        .groupby("node")
-        .min("label")
-        .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                     batch_format="pyarrow")
+        .union(links_kv.map_batches(kb_nodes, batch_format="pyarrow")),
+        "node", "label", num_partitions=num_partitions,
     )
     labels = label_propagation(edges, init, num_partitions=num_partitions)
     return labels.map_batches(
@@ -232,7 +235,7 @@ def run_linkage(
     fixture_dir: str,
     checkpoint_dir: str | None = None,
     from_scratch: bool = False,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     batch_size: int = 8192,
     num_partitions: int = 8,
     driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
@@ -244,6 +247,13 @@ def run_linkage(
     import ray
     import ray.data
 
+    if concurrency is None:
+        # size the actor pools to the session: a quarter of the CPUs
+        # (capped), the rest stays free for the task-pool stages feeding
+        # them — oversized pools pay startup cost without speedup here
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, min(8, cpus // 4))
+
     ckpt = CheckpointManager(checkpoint_dir, from_scratch)
     tr_path = os.path.join(fixture_dir, "transcripts.parquet")
     kb_path = os.path.join(fixture_dir, "kb.parquet")
@@ -253,15 +263,23 @@ def run_linkage(
         lambda: extract_mentions(ray.data.read_parquet(
             tr_path, columns=["conv_id", "turn_idx", "text"])),
     )
+    # the clustering path never reads `context`: keep the shuffled
+    # payload narrow (the wide column stays available in the mentions
+    # checkpoint for feature work)
     aliased = ckpt.stage(
         "aliased", {"input": tr_path},
-        lambda: canonicalize(mentions),
+        lambda: canonicalize(mentions.select_columns(
+            ["mention_id", "conv_id", "turn_idx", "beg", "end", "surface",
+             "ner_type"])),
     )
 
     profile = ckpt.stage(
         "alias_profile", {"input": tr_path},
-        lambda: aliased.groupby("alias_norm").map_groups(
-            _alias_profile_group, batch_format="pyarrow"
+        lambda: group_blocks(
+            aliased.select_columns(
+                ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
+            ),
+            ["alias_norm"], _alias_profile_block, batch_format="pandas",
         ),
     )
 
@@ -285,9 +303,7 @@ def run_linkage(
             ),
             batch_format="pyarrow",
         )
-        pairs = keys.groupby("block_key").map_groups(
-            block_pair_groups, batch_format="pyarrow"
-        )
+        pairs = group_map(keys, "block_key", block_pair_groups)
         return pairs.map_batches(
             PairScorer,
             batch_format="pyarrow",
@@ -307,7 +323,11 @@ def run_linkage(
         )
         def collect(ds) -> pa.Table:
             tbls = [ray.get(r) for r in ds.to_arrow_refs()]
-            return pa.concat_tables(tbls) if tbls else pa.table({})
+            tbls = [t for t in tbls if t.num_rows]
+            if not tbls:
+                return pa.table({})
+            cols = tbls[0].column_names  # blocks may order columns differently
+            return pa.concat_tables([t.select(cols) for t in tbls])
 
         n_aliases = profile.count()
         if n_aliases <= driver_cc_max_nodes:

@@ -97,11 +97,10 @@ def q_el_exact_cluster(sf_dir: str):
         return pa.table({"mention_id": pa.array(mids, pa.string()),
                          "cluster_id": pa.array([lo] * len(mids), pa.string())})
 
-    return (
-        gm.map_batches(add_norm, batch_format="pyarrow")
-        .groupby("norm")
-        .map_groups(group_min, batch_format="pyarrow")
-    )
+    from .shuffle import group_map
+
+    return group_map(gm.map_batches(add_norm, batch_format="pyarrow"),
+                     "norm", group_min)
 
 
 def q_el_block_keys(sf_dir: str):
@@ -324,31 +323,39 @@ def q_embedding_dups(sf_dir: str):
 
 # ============================================================ relational
 def q_events_hourly(sf_dir: str):
-    """Tumbling-window aggregate with per-batch PRE-AGGREGATION before
-    the groupby shuffle (combiner pattern)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling-window aggregate: per-batch PRE-AGGREGATION (combiner),
+    one hash exchange on (user_id, hour-int), block-local final merge.
+    Integer epoch-hours through the shuffle (timestamp keys measured
+    ~15x slower through Ray's shuffles), converted back at the end."""
+    from .shuffle import group_blocks
 
     ev = _read(sf_dir, "events")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.floor("h"))
-        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+        hour = df["ts"].values.astype("datetime64[h]").astype("int64")
+        df = df.assign(hour=hour)
+        return df.groupby(["user_id", "hour"], as_index=False).agg(
             n=("event_id", "size"), sum_value=("value", "sum")
         )
-        return g
 
     partials = ev.map_batches(partial, batch_format="pandas")
-    out = partials.groupby(["user_id", "hour"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
-    )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n"] = df["n"].astype("int64")
-        df["sum_value"] = _round_half_away(df["sum_value"], 2)
-        return df
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "hour": pd.Series(dtype="datetime64[ns]"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sum_value": pd.Series(dtype="float64")})
+        out = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["hour"] = pd.to_datetime(out["hour"], unit="h")
+        out["n"] = out["n"].astype("int64")
+        out["sum_value"] = _round_half_away(out["sum_value"], 2)
+        return out
 
-    return out.map_batches(finish, batch_format="pandas")
+    return group_blocks(partials, ["user_id", "hour"], merge,
+                        batch_format="pandas")
 
 
 def q_segment_revenue(sf_dir: str):
@@ -356,7 +363,6 @@ def q_segment_revenue(sf_dir: str):
     + grouped aggregate."""
     import ray
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
@@ -377,25 +383,37 @@ def q_segment_revenue(sf_dir: str):
     joined = orders.map_batches(Attach, fn_constructor_args=(ref,),
                                 batch_format="pandas", concurrency=2,
                                 num_cpus=0.5)
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="total_price"),
-    )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n_orders"] = df["n_orders"].astype("int64")
-        df["total_price"] = _round_half_away(df["total_price"], 2)
-        return df
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum"),
+        )
 
-    return out.map_batches(finish, batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"c_mktsegment": pd.Series(dtype=str),
+                                 "n_orders": pd.Series(dtype="int64"),
+                                 "total_price": pd.Series(dtype="float64")})
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["total_price"] = _round_half_away(out["total_price"], 2)
+        return out
+
+    from .shuffle import group_blocks
+
+    return group_blocks(partials, ["c_mktsegment"], merge,
+                        batch_format="pandas")
 
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with column pruning at the
     read and per-batch partial aggregation."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -414,22 +432,28 @@ def q_lineitem_pricing(sf_dir: str):
         )
 
     partials = li.map_batches(partial, batch_format="pandas")
-    out = partials.groupby("l_returnflag").aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base", alias_name="sum_base"),
-        Sum("revenue", alias_name="revenue"),
-        Sum("n_rows", alias_name="n_rows"),
-    )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["sum_qty"] = _round_half_away(df["sum_qty"], 2)
-        df["sum_base"] = _round_half_away(df["sum_base"], 2)
-        df["revenue"] = _round_half_away(df["revenue"], 4)
-        df["n_rows"] = df["n_rows"].astype("int64")
-        return df
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"l_returnflag": pd.Series(dtype=str),
+                                 "sum_qty": pd.Series(dtype="float64"),
+                                 "sum_base": pd.Series(dtype="float64"),
+                                 "revenue": pd.Series(dtype="float64"),
+                                 "n_rows": pd.Series(dtype="int64")})
+        out = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), sum_base=("sum_base", "sum"),
+            revenue=("revenue", "sum"), n_rows=("n_rows", "sum"),
+        )
+        out["sum_qty"] = _round_half_away(out["sum_qty"], 2)
+        out["sum_base"] = _round_half_away(out["sum_base"], 2)
+        out["revenue"] = _round_half_away(out["revenue"], 4)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
 
-    return out.map_batches(finish, batch_format="pandas")
+    from .shuffle import group_blocks
+
+    return group_blocks(partials, ["l_returnflag"], merge,
+                        batch_format="pandas")
 
 
 # ================================================================ oracle

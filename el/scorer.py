@@ -47,17 +47,40 @@ W_COMMON = 2.0
 MERGE_CUTOFF = 0.5  # on the sigmoid score (our analog of Clusterer.scala:24)
 
 
+def _jaro_upper_bound(len1: int, len2: int) -> float:
+    """max possible Jaro for these lengths (all of the shorter string
+    matches, zero transpositions) — a cheap skip filter before the
+    O(n*m) kernel."""
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    m = min(len1, len2)
+    return (m / len1 + m / len2 + 1.0) / 3.0
+
+
 def pair_features(alias1: str, alias2: str, surface1: str, surface2: str) -> dict:
     n1, n2 = normalize_name(alias1), normalize_name(alias2)
     s1, s2 = normalize_name(surface1), normalize_name(surface2)
     t1, t2 = n1.split(), n2.split()
-    jw = jaro_winkler(n1, n2)
-    jws = jaro_winkler(s1, s2)
     prefix2 = bool(name_prefix(n1, n2) and min(len(t1), len(t2)) >= 2)
     contains = name_contains(n1, n2)
     abbr = is_abbreviation(n1.replace(" ", ""), n2) or is_abbreviation(
         n2.replace(" ", ""), n1
     )
+    # length-bound prefilter: when even a perfect character alignment
+    # cannot clear the merge region and no boolean floor applies, skip
+    # the quadratic kernel (the bound itself is the upper estimate)
+    bound = _jaro_upper_bound(len(n1), len(n2))
+    if bound < 0.82 and not (prefix2 or abbr):
+        jw = bound
+    else:
+        jw = jaro_winkler(n1, n2)
+    # surfaces usually equal the aliases after canonicalization: reuse
+    if s1 == n1 and s2 == n2:
+        jws = jw
+    elif _jaro_upper_bound(len(s1), len(s2)) < 0.82:
+        jws = _jaro_upper_bound(len(s1), len(s2))
+    else:
+        jws = jaro_winkler(s1, s2)
     ovl = token_overlap(n1, n2)
     common = bool(
         t1 and t2 and t1[-1] == t2[-1] and t1[-1] in COMMON_SURNAMES

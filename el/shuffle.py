@@ -1,0 +1,113 @@
+"""Hash-partitioned grouping primitives.
+
+Ray Data's sort-based ``groupby().aggregate()`` / ``map_groups`` costs
+20-60s per call on high-cardinality keys at our bench scale (measured:
+95k-group aggregate = 40s sort-based, 61s hash-aggregator-based), while
+``repartition(n, keys=...)`` (hash exchange, ShuffleStrategy.HASH_SHUFFLE)
+followed by a BLOCK-LOCAL vectorized aggregation runs the same job in
+~2s. These helpers make that the engine's standard grouping idiom:
+
+  group_blocks(ds, keys, block_fn)  — hash-partition on keys, then run
+      ``block_fn`` once per co-located block (batch_size=None). The
+      block fn sees every row of each key it sees (partition integrity
+      is guaranteed by the exchange) and does the group logic in-process
+      with pandas/pyarrow — no per-group Ray overhead.
+
+  group_map(ds, key, group_fn)      — per-group function on single-key
+      groups inside co-located blocks (replacement for
+      groupby(key).map_groups(group_fn)).
+
+This is also the right shape at 10^12 rows: one hash exchange per
+grouping (the minimum any engine pays) and linear in-process combining;
+hot keys are the caller's concern (salt/cap at pair generation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def ensure_hash_shuffle() -> None:
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def default_partitions() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — before init, fall back
+        cpus = 4
+    return max(4, cpus)
+
+
+def group_blocks(ds, keys: Sequence[str], block_fn: Callable, *,
+                 num_partitions: int | None = None,
+                 batch_format: str = "pyarrow", **kwargs):
+    """Hash-partition by ``keys`` and apply ``block_fn`` to whole
+    co-located blocks (all rows of any key end up in exactly one
+    block)."""
+    ensure_hash_shuffle()
+    n = num_partitions or default_partitions()
+    rp = ds.repartition(n, keys=list(keys))
+    return rp.map_batches(block_fn, batch_format=batch_format,
+                          batch_size=None, **kwargs)
+
+
+def split_groups(t: pa.Table, key: str):
+    """Yield per-group sub-tables of a single block, grouped on one key
+    (sorts the block, then slices runs) — in-process, no shuffle."""
+    if t.num_rows == 0:
+        return
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+    t = t.take(idx)
+    arr = t.column(key).to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate(([0], change, [len(arr)]))
+    for s, e in zip(starts[:-1], starts[1:]):
+        yield t.slice(s, e - s)
+
+
+def group_map(ds, key: str, group_fn: Callable, *,
+              num_partitions: int | None = None, **kwargs):
+    """groupby(key).map_groups(group_fn) semantics over hash-partitioned
+    blocks; ``group_fn``: pa.Table (one group) -> pa.Table."""
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        outs = [group_fn(g) for g in split_groups(t, key)]
+        outs = [o for o in outs if o is not None and o.num_rows >= 0]
+        if not outs:
+            return group_fn(t)  # empty block: let the fn emit its schema
+        return pa.concat_tables(outs, promote_options="default")
+
+    return group_blocks(ds, [key], block_fn,
+                        num_partitions=num_partitions,
+                        batch_format="pyarrow", **kwargs)
+
+
+def group_map_pandas(ds, key: str | Sequence[str], group_fn: Callable, *,
+                     num_partitions: int | None = None, **kwargs):
+    """Pandas flavor of group_map; ``group_fn``: DataFrame (one group)
+    -> DataFrame."""
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def block_fn(df):
+        if len(df) == 0:
+            return group_fn(df)
+        outs = [group_fn(g) for _, g in df.groupby(keys, sort=True)]
+        outs = [o for o in outs if o is not None and len(o) >= 0]
+        return pd.concat(outs, ignore_index=True) if outs else group_fn(df)
+
+    return group_blocks(ds, keys, block_fn,
+                        num_partitions=num_partitions,
+                        batch_format="pandas", **kwargs)
