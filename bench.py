@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# "full" runs EL + ops queries; "el" runs only the EL pipeline (used by
+# --scaling, which measures it on a compute-dominant fixture scale)
+BENCH_MODE = os.environ.get("BENCH_MODE", "full")
+EL_FIXTURE_SCALE = os.environ.get("EL_FIXTURE_SCALE")  # override sf-derived
 
 
 def run_bench() -> dict:
@@ -31,7 +35,7 @@ def run_bench() -> dict:
 
     from el.fixtures import ensure_fixture
 
-    fixture = ensure_fixture(SF_DIR)  # generated once, cached on disk
+    fixture = ensure_fixture(EL_FIXTURE_SCALE or SF_DIR)  # cached on disk
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -51,6 +55,24 @@ def run_bench() -> dict:
     n_answers = answers.count()
     el_sec = time.time() - t0
     timings["el_linkage"] = round(el_sec, 3)
+
+    n_turns = json.load(
+        open(os.path.join(fixture, "fixture_manifest.json"))
+    )["n_turns"]
+    if BENCH_MODE == "el":
+        result = {
+            "metric": "el_linkage_sec",
+            "value": round(el_sec, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": EL_FIXTURE_SCALE or SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_turns": n_turns,
+            "n_answers": n_answers,
+            "turns_per_sec": round(n_turns / el_sec, 1),
+        }
+        ray.shutdown()
+        return result
 
     # isolated pair-scoring throughput (the BASELINE.json metric)
     from el.blocking import block_pair_groups, emit_keys_batch
@@ -97,9 +119,6 @@ def run_bench() -> dict:
         q.queries()[name](SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
-    n_turns = json.load(
-        open(os.path.join(fixture, "fixture_manifest.json"))
-    )["n_turns"]
     result = {
         "metric": "el_linkage_sec",
         "value": round(el_sec, 3),
@@ -118,8 +137,19 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Identical EL job in two fresh processes at 8 and 32 CPUs on the
+    same input (the sandbox proxy for N vs 4N nodes). Uses the
+    compute-dominant bench8 fixture scale so the measurement reflects
+    parallel work, not per-session fixed costs; generated once, cached."""
+    scale = os.environ.get("EL_SCALING_SCALE", "bench8")
+
+    from el.fixtures import ensure_fixture
+
+    ensure_fixture(scale)  # generate before timing anything
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="el",
+                   EL_FIXTURE_SCALE=scale)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -139,9 +169,8 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
-        "pairs_scored_per_sec_lo": r_lo["pairs_scored_per_sec"],
-        "pairs_scored_per_sec_hi": r_hi["pairs_scored_per_sec"],
-        "sf": SF_DIR,
+        "n_turns": r_lo["n_turns"],
+        "fixture_scale": scale,
     }
 
 

@@ -113,6 +113,15 @@ def doc_entities_group(group: pa.Table) -> pa.Table:
     the analog of the reference's namedEntities.txt prep job
     (SerializeNamedEntities.scala:51-108)."""
     rows = group.to_pylist()
+    if not rows:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "pers": pa.array([], pa.list_(pa.string())),
+                "orgs": pa.array([], pa.list_(pa.string())),
+                "locs": pa.array([], pa.list_(pa.string())),
+            }
+        )
     pers, orgs, locs = _doc_lists(rows)
     return pa.table(
         {
@@ -122,6 +131,14 @@ def doc_entities_group(group: pa.Table) -> pa.Table:
             "locs": pa.array([locs], pa.list_(pa.string())),
         }
     )
+
+
+def build_doc_entities(mentions_ds, **kwargs):
+    """mentions -> per-conversation NE lists (DOC_ENTITIES) — the
+    one-time doc_annotate prep pipeline (SURVEY.md §3.3)."""
+    from .shuffle import group_map
+
+    return group_map(mentions_ds, "conv_id", doc_entities_group, **kwargs)
 
 
 def canonicalize(mentions_ds, **kwargs):

@@ -54,6 +54,8 @@ SCALES: dict[str, tuple[int, int, int, int, int]] = {
     "t1": (200, 60, 8, 20, 5000),
     "t2": (2000, 300, 8, 40, 5000),
     "bench": (50000, 2000, 8, 40, 2000),
+    # compute-dominant scale for the two-parallelism scaling runs
+    "bench8": (400000, 6000, 8, 40, 1000),
 }
 SCALE_OF_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 

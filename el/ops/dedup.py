@@ -294,24 +294,34 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    out = df[["doc_id"]].copy()
-    out["simhash"] = [simhash64(t) for t in df["text"]]
-    # bucket on the top 16 bits for near-dup candidate grouping
-    out["bucket"] = out["simhash"] // (1 << 48)
-    return out
+    """One row per (doc, 16-bit block): pigeonhole LSH — a pair within
+    Hamming distance 3 of a 64-bit SimHash must agree exactly on at
+    least one of the 4 blocks, so blocking on every block guarantees
+    100% recall at the verify threshold."""
+    doc_ids, sims, buckets = [], [], []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        h = simhash64(text)
+        for blk in range(4):
+            bits = (h >> (16 * blk)) & 0xFFFF
+            doc_ids.append(doc_id)
+            sims.append(h)
+            buckets.append((blk << 16) | bits)
+    return pd.DataFrame({"doc_id": doc_ids, "simhash": sims,
+                         "bucket": buckets})
 
 
 def simhash_pairs(docs_ds, max_hamming: int = 3):
-    """Near-dup pairs whose SimHashes fall in the same top-bit bucket and
-    verify within ``max_hamming`` bits."""
-    from ..shuffle import group_map
+    """Near-dup pairs within ``max_hamming`` SimHash bits: 4-block
+    pigeonhole bucketing + in-bucket Hamming verification + cross-bucket
+    pair dedup."""
+    from ..shuffle import group_blocks, group_map
 
     sigs = docs_ds.map_batches(simhash_batch, batch_format="pandas")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(
-            zip(group.column("doc_id").to_pylist(),
-                group.column("simhash").to_pylist())
+            set(zip(group.column("doc_id").to_pylist(),
+                    group.column("simhash").to_pylist()))
         )[:200]
         o1, o2, hd = [], [], []
         for i in range(len(rows)):
@@ -325,4 +335,13 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                          "d2": pa.array(o2, pa.int64()),
                          "hamming": pa.array(hd, pa.int64())})
 
-    return group_map(sigs, "bucket", bucket_pairs)
+    pairs = group_map(sigs, "bucket", bucket_pairs)
+
+    def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return df.drop_duplicates(["d1", "d2"])
+
+    return group_blocks(pairs, ["d1"], block_distinct, batch_format="pandas")

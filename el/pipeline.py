@@ -73,6 +73,63 @@ def _alias_profile_block(df):
     return out
 
 
+def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
+    """Driver-side merge of per-batch partial profiles (the partial fn is
+    associative: per-key rep = min (alias, surface, ner) tuple,
+    min_mention = min, n_mentions = sum)."""
+    import pandas as pd
+
+    df = partials_tbl.to_pandas()
+    if len(df) == 0:
+        return partials_tbl
+    df = df.sort_values(["alias_norm", "alias", "surface", "ner_type"])
+    out = df.groupby("alias_norm", sort=True).agg(
+        alias=("alias", "first"),
+        surface=("surface", "first"),
+        ner_type=("ner_type", "first"),
+        min_mention=("min_mention", "min"),
+        n_mentions=("n_mentions", "sum"),
+    ).reset_index()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
+    """Driver-side blocking + pair generation over the distinct-alias
+    profile (small by contract): same key functions and per-block
+    salting/caps as the distributed path, plus cross-block pair dedup."""
+    from .blocking import block_keys, pairs_for_block
+
+    key_map: dict[str, list] = {}
+    for an, al, sf, ner in zip(
+        profile_tbl.column("alias_norm").to_pylist(),
+        profile_tbl.column("alias").to_pylist(),
+        profile_tbl.column("surface").to_pylist(),
+        profile_tbl.column("ner_type").to_pylist(),
+    ):
+        for k in block_keys(an):
+            key_map.setdefault(k, []).append((an, al, sf, ner))
+    rows: list[tuple] = []
+    dropped = 0
+    seen: set[tuple[str, str]] = set()
+    for k in sorted(key_map):
+        rs, dr = pairs_for_block(k, key_map[k])
+        dropped += dr
+        for r in rs:
+            if (r[0], r[1]) in seen:
+                continue
+            seen.add((r[0], r[1]))
+            rows.append(r)
+    names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
+             "ner1", "ner2", "block_key"]
+    cols = list(zip(*rows)) if rows else [[]] * 9
+    tbl = pa.table({n: pa.array(list(c), pa.string())
+                    for n, c in zip(names, cols)})
+    return tbl.append_column(
+        "dropped_pairs", pa.array([dropped] * len(tbl), pa.int64())
+    )
+
+
 class _Finisher:
     """Final mention-scale map: attach cluster / kb_link / confidence
     from the broadcast alias map (one object-store read per actor)."""
@@ -243,7 +300,22 @@ def run_linkage(
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
     confidence), sorted by (conv_id, turn_idx) — the north-rule stable
-    ordering."""
+    ordering.
+
+    Two physical plans, same semantics (equivalence is a pytest):
+
+    - DEFAULT (mention count <= driver_cc_max_nodes): mention-scale work
+      is distributed (extract+canonicalize fused into one conv_id
+      exchange; the final attach + sort); the alias-scale work —
+      profile merge, KB linking, pair generation, union-find — runs on
+      the driver over the collected partial profiles. The contracted
+      alias set is orders of magnitude smaller than the mention table,
+      and every avoided hash exchange saves ~3s of aggregator-actor
+      startup, so this minimizes fixed overhead per run.
+    - FALLBACK (beyond the driver guard): every alias-scale stage runs
+      distributed too (hash-partitioned profile, linker actor pool,
+      blocked pair generation, min-label propagation, hash join back).
+    """
     import ray
     import ray.data
 
@@ -258,21 +330,111 @@ def run_linkage(
     tr_path = os.path.join(fixture_dir, "transcripts.parquet")
     kb_path = os.path.join(fixture_dir, "kb.parquet")
 
-    mentions = ckpt.stage(
-        "mentions", {"input": tr_path},
-        lambda: extract_mentions(ray.data.read_parquet(
-            tr_path, columns=["conv_id", "turn_idx", "text"])),
-    )
-    # the clustering path never reads `context`: keep the shuffled
-    # payload narrow (the wide column stays available in the mentions
-    # checkpoint for feature work)
+    def collect(ds) -> pa.Table:
+        tbls = [ray.get(r) for r in ds.to_arrow_refs()]
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return pa.table({})
+        cols = tbls[0].column_names  # blocks may order columns differently
+        return pa.concat_tables([t.select(cols) for t in tbls])
+
+    # [A+B fused] extract + canonicalize: one conv_id hash exchange.
+    # The clustering path never reads `context`, so the shuffled payload
+    # stays narrow.
     aliased = ckpt.stage(
         "aliased", {"input": tr_path},
-        lambda: canonicalize(mentions.select_columns(
-            ["mention_id", "conv_id", "turn_idx", "beg", "end", "surface",
-             "ner_type"])),
+        lambda: canonicalize(
+            extract_mentions(
+                ray.data.read_parquet(
+                    tr_path, columns=["conv_id", "turn_idx", "text"])
+            ).select_columns(
+                ["mention_id", "conv_id", "turn_idx", "beg", "end",
+                 "surface", "ner_type"])
+        ),
     )
+    n_mentions = aliased.count()
+    driver_path = n_mentions <= driver_cc_max_nodes
 
+    if driver_path:
+        # per-batch partial profiles -> driver merge (no exchange)
+        partials = aliased.select_columns(
+            ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
+        ).map_batches(_alias_profile_block, batch_format="pandas")
+        profile = ckpt.stage(
+            "alias_profile", {"input": tr_path},
+            lambda: ray.data.from_arrow(
+                _merge_profiles(collect(partials))),
+        )
+        profile_tbl = collect(profile)
+
+        from .kb import KBIndex
+        from .linkdecide import link_alias
+
+        kb_index = KBIndex.from_parquet(kb_path)
+
+        def build_links():
+            aliases = profile_tbl.column("alias_norm").to_pylist()
+            ids, scores, confs = [], [], []
+            for a in aliases:
+                kb_id, s, c = link_alias(a, kb_index)
+                ids.append(kb_id)
+                scores.append(s)
+                confs.append(c)
+            return ray.data.from_arrow(pa.table({
+                "alias_norm": pa.array(aliases, pa.string()),
+                "kb_id": pa.array(ids, pa.string()),
+                "link_score": pa.array(scores, pa.float64()),
+                "link_conf": pa.array(confs, pa.float64()),
+            }))
+
+        links = ckpt.stage("links", {"input": tr_path, "kb": kb_path},
+                           build_links)
+        links_tbl = collect(links)
+
+        def build_scored():
+            pairs_tbl = _pairs_from_profile(profile_tbl)
+            # split into many blocks: map_batches parallelism is per
+            # BLOCK, and from_arrow of one table yields a single block
+            n_chunks = max(1, min(4 * concurrency,
+                                  pairs_tbl.num_rows // 2048 + 1))
+            step = -(-pairs_tbl.num_rows // n_chunks)
+            chunks = [pairs_tbl.slice(i * step, step)
+                      for i in range(n_chunks)]
+            chunks = [c for c in chunks if c.num_rows] or [pairs_tbl]
+            return ray.data.from_arrow(chunks).map_batches(
+                PairScorer,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                num_cpus=0.5,
+            )
+
+        scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)
+
+        def build_answers():
+            edges_tbl = collect(scored.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("score"), MERGE_CUTOFF)
+                ).select(["a1", "a2"]),
+                batch_format="pyarrow",
+            ))
+            alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
+                                                edges_tbl)
+            map_ref = ray.put(alias_map)
+            finished = aliased.map_batches(
+                _Finisher,
+                fn_constructor_args=(map_ref,),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                num_cpus=0.5,
+            )
+            return finished.sort(["conv_id", "turn_idx"])
+
+        return ckpt.stage("answers", {"input": tr_path, "kb": kb_path},
+                          build_answers)
+
+    # ----------------------------------------------- distributed fallback
     profile = ckpt.stage(
         "alias_profile", {"input": tr_path},
         lambda: group_blocks(
@@ -321,65 +483,40 @@ def run_linkage(
             ).select(["a1", "a2"]),
             batch_format="pyarrow",
         )
-        def collect(ds) -> pa.Table:
-            tbls = [ray.get(r) for r in ds.to_arrow_refs()]
-            tbls = [t for t in tbls if t.num_rows]
-            if not tbls:
-                return pa.table({})
-            cols = tbls[0].column_names  # blocks may order columns differently
-            return pa.concat_tables([t.select(cols) for t in tbls])
-
-        n_aliases = profile.count()
-        if n_aliases <= driver_cc_max_nodes:
-            profile_tbl = collect(profile.select_columns(["alias_norm", "min_mention"]))
-            links_tbl = collect(links)
-            edges_tbl = collect(edges)
-            alias_map = _cluster_aliases_driver(profile_tbl, links_tbl, edges_tbl)
-            map_ref = ray.put(alias_map)
-            finished = aliased.map_batches(
-                _Finisher,
-                fn_constructor_args=(map_ref,),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=concurrency,
-                num_cpus=0.5,
-            )
-        else:
-            # distributed contracted-graph clustering + hash join back
-            clusters = _cluster_aliases_distributed(
-                profile, links, edges, num_partitions
-            )
-            withc = aliased.join(
-                clusters, "inner", num_partitions, on=("alias_norm",),
-                aggregator_ray_remote_args={"num_cpus": 0.25},
-            )
-            finished = withc.map_batches(
-                lambda t: (
-                    t.select(
-                        ["mention_id", "conv_id", "turn_idx", "surface", "alias",
-                         "cluster_id"]
-                    )
-                    .append_column(
-                        "kb_link",
-                        pc.if_else(
-                            pc.starts_with(t.column("cluster_id"), "E"),
-                            t.column("cluster_id"),
-                            pc.binary_join_element_wise(
-                                pa.array(["NIL:"] * len(t)),
-                                t.column("cluster_id"), "",
-                            ),
+        clusters = _cluster_aliases_distributed(
+            profile, links, edges, num_partitions
+        )
+        withc = aliased.join(
+            clusters, "inner", num_partitions, on=("alias_norm",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
+        finished = withc.map_batches(
+            lambda t: (
+                t.select(
+                    ["mention_id", "conv_id", "turn_idx", "surface", "alias",
+                     "cluster_id"]
+                )
+                .append_column(
+                    "kb_link",
+                    pc.if_else(
+                        pc.starts_with(t.column("cluster_id"), "E"),
+                        t.column("cluster_id"),
+                        pc.binary_join_element_wise(
+                            pa.array(["NIL:"] * len(t)),
+                            t.column("cluster_id"), "",
                         ),
-                    )
-                    .append_column(
-                        "confidence", pa.array([0.6] * len(t), pa.float64())
-                    )
-                ),
-                batch_format="pyarrow",
-            )
+                    ),
+                )
+                .append_column(
+                    "confidence", pa.array([0.6] * len(t), pa.float64())
+                )
+            ),
+            batch_format="pyarrow",
+        )
         return finished.sort(["conv_id", "turn_idx"])
 
-    answers = ckpt.stage("answers", {"input": tr_path, "kb": kb_path}, build_answers)
-    return answers
+    return ckpt.stage("answers", {"input": tr_path, "kb": kb_path},
+                      build_answers)
 
 
 def main(argv=None):

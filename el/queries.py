@@ -206,6 +206,63 @@ def q_transcripts_passthrough(sf_dir: str):
     return passthrough.sort(["conv_id", "turn_idx"])
 
 
+def q_el_contexts(sf_dir: str):
+    """Per-turn narrow/wide context assembly (M1-M4 analog): one conv_id
+    hash exchange + vectorized in-block shift-join; the oracle is the
+    lag/lead window expression."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .contexts import build_turn_contexts
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    return build_turn_contexts(tr)
+
+
+def q_el_doc_entities(sf_dir: str):
+    """Per-conversation NE lists (the doc_annotate prep pipeline,
+    SerializeNamedEntities analog; rows-only check — list columns)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .alias import build_doc_entities
+    from .mentions import extract_mentions
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    return build_doc_entities(extract_mentions(tr))
+
+
+def q_el_human_readable(sf_dir: str):
+    """Answers joined with KB title/type via broadcast (S10 analog;
+    rows-only — depends on the non-SQL pipeline output)."""
+    fd = ensure_fixture(sf_dir)
+
+    from .kb import broadcast_kb
+    from .outputs import human_readable
+
+    answers = run_linkage(fd)
+    kb_ref = broadcast_kb(os.path.join(fd, "kb.parquet"))
+    return human_readable(answers, kb_ref)
+
+
+def q_el_training_pairs(sf_dir: str):
+    """Seeded 10:1 negative-downsampled pair training set
+    (MentionPairTrainingData analog; seeded sampling — rows-only)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .training import build_pair_training_set
+
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"))
+    return build_pair_training_set(gp)
+
+
 # ============================================================== text ops
 def q_doc_fingerprint(sf_dir: str):
     from .ops.textstats import fingerprint
@@ -496,6 +553,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
         """,
+        "el_contexts": f"""
+            SELECT conv_id, turn_idx, text AS context,
+                   concat_ws(' ',
+                       lag(text) OVER w, text, lead(text) OVER w) AS wide_context
+            FROM {tr}
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "exact_dedup": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id
@@ -572,6 +636,10 @@ def queries():
         "el_block_keys": q_el_block_keys,
         "el_block_keys_phonetic": q_el_block_keys_phonetic,
         "el_pair_jw": q_el_pair_jw,
+        "el_contexts": q_el_contexts,
+        "el_doc_entities": q_el_doc_entities,
+        "el_human_readable": q_el_human_readable,
+        "el_training_pairs": q_el_training_pairs,
         "transcripts_passthrough": q_transcripts_passthrough,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,

@@ -5,6 +5,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import el  # noqa: E402, F401 — sets the hash-shuffle strategy before any Dataset exists
+
 
 @pytest.fixture(scope="session")
 def ray_session():

@@ -1,0 +1,193 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session, docs_ds):
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["doc_id"] % 5 == 0].copy()
+        c["doc_id"] = c["doc_id"] + 1_000_000
+        c["text"] = c["text"].str.split().str[:-2].str.join(" ")
+        return pd.concat([df[["doc_id", "text"]], c[["doc_id", "text"]]],
+                         ignore_index=True)
+
+    return docs_ds.map_batches(clones, batch_format="pandas").materialize()
+
+
+def test_exact_dedup_keeps_min(ray_session, docs_ds):
+    from el.ops.dedup import exact_dedup
+
+    # plant exact duplicates
+    def dup(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.copy()
+        c["doc_id"] = c["doc_id"] + 500_000
+        return pd.concat([df, c], ignore_index=True)
+
+    doubled = docs_ds.map_batches(dup, batch_format="pandas")
+    kept = exact_dedup(doubled).to_pandas()
+    n_docs = docs_ds.count()
+    assert len(kept) == n_docs  # every duplicate collapsed
+    assert (kept["doc_id"] < 500_000).all()  # min representative kept
+
+
+def test_minhash_finds_planted_dups(ray_session, planted):
+    from el.ops.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(planted, threshold=0.7).to_pandas()
+    planted_ids = set(
+        planted.to_pandas().loc[lambda d: d.doc_id >= 1_000_000, "doc_id"]
+        - 1_000_000
+    )
+    found = {
+        (r.d1, r.d2 - 1_000_000) for r in pairs.itertuples()
+        if r.d2 >= 1_000_000 and r.d1 == r.d2 - 1_000_000
+    }
+    recall = len(found) / len(planted_ids)
+    assert recall >= 0.9, (recall, len(pairs))
+    assert (pairs["jaccard"] >= 0.7).all()
+
+
+def test_ngram_jaccard_exact(ray_session, planted):
+    from el.ops.dedup import ngram_jaccard_pairs, word_shingles
+
+    pairs = ngram_jaccard_pairs(planted, threshold=0.5).to_pandas()
+    docs = dict(zip(planted.to_pandas().doc_id, planted.to_pandas().text))
+    # verify each reported jaccard against a direct computation
+    for r in pairs.head(50).itertuples():
+        s1, s2 = word_shingles(docs[r.d1]), word_shingles(docs[r.d2])
+        truth = len(s1 & s2) / len(s1 | s2)
+        assert abs(truth - r.jaccard) < 1e-6
+    # every planted clone pair above threshold must be present
+    pairset = {(r.d1, r.d2) for r in pairs.itertuples()}
+    missing = 0
+    for did, text in docs.items():
+        if did < 1_000_000 and did + 1_000_000 in docs:
+            s1 = word_shingles(text)
+            s2 = word_shingles(docs[did + 1_000_000])
+            if s1 | s2 and len(s1 & s2) / len(s1 | s2) >= 0.5:
+                if (did, did + 1_000_000) not in pairset:
+                    missing += 1
+    assert missing == 0
+
+
+def test_simhash_finds_planted_dups(ray_session, planted):
+    from el.ops.dedup import simhash64, simhash_pairs
+
+    pairs = simhash_pairs(planted, max_hamming=3).to_pandas()
+    assert (pairs["hamming"] <= 3).all()
+    # pigeonhole guarantee: EVERY pair whose true Hamming distance is
+    # <= 3 must be reported — check against the planted clones
+    docs = dict(zip(planted.to_pandas().doc_id, planted.to_pandas().text))
+    found = {(r.d1, r.d2) for r in pairs.itertuples()}
+    for did, text in docs.items():
+        if did < 1_000_000 and did + 1_000_000 in docs:
+            d = bin(simhash64(text) ^ simhash64(docs[did + 1_000_000])).count("1")
+            if d <= 3:
+                assert (did, did + 1_000_000) in found
+    # no duplicate pairs across blocks
+    assert len(found) == len(pairs)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(ray_session, emb_ds):
+    from el.ops.ann import brute_force_topk
+
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    ids = df.vec_id.to_numpy()
+    Q = X[:2]
+    res = brute_force_topk(emb_ds, Q, k=5).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    for qi in range(2):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = [int(ids[j]) for j in order]
+        got = (res[res.q_id == qi].sort_values("rank")["vec_id"].tolist())
+        assert got == want
+
+
+def test_lsh_topk_recall(ray_session, emb_ds):
+    from el.ops.ann import brute_force_topk, lsh_topk
+
+    df = emb_ds.to_pandas().sort_values("vec_id").head(3)
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    exact = brute_force_topk(emb_ds, Q, k=10).to_pandas()
+    approx = lsh_topk(emb_ds, Q, k=10, nbits=10, probe=4).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.q_id == qi].vec_id)
+        a = set(approx[approx.q_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # approximate but useful
+
+
+def test_embedding_dup_pairs(ray_session, emb_ds):
+    from el.ops.ann import cosine_dup_pairs
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["vec_id"] % 7 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        return pd.concat([df, c], ignore_index=True)
+
+    planted = emb_ds.map_batches(clones, batch_format="pandas")
+    pairs = cosine_dup_pairs(planted, threshold=0.9999).to_pandas()
+    n_clones = emb_ds.count() // 7 + 1
+    exact_hits = {(r.d1, r.d2) for r in pairs.itertuples()
+                  if r.d2 == r.d1 + 1_000_000}
+    assert len(exact_hits) == n_clones  # identical vectors share buckets
+
+
+def test_textstats_batches():
+    from el.ops.textstats import (
+        lang_id_batch,
+        quality_batch,
+        token_count_batch,
+    )
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["the quick brown fox", "der der die das und"]})
+    tc = token_count_batch(df)
+    assert tc.n_tokens.tolist() == [4, 5]
+    q = quality_batch(df)
+    assert q.n_uniq_tokens.tolist() == [4, 4]
+    assert q.stop_ratio.iloc[0] == 0.25  # "the"
+    lg = lang_id_batch(df)
+    assert lg.lang_guess.tolist() == ["en", "de"]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from el.ops.multimodal import AssetFeaturizer, fake_assets_table, featurize_assets
+
+    assets = ray.data.from_arrow(fake_assets_table(48))
+    out = featurize_assets(assets, batch_size=16).to_pandas()
+    assert len(out) == 48
+    assert set(out.columns) == {"asset_id", "kind", "width", "height",
+                                "frames", "feat"}
+    assert out.feat.map(len).eq(16).all()
+    # deterministic across runs
+    out2 = featurize_assets(ray.data.from_arrow(fake_assets_table(48))).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("asset_id").reset_index(drop=True),
+        out2.sort_values("asset_id").reset_index(drop=True),
+    )
+    # the strict decoder boundary is a clean NotImplementedError
+    with pytest.raises(NotImplementedError):
+        AssetFeaturizer(strict=True)(fake_assets_table(2))

@@ -69,6 +69,7 @@ def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):
     a = out1.sort_values("mention_id").reset_index(drop=True)
     b = out2.sort_values("mention_id").reset_index(drop=True)
     assert a.equals(b)
-    # manifests exist with row counters
+    # manifests exist with row counters (aliased, alias_profile, links,
+    # scored_pairs, answers)
     mans = glob.glob(os.path.join(ck, "stage-*", "manifest.json"))
-    assert len(mans) == 6
+    assert len(mans) == 5
