@@ -66,6 +66,38 @@ def b_cubed(cluster_of: dict[str, str], gold_of: dict[str, str]) -> dict:
     return {"precision": p, "recall": r, "f1": f1, "n": len(ps)}
 
 
+def over_clustering(cluster_of: dict[str, str], gold_of: dict[str, str]) -> int:
+    """Number of system clusters containing mentions of more than one
+    gold entity (Benchmarker.scala:30-34)."""
+    gold_sets: dict[str, set[str]] = defaultdict(set)
+    for m, c in cluster_of.items():
+        g = gold_of.get(m)
+        if g is not None:
+            gold_sets[c].add(g)
+    return sum(1 for s in gold_sets.values() if len(s) > 1)
+
+
+def nil_statistics(kb_link_of: dict[str, str]) -> dict:
+    """NIL-side summary (ExpNilStatistics.scala:8-59 analog): counts of
+    linked vs NIL answers and NIL cluster sizes."""
+    sizes: dict[str, int] = defaultdict(int)
+    linked = 0
+    for link in kb_link_of.values():
+        if link.startswith("E"):
+            linked += 1
+        else:
+            sizes[link] += 1
+    dist = defaultdict(int)
+    for n in sizes.values():
+        dist[n] += 1
+    return {
+        "linked": linked,
+        "nil": sum(sizes.values()),
+        "nil_clusters": len(sizes),
+        "nil_cluster_size_hist": dict(sorted(dist.items())),
+    }
+
+
 def category_report(kb_link_of: dict[str, str], gold_of: dict[str, str]) -> dict:
     """Per-query category counts (Benchmarker.scala:94-128)."""
     counts = defaultdict(int)

@@ -1,0 +1,55 @@
+import pyarrow as pa
+
+from el.kb import KBIndex
+from el.metrics import nil_statistics, over_clustering
+from el.sports import is_sports_candidate, sports_sense, team_rerank
+
+
+def make_kb():
+    return KBIndex.from_table(
+        pa.table(
+            {
+                "kb_id": ["E0000001", "E0000002"],
+                "title": ["Austin, Texas", "Austin Rail Authority"],
+                "type": ["GPE", "ORG"],
+                "wiki_type": ["settlement", "team"],
+                "intro_text": ["a", "b"],
+                "aliases": [["Austin"], []],
+                "named_entities": [[], []],
+                "ambiguity": pa.array([2, 2], pa.int32()),
+            }
+        )
+    )
+
+
+def test_sports_candidate_gate():
+    assert is_sports_candidate("Austin", "GPE")
+    assert not is_sports_candidate("Austin", "PER")  # NER gate
+    assert not is_sports_candidate("Janet", "GPE")  # not a location
+
+
+def test_sports_sense_threshold():
+    assert sports_sense("the team won the playoff game".split())
+    assert not sports_sense("the quarterly revenue numbers were flat".split())
+    assert not sports_sense([])
+
+
+def test_team_rerank():
+    kb = make_kb()
+    got = team_rerank("austin", kb)
+    assert got == ("E0000002", 0.7)
+    assert team_rerank("zzz nowhere", kb) is None
+
+
+def test_over_clustering():
+    gold = {"a": "g1", "b": "g2", "c": "g1"}
+    assert over_clustering({"a": "x", "b": "x", "c": "y"}, gold) == 1
+    assert over_clustering({"a": "x", "b": "y", "c": "x"}, gold) == 0
+
+
+def test_nil_statistics():
+    s = nil_statistics({"a": "E1", "b": "NIL:x", "c": "NIL:x", "d": "NIL:y"})
+    assert s["linked"] == 1
+    assert s["nil"] == 3
+    assert s["nil_clusters"] == 2
+    assert s["nil_cluster_size_hist"] == {1: 1, 2: 1}
