@@ -47,7 +47,7 @@ from .blocking import surface_block_keys
 from .sim import jaro_winkler
 from .text import initials, normalize_name
 
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 5
 
 # (n_conversations, n_entities, min_turns, max_turns, max_gold_pairs_per_key)
 SCALES: dict[str, tuple[int, int, int, int, int]] = {
@@ -130,15 +130,27 @@ def _misspell(name: str, rng: np.random.Generator) -> str | None:
     return None
 
 
-def _separated(norm: str, by_letter: dict[str, list[str]]) -> bool:
-    for other in by_letter.get(norm[:1], []):
-        if abs(len(other) - len(norm)) <= 4 and jaro_winkler(norm, other) >= 0.92:
-            return False
+def _separated(norm: str, by_token: dict[str, list[str]]) -> bool:
+    """JW-separation check bucketed by first AND last token: the only
+    realistic >=0.92 pairs share the (Winkler-boosted) first token or a
+    long common surname; full first-letter buckets made entity
+    generation quadratic at bench8 scale."""
+    toks = norm.split()
+    seen: set[str] = set()
+    for key in (f"F:{toks[0]}", f"L:{toks[-1]}"):
+        for other in by_token.get(key, []):
+            if other in seen:
+                continue
+            seen.add(other)
+            if abs(len(other) - len(norm)) <= 4 and jaro_winkler(norm, other) >= 0.92:
+                return False
     return True
 
 
-def _register(norm: str, by_letter: dict[str, list[str]]) -> None:
-    by_letter.setdefault(norm[:1], []).append(norm)
+def _register(norm: str, by_token: dict[str, list[str]]) -> None:
+    toks = norm.split()
+    by_token.setdefault(f"F:{toks[0]}", []).append(norm)
+    by_token.setdefault(f"L:{toks[-1]}", []).append(norm)
 
 
 def build_entities(n: int, rng: np.random.Generator) -> list[Entity]:
