@@ -66,6 +66,27 @@ def b_cubed(cluster_of: dict[str, str], gold_of: dict[str, str]) -> dict:
     return {"precision": p, "recall": r, "f1": f1, "n": len(ps)}
 
 
+def pr_curve(scores: list[float], labels: list[bool], n_points: int = 20) -> list[dict]:
+    """Ranked precision/recall points over descending score (the eval
+    harness pattern of LinkClassifierTest.scala:51, 131 /
+    MentionPairClassifierTest.scala:89). Driver-side, small eval sets."""
+    order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))
+    total_pos = sum(labels) or 1
+    out = []
+    tp = 0
+    step = max(1, len(order) // n_points)
+    for rank, i in enumerate(order, 1):
+        tp += bool(labels[i])
+        if rank % step == 0 or rank == len(order):
+            out.append({
+                "threshold": scores[i],
+                "precision": tp / rank,
+                "recall": tp / total_pos,
+                "rank": rank,
+            })
+    return out
+
+
 def over_clustering(cluster_of: dict[str, str], gold_of: dict[str, str]) -> int:
     """Number of system clusters containing mentions of more than one
     gold entity (Benchmarker.scala:30-34)."""

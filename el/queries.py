@@ -192,6 +192,19 @@ def q_el_pair_jw(sf_dir: str):
                           batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
+def q_comention_counts(sf_dir: str):
+    """Conversation-level co-mention counts (extraction-vector join
+    analog, J9): oracle is a distinct self-join + group count."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+    return comention_counts(gm)
+
+
 def q_transcripts_passthrough(sf_dir: str):
     """North-rule invariant surface: per-turn text equality under stable
     (conv_id, turn_idx) ordering after a map_batches round-trip."""
@@ -553,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
         """,
+        "comention_counts": f"""
+            WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
+            SELECT a.surface AS s1, b.surface AS s2,
+                   count(*) AS n_convs
+            FROM m a JOIN m b
+              ON a.conv_id = b.conv_id AND a.surface < b.surface
+            GROUP BY a.surface, b.surface
+        """,
         "el_contexts": f"""
             SELECT conv_id, turn_idx, text AS context,
                    concat_ws(' ',
@@ -640,6 +661,7 @@ def queries():
         "el_doc_entities": q_el_doc_entities,
         "el_human_readable": q_el_human_readable,
         "el_training_pairs": q_el_training_pairs,
+        "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,

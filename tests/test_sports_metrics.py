@@ -53,3 +53,35 @@ def test_nil_statistics():
     assert s["nil"] == 3
     assert s["nil_clusters"] == 2
     assert s["nil_cluster_size_hist"] == {1: 1, 2: 1}
+
+
+def test_pr_curve():
+    from el.metrics import pr_curve
+
+    pts = pr_curve([0.9, 0.8, 0.7, 0.6], [True, False, True, False], n_points=4)
+    assert pts[-1]["recall"] == 1.0
+    assert pts[0]["precision"] == 1.0  # top-ranked is a positive
+    assert all(0 <= p["precision"] <= 1 for p in pts)
+
+
+def test_comention_counts(ray_session, t1_fixture):
+    import duckdb
+    import ray.data
+
+    from el.ops.cooccur import comention_counts
+
+    gm = ray.data.read_parquet(
+        f"{t1_fixture}/gold_mentions.parquet", columns=["conv_id", "surface"]
+    )
+    got = comention_counts(gm).to_pandas().sort_values(["s1", "s2"]).reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH m AS (SELECT DISTINCT conv_id, surface
+                   FROM read_parquet('{t1_fixture}/gold_mentions.parquet'))
+        SELECT a.surface AS s1, b.surface AS s2, count(*) AS n_convs
+        FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.surface < b.surface
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got.s1.tolist() == want.s1.tolist()
+    assert got.n_convs.tolist() == want.n_convs.tolist()
