@@ -47,7 +47,7 @@ from .blocking import surface_block_keys
 from .sim import jaro_winkler
 from .text import initials, normalize_name
 
-FIXTURE_VERSION = 5
+FIXTURE_VERSION = 7
 
 # (n_conversations, n_entities, min_turns, max_turns, max_gold_pairs_per_key)
 SCALES: dict[str, tuple[int, int, int, int, int]] = {
@@ -55,14 +55,16 @@ SCALES: dict[str, tuple[int, int, int, int, int]] = {
     "t2": (2000, 300, 8, 40, 5000),
     "bench": (50000, 2000, 8, 40, 2000),
     # compute-dominant scale for the two-parallelism scaling runs
-    "bench8": (400000, 6000, 8, 40, 1000),
+    "bench8": (400000, 5000, 8, 40, 1000),
 }
 SCALE_OF_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 
 FIRST_NAMES = """Janet Robert Maria Elena Viktor Tomas Ingrid Marcus Felipe
 Amara Kenji Lucia Piotr Salma Derek Yusuf Greta Haruto Bianca Omar Celine
 Dmitri Farah Gustav Imani Jorge Katya Liam Noor Priya Quentin Rosa Stefan
-Talia Umar Vera Wendell Ximena Yara Zoltan""".split()
+Talia Umar Vera Wendell Ximena Yara Zoltan Astrid Bruno Carmen Dario
+Esme Flavio Gwen Hector Isla Jasper Keira Lorenzo Mireille Nadia Otto
+Paloma Quinn Renata Soren Thea""".split()
 
 SURNAMES = """Smith Harper Vance Okafor Lindqvist Moreau Castellano Bergstrom
 Whitfield Nakamura Oyelaran Petrov Delacroix Hargrove Winterbourne Ashford
@@ -76,12 +78,16 @@ Quicksilver Ravenwood Southwick Thornbury Westerfield""".split()
 ORG_ADJS = """United Western Northern Global Pacific Atlantic Central Royal
 Summit Pioneer Sterling Harbor Cascade Meridian Liberty Granite Beacon
 Crescent Vanguard Frontier Keystone Horizon Evergreen Redwood Silverline
-Ironbridge Bluewater Stonegate Brightfield Clearview""".split()
+Ironbridge Bluewater Stonegate Brightfield Clearview Eastwood Southport
+Northfield Westbrook Highland Lakeside Riverton Oakmont Pinecrest Maplewood
+Cedarburg Ashgrove Birchwood Elmhurst Foxglove Greenfield Hollybrook""".split()
 
 ORG_NOUNS = """Commerce Rail Energy Timber Shipping Textile Mining Grain
 Telecom Finance Logistics Science Medical Housing Transit Water Steel
 Agriculture Fisheries Broadcasting Insurance Robotics Aviation Publishing
-Ceramics Forestry Optics Dairy Salvage Cartography""".split()
+Ceramics Forestry Optics Dairy Salvage Cartography Plastics Chemicals
+Electronics Software Biotech Minerals Paper Glassworks Furniture Printing
+Recycling Storage Freight Harvest""".split()
 
 ORG_SUFFIXES = """Council Group Institute Authority Commission Alliance
 Consortium Federation""".split()
@@ -238,9 +244,12 @@ def build_entities(n: int, rng: np.random.Generator) -> list[Entity]:
         else:
             e = make_gpe(idx) or make_per(idx)
         if e is None:
-            e = make_org(idx)
+            e = make_org(idx) or make_per(idx)
         if e is None:
-            continue
+            raise RuntimeError(
+                f"entity pools exhausted at {idx} entities - grow the "
+                "name pools before raising the scale"
+            )
         entities.append(e)
 
     # KB membership ~55% (2012 gold ratio 1177/2226, FIXTURES.md §1)

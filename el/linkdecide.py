@@ -48,19 +48,19 @@ def calibrate_confidence(score: float, threshold: float = LINK_THRESHOLD) -> flo
 
 
 def candidates_for(alias_norm: str, kb: KBIndex) -> list[tuple[str, float]]:
-    """(kb_id, candidate score) list — exact title 1.0, exact alias 0.97,
-    fuzzy Jaro-Winkler among titles sharing the first token."""
+    """(kb_id, candidate score) list — exact title 1.0, exact curated
+    alias 0.99 (a KB-recorded variant must outrank any fuzzy similarity
+    to a different entry), fuzzy Jaro-Winkler among titles sharing the
+    first token (each candidate keeps the max over its sources)."""
     out: dict[str, float] = {}
     kb_id = kb.id_of_title_norm.get(alias_norm)
     if kb_id:
         out[kb_id] = 1.0
     for cid in kb.ids_of_alias_norm.get(alias_norm, []):
-        out[cid] = max(out.get(cid, 0.0), 0.97)
+        out[cid] = max(out.get(cid, 0.0), 0.99)
     toks = alias_norm.split()
     if toks:
         for norm, cid in kb.by_first_token.get(toks[0], []):
-            if cid in out:
-                continue
             jw = jaro_winkler(alias_norm, norm)
             if jw >= 0.90:
                 out[cid] = max(out.get(cid, 0.0), jw)
