@@ -141,9 +141,71 @@ def build_doc_entities(mentions_ds, **kwargs):
     return group_map(mentions_ds, "conv_id", doc_entities_group, **kwargs)
 
 
+def resolve_block(df):
+    """Vectorized block fn over hash-partitioned conv_id: the same
+    per-conversation rules as resolve_conv, but one pandas block pass
+    (sorted arrays + conversation boundary slicing) instead of one Arrow
+    table per group — ~100x less per-group overhead at millions of
+    mentions."""
+    import numpy as np
+    import pandas as pd
+
+    if len(df) == 0:
+        out = df.copy()
+        out["alias"] = pd.Series(dtype=str)
+        out["alias_norm"] = pd.Series(dtype=str)
+        return out
+    df = df.sort_values(["conv_id", "turn_idx", "beg"], kind="mergesort")
+    conv = df["conv_id"].to_numpy()
+    surfaces = df["surface"].tolist()
+    ners = df["ner_type"].tolist()
+    bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [len(conv)]))
+    out_alias: list[str] = []
+    out_norm: list[str] = []
+    out_ner: list[str] = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        # rows are already in (turn_idx, beg) document order
+        pers, orgs, locs = _doc_lists_ordered(
+            [(surfaces[i], ners[i]) for i in range(s, e)]
+        )
+        for i in range(s, e):
+            alias, ner = resolve_mention(surfaces[i], ners[i], pers, orgs, locs)
+            out_alias.append(alias)
+            out_norm.append(normalize_name(alias))
+            out_ner.append(ner)
+    out = df.copy()
+    out["ner_type"] = out_ner
+    out["alias"] = out_alias
+    out["alias_norm"] = out_norm
+    return out
+
+
+def _doc_lists_ordered(pairs: list[tuple[str, str]]) -> tuple[list[str], list[str], list[str]]:
+    """(pers, orgs, locs) from (surface, ner) pairs already in document
+    order — the fast-path core of _doc_lists."""
+    pers: list[str] = []
+    orgs: list[str] = []
+    locs: list[str] = []
+    seen: set[str] = set()
+    for s, t in pairs:
+        if s in seen:
+            continue
+        seen.add(s)
+        if t == "PER" and " " in s:
+            pers.append(s)
+        elif t == "ORG" and not is_acronym(s) and " " in s:
+            orgs.append(s)
+        elif t == "GPE" and ", " in s:
+            locs.append(expand_state_abbreviation(s))
+    return pers, orgs, locs
+
+
 def canonicalize(mentions_ds, **kwargs):
     """Dataset wrapper: mentions -> aliased mentions. One hash exchange
-    on conv_id, per-conversation resolution inside co-located blocks."""
-    from .shuffle import group_map
+    on conv_id, vectorized per-conversation resolution inside co-located
+    blocks."""
+    from .shuffle import group_blocks
 
-    return group_map(mentions_ds, "conv_id", resolve_conv, **kwargs)
+    return group_blocks(mentions_ds, ["conv_id"], resolve_block,
+                        batch_format="pandas", **kwargs)

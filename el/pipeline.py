@@ -73,6 +73,15 @@ def _alias_profile_block(df):
     return out
 
 
+def _chunk_table(tbl: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
+    """Slice a table into block-sized chunks (map_batches parallelism is
+    per block)."""
+    if tbl.num_rows == 0:
+        return [tbl]
+    return [tbl.slice(i, rows_per_chunk)
+            for i in range(0, tbl.num_rows, rows_per_chunk)]
+
+
 def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
     """Driver-side merge of per-batch partial profiles (the partial fn is
     associative: per-key rep = min (alias, surface, ner) tuple,
@@ -319,12 +328,14 @@ def run_linkage(
     import ray
     import ray.data
 
+    cpus = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        # size the actor pools to the session: a quarter of the CPUs
-        # (capped), the rest stays free for the task-pool stages feeding
-        # them — oversized pools pay startup cost without speedup here
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        # light actor pools (linker / finisher): a quarter of the CPUs,
+        # capped — oversized pools pay startup cost without speedup
         concurrency = max(2, min(8, cpus // 4))
+    # the pair scorer is the compute-heavy pool: let it scale with the
+    # session so its throughput follows the CPU count
+    score_concurrency = max(2, min(16, cpus // 2))
 
     ckpt = CheckpointManager(checkpoint_dir, from_scratch)
     tr_path = os.path.join(fixture_dir, "transcripts.parquet")
@@ -338,9 +349,12 @@ def run_linkage(
         cols = tbls[0].column_names  # blocks may order columns differently
         return pa.concat_tables([t.select(cols) for t in tbls])
 
-    # [A+B fused] extract + canonicalize: one conv_id hash exchange.
-    # The clustering path never reads `context`, so the shuffled payload
-    # stays narrow.
+    # [A] extract, then [B] canonicalize over one conv_id hash exchange.
+    # The extraction result is pinned first: letting the exchange run
+    # concurrently with extraction measured ~2.7x slower than the two
+    # phases back-to-back (resource contention between the read/extract
+    # tasks and the shuffle aggregators). The clustering path never
+    # reads `context`, so the shuffled payload stays narrow.
     aliased = ckpt.stage(
         "aliased", {"input": tr_path},
         lambda: canonicalize(
@@ -349,7 +363,7 @@ def run_linkage(
                     tr_path, columns=["conv_id", "turn_idx", "text"])
             ).select_columns(
                 ["mention_id", "conv_id", "turn_idx", "beg", "end",
-                 "surface", "ner_type"])
+                 "surface", "ner_type"]).materialize()
         ),
     )
     n_mentions = aliased.count()
@@ -359,7 +373,8 @@ def run_linkage(
         # per-batch partial profiles -> driver merge (no exchange)
         partials = aliased.select_columns(
             ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
-        ).map_batches(_alias_profile_block, batch_format="pandas")
+        ).map_batches(_alias_profile_block, batch_format="pandas",
+                      batch_size=None)
         profile = ckpt.stage(
             "alias_profile", {"input": tr_path},
             lambda: ray.data.from_arrow(
@@ -367,25 +382,19 @@ def run_linkage(
         )
         profile_tbl = collect(profile)
 
-        from .kb import KBIndex
-        from .linkdecide import link_alias
-
-        kb_index = KBIndex.from_parquet(kb_path)
+        kb_ref = broadcast_kb(kb_path)
 
         def build_links():
-            aliases = profile_tbl.column("alias_norm").to_pylist()
-            ids, scores, confs = [], [], []
-            for a in aliases:
-                kb_id, s, c = link_alias(a, kb_index)
-                ids.append(kb_id)
-                scores.append(s)
-                confs.append(c)
-            return ray.data.from_arrow(pa.table({
-                "alias_norm": pa.array(aliases, pa.string()),
-                "kb_id": pa.array(ids, pa.string()),
-                "link_score": pa.array(scores, pa.float64()),
-                "link_conf": pa.array(confs, pa.float64()),
-            }))
+            src = profile_tbl.select(["alias_norm"])
+            chunks = _chunk_table(src, 1024)
+            return ray.data.from_arrow(chunks).map_batches(
+                CandidateLinker,
+                fn_constructor_args=(kb_ref,),
+                batch_format="pyarrow",
+                batch_size=1024,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
 
         links = ckpt.stage("links", {"input": tr_path, "kb": kb_path},
                            build_links)
@@ -395,18 +404,13 @@ def run_linkage(
             pairs_tbl = _pairs_from_profile(profile_tbl)
             # split into many blocks: map_batches parallelism is per
             # BLOCK, and from_arrow of one table yields a single block
-            n_chunks = max(1, min(4 * concurrency,
-                                  pairs_tbl.num_rows // 2048 + 1))
-            step = -(-pairs_tbl.num_rows // n_chunks)
-            chunks = [pairs_tbl.slice(i * step, step)
-                      for i in range(n_chunks)]
-            chunks = [c for c in chunks if c.num_rows] or [pairs_tbl]
+            chunks = _chunk_table(pairs_tbl, 8192)
             return ray.data.from_arrow(chunks).map_batches(
                 PairScorer,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
-                num_cpus=0.5,
+                concurrency=score_concurrency,
+                num_cpus=1,
             )
 
         scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)

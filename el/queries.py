@@ -531,7 +531,7 @@ def oracle_sql() -> dict[str, str]:
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
     gp = f"read_parquet('{FIXTURE_SQL_DIR}/gold_pairs.parquet')"
-    tr = f"read_parquet('{FIXTURE_SQL_DIR}/transcripts.parquet')"
+    tr = f"read_parquet('{FIXTURE_SQL_DIR}/transcripts.parquet/*.parquet')"
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     lang_counts = ", ".join(
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lang}"

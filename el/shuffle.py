@@ -46,7 +46,10 @@ def default_partitions() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # noqa: BLE001 — before init, fall back
         cpus = 4
-    return max(4, cpus)
+    # aggregator-actor startup scales with the partition count (~3s at 8,
+    # ~8s at 32 measured); 16 keeps exchanges wide enough without paying
+    # for a fleet of aggregators per exchange
+    return min(16, max(4, cpus))
 
 
 def group_blocks(ds, keys: Sequence[str], block_fn: Callable, *,
