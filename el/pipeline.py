@@ -39,7 +39,7 @@ from .cluster import SENTINEL, label_propagation, union_find_local
 from .kb import broadcast_kb
 from .linkdecide import CandidateLinker
 from .mentions import extract_mentions
-from .scorer import MERGE_CUTOFF, PairScorer
+from .scorer import MERGE_CUTOFF, PairScorer, score_pairs_batch
 from .shuffle import group_blocks, group_map
 
 DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
@@ -106,61 +106,140 @@ def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
 def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
     """Driver-side blocking + pair generation over the distinct-alias
     profile (small by contract): same key functions and per-block
-    salting/caps as the distributed path, plus cross-block pair dedup."""
-    from .blocking import block_keys, pairs_for_block
+    salting/caps as the distributed path, plus cross-block pair dedup.
+    Vectorized: index pairs per block via numpy triu, one take() at the
+    end instead of building millions of Python tuples."""
+    import numpy as np
 
-    key_map: dict[str, list] = {}
-    for an, al, sf, ner in zip(
-        profile_tbl.column("alias_norm").to_pylist(),
-        profile_tbl.column("alias").to_pylist(),
-        profile_tbl.column("surface").to_pylist(),
-        profile_tbl.column("ner_type").to_pylist(),
-    ):
-        for k in block_keys(an):
-            key_map.setdefault(k, []).append((an, al, sf, ner))
-    rows: list[tuple] = []
+    from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
+
+    norms = profile_tbl.column("alias_norm").to_pylist()
+    order = sorted(range(len(norms)), key=lambda i: norms[i])
+    key_map: dict[str, list[int]] = {}
+    for i in order:
+        for k in block_keys(norms[i]):
+            key_map.setdefault(k, []).append(i)
+    i1_parts: list[np.ndarray] = []
+    i2_parts: list[np.ndarray] = []
+    key_parts: list[str] = []
+    key_counts: list[int] = []
     dropped = 0
-    seen: set[tuple[str, str]] = set()
     for k in sorted(key_map):
-        rs, dr = pairs_for_block(k, key_map[k])
-        dropped += dr
-        for r in rs:
-            if (r[0], r[1]) in seen:
+        idxs = key_map[k]
+        n = len(idxs)
+        if n < 2:
+            continue
+        if n <= MAX_ALIASES_PER_BLOCK:
+            groups = [idxs]
+        else:
+            n_salts = -(-n // MAX_ALIASES_PER_BLOCK)
+            buckets: dict[int, list[int]] = {}
+            for i in idxs:
+                buckets.setdefault(_salt(norms[i], n_salts), []).append(i)
+            groups = list(buckets.values())
+            total = n * (n - 1) // 2
+            dropped += total - sum(len(g) * (len(g) - 1) // 2 for g in groups)
+        for g in groups:
+            if len(g) < 2:
                 continue
-            seen.add((r[0], r[1]))
-            rows.append(r)
-    names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
-             "ner1", "ner2", "block_key"]
-    cols = list(zip(*rows)) if rows else [[]] * 9
-    tbl = pa.table({n: pa.array(list(c), pa.string())
-                    for n, c in zip(names, cols)})
+            arr = np.asarray(g, dtype=np.int64)
+            r, c = np.triu_indices(len(arr), k=1)
+            i1_parts.append(arr[r])
+            i2_parts.append(arr[c])
+            key_parts.append(k)
+            key_counts.append(len(r))
+    if not i1_parts:
+        names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
+                 "ner1", "ner2", "block_key"]
+        tbl = pa.table({n: pa.array([], pa.string()) for n in names})
+        return tbl.append_column("dropped_pairs", pa.array([], pa.int64()))
+    i1 = np.concatenate(i1_parts)
+    i2 = np.concatenate(i2_parts)
+    keys = np.repeat(np.array(key_parts, dtype=object), key_counts)
+    # cross-block dedup on (i1, i2) — indices are norm-sorted so i1 < i2
+    pair_ids = i1.astype(np.int64) * len(norms) + i2
+    _, first = np.unique(pair_ids, return_index=True)
+    first.sort()
+    i1, i2, keys = i1[first], i2[first], keys[first]
+
+    def take(col: str, idx: np.ndarray) -> pa.Array:
+        return profile_tbl.column(col).take(pa.array(idx))
+
+    tbl = pa.table(
+        {
+            "a1": pa.array([f"A:{norms[i]}" for i in i1], pa.string()),
+            "a2": pa.array([f"A:{norms[i]}" for i in i2], pa.string()),
+            "alias1": take("alias", i1),
+            "alias2": take("alias", i2),
+            "surface1": take("surface", i1),
+            "surface2": take("surface", i2),
+            "ner1": take("ner_type", i1),
+            "ner2": take("ner_type", i2),
+            "block_key": pa.array(keys.tolist(), pa.string()),
+        }
+    )
     return tbl.append_column(
         "dropped_pairs", pa.array([dropped] * len(tbl), pa.int64())
     )
 
 
-class _Finisher:
+def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
+    """Task-based link decision over distinct aliases: the KB index ref
+    resolves from shared memory per task (actor-pool form:
+    el.linkdecide.CandidateLinker, for heavyweight per-actor state)."""
+    import ray
+
+    from .linkdecide import link_alias
+
+    kb = ray.get(kb_ref)
+    aliases = t.column("alias_norm").to_pylist()
+    ids, scores, confs = [], [], []
+    for a in aliases:
+        kb_id, s, c = link_alias(a, kb)
+        ids.append(kb_id)
+        scores.append(s)
+        confs.append(c)
+    return pa.table({
+        "alias_norm": pa.array(aliases, pa.string()),
+        "kb_id": pa.array(ids, pa.string()),
+        "link_score": pa.array(scores, pa.float64()),
+        "link_conf": pa.array(confs, pa.float64()),
+    })
+
+
+def _finish_batch(t: pa.Table, map_ref) -> pa.Table:
     """Final mention-scale map: attach cluster / kb_link / confidence
-    from the broadcast alias map (one object-store read per actor)."""
+    from the broadcast alias map. Task-based: ray.get of the broadcast
+    ref is a shared-memory read, so no actor pool is needed."""
+    import ray
+
+    alias_map = ray.get(map_ref)
+    out_cluster, out_kb, out_conf = [], [], []
+    for an in t.column("alias_norm").to_pylist():
+        cluster, kb_link, conf = alias_map[an]
+        out_cluster.append(cluster)
+        out_kb.append(kb_link)
+        out_conf.append(conf)
+    keep = t.select(["mention_id", "conv_id", "turn_idx", "surface", "alias"])
+    return (
+        keep.append_column("cluster_id", pa.array(out_cluster, pa.string()))
+        .append_column("kb_link", pa.array(out_kb, pa.string()))
+        .append_column("confidence", pa.array(out_conf, pa.float64()))
+    )
+
+
+class _Finisher:
+    """Actor-pool form of _finish_batch (for callers that prefer a pool
+    when the alias map is very large and worth pinning per actor)."""
 
     def __init__(self, map_ref):
         import ray
 
         self.alias_map = ray.get(map_ref)
+        self._ref = map_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out_cluster, out_kb, out_conf = [], [], []
-        for an in t.column("alias_norm").to_pylist():
-            cluster, kb_link, conf = self.alias_map[an]
-            out_cluster.append(cluster)
-            out_kb.append(kb_link)
-            out_conf.append(conf)
-        keep = t.select(["mention_id", "conv_id", "turn_idx", "surface", "alias"])
-        return (
-            keep.append_column("cluster_id", pa.array(out_cluster, pa.string()))
-            .append_column("kb_link", pa.array(out_kb, pa.string()))
-            .append_column("confidence", pa.array(out_conf, pa.float64()))
-        )
+        return _finish_batch(t, self._ref)
 
 
 def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
@@ -305,6 +384,7 @@ def run_linkage(
     batch_size: int = 8192,
     num_partitions: int = 8,
     driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
+    timings: dict | None = None,
 ):
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
@@ -337,9 +417,18 @@ def run_linkage(
     # session so its throughput follows the CPU count
     score_concurrency = max(2, min(16, cpus // 2))
 
+    import time as _time
+
     ckpt = CheckpointManager(checkpoint_dir, from_scratch)
     tr_path = os.path.join(fixture_dir, "transcripts.parquet")
     kb_path = os.path.join(fixture_dir, "kb.parquet")
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        r = fn()
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 3)
+        return r
 
     def collect(ds) -> pa.Table:
         tbls = [ray.get(r) for r in ds.to_arrow_refs()]
@@ -355,17 +444,17 @@ def run_linkage(
     # phases back-to-back (resource contention between the read/extract
     # tasks and the shuffle aggregators). The clustering path never
     # reads `context`, so the shuffled payload stays narrow.
-    aliased = ckpt.stage(
+    aliased = _timed("aliased", lambda: ckpt.stage(
         "aliased", {"input": tr_path},
         lambda: canonicalize(
-            extract_mentions(
+            _timed("extract", lambda: extract_mentions(
                 ray.data.read_parquet(
                     tr_path, columns=["conv_id", "turn_idx", "text"])
             ).select_columns(
                 ["mention_id", "conv_id", "turn_idx", "beg", "end",
-                 "surface", "ner_type"]).materialize()
+                 "surface", "ner_type"]).materialize())
         ),
-    )
+    ))
     n_mentions = aliased.count()
     driver_path = n_mentions <= driver_cc_max_nodes
 
@@ -375,11 +464,11 @@ def run_linkage(
             ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
         ).map_batches(_alias_profile_block, batch_format="pandas",
                       batch_size=None)
-        profile = ckpt.stage(
+        profile = _timed("alias_profile", lambda: ckpt.stage(
             "alias_profile", {"input": tr_path},
             lambda: ray.data.from_arrow(
                 _merge_profiles(collect(partials))),
-        )
+        ))
         profile_tbl = collect(profile)
 
         kb_ref = broadcast_kb(kb_path)
@@ -388,32 +477,29 @@ def run_linkage(
             src = profile_tbl.select(["alias_norm"])
             chunks = _chunk_table(src, 1024)
             return ray.data.from_arrow(chunks).map_batches(
-                CandidateLinker,
-                fn_constructor_args=(kb_ref,),
+                _link_batch,
+                fn_kwargs={"kb_ref": kb_ref},
                 batch_format="pyarrow",
                 batch_size=1024,
-                concurrency=concurrency,
-                num_cpus=1,
             )
 
-        links = ckpt.stage("links", {"input": tr_path, "kb": kb_path},
-                           build_links)
+        links = _timed("links", lambda: ckpt.stage(
+            "links", {"input": tr_path, "kb": kb_path}, build_links))
         links_tbl = collect(links)
 
         def build_scored():
             pairs_tbl = _pairs_from_profile(profile_tbl)
             # split into many blocks: map_batches parallelism is per
             # BLOCK, and from_arrow of one table yields a single block
-            chunks = _chunk_table(pairs_tbl, 8192)
+            chunks = _chunk_table(pairs_tbl, 4096)
             return ray.data.from_arrow(chunks).map_batches(
-                PairScorer,
+                score_pairs_batch,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=score_concurrency,
-                num_cpus=1,
             )
 
-        scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)
+        scored = _timed("scored_pairs", lambda: ckpt.stage(
+            "scored_pairs", {"input": tr_path}, build_scored))
 
         def build_answers():
             edges_tbl = collect(scored.map_batches(
@@ -426,17 +512,15 @@ def run_linkage(
                                                 edges_tbl)
             map_ref = ray.put(alias_map)
             finished = aliased.map_batches(
-                _Finisher,
-                fn_constructor_args=(map_ref,),
+                _finish_batch,
+                fn_kwargs={"map_ref": map_ref},
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
-                num_cpus=0.5,
             )
             return finished.sort(["conv_id", "turn_idx"])
 
-        return ckpt.stage("answers", {"input": tr_path, "kb": kb_path},
-                          build_answers)
+        return _timed("answers", lambda: ckpt.stage(
+            "answers", {"input": tr_path, "kb": kb_path}, build_answers))
 
     # ----------------------------------------------- distributed fallback
     profile = ckpt.stage(
