@@ -51,7 +51,8 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     t0 = time.time()
-    answers = run_linkage(fixture)
+    stage_timings: dict = {}
+    answers = run_linkage(fixture, timings=stage_timings)
     n_answers = answers.count()
     el_sec = time.time() - t0
     timings["el_linkage"] = round(el_sec, 3)
@@ -70,6 +71,7 @@ def run_bench() -> dict:
             "n_turns": n_turns,
             "n_answers": n_answers,
             "turns_per_sec": round(n_turns / el_sec, 1),
+            "stages": stage_timings,
         }
         ray.shutdown()
         return result
@@ -159,6 +161,14 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # two-point decomposition t = OH + C/n: the per-run fixed cost OH
+    # (exchange aggregator startup, driver contracted-graph work) and
+    # the parallel compute C; projected efficiency shows the same job on
+    # a 10x workload, where OH amortizes (labeled extrapolation)
+    c_par = (r_lo["value"] - r_hi["value"]) * (lo * hi) / (hi - lo)
+    oh = max(0.0, r_lo["value"] - c_par / lo)
+    proj = ((oh + 10 * c_par / lo) / ((hi / lo) * (oh + 10 * c_par / hi))
+            if c_par > 0 else 0.0)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -171,6 +181,11 @@ def run_scaling() -> dict:
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "n_turns": r_lo["n_turns"],
         "fixture_scale": scale,
+        "fixed_overhead_sec": round(oh, 1),
+        "parallel_compute_cpu_sec": round(c_par, 1),
+        "projected_efficiency_10x": round(proj, 3),
+        "stages_lo": r_lo.get("stages", {}),
+        "stages_hi": r_hi.get("stages", {}),
     }
 
 
