@@ -22,11 +22,36 @@ import shutil
 from collections.abc import Callable
 from typing import Any
 
-CODE_VERSION = 1  # bump to invalidate all checkpoints on semantic changes
+CODE_VERSION = 2  # bump to invalidate all checkpoints on semantic changes
+
+
+def _input_stat(path: str) -> list:
+    """(size, mtime_ns) of a file, or the sorted per-file stats of a
+    directory of part files — so regenerating an input at the same path
+    invalidates dependent checkpoints (content proxy, not just name)."""
+    try:
+        if os.path.isdir(path):
+            out = []
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                out.append([name, st.st_size, st.st_mtime_ns])
+            return out
+        st = os.stat(path)
+        return [st.st_size, st.st_mtime_ns]
+    except OSError:
+        return []
 
 
 def fingerprint(spec: dict[str, Any]) -> str:
-    payload = json.dumps({"code_version": CODE_VERSION, **spec}, sort_keys=True)
+    stats = {
+        k: _input_stat(v)
+        for k, v in spec.items()
+        if isinstance(v, str) and os.path.exists(v)
+    }
+    payload = json.dumps(
+        {"code_version": CODE_VERSION, "input_stats": stats, **spec},
+        sort_keys=True,
+    )
     return hashlib.md5(payload.encode()).hexdigest()
 
 

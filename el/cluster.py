@@ -26,7 +26,124 @@ import hashlib
 
 import pyarrow as pa
 
-SENTINEL = "~"  # sorts after every mention id / kb id (ASCII 0x7E)
+SENTINEL = "~"  # sorts after every tagged label (ASCII 0x7E)
+
+# Component labels are explicitly TAGGED so KB-vs-NIL discrimination never
+# depends on the lexicographic relation between raw conv_ids and KB ids
+# ("K:" < "M:" < SENTINEL in ASCII): a component containing any KB id is
+# labeled "K:<kb_id>" (min kb_id), a pure-NIL component "M:<min mention_id>".
+KB_TAG = "K:"
+MENTION_TAG = "M:"
+
+
+def kb_constrained_transform(
+    edges, kb_of: dict[str, str]
+) -> tuple[list[tuple[str, str]], dict[str, str]]:
+    """Rewrite fuzzy merge edges under the reference's merge constraint
+    (a merge always has a NIL side and two distinct KB entities never
+    fuse, Clusterer.scala:40, 56-62):
+
+    - NIL-NIL edges are kept (NIL merges are unconditional);
+    - an edge between a NIL alias and a KB-linked alias becomes a SEED:
+      the NIL side records the KB id as an adoption candidate (min kb_id
+      wins — the deterministic, order-free analog of the reference's
+      order-dependent greedy merge);
+    - KB-KB edges are dropped (same id: already one component via KB
+      anchoring; distinct ids: the rejected union).
+
+    Returns (kept NIL-NIL edges, nil alias -> min seed kb_id).
+    """
+    kept: list[tuple[str, str]] = []
+    seeds: dict[str, str] = {}
+    for x, y in edges:
+        kx, ky = kb_of.get(x, ""), kb_of.get(y, "")
+        if kx and ky:
+            continue
+        if kx:
+            s = seeds.get(y)
+            if s is None or kx < s:
+                seeds[y] = kx
+        elif ky:
+            s = seeds.get(x)
+            if s is None or ky < s:
+                seeds[x] = ky
+        else:
+            kept.append((x, y))
+    return kept, seeds
+
+
+def kb_constrained_components(
+    aliases,
+    kb_of: dict[str, str],
+    min_mention: dict[str, str],
+    edges,
+) -> dict[str, tuple[str, str, int]]:
+    """Driver-side KB-constrained clustering over the contracted alias
+    graph. Returns alias -> (comp_kb, cluster_label, comp_size) where
+    comp_kb is "" for pure-NIL components and cluster_label is the kb_id
+    (KB components) or the min mention_id (NIL components).
+
+    Semantics (shared bit-for-bit with the distributed path, which runs
+    plain min-label propagation over the transformed edge set):
+    - aliases linked to the same KB id are one component;
+    - connected NIL aliases form NIL-subcomponents; a subcomponent
+      adjacent to >=1 KB-linked alias adopts the MIN adjacent kb_id and
+      joins that KB component; the other adjacencies are the unions the
+      reference rejects (never merging two distinct KB entities).
+    """
+    kept, seeds = kb_constrained_transform(edges, kb_of)
+    comp_of = union_find_local(kept, nodes=aliases)
+    # min seed per NIL-subcomponent
+    comp_seed: dict[str, str] = {}
+    for a, k in seeds.items():
+        c = comp_of[a]
+        s = comp_seed.get(c)
+        if s is None or k < s:
+            comp_seed[c] = k
+    # final component key per alias: the kb id, else the NIL-subcomp root
+    final_kb: dict[str, str] = {}
+    for a in comp_of:
+        own = kb_of.get(a, "")
+        final_kb[a] = own if own else comp_seed.get(comp_of[a], "")
+    group_key = {
+        a: (final_kb[a] if final_kb[a] else f"~{comp_of[a]}") for a in comp_of
+    }
+    sizes: dict[str, int] = {}
+    nil_label: dict[str, str] = {}
+    for a, g in group_key.items():
+        sizes[g] = sizes.get(g, 0) + 1
+        if not final_kb[a]:
+            m = min_mention[a]
+            cur = nil_label.get(g)
+            if cur is None or m < cur:
+                nil_label[g] = m
+    out: dict[str, tuple[str, str, int]] = {}
+    for a, g in group_key.items():
+        kb = final_kb[a]
+        label = kb if kb else nil_label[g]
+        out[a] = (kb, label, sizes[g])
+    return out
+
+
+def alias_answer(
+    alias_kb: str, alias_conf: float, comp_kb: str, cluster_label: str,
+    comp_size: int,
+) -> tuple[str, str, float]:
+    """-> (cluster_id, kb_link, confidence) for one alias, shared by the
+    driver and distributed physical plans. Confidence: a directly-linked
+    alias keeps its calibrated link confidence; an alias adopted into a
+    KB component by a merge gets 0.7 (the reference's backoff-link
+    confidence, RunKBPEntityLinkerSystem.scala:83-108); NIL members of a
+    multi-alias cluster get 0.6 (clusterNils rewrite confidence,
+    RunKBPEntityLinkerSystem.scala:160-192), singletons 0.55."""
+    if comp_kb:
+        conf = alias_conf if alias_kb == comp_kb else 0.7
+        return comp_kb, comp_kb, conf
+    if comp_size > 1:
+        conf = 0.6
+    else:
+        conf = max(0.55, min(alias_conf if alias_conf is not None else 0.55, 0.6))
+    return cluster_label, f"NIL:{cluster_label}", conf
 
 
 # ---------------------------------------------------------------- local

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from .alias import canonicalize
 from .blocking import block_pair_groups, emit_keys_batch
 from .checkpoint import CheckpointManager
-from .cluster import SENTINEL, label_propagation, union_find_local
+from .cluster import label_propagation
 from .kb import broadcast_kb
 from .linkdecide import CandidateLinker
 from .mentions import extract_mentions
@@ -246,14 +246,18 @@ def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
                             edges_tbl: pa.Table) -> dict[str, tuple[str, str, float]]:
     """Driver-side contracted-graph clustering.
 
-    Returns alias_norm -> (cluster_id, kb_link, confidence). Mirrors the
-    reference's cluster semantics: merge edges above the cutoff unless
-    they would fuse two distinct KB entities (Clusterer merges only
-    pairs with a NIL side, Clusterer.scala:40); a component containing a
-    KB-linked alias adopts the KB id (keep-E-id rule, Clusterer.scala:47-56);
-    pure-NIL components get NIL:<min mention_id> (deterministic,
-    replacing the AtomicInteger counter, RunKBPEntityLinkerSystem.scala:31-34).
+    Returns alias_norm -> (cluster_id, kb_link, confidence). The cluster
+    semantics (el.cluster.kb_constrained_components) mirror the
+    reference at COMPONENT level: a merge always has a NIL side and two
+    distinct KB entities never fuse, even transitively through NIL
+    bridges (Clusterer.scala:40, 56-62); a NIL subcomponent adjacent to
+    several KB entities adopts the min kb_id (the deterministic analog
+    of the reference's order-dependent greedy merge); pure-NIL
+    components get NIL:<min mention_id> (deterministic, replacing the
+    AtomicInteger counter, RunKBPEntityLinkerSystem.scala:31-34).
     """
+    from .cluster import alias_answer, kb_constrained_components
+
     kb_of: dict[str, str] = {}
     conf_of: dict[str, float] = {}
     for r in links_tbl.to_pylist():
@@ -263,115 +267,285 @@ def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
     for r in profile_tbl.to_pylist():
         min_mention[r["alias_norm"]] = r["min_mention"]
 
-    edges = []
-    for r in edges_tbl.to_pylist():
-        x, y = r["a1"][2:], r["a2"][2:]  # strip "A:"
-        kx, ky = kb_of.get(x, ""), kb_of.get(y, "")
-        if kx and ky and kx != ky:
-            continue  # never merge two distinct KB entities
-        edges.append((x, y))
-    # KB anchoring: aliases linked to the same KB id share a component
-    for an, kb in kb_of.items():
-        if kb:
-            edges.append((an, f"KB:{kb}"))
-    comp_of = union_find_local(edges, nodes=min_mention.keys())
-
-    # component label: min over members of (kb_id | min mention_id);
-    # "E..." sorts before "conv..." so a KB id wins deterministically.
-    comp_label: dict[str, str] = {}
-    for an in min_mention:
-        c = comp_of[an]
-        lab = min_mention[an]
-        kb = kb_of.get(an, "")
-        if kb and kb < lab:
-            lab = kb
-        if c not in comp_label or lab < comp_label[c]:
-            comp_label[c] = lab
-    comp_sizes: dict[str, int] = {}
-    for an in min_mention:
-        c = comp_of[an]
-        comp_sizes[c] = comp_sizes.get(c, 0) + 1
-
+    edges = [
+        (a1[2:], a2[2:])  # strip "A:"
+        for a1, a2 in zip(edges_tbl.column("a1").to_pylist(),
+                          edges_tbl.column("a2").to_pylist())
+    ]
+    comps = kb_constrained_components(min_mention.keys(), kb_of, min_mention,
+                                      edges)
     out: dict[str, tuple[str, str, float]] = {}
-    for an in min_mention:
-        c = comp_of[an]
-        lab = comp_label[c]
-        if lab.startswith("E"):
-            kb_link = lab
-            conf = conf_of.get(an, 0.7) if kb_of.get(an) == lab else 0.7
-        else:
-            kb_link = f"NIL:{lab}"
-            conf = 0.6 if comp_sizes[c] > 1 else max(0.55, min(conf_of.get(an, 0.55), 0.6))
-        out[an] = (lab, kb_link, conf)
+    for an, (comp_kb, label, size) in comps.items():
+        out[an] = alias_answer(kb_of.get(an, ""), conf_of.get(an, 0.55),
+                               comp_kb, label, size)
     return out
 
 
 def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions: int):
-    """Fallback for contracted graphs too large for the driver: the same
-    clustering via distributed min-label propagation (el.cluster).
-    Returns a Dataset (alias_norm, cluster_id)."""
+    """Fallback for contracted graphs too large for the driver: the SAME
+    KB-constrained clustering semantics as the driver path
+    (el.cluster.kb_constrained_components), expressed as plain min-label
+    propagation over a TRANSFORMED graph:
+
+    - fuzzy edges are rewritten under the merge constraint (two small
+      hash exchanges attach each endpoint's kb id, then NIL-NIL edges
+      are kept, NIL-KB edges become K-tagged seed labels on the NIL
+      side, and KB-KB edges are dropped) — so propagation can never
+      fuse two KB entities, even transitively through NIL bridges;
+    - aliases linked to the same kb share a hub node C:<kb>;
+    - labels are explicitly tagged ("K:<kb>" < "M:<mention>" < SENTINEL),
+      so KB-vs-NIL discrimination never depends on raw id ordering.
+
+    Returns a Dataset (alias_norm, cluster_id, kb_link, confidence) with
+    confidences identical to the driver path (el.cluster.alias_answer).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .cluster import gather_min
+    from .shuffle import group_blocks
+
     links_kv = links_ds.map_batches(
-        lambda t: pa.table({"alias_norm": t.column("alias_norm"),
-                            "kb": t.column("kb_id")}),
+        lambda t: t.select(["alias_norm", "kb_id", "link_conf"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # ---- edge transform: attach each endpoint's kb, then rewrite
+    SEP = "\x01"
+
+    def edge_sides(t: pa.Table) -> pa.Table:
+        a1 = t.column("a1").to_pylist()
+        a2 = t.column("a2").to_pylist()
+        key, eid, side = [], [], []
+        for x, y in zip(a1, a2):
+            e = f"{x}{SEP}{y}"
+            key.append(x[2:])  # strip "A:"
+            eid.append(e)
+            side.append(1)
+            key.append(y[2:])
+            eid.append(e)
+            side.append(2)
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "eid": pa.array(eid, pa.string()),
+                         "side": pa.array(side, pa.int32()),
+                         "kb": pa.array([""] * len(key), pa.string())})
+
+    def link_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb_id"), ""))
+        n = len(f)
+        return pa.table({"key": f.column("alias_norm"),
+                         "eid": pa.array([""] * n, pa.string()),
+                         "side": pa.array([0] * n, pa.int32()),
+                         "kb": f.column("kb_id")})
+
+    def attach_kb(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"eid": pd.Series(dtype=str),
+                                 "side": pd.Series(dtype="int32"),
+                                 "kb": pd.Series(dtype=str)})
+        kb_of = df[df["side"] == 0].set_index("key")["kb"]
+        e = df[df["side"] != 0]
+        return pd.DataFrame({
+            "eid": e["eid"],
+            "side": e["side"],
+            "kb": e["key"].map(kb_of).fillna(""),
+        })
+
+    sides = group_blocks(
+        edges_ds.map_batches(edge_sides, batch_format="pyarrow").union(
+            links_kv.map_batches(link_rows, batch_format="pyarrow")
+        ),
+        ["key"], attach_kb, batch_format="pandas",
+        num_partitions=num_partitions,
+    )
+
+    def rewrite_edges(df: pd.DataFrame) -> pd.DataFrame:
+        """per-eid: (kb1, kb2) -> kept edge / seed label / drop. Output
+        rows (src, dst, node, label, kind): kind 'e' = edge, 's' = seed."""
+        if len(df) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype=str),
+                                 "dst": pd.Series(dtype=str),
+                                 "node": pd.Series(dtype=str),
+                                 "label": pd.Series(dtype=str),
+                                 "kind": pd.Series(dtype=str)})
+        w = df.pivot_table(index="eid", columns="side", values="kb",
+                           aggfunc="first").reindex(columns=[1, 2]).fillna("")
+        eids = w.index.to_numpy()
+        kb1 = w[1].to_numpy()
+        kb2 = w[2].to_numpy()
+        parts = np.char.partition(eids.astype(str), SEP)
+        src, dst = parts[:, 0], parts[:, 2]
+        out = []
+        for s, d, k1, k2 in zip(src, dst, kb1, kb2):
+            if k1 and k2:
+                continue
+            if k1:
+                out.append(("", "", d, f"K:{k1}", "s"))
+            elif k2:
+                out.append(("", "", s, f"K:{k2}", "s"))
+            else:
+                out.append((s, d, "", "", "e"))
+        return pd.DataFrame(out, columns=["src", "dst", "node", "label",
+                                          "kind"])
+
+    rewritten = group_blocks(sides, ["eid"], rewrite_edges,
+                             batch_format="pandas",
+                             num_partitions=num_partitions).materialize()
+    kept_edges = rewritten.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "e")).select(
+            ["src", "dst"]),
+        batch_format="pyarrow",
+    )
+    seed_labels = rewritten.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "s")).select(
+            ["node", "label"]),
         batch_format="pyarrow",
     )
 
+    # ---- initial labels + anchor edges
     def alias_nodes(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
                     pa.array(["A:"] * len(t)), t.column("alias_norm"), ""
                 ),
-                "label": t.column("min_mention"),
+                "label": pc.binary_join_element_wise(
+                    pa.array(["M:"] * len(t)), t.column("min_mention"), ""
+                ),
             }
         )
 
-    def kb_anchor_edges(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.not_equal(t.column("kb"), ""))
+    def linked_labels(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb_id"), ""))
+        return pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array(["A:"] * len(f)), f.column("alias_norm"), ""
+                ),
+                "label": pc.binary_join_element_wise(
+                    pa.array(["K:"] * len(f)), f.column("kb_id"), ""
+                ),
+            }
+        )
+
+    def hub_nodes(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb_id"), ""))
+        return pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array(["C:"] * len(f)), f.column("kb_id"), ""
+                ),
+                "label": pc.binary_join_element_wise(
+                    pa.array(["K:"] * len(f)), f.column("kb_id"), ""
+                ),
+            }
+        )
+
+    def anchor_edges(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("kb_id"), ""))
         return pa.table(
             {
                 "src": pc.binary_join_element_wise(
                     pa.array(["A:"] * len(f)), f.column("alias_norm"), ""
                 ),
                 "dst": pc.binary_join_element_wise(
-                    pa.array(["KB:"] * len(f)), f.column("kb"), ""
+                    pa.array(["C:"] * len(f)), f.column("kb_id"), ""
                 ),
             }
         )
 
-    def kb_nodes(t: pa.Table) -> pa.Table:
-        f = t.filter(pc.not_equal(t.column("kb"), ""))
-        return pa.table(
-            {
-                "node": pc.binary_join_element_wise(
-                    pa.array(["KB:"] * len(f)), f.column("kb"), ""
-                ),
-                "label": f.column("kb"),
-            }
-        )
-
-    fuzzy = edges_ds.map_batches(
-        lambda t: pa.table({"src": t.column("a1"), "dst": t.column("a2")}),
-        batch_format="pyarrow",
-    )
-    edges = fuzzy.union(links_kv.map_batches(kb_anchor_edges, batch_format="pyarrow"))
-    from .cluster import gather_min
-
+    edges = kept_edges.union(
+        links_kv.map_batches(anchor_edges, batch_format="pyarrow"))
     init = gather_min(
         profile_ds.map_batches(alias_nodes, batch_format="pyarrow")
-        .union(links_kv.map_batches(kb_nodes, batch_format="pyarrow")),
+        .union(links_kv.map_batches(linked_labels, batch_format="pyarrow"))
+        .union(links_kv.map_batches(hub_nodes, batch_format="pyarrow"))
+        .union(seed_labels),
         "node", "label", num_partitions=num_partitions,
     )
     labels = label_propagation(edges, init, num_partitions=num_partitions)
-    return labels.map_batches(
+    alias_labels = labels.map_batches(
         lambda t: (
             lambda f: pa.table(
                 {
                     "alias_norm": pc.utf8_slice_codeunits(f.column("node"), 2),
-                    "cluster_id": f.column("label"),
+                    "label": f.column("label"),
                 }
             )
         )(t.filter(pc.starts_with(t.column("node"), "A:"))),
+        batch_format="pyarrow",
+    )
+
+    # ---- per-alias answers (cluster_id, kb_link, confidence)
+    def merge_links(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"alias_norm": pd.Series(dtype=str),
+                                 "label": pd.Series(dtype=str),
+                                 "kb_id": pd.Series(dtype=str),
+                                 "link_conf": pd.Series(dtype="float64")})
+        lab = df[df["kind"] == "L"]
+        lnk = df[df["kind"] == "K"].set_index("alias_norm")
+        return pd.DataFrame({
+            "alias_norm": lab["alias_norm"],
+            "label": lab["label"],
+            "kb_id": lab["alias_norm"].map(lnk["kb_id"]).fillna(""),
+            "link_conf": lab["alias_norm"].map(
+                lnk["link_conf"].astype("float64")).fillna(0.55),
+        })
+
+    tagged = alias_labels.map_batches(
+        lambda t: t.append_column("kind", pa.array(["L"] * len(t))).append_column(
+            "kb_id", pa.array([""] * len(t))).append_column(
+            "link_conf", pa.array([0.0] * len(t), pa.float64())),
+        batch_format="pyarrow",
+    ).union(links_kv.map_batches(
+        lambda t: pa.table({"alias_norm": t.column("alias_norm"),
+                            "label": pa.array([""] * len(t)),
+                            "kind": pa.array(["K"] * len(t)),
+                            "kb_id": t.column("kb_id"),
+                            "link_conf": t.column("link_conf")}),
+        batch_format="pyarrow",
+    ))
+    merged = group_blocks(tagged, ["alias_norm"], merge_links,
+                          batch_format="pandas",
+                          num_partitions=num_partitions)
+
+    def finish_block(df: pd.DataFrame) -> pd.DataFrame:
+        """per-label block: component size + the shared answer rule
+        (el.cluster.alias_answer, vectorized)."""
+        if len(df) == 0:
+            return pd.DataFrame({"alias_norm": pd.Series(dtype=str),
+                                 "cluster_id": pd.Series(dtype=str),
+                                 "kb_link": pd.Series(dtype=str),
+                                 "confidence": pd.Series(dtype="float64")})
+        size = df.groupby("label")["alias_norm"].transform("size")
+        is_kb = df["label"].str.startswith("K:")
+        cluster = df["label"].str.slice(2)
+        kb_link = np.where(is_kb, cluster, "NIL:" + cluster)
+        conf = np.where(
+            is_kb,
+            np.where(df["kb_id"] == cluster, df["link_conf"], 0.7),
+            np.where(size > 1, 0.6,
+                     np.maximum(0.55, np.minimum(df["link_conf"], 0.6))),
+        )
+        return pd.DataFrame({
+            "alias_norm": df["alias_norm"],
+            "cluster_id": cluster,
+            "kb_link": kb_link,
+            "confidence": conf,
+        })
+
+    answers = group_blocks(merged, ["label"], finish_block,
+                           batch_format="pandas",
+                           num_partitions=num_partitions)
+    # clean Arrow schema (pandas object dtypes confuse Dataset.join)
+    return answers.map_batches(
+        lambda t: pa.table({
+            "alias_norm": t.column("alias_norm").cast(pa.string()),
+            "cluster_id": t.column("cluster_id").cast(pa.string()),
+            "kb_link": t.column("kb_link").cast(pa.string()),
+            "confidence": t.column("confidence").cast(pa.float64()),
+        }),
         batch_format="pyarrow",
     )
 
@@ -571,36 +745,68 @@ def run_linkage(
             ).select(["a1", "a2"]),
             batch_format="pyarrow",
         )
-        clusters = _cluster_aliases_distributed(
+        answers = _cluster_aliases_distributed(
             profile, links, edges, num_partitions
         )
-        withc = aliased.join(
-            clusters, "inner", num_partitions, on=("alias_norm",),
-            aggregator_ray_remote_args={"num_cpus": 0.25},
-        )
-        finished = withc.map_batches(
-            lambda t: (
-                t.select(
-                    ["mention_id", "conv_id", "turn_idx", "surface", "alias",
-                     "cluster_id"]
-                )
-                .append_column(
-                    "kb_link",
-                    pc.if_else(
-                        pc.starts_with(t.column("cluster_id"), "E"),
-                        t.column("cluster_id"),
-                        pc.binary_join_element_wise(
-                            pa.array(["NIL:"] * len(t)),
-                            t.column("cluster_id"), "",
-                        ),
-                    ),
-                )
-                .append_column(
-                    "confidence", pa.array([0.6] * len(t), pa.float64())
-                )
-            ),
+        # hash-join mentions x alias answers on alias_norm via the
+        # repo's group_blocks idiom (Dataset.join's aggregator rejects
+        # empty-schema partitions, and this is one exchange either way)
+        import pandas as pd
+
+        from .shuffle import group_blocks
+
+        m_rows = aliased.map_batches(
+            lambda t: t.select(
+                ["mention_id", "conv_id", "turn_idx", "surface", "alias",
+                 "alias_norm"]
+            )
+            .append_column("cluster_id", pa.array([""] * len(t), pa.string()))
+            .append_column("kb_link", pa.array([""] * len(t), pa.string()))
+            .append_column("confidence",
+                           pa.array([0.0] * len(t), pa.float64()))
+            .append_column("kind", pa.array(["m"] * len(t), pa.string())),
             batch_format="pyarrow",
         )
+        a_rows = answers.map_batches(
+            lambda t: pa.table({
+                "mention_id": pa.array([""] * len(t), pa.string()),
+                "conv_id": pa.array([""] * len(t), pa.string()),
+                "turn_idx": pa.array([0] * len(t), pa.int32()),
+                "surface": pa.array([""] * len(t), pa.string()),
+                "alias": pa.array([""] * len(t), pa.string()),
+                "alias_norm": t.column("alias_norm"),
+                "cluster_id": t.column("cluster_id"),
+                "kb_link": t.column("kb_link"),
+                "confidence": t.column("confidence"),
+                "kind": pa.array(["a"] * len(t), pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ["mention_id", "conv_id", "turn_idx", "surface", "alias",
+                    "cluster_id", "kb_link", "confidence"]
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "mention_id": pd.Series(dtype=str),
+                    "conv_id": pd.Series(dtype=str),
+                    "turn_idx": pd.Series(dtype="int32"),
+                    "surface": pd.Series(dtype=str),
+                    "alias": pd.Series(dtype=str),
+                    "cluster_id": pd.Series(dtype=str),
+                    "kb_link": pd.Series(dtype=str),
+                    "confidence": pd.Series(dtype="float64"),
+                })
+            lut = df[df["kind"] == "a"].set_index("alias_norm")
+            m = df[df["kind"] == "m"].copy()
+            m["cluster_id"] = m["alias_norm"].map(lut["cluster_id"])
+            m["kb_link"] = m["alias_norm"].map(lut["kb_link"])
+            m["confidence"] = m["alias_norm"].map(lut["confidence"])
+            return m[cols]
+
+        finished = group_blocks(m_rows.union(a_rows), ["alias_norm"], attach,
+                                batch_format="pandas",
+                                num_partitions=num_partitions)
         return finished.sort(["conv_id", "turn_idx"])
 
     return ckpt.stage("answers", {"input": tr_path, "kb": kb_path},

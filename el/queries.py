@@ -93,6 +93,9 @@ def q_el_exact_cluster(sf_dir: str):
 
     def group_min(g: pa.Table) -> pa.Table:
         mids = g.column("mention_id").to_pylist()
+        if not mids:  # empty partition: emit the schema, don't min([])
+            return pa.table({"mention_id": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], pa.string())})
         lo = min(mids)
         return pa.table({"mention_id": pa.array(mids, pa.string()),
                          "cluster_id": pa.array([lo] * len(mids), pa.string())})

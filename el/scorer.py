@@ -11,8 +11,13 @@ startup from bundled CSVs, LinkClassifier.scala:12-26 — equally
 deterministic). A pair becomes a merge edge iff score >= MERGE_CUTOFF.
 
 Runs as ``pairs.map_batches(PairScorer, concurrency=N, batch_size=B)``:
-weights, the common-surname set, and compiled helpers are actor state
-(built once in __init__), per-batch work is the feature loop.
+weights and the common-surname set are actor state (built once in
+__init__); per-batch work is ONE vectorized pass — the feature columns
+are computed by DuckDB C kernels over the zero-copy Arrow batch
+(``jaro_winkler_similarity`` is bit-equal to el.sim.jaro_winkler, proven
+by the el_pair_jw oracle), then the score is numpy arithmetic. The
+scalar ``pair_features``/``pair_score`` pair is the parity-tested
+reference implementation.
 """
 
 from __future__ import annotations
@@ -47,17 +52,11 @@ W_COMMON = 2.0
 MERGE_CUTOFF = 0.5  # on the sigmoid score (our analog of Clusterer.scala:24)
 
 
-def _jaro_upper_bound(len1: int, len2: int) -> float:
-    """max possible Jaro for these lengths (all of the shorter string
-    matches, zero transpositions) — a cheap skip filter before the
-    O(n*m) kernel."""
-    if len1 == 0 or len2 == 0:
-        return 0.0
-    m = min(len1, len2)
-    return (m / len1 + m / len2 + 1.0) / 3.0
-
-
 def pair_features(alias1: str, alias2: str, surface1: str, surface2: str) -> dict:
+    """Scalar reference implementation of the pair feature set
+    (MentionPairFeatures.scala:111-193 analog) — the vectorized batch
+    path (score_pairs_batch, DuckDB kernels) is parity-tested against
+    this in tests/test_scorer.py."""
     n1, n2 = normalize_name(alias1), normalize_name(alias2)
     s1, s2 = normalize_name(surface1), normalize_name(surface2)
     t1, t2 = n1.split(), n2.split()
@@ -66,21 +65,8 @@ def pair_features(alias1: str, alias2: str, surface1: str, surface2: str) -> dic
     abbr = is_abbreviation(n1.replace(" ", ""), n2) or is_abbreviation(
         n2.replace(" ", ""), n1
     )
-    # length-bound prefilter: when even a perfect character alignment
-    # cannot clear the merge region and no boolean floor applies, skip
-    # the quadratic kernel (the bound itself is the upper estimate)
-    bound = _jaro_upper_bound(len(n1), len(n2))
-    if bound < 0.82 and not (prefix2 or abbr):
-        jw = bound
-    else:
-        jw = jaro_winkler(n1, n2)
-    # surfaces usually equal the aliases after canonicalization: reuse
-    if s1 == n1 and s2 == n2:
-        jws = jw
-    elif _jaro_upper_bound(len(s1), len(s2)) < 0.82:
-        jws = _jaro_upper_bound(len(s1), len(s2))
-    else:
-        jws = jaro_winkler(s1, s2)
+    jw = jaro_winkler(n1, n2)
+    jws = jw if (s1 == n1 and s2 == n2) else jaro_winkler(s1, s2)
     ovl = token_overlap(n1, n2)
     common = bool(
         t1 and t2 and t1[-1] == t2[-1] and t1[-1] in COMMON_SURNAMES
@@ -109,18 +95,115 @@ def pair_score(f: dict) -> float:
     return 1.0 / (1.0 + math.exp(-z))
 
 
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+_FEATURE_SQL = f"""
+WITH n AS (
+  SELECT
+    i,
+    {_NORM.format(c='alias1')} AS n1,
+    {_NORM.format(c='alias2')} AS n2,
+    {_NORM.format(c='surface1')} AS s1,
+    {_NORM.format(c='surface2')} AS s2
+  FROM batch
+), t AS (
+  SELECT i, n1, n2, s1, s2,
+         string_split(n1, ' ') AS t1, string_split(n2, ' ') AS t2
+  FROM n
+)
+SELECT
+  jaro_winkler_similarity(n1, n2) AS jw_alias,
+  CASE WHEN s1 = n1 AND s2 = n2
+       THEN jaro_winkler_similarity(n1, n2)
+       ELSE jaro_winkler_similarity(s1, s2) END AS jw_surface,
+  (n1 != n2 AND len(t1) >= 2 AND len(t2) >= 2
+   AND (starts_with(n2, n1 || ' ') OR starts_with(n1, n2 || ' ')))
+      AS prefix2,
+  (n1 != n2 AND (position(' ' || n1 || ' ' IN ' ' || n2 || ' ') > 0
+                 OR position(' ' || n2 || ' ' IN ' ' || n1 || ' ') > 0))
+      AS contains,
+  ((len(t2) >= 2 AND replace(n1, ' ', '') =
+        array_to_string(list_transform(t2, w -> substr(w, 1, 1)), ''))
+   OR (len(t1) >= 2 AND replace(n2, ' ', '') =
+        array_to_string(list_transform(t1, w -> substr(w, 1, 1)), '')))
+      AS abbr,
+  CASE WHEN n1 = '' OR n2 = '' THEN 0.0
+       ELSE len(list_intersect(list_distinct(t1), list_distinct(t2)))
+            / CAST(len(list_distinct(t1 || t2)) AS DOUBLE) END
+      AS tok_overlap,
+  (t1[len(t1)] = t2[len(t2)] AND t1[len(t1)] IN ({{surnames}}))
+      AS common_surname
+FROM t
+ORDER BY i
+"""
+
+
+def _duck():
+    """Per-process DuckDB connection (a vectorized C kernel library
+    here, not a storage engine); single-threaded so Ray's num_cpus
+    accounting stays honest."""
+    global _DUCK_CON
+    try:
+        return _DUCK_CON
+    except NameError:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+        _DUCK_CON.execute("SET threads TO 1")
+        return _DUCK_CON
+
+
+def compute_pair_features(batch: pa.Table) -> dict:
+    """Vectorized feature columns (numpy arrays) for a pair batch —
+    DuckDB's jaro_winkler_similarity (bit-equal to el.sim.jaro_winkler,
+    proven by the el_pair_jw oracle) plus list-kernel booleans, one SQL
+    pass over the zero-copy Arrow batch."""
+    import numpy as np
+
+    con = _duck()
+    surnames = ", ".join(f"'{s}'" for s in sorted(COMMON_SURNAMES))
+    batch_view = batch.select(["alias1", "alias2", "surface1", "surface2"])
+    batch_view = batch_view.append_column(
+        "i", pa.array(np.arange(batch.num_rows, dtype=np.int64))
+    )
+    con.register("batch", batch_view)
+    out = con.execute(_FEATURE_SQL.format(surnames=surnames)).arrow()
+    con.unregister("batch")
+    return {
+        "jw_alias": out.column("jw_alias").to_numpy(zero_copy_only=False),
+        "jw_surface": out.column("jw_surface").to_numpy(zero_copy_only=False),
+        "prefix2": out.column("prefix2").to_numpy(zero_copy_only=False)
+        .astype(bool),
+        "contains": out.column("contains").to_numpy(zero_copy_only=False)
+        .astype(bool),
+        "abbr": out.column("abbr").to_numpy(zero_copy_only=False)
+        .astype(bool),
+        "tok_overlap": np.nan_to_num(
+            out.column("tok_overlap").to_numpy(zero_copy_only=False)
+        ),
+        "common_surname": out.column("common_surname")
+        .to_numpy(zero_copy_only=False).astype(bool),
+    }
+
+
 def score_pairs_batch(batch: pa.Table) -> pa.Table:
-    a1 = batch.column("alias1").to_pylist()
-    a2 = batch.column("alias2").to_pylist()
-    s1 = batch.column("surface1").to_pylist()
-    s2 = batch.column("surface2").to_pylist()
-    scores = []
-    jw_col = []
-    for x1, x2, y1, y2 in zip(a1, a2, s1, s2):
-        f = pair_features(x1, x2, y1, y2)
-        scores.append(pair_score(f))
-        jw_col.append(f["jw_alias"])
-    out = batch.append_column("jw_alias", pa.array(jw_col, pa.float64()))
+    import numpy as np
+
+    if batch.num_rows == 0:
+        out = batch.append_column("jw_alias", pa.array([], pa.float64()))
+        return out.append_column("score", pa.array([], pa.float64()))
+    f = compute_pair_features(batch)
+    base = W_JW * (f["jw_alias"] - JW_PIVOT)
+    floor = f["prefix2"] | f["abbr"]
+    base = np.where(floor, np.maximum(base, BOOL_FLOOR), base)
+    z = (
+        base
+        + W_JWS * (f["jw_surface"] - f["jw_alias"])
+        + W_OVL * (f["tok_overlap"] - 0.5)
+        - W_COMMON * f["common_surname"].astype(np.float64)
+    )
+    scores = 1.0 / (1.0 + np.exp(-z))
+    out = batch.append_column("jw_alias", pa.array(f["jw_alias"], pa.float64()))
     return out.append_column("score", pa.array(scores, pa.float64()))
 
 

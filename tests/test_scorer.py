@@ -38,6 +38,38 @@ def test_features():
     assert f2["prefix2"] is True
 
 
+def test_vectorized_matches_scalar():
+    """The DuckDB-vectorized batch path must be bit-equal to the scalar
+    reference implementation on every feature and the final score."""
+    from el.scorer import compute_pair_features, score_pairs_batch
+
+    cases = [
+        ("Janet Harper", "Janet Harpr"), ("Janet Smith", "Robert Smith"),
+        ("United Western", "United Western Commerce Council"),
+        ("UWCC", "United Western Commerce Council"),
+        ("Austin, Texas", "Dallas, Texas"),
+        ("Global Timber Group", "Global Grain Group"),
+        ("X", "X Y"), ("A B C", "A B"), ("Smith", "Smith"),
+        ("nrg austin", "nrg austin one"),
+        ("Meridian Northern Fisheries Institute",
+         "Meridian Northern Fisheries Institte"),
+    ]
+    a1 = [c[0] for c in cases]
+    a2 = [c[1] for c in cases]
+    t = pa.table({"alias1": a1, "alias2": a2, "surface1": a1, "surface2": a2})
+    f = compute_pair_features(t)
+    out = score_pairs_batch(t)
+    for i, (x, y) in enumerate(cases):
+        ref = pair_features(x, y, x, y)
+        for k, r in ref.items():
+            v = f[k][i]
+            if isinstance(r, bool):
+                assert bool(v) == r, (x, y, k, v, r)
+            else:
+                assert abs(float(v) - r) < 1e-12, (x, y, k, v, r)
+        assert abs(out.column("score")[i].as_py() - pair_score(ref)) < 1e-12
+
+
 def test_scorer_batch():
     t = pa.table(
         {
