@@ -83,24 +83,42 @@ def emit_keys_batch(batch: pa.Table) -> pa.Table:
     return taken.append_column("block_key", pa.array(out_key, type=pa.string()))
 
 
+PAIR_COLUMNS = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
+                "ner1", "ner2", "block_key", "n1", "n2", "s1n", "s2n",
+                "ctx1", "ctx2"]
+
+
 def pairs_for_block(
     key: str,
-    aliases: Iterable[tuple[str, str, str, str]],
+    aliases: Iterable[tuple],
     max_aliases_per_block: int = MAX_ALIASES_PER_BLOCK,
 ) -> tuple[list[tuple], int]:
     """Generate distinct-alias candidate pairs for one block.
 
-    ``aliases``: iterable of (alias_norm, alias, surface, ner_type) —
-    one representative per distinct alias_norm in the block.
-    Returns (pair rows, dropped_pair_count). Pair rows:
-    (a1, a2, alias1, alias2, surface1, surface2, ner1, ner2, block_key)
-    with a1 < a2 (alias-group node ids).
+    ``aliases``: iterable of tuples, canonical 7-shape
+    (group_key, alias_norm, alias, surface, ner_type, surface_norm,
+    ctx_vec) — one representative per distinct contraction node in the
+    block. Compat shapes: 4-tuples (alias_norm, alias, surface, ner)
+    and 6-tuples (alias_norm, alias, surface, ner, surface_norm,
+    ctx_vec) get group_key = alias_norm.
+    Returns (pair rows, dropped_pair_count). Pair rows follow
+    PAIR_COLUMNS with a1 < a2 (contraction-node ids "A:<group_key>").
 
     Salting: if the block exceeds the alias cap, aliases are split into
     ceil(n/cap) deterministic hash sub-blocks; pairs across sub-blocks
     are dropped and counted.
     """
-    uniq = sorted({a[0]: a for a in aliases}.values())
+    from .text import normalize_name
+
+    full = []
+    for a in aliases:
+        a = tuple(a)
+        if len(a) == 4:
+            a = (a[0],) + a[:4] + (normalize_name(a[2]), "")
+        elif len(a) == 6:
+            a = (a[0],) + a
+        full.append(a[:7])
+    uniq = sorted({a[0]: a for a in full}.values())
     n = len(uniq)
     if n < 2:
         return [], 0
@@ -124,7 +142,8 @@ def pairs_for_block(
                 aj = g[j]
                 a, b = (ai, aj) if ai[0] < aj[0] else (aj, ai)
                 rows.append(
-                    (f"A:{a[0]}", f"A:{b[0]}", a[1], b[1], a[2], b[2], a[3], b[3], key)
+                    (f"A:{a[0]}", f"A:{b[0]}", a[2], b[2], a[3], b[3],
+                     a[4], b[4], key, a[1], b[1], a[5], b[5], a[6], b[6])
                 )
     return rows, dropped
 
@@ -142,22 +161,34 @@ class BlockPairGenerator:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
-                     "ner1", "ner2", "block_key"]
-            t = pa.table({n: pa.array([], pa.string()) for n in names})
+            t = pa.table({n: pa.array([], pa.string()) for n in PAIR_COLUMNS})
             return t.append_column("dropped_pairs", pa.array([], pa.int64()))
         key = group.column("block_key")[0].as_py()
-        aliases = zip(
-            group.column("alias_norm").to_pylist(),
-            group.column("alias").to_pylist(),
-            group.column("surface").to_pylist(),
-            group.column("ner_type").to_pylist(),
-        )
+        names = group.column_names
+        if "surface_norm" in names and "ctx_vec" in names:
+            gk = (group.column("group_key").to_pylist()
+                  if "group_key" in names
+                  else group.column("alias_norm").to_pylist())
+            aliases = zip(
+                gk,
+                group.column("alias_norm").to_pylist(),
+                group.column("alias").to_pylist(),
+                group.column("surface").to_pylist(),
+                group.column("ner_type").to_pylist(),
+                group.column("surface_norm").to_pylist(),
+                group.column("ctx_vec").to_pylist(),
+            )
+        else:
+            aliases = zip(
+                group.column("alias_norm").to_pylist(),
+                group.column("alias").to_pylist(),
+                group.column("surface").to_pylist(),
+                group.column("ner_type").to_pylist(),
+            )
         rows, dropped = pairs_for_block(key, aliases, self.cap)
-        cols = list(zip(*rows)) if rows else [[]] * 9
-        names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
-                 "ner1", "ner2", "block_key"]
-        tbl = pa.table({n: pa.array(c, type=pa.string()) for n, c in zip(names, cols)})
+        cols = list(zip(*rows)) if rows else [[]] * len(PAIR_COLUMNS)
+        tbl = pa.table({n: pa.array(c, type=pa.string())
+                        for n, c in zip(PAIR_COLUMNS, cols)})
         return tbl.append_column(
             "dropped_pairs", pa.array([dropped] * len(tbl), type=pa.int64())
             if len(tbl)

@@ -135,14 +135,18 @@ def alias_answer(
     KB component by a merge gets 0.7 (the reference's backoff-link
     confidence, RunKBPEntityLinkerSystem.scala:83-108); NIL members of a
     multi-alias cluster get 0.6 (clusterNils rewrite confidence,
-    RunKBPEntityLinkerSystem.scala:160-192), singletons 0.55."""
+    RunKBPEntityLinkerSystem.scala:160-192); NIL singletons keep their
+    link-stage confidence clamped to [0.10, 0.6] — so the poison-row
+    0.10 (linkQuery's catch-all, :152-157) and the sports-NIL 0.5
+    (:131-147) survive to the output, default 0.55."""
     if comp_kb:
         conf = alias_conf if alias_kb == comp_kb else 0.7
         return comp_kb, comp_kb, conf
     if comp_size > 1:
         conf = 0.6
     else:
-        conf = max(0.55, min(alias_conf if alias_conf is not None else 0.55, 0.6))
+        a = alias_conf if alias_conf is not None else 0.55
+        conf = min(max(a, 0.10), 0.6)
     return cluster_label, f"NIL:{cluster_label}", conf
 
 

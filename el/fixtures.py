@@ -47,7 +47,7 @@ from .blocking import surface_block_keys
 from .sim import jaro_winkler
 from .text import initials, normalize_name
 
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 # (n_conversations, n_entities, min_turns, max_turns, max_gold_pairs_per_key)
 SCALES: dict[str, tuple[int, int, int, int, int]] = {
@@ -104,6 +104,10 @@ almost final just two clauses remain""".split()
 
 DISTRACTOR_WORDS = ["Fund", "North", "Center", "Review"]
 
+# lowercase sports markers injected into sports-mode turns (subset of
+# el.sports.SPORTS_MARKERS; enough for a marker ratio >= 0.15)
+SPORTS_FILLER = ["team", "coach", "season", "playoff", "stadium"]
+
 
 @dataclass
 class Entity:
@@ -114,10 +118,36 @@ class Entity:
     conflict_key: str = ""
     in_kb: bool = False
     kb_id: str = ""
+    # v9 adversarial knobs: per-entity context topic words (lowercase
+    # synthetic tokens injected into every turn that mentions the
+    # entity); no_kb forces NIL (twins must be split by CONTEXT, not by
+    # the KB constraint); force_kb guarantees KB membership (ambiguity /
+    # sports cases need both candidates in the KB)
+    topics: list[str] = field(default_factory=list)
+    no_kb: bool = False
+    force_kb: bool = False
+    # ambiguity: a curated alias shared with ANOTHER KB entity — convs
+    # may mention the entity ONLY via this alias (doc-sim must resolve)
+    shared_alias: str = ""
+    # NE-overlap: idx of a companion entity co-mentioned in shared-alias
+    # convs and listed in this entity's KB named_entities
+    ne_companion: int = -1
+    # sports: team entity mentioned via its bare city name in
+    # sports-marker contexts
+    is_team: bool = False
+    sports_city: str = ""
+    wiki: str = ""  # explicit wiki_type override ("team")
 
     @property
     def gold_id(self) -> str:
         return self.kb_id if self.in_kb else f"NIL{self.idx:05d}"
+
+
+def topic_words(idx: int, k: int = 3) -> list[str]:
+    """Deterministic lowercase topic tokens unique to one entity (never
+    capitalized, so extraction offsets are unaffected; no trailing 's',
+    so stemming leaves them alone)."""
+    return [f"zt{idx}x{j}" for j in range(k)]
 
 
 def _misspell(name: str, rng: np.random.Generator) -> str | None:
@@ -226,6 +256,39 @@ def build_entities(n: int, rng: np.random.Generator) -> list[Entity]:
         e.aliases = [canonical, city, f"{city}, {gazetteer.ABBR_OF_STATE[state]}"]
         return e
 
+    def make_twin_pair(idx1: int, idx2: int) -> tuple[Entity, Entity] | None:
+        """Adversarial twins (VERDICT r01 fixture-v9 ask): two DISTINCT
+        entities whose canonical names sit at Jaro-Winkler >= 0.95 —
+        above the string-only merge region — separable ONLY by their
+        context topics. Both forced NIL so the KB constraint cannot
+        rescue a context-free scorer."""
+        for _ in range(80):
+            first = FIRST_NAMES[int(rng.integers(0, len(FIRST_NAMES)))]
+            last = SURNAMES[int(rng.integers(0, len(SURNAMES)))]
+            if len(last) < 7 or (first, last) in used_pers:
+                continue
+            pos = int(rng.integers(2, len(last) - 1))
+            last2 = last[:pos] + last[pos + 1:]
+            c1, c2 = f"{first} {last}", f"{first} {last2}"
+            n1, n2 = normalize_name(c1), normalize_name(c2)
+            if jaro_winkler(n1, n2) < 0.95:
+                continue
+            if not (_separated(n1, by_letter) and _separated(n2, by_letter)):
+                continue
+            used_pers.add((first, last))
+            used_pers.add((first, last2))
+            _register(n1, by_letter)
+            _register(n2, by_letter)
+            key = f"sur:{last.lower()}"
+            e1 = Entity(idx1, "PER", c1, conflict_key=key, no_kb=True,
+                        topics=topic_words(idx1))
+            e1.aliases = [c1, last]
+            e2 = Entity(idx2, "PER", c2, conflict_key=key, no_kb=True,
+                        topics=topic_words(idx2))
+            e2.aliases = [c2, last2]
+            return e1, e2
+        return None
+
     # entity 0: the hot ORG; entities 1-3: the Smith trio.
     e = make_org(0)
     assert e is not None
@@ -234,6 +297,77 @@ def build_entities(n: int, rng: np.random.Generator) -> list[Entity]:
         e = make_per(i, surname="Smith")
         assert e is not None
         entities.append(e)
+    # adversarial twin pairs (entities 4 .. 4+2*n_twins-1)
+    n_twins = max(2, n // 40)
+    for _ in range(n_twins):
+        pair = make_twin_pair(len(entities), len(entities) + 1)
+        if pair is None:
+            break
+        entities.extend(pair)
+
+    def _letters(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            s = chr(ord("A") + (i - 1) % 26) + s
+            i = (i - 1) // 26
+        return s
+
+    # ambiguous curated-alias pairs resolved by doc-sim (topics in both
+    # the contexts and the KB intro text)
+    n_amb = max(1, n // 60)
+    for p in range(n_amb):
+        e1 = make_org(len(entities))
+        e2 = make_org(len(entities) + 1) if e1 else None
+        if e1 is None or e2 is None:
+            break
+        shared = "QX" + _letters(p)
+        for e in (e1, e2):
+            e.shared_alias = shared
+            e.force_kb = True
+            e.topics = topic_words(e.idx)
+            e.conflict_key = f"amb:{p}"
+        entities.extend([e1, e2])
+
+    # ambiguous pairs resolved ONLY by NE overlap (no topics anywhere;
+    # the co-mentioned companion entity appears in the winner's KB
+    # named_entities)
+    n_ne = max(1, n // 80)
+    for p in range(n_ne):
+        e1 = make_org(len(entities))
+        e2 = make_org(len(entities) + 1) if e1 else None
+        c1 = make_per(len(entities) + 2) if e2 else None
+        c2 = make_per(len(entities) + 3) if c1 else None
+        if c2 is None:
+            break
+        shared = "QY" + _letters(p)
+        for e in (e1, e2):
+            e.shared_alias = shared
+            e.force_kb = True
+            e.conflict_key = f"ne:{p}"
+        e1.ne_companion = c1.idx
+        e2.ne_companion = c2.idx
+        entities.extend([e1, e2, c1, c2])
+
+    # sports city/team cases: the bare city name in sports-marker
+    # contexts must re-link to the team entity, not the location
+    SPORT_NOUNS = ["Rovers", "Dynamo", "Wanderers", "Athletic"]
+    n_sports = max(1, n // 80)
+    for s in range(n_sports):
+        gpe = make_gpe(len(entities))
+        if gpe is None:
+            break
+        gpe.force_kb = True
+        city = gpe.canonical.split(",")[0]
+        team = Entity(
+            len(entities) + 1, "ORG", f"{city} {SPORT_NOUNS[s % 4]}",
+            conflict_key=gpe.conflict_key, force_kb=True, is_team=True,
+            sports_city=city, wiki="team",
+        )
+        team.aliases = [team.canonical]
+        _register(normalize_name(team.canonical), by_letter)
+        entities.extend([gpe, team])
+
     while len(entities) < n:
         idx = len(entities)
         r = rng.random()
@@ -255,7 +389,9 @@ def build_entities(n: int, rng: np.random.Generator) -> list[Entity]:
     # KB membership ~55% (2012 gold ratio 1177/2226, FIXTURES.md §1)
     next_kb = 1
     for e in entities:
-        if rng.random() < 0.55:
+        if e.no_kb:
+            continue
+        if e.force_kb or rng.random() < 0.55:
             e.in_kb = True
             e.kb_id = f"E{next_kb:07d}"
             next_kb += 1
@@ -313,10 +449,33 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
         conv_id = f"conv{seed}-{c:08d}"
         n_turns = int(rng.integers(tmin, tmax + 1))
         ents = _pick_conv_entities(entities, rng)
-        # plan: turn -> (entity, surface)
-        plan: dict[int, tuple[Entity, str]] = {}
-        avail = list(range(n_turns))
+        # per-conversation surface MODE (v9): a team entity always
+        # appears as its bare city name inside sports-marker contexts;
+        # a shared-alias entity uses ONLY the shared (ambiguous) alias
+        # in half its conversations — forcing the link decision through
+        # doc-sim / NE overlap; everything else follows the
+        # first-mention-canonical rule
+        modes: list[str] = []
+        extra: list[Entity] = []
+        keys = {e.conflict_key for e in ents}
         for e in ents:
+            if e.is_team:
+                modes.append("sports")
+            elif e.shared_alias and rng.random() < 0.5:
+                modes.append("shared")
+                if e.ne_companion >= 0:
+                    comp = entities[e.ne_companion]
+                    if comp.conflict_key not in keys:
+                        extra.append(comp)
+                        keys.add(comp.conflict_key)
+            else:
+                modes.append("normal")
+        ents = ents + extra
+        modes = modes + ["normal"] * len(extra)
+        # plan: turn -> (entity, surface, mode)
+        plan: dict[int, tuple[Entity, str, str]] = {}
+        avail = list(range(n_turns))
+        for e, mode in zip(ents, modes):
             k = min(1 + int(rng.integers(0, 3)), len(avail))
             if k == 0:
                 break
@@ -328,18 +487,31 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
                 avail.pop(i)
             chosen.sort()
             for j, t in enumerate(chosen):
-                if j == 0:
+                if mode == "shared":
+                    surface = e.shared_alias
+                elif mode == "sports":
+                    surface = e.sports_city
+                elif j == 0:
                     surface = e.canonical
                 else:
                     surface = e.aliases[int(rng.integers(0, len(e.aliases)))]
-                plan[t] = (e, surface)
+                plan[t] = (e, surface, mode)
 
         for t in range(n_turns):
             nw = int(rng.integers(6, 16))
             widx = rng.integers(0, n_filler, size=nw)
             words = [FILLER[int(i)] for i in widx]
             if t in plan:
-                e, surface = plan[t]
+                if plan[t][2] == "sports":
+                    # sports-sense signal (marker-ratio >= 0.15)
+                    words = words + SPORTS_FILLER
+                elif plan[t][0].topics:
+                    # topic injection: every turn mentioning a topic'd
+                    # entity carries its topic tokens (context signal)
+                    words = words + plan[t][0].topics
+                nw = len(words)
+            if t in plan:
+                e, surface, _mode = plan[t]
                 ins = int(rng.integers(0, nw + 1))
                 prefix = " ".join(words[:ins])
                 suffix = " ".join(words[ins:])
@@ -462,13 +634,14 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
     k_type = [e.etype for e in kb_rows]
     k_wiki = []
     for e in kb_rows:
-        if e.etype == "PER":
+        if e.wiki:
+            k_wiki.append(e.wiki)
+        elif e.etype == "PER":
             k_wiki.append("person")
         elif e.etype == "GPE":
             k_wiki.append("settlement")
         else:
-            k_wiki.append("team" if "Rail" in e.canonical or "Aviation" in e.canonical
-                          else "organization")
+            k_wiki.append("organization")
     k_intro = []
     k_alias = []
     k_ne = []
@@ -477,10 +650,25 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
         nw = int(rng.integers(10, 25))
         widx = rng.integers(0, n_filler, size=nw)
         words = [FILLER[int(i)] for i in widx]
-        k_intro.append(f"{e.canonical} " + " ".join(words))
-        k_alias.append(list(e.aliases))
-        others = [kb_rows[int(x)].canonical for x in rng.integers(0, n_kb, size=3)]
-        k_ne.append(sorted(set(others) - {e.canonical}))
+        # intro carries the entity's topic words — the doc-sim signal
+        # (intro_text is the docSimScore side, LinkFeatures.scala:175-178)
+        k_intro.append(
+            f"{e.canonical} " + " ".join(e.topics + words)
+        )
+        k_alias.append(
+            list(e.aliases) + ([e.shared_alias] if e.shared_alias else [])
+        )
+        if e.shared_alias:
+            # ambiguous entities: named_entities = the companion only
+            # (the NE-overlap signal must be clean)
+            k_ne.append(
+                [entities[e.ne_companion].canonical]
+                if e.ne_companion >= 0 else []
+            )
+        else:
+            others = [kb_rows[int(x)].canonical
+                      for x in rng.integers(0, n_kb, size=3)]
+            k_ne.append(sorted(set(others) - {e.canonical}))
     # distractor near-miss titles (must NOT be linked)
     n_distr = max(2, n_kb // 10)
     next_id = n_kb + 1

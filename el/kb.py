@@ -32,9 +32,25 @@ class KBIndex:
     ids_of_alias_norm: dict[str, list[str]] = field(default_factory=dict)
     # fuzzy candidate index: first token of normalized title -> [(norm, id)]
     by_first_token: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    # doc-sim side (LinkFeatures.scala:175-178 docSimScore): intro-text
+    # term vectors, precomputed once at broadcast time
+    intro_vec: dict[str, dict[str, int]] = field(default_factory=dict)
+    # J7: kbId -> normalized named-entity strings
+    # (LinkFeatures.scala:118-158; file scan replaced by a KB column)
+    ne_of: dict[str, frozenset] = field(default_factory=dict)
+
+    @property
+    def ambiguous_aliases(self) -> dict[str, list[str]]:
+        """Curated aliases carried by >= 2 KB entries — the aliases whose
+        link decision NEEDS the per-document context (doc-sim + NE
+        overlap) instead of a global lookup."""
+        return {a: ids for a, ids in self.ids_of_alias_norm.items()
+                if len(ids) >= 2}
 
     @classmethod
     def from_table(cls, kb) -> "KBIndex":
+        from .text import term_vector
+
         idx = cls()
         ids = kb.column("kb_id").to_pylist()
         titles = kb.column("title").to_pylist()
@@ -42,7 +58,11 @@ class KBIndex:
         wiki = kb.column("wiki_type").to_pylist()
         amb = kb.column("ambiguity").to_pylist()
         aliases = kb.column("aliases").to_pylist()
-        for kb_id, title, t, w, a, al in zip(ids, titles, types, wiki, amb, aliases):
+        intros = kb.column("intro_text").to_pylist()
+        nes = kb.column("named_entities").to_pylist()
+        for kb_id, title, t, w, a, al, intro, ne in zip(
+            ids, titles, types, wiki, amb, aliases, intros, nes
+        ):
             norm = normalize_name(title)
             idx.title_of_id[kb_id] = title
             idx.type_of_id[kb_id] = t
@@ -56,6 +76,10 @@ class KBIndex:
                     idx.ids_of_alias_norm[an].append(kb_id)
             first = norm.split()[0] if norm else ""
             idx.by_first_token.setdefault(first, []).append((norm, kb_id))
+            idx.intro_vec[kb_id] = term_vector(intro or "", top_k=24)
+            idx.ne_of[kb_id] = frozenset(
+                normalize_name(x) for x in (ne or [])
+            )
         return idx
 
     @classmethod

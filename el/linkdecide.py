@@ -37,6 +37,9 @@ from .sim import jaro_winkler
 LINK_THRESHOLD = 0.93  # RunKBPEntityLinkerSystem.scala:29
 CONF_FLOOR = 0.55
 CONF_ERROR = 0.10
+AMB_CONF = 0.8        # doc-sim-resolved ambiguous alias (exact-lookup parity)
+SPORTS_CONF = 0.7     # team override, RunKBPEntityLinkerSystem.scala:131-147
+SPORTS_NIL_CONF = 0.5  # sports sense but no team entry (same span)
 
 
 def calibrate_confidence(score: float, threshold: float = LINK_THRESHOLD) -> float:
@@ -106,11 +109,28 @@ def link_alias(alias_norm: str, kb: KBIndex) -> tuple[str, float, float]:
         return "", 0.0, CONF_ERROR  # poison row degrades, never fails
 
 
-class CandidateLinker:
-    """Actor-pool callable over DISTINCT aliases.
+def link_group_key(group_key: str, kb: KBIndex) -> tuple[str, float, float]:
+    """Link decision for one contraction node: a plain alias goes
+    through the decision tree; an override subkey (el.overrides) carries
+    its context-resolved choice — ambiguous alias (doc-sim, conf 0.8),
+    sports team (conf 0.7), sports NIL (conf 0.5)."""
+    from .overrides import KIND_AMBIGUOUS, KIND_SPORTS, parse_group_key
 
-    Input batch columns: alias_norm (plus pass-through). Output adds
-    kb_id, link_score, link_conf.
+    alias, kind, kb_id = parse_group_key(group_key)
+    if kind == KIND_AMBIGUOUS:
+        return kb_id, 0.99, AMB_CONF
+    if kind == KIND_SPORTS:
+        if kb_id:
+            return kb_id, 0.95, SPORTS_CONF
+        return "", 0.0, SPORTS_NIL_CONF
+    return link_alias(alias, kb)
+
+
+class CandidateLinker:
+    """Actor-pool callable over DISTINCT contraction nodes.
+
+    Input batch columns: group_key (falls back to alias_norm) plus
+    pass-through. Output adds kb_id, link_score, link_conf.
     """
 
     def __init__(self, kb_ref=None, kb_index: KBIndex | None = None):
@@ -122,10 +142,12 @@ class CandidateLinker:
             self.kb = ray.get(kb_ref)  # once per actor, from object store
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        aliases = batch.column("alias_norm").to_pylist()
+        col = ("group_key" if "group_key" in batch.column_names
+               else "alias_norm")
+        keys = batch.column(col).to_pylist()
         ids, scores, confs = [], [], []
-        for a in aliases:
-            kb_id, s, c = link_alias(a, self.kb)
+        for k in keys:
+            kb_id, s, c = link_group_key(k, self.kb)
             ids.append(kb_id)
             scores.append(s)
             confs.append(c)

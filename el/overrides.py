@@ -1,0 +1,198 @@
+"""Per-document context overrides of the link decision — the two spots
+where the reference's linkQuery is CONTEXT-dependent rather than a
+global function of the alias string:
+
+- **ambiguous aliases** (doc-sim, LinkFeatures.scala:175-178's
+  docSimScore + the NE-overlap features LinkFeatures.scala:118-158): a
+  curated alias carried by >= 2 KB entries is disambiguated per
+  conversation by cosine(conversation context of the alias's mentions,
+  candidate intro text) + 0.5 * overlap(co-mentioned entities,
+  candidate named_entities); the context union over the alias's
+  repeat mentions is the coref-context analog (KBPQuery.scala:34-57);
+- **sports sense** (linkQuery steps 1 and 8,
+  RunKBPEntityLinkerSystem.scala:59-61, 131-147): a gazetteer-location
+  mention whose conversation context clears the sports-marker ratio is
+  re-linked to a team-typed KB entry (conf .7) or a fresh NIL (.5).
+
+Both produce a per-(alias_norm, conv_id) choice that downstream stages
+consume as a GROUP-KEY suffix: mentions of alias a in conversation c
+contract to the node ``a#<kind>:<kb_id>`` instead of ``a``, so the
+override-affected mentions cluster separately without giving up the
+distinct-alias contraction for the (vastly dominant) unaffected rest.
+
+Scale note: the collected choice table is proportional to the number of
+(ambiguous-alias | sports-candidate, conversation) pairs — rare by the
+curated-ambiguity assumption; it is broadcast via one ray.put. The scan
+that finds candidates is a stateless map over the mention stream; the
+per-conversation resolution is one conv_id hash exchange over ONLY the
+flagged conversations' mentions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .sports import is_sports_candidate, sports_sense, team_rerank
+from .text import term_vector, tokenize
+
+# group-key suffix kinds
+KIND_AMBIGUOUS = "A"
+KIND_SPORTS = "S"
+# separator: printable, impossible in a normalized alias ([a-z0-9 ]),
+# and NOT "\x00" — pandas' object-array groupby hashes C-strings and
+# silently merges keys at the first NUL
+SEP = "#"
+
+NE_OVERLAP_WEIGHT = 0.5
+
+
+def group_key_of(alias_norm: str, kind: str, kb_id: str) -> str:
+    return f"{alias_norm}{SEP}{kind}:{kb_id}"
+
+
+def parse_group_key(group_key: str) -> tuple[str, str, str]:
+    """-> (alias_norm, kind, kb_id); kind '' for plain aliases."""
+    if SEP not in group_key:
+        return group_key, "", ""
+    alias, tag = group_key.split(SEP, 1)
+    kind, _, kb_id = tag.partition(":")
+    return alias, kind, kb_id
+
+
+def resolve_ambiguous(alias_norm: str, contexts: list[str],
+                      conv_surfaces: set[str], kb) -> str:
+    """Doc-sim + NE-overlap argmax over the alias's KB candidates
+    (deterministic: ties break to the min kb_id)."""
+    cands = kb.ambiguous_aliases.get(alias_norm) or []
+    if not cands:
+        return ""
+    from .sim import cosine
+
+    ctx_vec = term_vector(" ".join(contexts), top_k=48)
+    others = conv_surfaces - {alias_norm}
+    best_id, best_score = "", float("-inf")
+    for kb_id in sorted(cands):
+        sim = cosine(ctx_vec, kb.intro_vec.get(kb_id, {}))
+        nes = kb.ne_of.get(kb_id) or frozenset()
+        overlap = (len(others & nes) / len(nes)) if nes else 0.0
+        score = sim + NE_OVERLAP_WEIGHT * overlap
+        if score > best_score:
+            best_id, best_score = kb_id, score
+    return best_id
+
+
+def conv_overrides_block(t: pa.Table, kb) -> pa.Table:
+    """Block fn over conv_id-partitioned flagged-conversation mentions:
+    emits (alias_norm, conv_id, kind, kb_id) choice rows."""
+    import numpy as np
+
+    out_alias: list[str] = []
+    out_conv: list[str] = []
+    out_kind: list[str] = []
+    out_kb: list[str] = []
+    if t.num_rows == 0:
+        return pa.table({
+            "alias_norm": pa.array(out_alias, pa.string()),
+            "conv_id": pa.array(out_conv, pa.string()),
+            "kind": pa.array(out_kind, pa.string()),
+            "kb_id": pa.array(out_kb, pa.string()),
+        })
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("conv_id", "ascending"), ("mention_id", "ascending")]
+    )
+    t = t.take(idx)
+    conv = np.asarray(t.column("conv_id").to_pylist())
+    bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [len(conv)]))
+    alias = t.column("alias_norm").to_pylist()
+    surface = t.column("surface").to_pylist()
+    ner = t.column("ner_type").to_pylist()
+    context = t.column("context").to_pylist()
+    amb = kb.ambiguous_aliases
+    for s, e in zip(starts[:-1], starts[1:]):
+        conv_id = conv[s]
+        conv_surfaces = {alias[i] for i in range(s, e)}
+        by_alias: dict[str, list[int]] = {}
+        for i in range(s, e):
+            by_alias.setdefault(alias[i], []).append(i)
+        for a, rows in sorted(by_alias.items()):
+            ctxs = [context[i] for i in rows[:8]]
+            # sports first: linkQuery's step-8 override beats the plain
+            # link (RunKBPEntityLinkerSystem.scala:131-147)
+            if is_sports_candidate(surface[rows[0]], ner[rows[0]]):
+                toks: list[str] = []
+                for c in ctxs:
+                    toks.extend(tokenize(c))
+                if sports_sense(toks):
+                    hit = team_rerank(a, kb)
+                    out_alias.append(a)
+                    out_conv.append(conv_id)
+                    out_kind.append(KIND_SPORTS)
+                    out_kb.append(hit[0] if hit else "")
+                    continue
+            if a in amb:
+                choice = resolve_ambiguous(a, ctxs, conv_surfaces, kb)
+                if choice:
+                    out_alias.append(a)
+                    out_conv.append(conv_id)
+                    out_kind.append(KIND_AMBIGUOUS)
+                    out_kb.append(choice)
+    return pa.table({
+        "alias_norm": pa.array(out_alias, pa.string()),
+        "conv_id": pa.array(out_conv, pa.string()),
+        "kind": pa.array(out_kind, pa.string()),
+        "kb_id": pa.array(out_kb, pa.string()),
+    })
+
+
+def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
+                           num_partitions: int | None = None) -> dict:
+    """-> {(alias_norm, conv_id): (kind, kb_id)}. Empty when the corpus
+    has no ambiguous aliases and no sports candidates (zero extra cost
+    beyond one stateless scan)."""
+    import ray
+
+    from .shuffle import group_blocks
+
+    kb = ray.get(kb_ref)
+    amb = set(kb.ambiguous_aliases)
+
+    def flag(t: pa.Table, amb=amb, sports=sports) -> pa.Table:
+        alias = t.column("alias_norm").to_pylist()
+        surface = t.column("surface").to_pylist()
+        ner = t.column("ner_type").to_pylist()
+        keep = [
+            i for i in range(len(alias))
+            if alias[i] in amb
+            or (sports and is_sports_candidate(surface[i], ner[i]))
+        ]
+        return t.take(pa.array(keep, pa.int64())).select(["conv_id"])
+
+    flagged = aliased_ds.map_batches(flag, batch_format="pyarrow")
+    convs = {r["conv_id"] for r in flagged.take_all()}  # rare-by-assumption
+    if not convs:
+        return {}
+    convs_ref = ray.put(convs)
+
+    def in_flagged(t: pa.Table, ref=convs_ref) -> pa.Table:
+        cs = ray.get(ref)
+        keep = [i for i, c in enumerate(t.column("conv_id").to_pylist())
+                if c in cs]
+        return t.take(pa.array(keep, pa.int64())).select(
+            ["mention_id", "conv_id", "alias_norm", "surface", "ner_type",
+             "context"]
+        )
+
+    subset = aliased_ds.map_batches(in_flagged, batch_format="pyarrow")
+
+    def block(t: pa.Table, kb_ref=kb_ref) -> pa.Table:
+        return conv_overrides_block(t, ray.get(kb_ref))
+
+    choices = group_blocks(subset, ["conv_id"], block,
+                           batch_format="pyarrow",
+                           num_partitions=num_partitions)
+    out: dict = {}
+    for r in choices.take_all():
+        if not (r["kind"] == KIND_SPORTS and not sports):
+            out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
+    return out

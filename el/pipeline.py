@@ -46,23 +46,33 @@ DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
 
 
 def _alias_profile_block(df):
-    """Vectorized block fn over hash-partitioned alias_norm: one
-    representative row per distinct alias + min(mention_id) + count.
-    Representative = lexicographic min of (alias, surface, ner_type)."""
+    """Vectorized block fn over hash-partitioned group_key (the
+    contraction node: alias_norm, or alias_norm + override suffix): one
+    representative row per distinct node + min(mention_id) + count + a
+    deterministic context sample (K smallest mention_ids, associative
+    across partial blocks — el.ctxvec). Representative = lexicographic
+    min of (alias, surface, ner_type)."""
     import pandas as pd
+
+    from .ctxvec import CTX_SAMPLE_K, sample_contexts
 
     if len(df) == 0:
         return pd.DataFrame({
+            "group_key": pd.Series(dtype=str),
             "alias_norm": pd.Series(dtype=str),
             "alias": pd.Series(dtype=str),
             "surface": pd.Series(dtype=str),
             "ner_type": pd.Series(dtype=str),
             "min_mention": pd.Series(dtype=str),
             "n_mentions": pd.Series(dtype="int64"),
+            "ctx_sample": pd.Series(dtype=str),
         })
-    df = df.sort_values(["alias_norm", "alias", "surface", "ner_type"])
-    g = df.groupby("alias_norm", sort=False)
+    if "group_key" not in df.columns:
+        df = df.assign(group_key=df["alias_norm"])
+    df = df.sort_values(["group_key", "alias", "surface", "ner_type"])
+    g = df.groupby("group_key", sort=False)
     out = g.agg(
+        alias_norm=("alias_norm", "first"),
         alias=("alias", "first"),
         surface=("surface", "first"),
         ner_type=("ner_type", "first"),
@@ -70,6 +80,18 @@ def _alias_profile_block(df):
         n_mentions=("mention_id", "size"),
     ).reset_index()
     out["n_mentions"] = out["n_mentions"].astype("int64")
+    if "context" in df.columns:
+        s = df.sort_values(["group_key", "mention_id"]).groupby(
+            "group_key", sort=False
+        ).head(CTX_SAMPLE_K)
+        samp = s.groupby("group_key", sort=False).apply(
+            lambda gg: sample_contexts(
+                list(zip(gg["mention_id"], gg["context"]))
+            )
+        )
+        out["ctx_sample"] = out["group_key"].map(samp)
+    else:  # context-free callers (isolated benches) degrade gracefully
+        out["ctx_sample"] = ""
     return out
 
 
@@ -85,14 +107,22 @@ def _chunk_table(tbl: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
 def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
     """Driver-side merge of per-batch partial profiles (the partial fn is
     associative: per-key rep = min (alias, surface, ner) tuple,
-    min_mention = min, n_mentions = sum)."""
+    min_mention = min, n_mentions = sum, ctx_sample = re-sampled union).
+    Finalizes the context vectors: document-frequency filter over the
+    merged alias set, strip + cap (el.ctxvec)."""
     import pandas as pd
+
+    from .ctxvec import (df_threshold, merge_samples, strip_and_cap,
+                         sum_sample)
+    from .text import normalize_name
 
     df = partials_tbl.to_pandas()
     if len(df) == 0:
         return partials_tbl
-    df = df.sort_values(["alias_norm", "alias", "surface", "ner_type"])
-    out = df.groupby("alias_norm", sort=True).agg(
+    df = df.sort_values(["group_key", "alias", "surface", "ner_type"])
+    g = df.groupby("group_key", sort=True)
+    out = g.agg(
+        alias_norm=("alias_norm", "first"),
         alias=("alias", "first"),
         surface=("surface", "first"),
         ner_type=("ner_type", "first"),
@@ -100,7 +130,69 @@ def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
         n_mentions=("n_mentions", "sum"),
     ).reset_index()
     out["n_mentions"] = out["n_mentions"].astype("int64")
+    samples = g["ctx_sample"].agg(lambda s: merge_samples(list(s)))
+    raw = [sum_sample(samples[a]) for a in out["group_key"]]
+    thr = df_threshold(len(out))
+    dfreq: dict[str, int] = {}
+    for vec in raw:
+        for t in vec:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    common = {t for t, c in dfreq.items() if c > thr}
+    out["ctx_vec"] = [strip_and_cap(vec, common) for vec in raw]
+    out["surface_norm"] = [normalize_name(s) for s in out["surface"]]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _finalize_profile_distributed(profile_ds, num_partitions: int):
+    """Distributed analog of _merge_profiles' context finalization: the
+    profile blocks already hold complete per-alias ctx samples (group
+    co-location), so this adds the global document-frequency filter —
+    one small term-count exchange, collect ONLY the common terms (the
+    few above the df threshold), broadcast, strip + cap per alias."""
+    import ray
+
+    import pandas as pd
+
+    from .ctxvec import df_threshold, strip_and_cap, sum_sample
+    from .shuffle import group_blocks
+    from .text import normalize_name
+
+    profile_ds = profile_ds.materialize()
+    n_aliases = profile_ds.count()
+    thr = df_threshold(n_aliases)
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t.column("ctx_sample").to_pylist():
+            out.extend(sum_sample(s).keys())
+        return pa.table({"term": pa.array(out, pa.string())})
+
+    def block_count(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=str),
+                                 "df": pd.Series(dtype="int64")})
+        out = df.groupby("term", as_index=False).size().rename(
+            columns={"size": "df"})
+        return out[out["df"] > thr]  # only common terms leave the block
+
+    common_ds = group_blocks(
+        profile_ds.map_batches(term_rows, batch_format="pyarrow"),
+        ["term"], block_count, batch_format="pandas",
+        num_partitions=num_partitions,
+    )
+    common = {r["term"] for r in common_ds.take_all()}  # small by the df cut
+    ref = ray.put(common)
+
+    def attach(t: pa.Table, common_ref=ref) -> pa.Table:
+        com = ray.get(common_ref)
+        vecs = [strip_and_cap(sum_sample(s), com)
+                for s in t.column("ctx_sample").to_pylist()]
+        sn = [normalize_name(s) for s in t.column("surface").to_pylist()]
+        t = t.drop_columns(["ctx_sample"])
+        return t.append_column("ctx_vec", pa.array(vecs, pa.string())) \
+                .append_column("surface_norm", pa.array(sn, pa.string()))
+
+    return profile_ds.map_batches(attach, batch_format="pyarrow")
 
 
 def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
@@ -113,8 +205,9 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
 
     from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
 
+    gkeys = profile_tbl.column("group_key").to_pylist()
     norms = profile_tbl.column("alias_norm").to_pylist()
-    order = sorted(range(len(norms)), key=lambda i: norms[i])
+    order = sorted(range(len(gkeys)), key=lambda i: gkeys[i])
     key_map: dict[str, list[int]] = {}
     for i in order:
         for k in block_keys(norms[i]):
@@ -135,7 +228,7 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
             n_salts = -(-n // MAX_ALIASES_PER_BLOCK)
             buckets: dict[int, list[int]] = {}
             for i in idxs:
-                buckets.setdefault(_salt(norms[i], n_salts), []).append(i)
+                buckets.setdefault(_salt(gkeys[i], n_salts), []).append(i)
             groups = list(buckets.values())
             total = n * (n - 1) // 2
             dropped += total - sum(len(g) * (len(g) - 1) // 2 for g in groups)
@@ -150,14 +243,16 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
             key_counts.append(len(r))
     if not i1_parts:
         names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
-                 "ner1", "ner2", "block_key"]
+                 "ner1", "ner2", "block_key", "n1", "n2", "s1n", "s2n",
+                 "ctx1", "ctx2"]
         tbl = pa.table({n: pa.array([], pa.string()) for n in names})
         return tbl.append_column("dropped_pairs", pa.array([], pa.int64()))
     i1 = np.concatenate(i1_parts)
     i2 = np.concatenate(i2_parts)
     keys = np.repeat(np.array(key_parts, dtype=object), key_counts)
-    # cross-block dedup on (i1, i2) — indices are norm-sorted so i1 < i2
-    pair_ids = i1.astype(np.int64) * len(norms) + i2
+    # cross-block dedup on (i1, i2) — indices are group_key-sorted so
+    # i1 < i2 in node order
+    pair_ids = i1.astype(np.int64) * len(gkeys) + i2
     _, first = np.unique(pair_ids, return_index=True)
     first.sort()
     i1, i2, keys = i1[first], i2[first], keys[first]
@@ -167,8 +262,8 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
 
     tbl = pa.table(
         {
-            "a1": pa.array([f"A:{norms[i]}" for i in i1], pa.string()),
-            "a2": pa.array([f"A:{norms[i]}" for i in i2], pa.string()),
+            "a1": pa.array([f"A:{gkeys[i]}" for i in i1], pa.string()),
+            "a2": pa.array([f"A:{gkeys[i]}" for i in i2], pa.string()),
             "alias1": take("alias", i1),
             "alias2": take("alias", i2),
             "surface1": take("surface", i1),
@@ -176,6 +271,14 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
             "ner1": take("ner_type", i1),
             "ner2": take("ner_type", i2),
             "block_key": pa.array(keys.tolist(), pa.string()),
+            # pre-normalized + context columns: the scorer consumes these
+            # directly (no per-pair re-normalization in the hot stage)
+            "n1": pa.array([norms[i] for i in i1], pa.string()),
+            "n2": pa.array([norms[i] for i in i2], pa.string()),
+            "s1n": take("surface_norm", i1),
+            "s2n": take("surface_norm", i2),
+            "ctx1": take("ctx_vec", i1),
+            "ctx2": take("ctx_vec", i2),
         }
     )
     return tbl.append_column(
@@ -184,23 +287,23 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
 
 
 def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
-    """Task-based link decision over distinct aliases: the KB index ref
-    resolves from shared memory per task (actor-pool form:
+    """Task-based link decision over distinct contraction nodes: the KB
+    index ref resolves from shared memory per task (actor-pool form:
     el.linkdecide.CandidateLinker, for heavyweight per-actor state)."""
     import ray
 
-    from .linkdecide import link_alias
+    from .linkdecide import link_group_key
 
     kb = ray.get(kb_ref)
-    aliases = t.column("alias_norm").to_pylist()
+    keys = t.column("group_key").to_pylist()
     ids, scores, confs = [], [], []
-    for a in aliases:
-        kb_id, s, c = link_alias(a, kb)
+    for k in keys:
+        kb_id, s, c = link_group_key(k, kb)
         ids.append(kb_id)
         scores.append(s)
         confs.append(c)
     return pa.table({
-        "alias_norm": pa.array(aliases, pa.string()),
+        "group_key": pa.array(keys, pa.string()),
         "kb_id": pa.array(ids, pa.string()),
         "link_score": pa.array(scores, pa.float64()),
         "link_conf": pa.array(confs, pa.float64()),
@@ -209,13 +312,13 @@ def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
 
 def _finish_batch(t: pa.Table, map_ref) -> pa.Table:
     """Final mention-scale map: attach cluster / kb_link / confidence
-    from the broadcast alias map. Task-based: ray.get of the broadcast
-    ref is a shared-memory read, so no actor pool is needed."""
+    from the broadcast group-key map. Task-based: ray.get of the
+    broadcast ref is a shared-memory read, so no actor pool is needed."""
     import ray
 
     alias_map = ray.get(map_ref)
     out_cluster, out_kb, out_conf = [], [], []
-    for an in t.column("alias_norm").to_pylist():
+    for an in t.column("group_key").to_pylist():
         cluster, kb_link, conf = alias_map[an]
         out_cluster.append(cluster)
         out_kb.append(kb_link)
@@ -260,12 +363,13 @@ def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
 
     kb_of: dict[str, str] = {}
     conf_of: dict[str, float] = {}
-    for r in links_tbl.to_pylist():
-        kb_of[r["alias_norm"]] = r["kb_id"]
-        conf_of[r["alias_norm"]] = r["link_conf"]
+    for r in links_tbl.select(["group_key", "kb_id", "link_conf"]).to_pylist():
+        kb_of[r["group_key"]] = r["kb_id"]
+        conf_of[r["group_key"]] = r["link_conf"]
     min_mention: dict[str, str] = {}
-    for r in profile_tbl.to_pylist():
-        min_mention[r["alias_norm"]] = r["min_mention"]
+    for gk, mm in zip(profile_tbl.column("group_key").to_pylist(),
+                      profile_tbl.column("min_mention").to_pylist()):
+        min_mention[gk] = mm
 
     edges = [
         (a1[2:], a2[2:])  # strip "A:"
@@ -296,7 +400,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     - labels are explicitly tagged ("K:<kb>" < "M:<mention>" < SENTINEL),
       so KB-vs-NIL discrimination never depends on raw id ordering.
 
-    Returns a Dataset (alias_norm, cluster_id, kb_link, confidence) with
+    Returns a Dataset (group_key, cluster_id, kb_link, confidence) with
     confidences identical to the driver path (el.cluster.alias_answer).
     """
     import numpy as np
@@ -306,7 +410,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     from .shuffle import group_blocks
 
     links_kv = links_ds.map_batches(
-        lambda t: t.select(["alias_norm", "kb_id", "link_conf"]),
+        lambda t: t.select(["group_key", "kb_id", "link_conf"]),
         batch_format="pyarrow",
     ).materialize()
 
@@ -333,7 +437,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     def link_rows(t: pa.Table) -> pa.Table:
         f = t.filter(pc.not_equal(t.column("kb_id"), ""))
         n = len(f)
-        return pa.table({"key": f.column("alias_norm"),
+        return pa.table({"key": f.column("group_key"),
                          "eid": pa.array([""] * n, pa.string()),
                          "side": pa.array([0] * n, pa.int32()),
                          "kb": f.column("kb_id")})
@@ -407,7 +511,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(t)), t.column("alias_norm"), ""
+                    pa.array(["A:"] * len(t)), t.column("group_key"), ""
                 ),
                 "label": pc.binary_join_element_wise(
                     pa.array(["M:"] * len(t)), t.column("min_mention"), ""
@@ -420,7 +524,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(f)), f.column("alias_norm"), ""
+                    pa.array(["A:"] * len(f)), f.column("group_key"), ""
                 ),
                 "label": pc.binary_join_element_wise(
                     pa.array(["K:"] * len(f)), f.column("kb_id"), ""
@@ -446,7 +550,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "src": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(f)), f.column("alias_norm"), ""
+                    pa.array(["A:"] * len(f)), f.column("group_key"), ""
                 ),
                 "dst": pc.binary_join_element_wise(
                     pa.array(["C:"] * len(f)), f.column("kb_id"), ""
@@ -468,7 +572,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         lambda t: (
             lambda f: pa.table(
                 {
-                    "alias_norm": pc.utf8_slice_codeunits(f.column("node"), 2),
+                    "group_key": pc.utf8_slice_codeunits(f.column("node"), 2),
                     "label": f.column("label"),
                 }
             )
@@ -479,17 +583,17 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     # ---- per-alias answers (cluster_id, kb_link, confidence)
     def merge_links(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({"alias_norm": pd.Series(dtype=str),
+            return pd.DataFrame({"group_key": pd.Series(dtype=str),
                                  "label": pd.Series(dtype=str),
                                  "kb_id": pd.Series(dtype=str),
                                  "link_conf": pd.Series(dtype="float64")})
         lab = df[df["kind"] == "L"]
-        lnk = df[df["kind"] == "K"].set_index("alias_norm")
+        lnk = df[df["kind"] == "K"].set_index("group_key")
         return pd.DataFrame({
-            "alias_norm": lab["alias_norm"],
+            "group_key": lab["group_key"],
             "label": lab["label"],
-            "kb_id": lab["alias_norm"].map(lnk["kb_id"]).fillna(""),
-            "link_conf": lab["alias_norm"].map(
+            "kb_id": lab["group_key"].map(lnk["kb_id"]).fillna(""),
+            "link_conf": lab["group_key"].map(
                 lnk["link_conf"].astype("float64")).fillna(0.55),
         })
 
@@ -499,14 +603,14 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
             "link_conf", pa.array([0.0] * len(t), pa.float64())),
         batch_format="pyarrow",
     ).union(links_kv.map_batches(
-        lambda t: pa.table({"alias_norm": t.column("alias_norm"),
+        lambda t: pa.table({"group_key": t.column("group_key"),
                             "label": pa.array([""] * len(t)),
                             "kind": pa.array(["K"] * len(t)),
                             "kb_id": t.column("kb_id"),
                             "link_conf": t.column("link_conf")}),
         batch_format="pyarrow",
     ))
-    merged = group_blocks(tagged, ["alias_norm"], merge_links,
+    merged = group_blocks(tagged, ["group_key"], merge_links,
                           batch_format="pandas",
                           num_partitions=num_partitions)
 
@@ -514,11 +618,11 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         """per-label block: component size + the shared answer rule
         (el.cluster.alias_answer, vectorized)."""
         if len(df) == 0:
-            return pd.DataFrame({"alias_norm": pd.Series(dtype=str),
+            return pd.DataFrame({"group_key": pd.Series(dtype=str),
                                  "cluster_id": pd.Series(dtype=str),
                                  "kb_link": pd.Series(dtype=str),
                                  "confidence": pd.Series(dtype="float64")})
-        size = df.groupby("label")["alias_norm"].transform("size")
+        size = df.groupby("label")["group_key"].transform("size")
         is_kb = df["label"].str.startswith("K:")
         cluster = df["label"].str.slice(2)
         kb_link = np.where(is_kb, cluster, "NIL:" + cluster)
@@ -526,10 +630,10 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
             is_kb,
             np.where(df["kb_id"] == cluster, df["link_conf"], 0.7),
             np.where(size > 1, 0.6,
-                     np.maximum(0.55, np.minimum(df["link_conf"], 0.6))),
+                     np.minimum(np.maximum(df["link_conf"], 0.10), 0.6)),
         )
         return pd.DataFrame({
-            "alias_norm": df["alias_norm"],
+            "group_key": df["group_key"],
             "cluster_id": cluster,
             "kb_link": kb_link,
             "confidence": conf,
@@ -541,7 +645,7 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     # clean Arrow schema (pandas object dtypes confuse Dataset.join)
     return answers.map_batches(
         lambda t: pa.table({
-            "alias_norm": t.column("alias_norm").cast(pa.string()),
+            "group_key": t.column("group_key").cast(pa.string()),
             "cluster_id": t.column("cluster_id").cast(pa.string()),
             "kb_link": t.column("kb_link").cast(pa.string()),
             "confidence": t.column("confidence").cast(pa.float64()),
@@ -559,6 +663,7 @@ def run_linkage(
     num_partitions: int = 8,
     driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
     timings: dict | None = None,
+    sports_classify: bool = True,
 ):
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
@@ -626,16 +731,49 @@ def run_linkage(
                     tr_path, columns=["conv_id", "turn_idx", "text"])
             ).select_columns(
                 ["mention_id", "conv_id", "turn_idx", "beg", "end",
-                 "surface", "ner_type"]).materialize())
+                 "surface", "ner_type", "context"]).materialize())
         ),
     ))
     n_mentions = aliased.count()
     driver_path = n_mentions <= driver_cc_max_nodes
 
+    kb_ref = broadcast_kb(kb_path)
+
+    # [B2] per-document context overrides (doc-sim ambiguity resolution,
+    # NE overlap, sports sense — el.overrides) -> contraction group_key.
+    # With no ambiguous aliases and no sports candidates this is one
+    # stateless scan and a passthrough column.
+    from .overrides import find_context_overrides, group_key_of
+
+    overrides = _timed("overrides", lambda: find_context_overrides(
+        aliased, kb_ref, sports=sports_classify,
+        num_partitions=num_partitions))
+    ov_ref = ray.put(overrides)
+
+    def add_group_key(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ov = _ray.get(ov_ref)
+        alias = t.column("alias_norm").to_pylist()
+        if ov:
+            conv = t.column("conv_id").to_pylist()
+            gk = []
+            for a, c in zip(alias, conv):
+                hit = ov.get((a, c))
+                gk.append(group_key_of(a, hit[0], hit[1]) if hit else a)
+        else:
+            gk = alias
+        return t.append_column("group_key", pa.array(gk, pa.string()))
+
+    grouped = aliased.map_batches(add_group_key, batch_format="pyarrow")
+    if overrides:
+        grouped = grouped.materialize()
+
     if driver_path:
         # per-batch partial profiles -> driver merge (no exchange)
-        partials = aliased.select_columns(
-            ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
+        partials = grouped.select_columns(
+            ["mention_id", "alias", "alias_norm", "surface", "ner_type",
+             "context", "group_key"]
         ).map_batches(_alias_profile_block, batch_format="pandas",
                       batch_size=None)
         profile = _timed("alias_profile", lambda: ckpt.stage(
@@ -645,10 +783,8 @@ def run_linkage(
         ))
         profile_tbl = collect(profile)
 
-        kb_ref = broadcast_kb(kb_path)
-
         def build_links():
-            src = profile_tbl.select(["alias_norm"])
+            src = profile_tbl.select(["group_key"])
             chunks = _chunk_table(src, 1024)
             return ray.data.from_arrow(chunks).map_batches(
                 _link_batch,
@@ -685,7 +821,7 @@ def run_linkage(
             alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
                                                 edges_tbl)
             map_ref = ray.put(alias_map)
-            finished = aliased.map_batches(
+            finished = grouped.map_batches(
                 _finish_batch,
                 fn_kwargs={"map_ref": map_ref},
                 batch_format="pyarrow",
@@ -699,15 +835,18 @@ def run_linkage(
     # ----------------------------------------------- distributed fallback
     profile = ckpt.stage(
         "alias_profile", {"input": tr_path},
-        lambda: group_blocks(
-            aliased.select_columns(
-                ["mention_id", "alias", "alias_norm", "surface", "ner_type"]
+        lambda: _finalize_profile_distributed(
+            group_blocks(
+                grouped.select_columns(
+                    ["mention_id", "alias", "alias_norm", "surface",
+                     "ner_type", "context", "group_key"]
+                ),
+                ["group_key"], _alias_profile_block, batch_format="pandas",
             ),
-            ["alias_norm"], _alias_profile_block, batch_format="pandas",
+            num_partitions,
         ),
     )
 
-    kb_ref = broadcast_kb(kb_path)
     links = ckpt.stage(
         "links", {"input": tr_path, "kb": kb_path},
         lambda: profile.map_batches(
@@ -717,13 +856,14 @@ def run_linkage(
             batch_size=4096,
             concurrency=concurrency,
             num_cpus=0.5,
-        ).select_columns(["alias_norm", "kb_id", "link_score", "link_conf"]),
+        ).select_columns(["group_key", "kb_id", "link_score", "link_conf"]),
     )
 
     def build_scored():
         keys = profile.map_batches(
             lambda t: emit_keys_batch(
-                t.select(["alias_norm", "alias", "surface", "ner_type"])
+                t.select(["group_key", "alias_norm", "alias", "surface",
+                          "ner_type", "surface_norm", "ctx_vec"])
             ),
             batch_format="pyarrow",
         )
@@ -748,17 +888,17 @@ def run_linkage(
         answers = _cluster_aliases_distributed(
             profile, links, edges, num_partitions
         )
-        # hash-join mentions x alias answers on alias_norm via the
+        # hash-join mentions x alias answers on group_key via the
         # repo's group_blocks idiom (Dataset.join's aggregator rejects
         # empty-schema partitions, and this is one exchange either way)
         import pandas as pd
 
         from .shuffle import group_blocks
 
-        m_rows = aliased.map_batches(
+        m_rows = grouped.map_batches(
             lambda t: t.select(
                 ["mention_id", "conv_id", "turn_idx", "surface", "alias",
-                 "alias_norm"]
+                 "group_key"]
             )
             .append_column("cluster_id", pa.array([""] * len(t), pa.string()))
             .append_column("kb_link", pa.array([""] * len(t), pa.string()))
@@ -774,7 +914,7 @@ def run_linkage(
                 "turn_idx": pa.array([0] * len(t), pa.int32()),
                 "surface": pa.array([""] * len(t), pa.string()),
                 "alias": pa.array([""] * len(t), pa.string()),
-                "alias_norm": t.column("alias_norm"),
+                "group_key": t.column("group_key"),
                 "cluster_id": t.column("cluster_id"),
                 "kb_link": t.column("kb_link"),
                 "confidence": t.column("confidence"),
@@ -797,14 +937,14 @@ def run_linkage(
                     "kb_link": pd.Series(dtype=str),
                     "confidence": pd.Series(dtype="float64"),
                 })
-            lut = df[df["kind"] == "a"].set_index("alias_norm")
+            lut = df[df["kind"] == "a"].set_index("group_key")
             m = df[df["kind"] == "m"].copy()
-            m["cluster_id"] = m["alias_norm"].map(lut["cluster_id"])
-            m["kb_link"] = m["alias_norm"].map(lut["kb_link"])
-            m["confidence"] = m["alias_norm"].map(lut["confidence"])
+            m["cluster_id"] = m["group_key"].map(lut["cluster_id"])
+            m["kb_link"] = m["group_key"].map(lut["kb_link"])
+            m["confidence"] = m["group_key"].map(lut["confidence"])
             return m[cols]
 
-        finished = group_blocks(m_rows.union(a_rows), ["alias_norm"], attach,
+        finished = group_blocks(m_rows.union(a_rows), ["group_key"], attach,
                                 batch_format="pandas",
                                 num_partitions=num_partitions)
         return finished.sort(["conv_id", "turn_idx"])

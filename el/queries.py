@@ -267,6 +267,27 @@ def q_el_human_readable(sf_dir: str):
     return human_readable(answers, kb_ref)
 
 
+def q_el_sports_links(sf_dir: str):
+    """Sports-sense override surface (linkQuery steps 1 + 8,
+    RunKBPEntityLinkerSystem.scala:59-61, 131-147): the final link of
+    every mention whose surface is a gazetteer city — sports-context
+    ones must carry the team KB id (conf .7), the rest the location.
+    Rows-only driver check; the split is pytest-gated vs gold."""
+    fd = ensure_fixture(sf_dir)
+
+    from .gazetteer import CITIES
+
+    answers = run_linkage(fd)
+    cities = pa.array(sorted(CITIES))
+
+    def only_cities(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("surface"), value_set=cities)).select(
+            ["mention_id", "surface", "kb_link", "confidence"]
+        )
+
+    return answers.map_batches(only_cities, batch_format="pyarrow")
+
+
 def q_el_training_pairs(sf_dir: str):
     """Seeded 10:1 negative-downsampled pair training set
     (MentionPairTrainingData analog; seeded sampling — rows-only)."""
@@ -664,6 +685,7 @@ def queries():
         "el_doc_entities": q_el_doc_entities,
         "el_human_readable": q_el_human_readable,
         "el_training_pairs": q_el_training_pairs,
+        "el_sports_links": q_el_sports_links,
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
         "doc_fingerprint": q_doc_fingerprint,

@@ -48,6 +48,12 @@ BOOL_FLOOR = 6.0
 W_JWS = 1.0
 W_OVL = 0.5
 W_COMMON = 2.0
+# context-cosine feature over the per-alias topic vectors (el.ctxvec;
+# the stdCosine/wideCosine analog, MentionPairFeatures.scala:111-139):
+# a small continuous contribution, plus a VETO that outweighs every
+# string floor when both sides carry substantial but DISJOINT topics
+W_CTX = 2.0
+W_CTX_VETO = 12.0
 
 MERGE_CUTOFF = 0.5  # on the sigmoid score (our analog of Clusterer.scala:24)
 
@@ -97,15 +103,20 @@ def pair_score(f: dict) -> float:
 
 _NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
-_FEATURE_SQL = f"""
-WITH n AS (
-  SELECT
-    i,
+# two source CTEs: pairs from the pipeline carry pre-normalized columns
+# (n1/n2/s1n/s2n, computed once per DISTINCT alias in the profile); bare
+# callers fall back to normalizing in SQL
+_SRC_PRENORM = "SELECT i, n1, n2, s1n AS s1, s2n AS s2 FROM batch"
+_SRC_RAW = f"""SELECT i,
     {_NORM.format(c='alias1')} AS n1,
     {_NORM.format(c='alias2')} AS n2,
     {_NORM.format(c='surface1')} AS s1,
     {_NORM.format(c='surface2')} AS s2
-  FROM batch
+  FROM batch"""
+
+_FEATURE_SQL = """
+WITH n AS (
+  {src}
 ), t AS (
   SELECT i, n1, n2, s1, s2,
          string_split(n1, ' ') AS t1, string_split(n2, ' ') AS t2
@@ -131,7 +142,7 @@ SELECT
        ELSE len(list_intersect(list_distinct(t1), list_distinct(t2)))
             / CAST(len(list_distinct(t1 || t2)) AS DOUBLE) END
       AS tok_overlap,
-  (t1[len(t1)] = t2[len(t2)] AND t1[len(t1)] IN ({{surnames}}))
+  (t1[len(t1)] = t2[len(t2)] AND t1[len(t1)] IN ({surnames}))
       AS common_surname
 FROM t
 ORDER BY i
@@ -162,12 +173,16 @@ def compute_pair_features(batch: pa.Table) -> dict:
 
     con = _duck()
     surnames = ", ".join(f"'{s}'" for s in sorted(COMMON_SURNAMES))
-    batch_view = batch.select(["alias1", "alias2", "surface1", "surface2"])
-    batch_view = batch_view.append_column(
+    prenorm = "n1" in batch.column_names
+    cols = (["n1", "n2", "s1n", "s2n"] if prenorm
+            else ["alias1", "alias2", "surface1", "surface2"])
+    batch_view = batch.select(cols).append_column(
         "i", pa.array(np.arange(batch.num_rows, dtype=np.int64))
     )
     con.register("batch", batch_view)
-    out = con.execute(_FEATURE_SQL.format(surnames=surnames)).arrow()
+    sql = _FEATURE_SQL.format(src=_SRC_PRENORM if prenorm else _SRC_RAW,
+                              surnames=surnames)
+    out = con.execute(sql).arrow()
     con.unregister("batch")
     return {
         "jw_alias": out.column("jw_alias").to_numpy(zero_copy_only=False),
@@ -186,6 +201,28 @@ def compute_pair_features(batch: pa.Table) -> dict:
     }
 
 
+def ctx_adjustment(ctx1_col, ctx2_col) -> "object":
+    """Vector of z-adjustments from the per-alias context vectors: only
+    pairs where BOTH sides kept a non-empty topic vector (a small
+    fraction after the df filter) are touched — cosine contribution plus
+    the disjoint-topics veto."""
+    import numpy as np
+
+    from .ctxvec import CTX_MIN_MASS, CTX_VETO_COS, ctx_cosine
+
+    n = len(ctx1_col)
+    adj = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        j1, j2 = ctx1_col[i], ctx2_col[i]
+        if not j1 or not j2:
+            continue
+        cos, mass = ctx_cosine(j1, j2)
+        adj[i] = W_CTX * (cos - 0.5)
+        if mass >= CTX_MIN_MASS and cos < CTX_VETO_COS:
+            adj[i] -= W_CTX_VETO
+    return adj
+
+
 def score_pairs_batch(batch: pa.Table) -> pa.Table:
     import numpy as np
 
@@ -202,6 +239,9 @@ def score_pairs_batch(batch: pa.Table) -> pa.Table:
         + W_OVL * (f["tok_overlap"] - 0.5)
         - W_COMMON * f["common_surname"].astype(np.float64)
     )
+    if "ctx1" in batch.column_names:
+        z = z + ctx_adjustment(batch.column("ctx1").to_pylist(),
+                               batch.column("ctx2").to_pylist())
     scores = 1.0 / (1.0 + np.exp(-z))
     out = batch.append_column("jw_alias", pa.array(f["jw_alias"], pa.float64()))
     return out.append_column("score", pa.array(scores, pa.float64()))

@@ -48,14 +48,22 @@ def sports_sense(context_tokens: list[str]) -> bool:
 
 
 def team_rerank(alias_norm: str, kb: KBIndex) -> tuple[str, float] | None:
-    """Re-rank candidates for a team-typed KB entry containing the
-    location name; -> (kb_id, confidence 0.7) or None (-> NIL 0.5)."""
-    name = normalize_name(alias_norm).split(",")[0].strip()
+    """Re-rank candidates for a team-typed KB entry carrying the
+    location name; -> (kb_id, confidence 0.7) or None (-> NIL 0.5).
+    The location alias arrives gazetteer-expanded ("austin texas"), so
+    the city is its first token; the reference's substring scan over
+    wikiMap (SportsHelperMethods.scala:8-34) becomes a lookup in the
+    first-token title index (deterministic: min kb_id wins)."""
     for kb_id, _score in candidates_for(alias_norm, kb) or []:
         if kb.wiki_type_of_id.get(kb_id) == "team":
             return kb_id, 0.7
-    # fall back to a scan of team entries whose title contains the name
-    for norm, kb_id in kb.by_first_token.get(name.split()[0], []):
-        if kb.wiki_type_of_id.get(kb_id) == "team" and name in norm:
-            return kb_id, 0.7
-    return None
+    toks = normalize_name(alias_norm).split(",")[0].strip().split()
+    if not toks:
+        return None
+    city = toks[0]
+    best = None
+    for norm, kb_id in kb.by_first_token.get(city, []):
+        if kb.wiki_type_of_id.get(kb_id) == "team" and norm.startswith(city):
+            if best is None or kb_id < best:
+                best = kb_id
+    return (best, 0.7) if best else None

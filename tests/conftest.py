@@ -33,3 +33,10 @@ def t1_fixture():
     from el.fixtures import ensure_fixture
 
     return ensure_fixture("t1")
+
+
+@pytest.fixture(scope="session")
+def t1_answers(ray_session, t1_fixture):
+    from el.pipeline import run_linkage
+
+    return run_linkage(t1_fixture).to_pandas()

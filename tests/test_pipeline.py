@@ -8,11 +8,6 @@ from el.metrics import b_cubed, pairwise_f1
 from el.pipeline import run_linkage
 
 
-@pytest.fixture(scope="module")
-def t1_answers(ray_session, t1_fixture):
-    return run_linkage(t1_fixture).to_pandas()
-
-
 def test_e2e_pairwise_f1(t1_answers, t1_fixture):
     gp = pq.read_table(f"{t1_fixture}/gold_pairs.parquet")
     cluster_of = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
@@ -56,6 +51,31 @@ def test_distributed_cc_path_matches_driver(ray_session, t1_fixture, t1_answers)
     a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
     b = dict(zip(df2.mention_id, df2.cluster_id))
     assert a == b
+
+
+def test_twins_split_only_by_context(t1_answers, t1_fixture):
+    """Fixture v9 plants twin entities whose canonical names sit ABOVE
+    the string-only merge region (jw >= 0.95) — they must still come out
+    in different clusters (the context veto is the only separator)."""
+    import numpy as np
+
+    from el.fixtures import build_entities
+    from el.sim import jaro_winkler
+    from el.text import normalize_name
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    ents = build_entities(60, rng)
+    twins = [e for e in ents if e.no_kb]
+    assert len(twins) >= 4
+    gm = pq.read_table(f"{t1_fixture}/gold_mentions.parquet").to_pandas()
+    cluster_of = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    for a, b in zip(twins[0::2], twins[1::2]):
+        na, nb = normalize_name(a.canonical), normalize_name(b.canonical)
+        assert jaro_winkler(na, nb) >= 0.95  # adversarially close
+        ca = {cluster_of[m] for m in gm[gm.gold_kb_id == a.gold_id].mention_id}
+        cb = {cluster_of[m] for m in gm[gm.gold_kb_id == b.gold_id].mention_id}
+        assert len(ca) == 1 and len(cb) == 1
+        assert ca != cb, (a.canonical, b.canonical)
 
 
 def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):

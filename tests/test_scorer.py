@@ -70,6 +70,37 @@ def test_vectorized_matches_scalar():
         assert abs(out.column("score")[i].as_py() - pair_score(ref)) < 1e-12
 
 
+def test_ctx_veto_splits_twins():
+    """Adversarial-twin semantics (fixture v9): a pair above the
+    string-similarity merge region MUST be vetoed when both aliases
+    carry substantial but disjoint topic vectors, and must stay merged
+    when the vectors agree or are absent."""
+    import json
+
+    from el.scorer import MERGE_CUTOFF, score_pairs_batch
+
+    def batch(ctx1, ctx2):
+        return pa.table({
+            "alias1": ["Rosa Thornbury"], "alias2": ["Rosa Thornbry"],
+            "surface1": ["Rosa Thornbury"], "surface2": ["Rosa Thornbry"],
+            "n1": ["rosa thornbury"], "n2": ["rosa thornbry"],
+            "s1n": ["rosa thornbury"], "s2n": ["rosa thornbry"],
+            "ctx1": [ctx1], "ctx2": [ctx2],
+        })
+
+    va = json.dumps({"zt4x0": 6, "zt4x1": 6, "zt4x2": 6})
+    vb = json.dumps({"zt5x0": 6, "zt5x1": 6, "zt5x2": 6})
+    # disjoint topics -> veto
+    s = score_pairs_batch(batch(va, vb)).column("score")[0].as_py()
+    assert s < MERGE_CUTOFF
+    # agreeing topics -> merge
+    s = score_pairs_batch(batch(va, va)).column("score")[0].as_py()
+    assert s >= MERGE_CUTOFF
+    # no context on either side -> string similarity decides (merge)
+    s = score_pairs_batch(batch("", vb)).column("score")[0].as_py()
+    assert s >= MERGE_CUTOFF
+
+
 def test_scorer_batch():
     t = pa.table(
         {
