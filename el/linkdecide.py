@@ -80,10 +80,11 @@ def _ngrams(tokens: list[str], min_len: int = 2) -> list[str]:
     return out
 
 
-def link_alias(alias_norm: str, kb: KBIndex) -> tuple[str, float, float]:
-    """-> (kb_id or "", link score, confidence)."""
+def _decide(alias_norm: str, kb: KBIndex,
+            cands: list[tuple[str, float]]) -> tuple[str, float, float]:
+    """Decision-tree steps 2-7 and 9 given the scored candidate list
+    (shared by the scalar and the vectorized batch paths)."""
     try:
-        cands = candidates_for(alias_norm, kb)
         if cands:
             kb_id, score = cands[0]
             if score > LINK_THRESHOLD:
@@ -107,6 +108,88 @@ def link_alias(alias_norm: str, kb: KBIndex) -> tuple[str, float, float]:
         return "", 0.0, CONF_FLOOR
     except Exception:
         return "", 0.0, CONF_ERROR  # poison row degrades, never fails
+
+
+def link_alias(alias_norm: str, kb: KBIndex) -> tuple[str, float, float]:
+    """-> (kb_id or "", link score, confidence)."""
+    try:
+        return _decide(alias_norm, kb, candidates_for(alias_norm, kb))
+    except Exception:
+        return "", 0.0, CONF_ERROR
+
+
+def _fuzzy_scores(aliases: list[str], kb: KBIndex) -> dict:
+    """alias -> [(kb_id, jw)] over first-token bucket candidates with
+    jw >= 0.90, computed as ONE DuckDB kernel pass (the per-alias Python
+    jw scan measured ~1ms/alias — the whole link stage's cost)."""
+    import numpy as np
+
+    la, ln, lid = [], [], []
+    for a in aliases:
+        toks = a.split()
+        if not toks:
+            continue
+        for norm, cid in kb.by_first_token.get(toks[0], []):
+            la.append(a)
+            ln.append(norm)
+            lid.append(cid)
+    if not la:
+        return {}
+    from .scorer import _duck
+
+    con = _duck()
+    t = pa.table({"a": pa.array(la, pa.string()),
+                  "n": pa.array(ln, pa.string()),
+                  "i": pa.array(np.arange(len(la), dtype=np.int64))})
+    con.register("fz", t)
+    jw = con.execute(
+        "SELECT jaro_winkler_similarity(a, n) AS s FROM fz ORDER BY i"
+    ).arrow().column("s").to_pylist()
+    con.unregister("fz")
+    out: dict = {}
+    for a, cid, s in zip(la, lid, jw):
+        if s >= 0.90:
+            out.setdefault(a, []).append((cid, s))
+    return out
+
+
+def _candidates_prefuzzed(alias_norm: str, kb: KBIndex,
+                          fuzzy: dict) -> list[tuple[str, float]]:
+    """candidates_for with the fuzzy scores precomputed (bit-equal)."""
+    out: dict[str, float] = {}
+    kb_id = kb.id_of_title_norm.get(alias_norm)
+    if kb_id:
+        out[kb_id] = 1.0
+    for cid in kb.ids_of_alias_norm.get(alias_norm, []):
+        out[cid] = max(out.get(cid, 0.0), 0.99)
+    for cid, s in fuzzy.get(alias_norm, []):
+        out[cid] = max(out.get(cid, 0.0), s)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def link_group_keys_batch(keys: list[str], kb: KBIndex) -> list[tuple]:
+    """Vectorized link decisions for a batch of contraction nodes —
+    the fuzzy jw scan is one DuckDB pass; everything else is dict
+    lookups. Parity with link_group_key is a pytest."""
+    from .overrides import KIND_AMBIGUOUS, KIND_SPORTS, parse_group_key
+
+    parsed = [parse_group_key(k) for k in keys]
+    plain = sorted({a for a, kind, _ in parsed if not kind})
+    fuzzy = _fuzzy_scores(plain, kb)
+    out = []
+    for alias, kind, kb_id in parsed:
+        if kind == KIND_AMBIGUOUS:
+            out.append((kb_id, 0.99, AMB_CONF))
+        elif kind == KIND_SPORTS:
+            out.append((kb_id, 0.95, SPORTS_CONF) if kb_id
+                       else ("", 0.0, SPORTS_NIL_CONF))
+        else:
+            try:
+                out.append(_decide(alias, kb,
+                                   _candidates_prefuzzed(alias, kb, fuzzy)))
+            except Exception:
+                out.append(("", 0.0, CONF_ERROR))
+    return out
 
 
 def link_group_key(group_key: str, kb: KBIndex) -> tuple[str, float, float]:
@@ -145,16 +228,14 @@ class CandidateLinker:
         col = ("group_key" if "group_key" in batch.column_names
                else "alias_norm")
         keys = batch.column(col).to_pylist()
-        ids, scores, confs = [], [], []
-        for k in keys:
-            kb_id, s, c = link_group_key(k, self.kb)
-            ids.append(kb_id)
-            scores.append(s)
-            confs.append(c)
+        rows = link_group_keys_batch(keys, self.kb)
         return (
-            batch.append_column("kb_id", pa.array(ids, pa.string()))
-            .append_column("link_score", pa.array(scores, pa.float64()))
-            .append_column("link_conf", pa.array(confs, pa.float64()))
+            batch.append_column(
+                "kb_id", pa.array([r[0] for r in rows], pa.string()))
+            .append_column(
+                "link_score", pa.array([r[1] for r in rows], pa.float64()))
+            .append_column(
+                "link_conf", pa.array([r[2] for r in rows], pa.float64()))
         )
 
 

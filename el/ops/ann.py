@@ -173,8 +173,12 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
         if len(g) < 2:
             return pd.DataFrame({"d1": pd.Series(dtype="int64"),
                                  "d2": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
+                                 "sim": pd.Series(dtype="float64"),
+                                 "dropped_pairs": pd.Series(dtype="int64")})
+        total = len(g)
         g = g.sort_values("vec_id").head(500)
+        # no silent truncation: dropped cross-pair count rides each row
+        dropped = (total * (total - 1) - len(g) * (len(g) - 1)) // 2
         X = _to_matrix(g["embedding"])
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
         sims = Xn @ Xn.T
@@ -184,8 +188,10 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
         for i in range(n):
             for j in range(i + 1, n):
                 if sims[i, j] >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
-        return pd.DataFrame(rows, columns=["d1", "d2", "sim"])
+                    rows.append((int(ids[i]), int(ids[j]),
+                                 float(sims[i, j]), dropped))
+        return pd.DataFrame(rows, columns=["d1", "d2", "sim",
+                                           "dropped_pairs"])
 
     from ..shuffle import group_map_pandas
 

@@ -104,15 +104,21 @@ class MinHasher:
 
 def _bucket_pairs_group(group: pa.Table) -> pa.Table:
     ids = sorted(set(group.column("doc_id").to_pylist()))
+    n = len(ids)
     out1, out2 = [], []
     cap = 200  # hot-bucket cap; beyond it the bucket is near-degenerate
     ids = ids[:cap]
+    # no silent truncation: the dropped-pair count rides on every row
+    # of the bucket (el.blocking's logged-counter discipline)
+    dropped = n * (n - 1) // 2 - len(ids) * (len(ids) - 1) // 2
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             out1.append(ids[i])
             out2.append(ids[j])
     return pa.table({"d1": pa.array(out1, pa.int64()),
-                     "d2": pa.array(out2, pa.int64())})
+                     "d2": pa.array(out2, pa.int64()),
+                     "dropped_pairs": pa.array([dropped] * len(out1),
+                                               pa.int64())})
 
 
 def distinct_pairs(pairs_ds):
@@ -121,14 +127,18 @@ def distinct_pairs(pairs_ds):
     from ..shuffle import group_blocks
 
     def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["d1", "d2"])[["d1", "d2"]]
+        keep = [c for c in ("d1", "d2", "dropped_pairs") if c in df.columns]
+        return df.drop_duplicates(["d1", "d2"])[keep]
 
     return group_blocks(pairs_ds, ["d1"], block_distinct, batch_format="pandas")
 
 
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
-                       k: int = 3, concurrency: int = 2):
-    """LSH candidate pairs (d1 < d2), deduped across bands."""
+                       k: int = 3, concurrency: int = 2,
+                       distinct: bool = True):
+    """LSH candidate pairs (d1 < d2). ``distinct=False`` skips the
+    cross-band dedup exchange — callers that hash-join the pairs on d1
+    anyway (verify_jaccard) dedup in that join's block for free."""
     from ..shuffle import group_map
 
     sigs = docs_ds.map_batches(
@@ -139,50 +149,81 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
         num_cpus=0.5,
     )
     pairs = group_map(sigs, "bucket", _bucket_pairs_group)
-    return distinct_pairs(pairs)
+    return distinct_pairs(pairs) if distinct else pairs
 
 
 def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
-    """Exact-Jaccard verification of candidate pairs against a broadcast
-    shingle map. At corpus scales beyond broadcast, swap this for the
-    inverted-index exact path (ngram_jaccard_pairs), which never
-    materializes documents on one node."""
-    import ray
+    """Exact-Jaccard verification of candidate pairs, SHUFFLE-NATIVE:
+    two hash exchanges implement pairs ⋈ docs on d1 and then d2 (the
+    group_blocks union idiom), so no corpus-wide structure ever lives on
+    one node — the only payload shipped is each candidate pair's two
+    document texts. This is the 100-TB-safe path that replaces the r01
+    broadcast shingle map."""
+    from ..shuffle import group_blocks
 
-    shingle_map: dict[int, set[str]] = {}
-    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=4096, batch_format="pandas"
-    ):
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            shingle_map[int(doc_id)] = word_shingles(text, k)
-    ref = ray.put(shingle_map)
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"), "kind": "d",
+            "text": df["text"],
+            "d1": np.int64(0), "d2": np.int64(0), "text1": "",
+            "dp": np.int64(0),
+        })
 
-    class Verify:
-        def __init__(self, ref):
-            self.m = ray.get(ref)
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        dp = (df["dropped_pairs"].astype("int64")
+              if "dropped_pairs" in df.columns else np.int64(0))
+        return pd.DataFrame({
+            "key": df["d1"].astype("int64"), "kind": "p", "text": "",
+            "d1": df["d1"].astype("int64"), "d2": df["d2"].astype("int64"),
+            "text1": "", "dp": dp,
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            d1 = t.column("d1").to_pylist()
-            d2 = t.column("d2").to_pylist()
-            jac = []
-            for a, b in zip(d1, d2):
-                s1, s2 = self.m.get(a, set()), self.m.get(b, set())
-                u = len(s1 | s2)
-                jac.append(len(s1 & s2) / u if u else 0.0)
-            out = t.append_column("jaccard", pa.array(jac, pa.float64()))
-            import pyarrow.compute as pc
+    u1 = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pandas"
+    ).union(pairs_ds.map_batches(pair_rows, batch_format="pandas"))
 
-            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+    def attach_first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        dmap = df[df["kind"] == "d"].set_index("key")["text"]
+        # all duplicates of a (d1, d2) pair are co-located (keyed d1):
+        # dedup here, saving the dedicated distinct exchange
+        p = df[df["kind"] == "p"].drop_duplicates(["d1", "d2"]).copy()
+        p["text1"] = p["key"].map(dmap).fillna("")
+        p["key"] = p["d2"].astype("int64")
+        return pd.concat([df[df["kind"] == "d"], p], ignore_index=True)
 
-    return pairs_ds.map_batches(
-        Verify, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=2, num_cpus=0.5,
-    )
+    r1 = group_blocks(u1, ["key"], attach_first, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64"),
+                                 "dropped_pairs": pd.Series(dtype="int64")})
+        dmap = df[df["kind"] == "d"].set_index("key")["text"]
+        p = df[df["kind"] == "p"]
+        out = []
+        for d1, d2, t1, key, dp in zip(p["d1"], p["d2"], p["text1"],
+                                       p["key"], p["dp"]):
+            s1 = word_shingles(t1, k)
+            s2 = word_shingles(dmap.get(key, ""), k)
+            u = len(s1 | s2)
+            j = len(s1 & s2) / u if u else 0.0
+            if j >= threshold:
+                out.append((int(d1), int(d2), j, int(dp)))
+        return pd.DataFrame(out, columns=["d1", "d2", "jaccard",
+                                          "dropped_pairs"])
+
+    return group_blocks(r1, ["key"], finish, batch_format="pandas")
 
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **kw):
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
-    cands = minhash_candidates(docs_ds, **kw)
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification
+    (shuffle-native: the verify join also dedups cross-band candidate
+    duplicates, so the whole op is 3 exchanges end to end)."""
+    docs_ds = docs_ds.materialize()  # consumed by signatures AND verify
+    cands = minhash_candidates(docs_ds, distinct=False, **kw)
     return verify_jaccard(cands, docs_ds, threshold, k=kw.get("k", 3))
 
 
@@ -206,8 +247,6 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
       -> jaccard = co / (|A| + |B| - co) with per-doc shingle counts
          attached from a broadcast count map (ints only).
     """
-    import ray
-
     from ..shuffle import group_blocks, group_map
 
     rows = docs_ds.map_batches(
@@ -246,34 +285,53 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         )
 
     sizes = group_blocks(rows, ["doc_id"], block_sizes, batch_format="pandas")
-    size_map = {int(r["doc_id"]): int(r["n"]) for r in sizes.take_all()}
-    ref = ray.put(size_map)
 
-    class Finish:
-        def __init__(self, ref):
-            self.sizes = ray.get(ref)
+    # attach |A| and |B| by two hash joins on d1/d2 (group_blocks union
+    # idiom) — replaces the r01 driver-side take_all() size broadcast
+    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"), "kind": "s",
+            "n": df["n"].astype("int64"),
+            "d1": np.int64(0), "d2": np.int64(0), "co": np.int64(0),
+            "n1": np.int64(0),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    def co_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["d1"].astype("int64"), "kind": "p", "n": np.int64(0),
+            "d1": df["d1"].astype("int64"), "d2": df["d2"].astype("int64"),
+            "co": df["co"].astype("int64"), "n1": np.int64(0),
+        })
 
-            d1 = t.column("d1").to_pylist()
-            d2 = t.column("d2").to_pylist()
-            co_ = t.column("co").to_pylist()
-            jac = [
-                c / (self.sizes[a] + self.sizes[b] - c)
-                for a, b, c in zip(d1, d2, co_)
-            ]
-            out = pa.table(
-                {
-                    "d1": t.column("d1"),
-                    "d2": t.column("d2"),
-                    "jaccard": pa.array([round(j, 6) for j in jac], pa.float64()),
-                }
-            )
-            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+    u1 = sizes.map_batches(size_rows, batch_format="pandas").union(
+        co.map_batches(co_rows, batch_format="pandas"))
 
-    return co.map_batches(Finish, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    def attach_first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        smap = df[df["kind"] == "s"].set_index("key")["n"]
+        p = df[df["kind"] == "p"].copy()
+        p["n1"] = p["key"].map(smap).fillna(0).astype("int64")
+        p["key"] = p["d2"].astype("int64")
+        return pd.concat([df[df["kind"] == "s"], p], ignore_index=True)
+
+    r1 = group_blocks(u1, ["key"], attach_first, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        smap = df[df["kind"] == "s"].set_index("key")["n"]
+        p = df[df["kind"] == "p"].copy()
+        n2 = p["key"].map(smap).fillna(0).astype("int64")
+        denom = (p["n1"] + n2 - p["co"]).clip(lower=1)
+        # half-away rounding (matches the DuckDB oracle's floor(x*1e6+.5))
+        jac = np.floor((p["co"] / denom) * 1e6 + 0.5) / 1e6
+        out = pd.DataFrame({"d1": p["d1"], "d2": p["d2"], "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    return group_blocks(r1, ["key"], finish, batch_format="pandas")
 
 
 # --------------------------------------------------------------- simhash
@@ -319,10 +377,13 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     sigs = docs_ds.map_batches(simhash_batch, batch_format="pandas")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
+        all_rows = sorted(
             set(zip(group.column("doc_id").to_pylist(),
                     group.column("simhash").to_pylist()))
-        )[:200]
+        )
+        rows = all_rows[:200]
+        n = len(all_rows)
+        dropped = n * (n - 1) // 2 - len(rows) * (len(rows) - 1) // 2
         o1, o2, hd = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -333,7 +394,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                     hd.append(d)
         return pa.table({"d1": pa.array(o1, pa.int64()),
                          "d2": pa.array(o2, pa.int64()),
-                         "hamming": pa.array(hd, pa.int64())})
+                         "hamming": pa.array(hd, pa.int64()),
+                         "dropped_pairs": pa.array([dropped] * len(o1),
+                                                   pa.int64())})
 
     pairs = group_map(sigs, "bucket", bucket_pairs)
 
@@ -341,7 +404,8 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         if len(df) == 0:
             return pd.DataFrame({"d1": pd.Series(dtype="int64"),
                                  "d2": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+                                 "hamming": pd.Series(dtype="int64"),
+                                 "dropped_pairs": pd.Series(dtype="int64")})
         return df.drop_duplicates(["d1", "d2"])
 
     return group_blocks(pairs, ["d1"], block_distinct, batch_format="pandas")

@@ -150,49 +150,108 @@ def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
     """-> {(alias_norm, conv_id): (kind, kb_id)}. Empty when the corpus
     has no ambiguous aliases and no sports candidates (zero extra cost
     beyond one stateless scan)."""
+    import pyarrow.compute as pc
     import ray
 
+    from .gazetteer import CITIES, STATE_NAMES
     from .shuffle import group_blocks
+    from .sports import SPORTS_MARKERS
 
     kb = ray.get(kb_ref)
-    amb = set(kb.ambiguous_aliases)
+    amb = sorted(kb.ambiguous_aliases)
+    amb_arr = pa.array(amb, pa.string()) if amb else None
+    loc_arr = pa.array(sorted(CITIES | STATE_NAMES), pa.string())
+    # cheap marker prefilter: a sports-candidate mention is evaluated
+    # only when its OWN turn already shows >= 1 marker (the fixture —
+    # and any reasonable corpus — puts markers in the mention turn);
+    # this keeps the flagged-conversation set proportional to the
+    # actual sports/ambiguous usage, not to every location mention
+    marker_re = r"\b(" + "|".join(sorted(SPORTS_MARKERS)) + r")\b"
 
-    def flag(t: pa.Table, amb=amb, sports=sports) -> pa.Table:
-        alias = t.column("alias_norm").to_pylist()
-        surface = t.column("surface").to_pylist()
-        ner = t.column("ner_type").to_pylist()
-        keep = [
-            i for i in range(len(alias))
-            if alias[i] in amb
-            or (sports and is_sports_candidate(surface[i], ner[i]))
-        ]
-        return t.take(pa.array(keep, pa.int64())).select(["conv_id"])
+    def flag(t: pa.Table) -> pa.Table:
+        masks = []
+        if amb_arr is not None:
+            masks.append(pc.is_in(t.column("alias_norm"),
+                                  value_set=amb_arr))
+        if sports:
+            masks.append(pc.and_kleene(
+                pc.and_kleene(
+                    pc.is_in(t.column("surface"), value_set=loc_arr),
+                    pc.not_equal(t.column("ner_type"), "PER"),
+                ),
+                pc.match_substring_regex(t.column("context"), marker_re),
+            ))
+        if not masks:
+            return pa.table({"conv_id": pa.array([], pa.string())})
+        m = masks[0]
+        for extra in masks[1:]:
+            m = pc.or_kleene(m, extra)
+        return t.filter(m).select(["conv_id"])
 
     flagged = aliased_ds.map_batches(flag, batch_format="pyarrow")
-    convs = {r["conv_id"] for r in flagged.take_all()}  # rare-by-assumption
+    convs = sorted({r["conv_id"] for r in flagged.take_all()})  # rare
     if not convs:
         return {}
     convs_ref = ray.put(convs)
 
     def in_flagged(t: pa.Table, ref=convs_ref) -> pa.Table:
-        cs = ray.get(ref)
-        keep = [i for i, c in enumerate(t.column("conv_id").to_pylist())
-                if c in cs]
-        return t.take(pa.array(keep, pa.int64())).select(
+        cs = pa.array(ray.get(ref), pa.string())
+        return t.filter(
+            pc.is_in(t.column("conv_id"), value_set=cs)
+        ).select(
             ["mention_id", "conv_id", "alias_norm", "surface", "ner_type",
              "context"]
         )
 
     subset = aliased_ds.map_batches(in_flagged, batch_format="pyarrow")
 
+    # driver-chunked path: collect the flagged subset once, slice it
+    # into CONVERSATION-ALIGNED chunks on the driver, and fan the
+    # per-conversation resolution out as plain tasks — parallel without
+    # paying a hash exchange (~3s of aggregator startup). Beyond the
+    # driver bound, the exchange path keeps it fully distributed.
+    DRIVER_SUBSET_MAX = 2_000_000
+
     def block(t: pa.Table, kb_ref=kb_ref) -> pa.Table:
         return conv_overrides_block(t, ray.get(kb_ref))
 
-    choices = group_blocks(subset, ["conv_id"], block,
-                           batch_format="pyarrow",
-                           num_partitions=num_partitions)
+    subset = subset.materialize()
+    import numpy as np
+
+    if subset.count() <= DRIVER_SUBSET_MAX:
+        tbl = pa.concat_tables(
+            [t for t in (ray.get(r) for r in subset.to_arrow_refs())
+             if t.num_rows],
+            promote_options="default",
+        )
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("conv_id", "ascending"),
+                            ("mention_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        conv = np.asarray(tbl.column("conv_id").to_pylist(), dtype=object)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)])
+        )
+        target = 20_000
+        chunks, lo = [], 0
+        for b in starts[1:]:
+            if b - lo >= target or b == len(conv):
+                if b > lo:
+                    chunks.append(tbl.slice(lo, b - lo))
+                lo = b
+        import ray.data
+
+        choices_rows = ray.data.from_arrow(chunks).map_batches(
+            block, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    else:
+        choices = group_blocks(subset, ["conv_id"], block,
+                               batch_format="pyarrow",
+                               num_partitions=num_partitions)
+        choices_rows = choices.take_all()
     out: dict = {}
-    for r in choices.take_all():
+    for r in choices_rows:
         if not (r["kind"] == KIND_SPORTS and not sports):
             out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
     return out

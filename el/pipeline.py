@@ -1,28 +1,38 @@
 """The end-to-end entity-linking pipeline (stage graph + CLI).
 
 Ray shape (SURVEY.md §3.1): read_parquet(transcripts)
-  -> [A: mention extraction, stateless map_batches over Arrow]
-  -> [B: alias canonicalization, groupby(conv_id).map_groups]
-  -> [alias profile: groupby(alias_norm) -> one row per DISTINCT alias
-      (min mention_id, count, representative surface)]
-  -> [E: per-distinct-alias KB link decision, actor pool w/ broadcast KB]
-  -> [C: blocking-key flat_map + groupby(block_key) distinct-alias pairs]
-  -> [D: pair-scoring actor pool]
-  -> [F: union-find over the CONTRACTED alias graph]
+  -> [A+B fused: extraction + per-conversation alias canonicalization in
+      ONE stateless map over conv-sorted read blocks; block-straddling
+      conversations patched via a tiny broadcast map (the conv_id hash
+      exchange remains for unordered input, conv_partitioned=False)]
+  -> [B2: per-document context overrides — doc-sim ambiguity resolution,
+      NE overlap, sports sense — contracted as group-key subkeys]
+  -> [alias profile: per-batch partials (combiner) -> group-aligned
+      parallel merge -> ctx-vector finalize (df filter)]
+  -> [E: per-distinct-node KB link decision (DuckDB-vectorized fuzzy)]
+  -> [C: blocking keys + within-block distinct-node pairs (salted)]
+  -> [D: pair scoring, DuckDB kernels + context cosine/veto]
+  -> [F: KB-constrained components over the CONTRACTED graph]
   -> [G: answers map_batches + sort(conv_id, turn_idx) + write_parquet]
 
-Scale design. Every mention-scale operation is a map_batches or a single
-groupby (conv_id / alias_norm / block_key); the iterative clustering
-runs on the *contracted alias graph* (nodes = distinct normalized
-aliases), which is orders of magnitude smaller than the mention table —
-its node label is min(mention_id) from the alias profile, so the
-component label is identical to mention-level union-find. When the
-alias graph fits the driver (< driver_cc_max_nodes) we union-find
-locally and broadcast the alias -> (cluster, kb) map into the final
-map_batches via ray.put; above the threshold we fall back to the
-distributed min-label propagation in el.cluster (same result, tested
-both ways). Every stage can checkpoint per-partition Parquet with a
-lineage manifest (el.checkpoint) so a killed job resumes mid-pipeline.
+Scale design. Every mention-scale operation is a stateless map or a
+single hash exchange; the clustering runs on the *contracted node
+graph* (distinct group_keys), orders of magnitude smaller than the
+mention table. When the contracted graph fits the driver
+(< driver_cc_max_nodes) the alias-scale steps run driver-side with
+chunked Ray-task fan-out for the parallel parts; above the threshold
+every stage runs distributed (hash-partitioned profile, linker actor
+pool, min-label propagation over the KB-constrained transformed graph,
+hash join back) — same semantics, pytest-equivalent. Every stage can
+checkpoint per-partition Parquet with a lineage manifest
+(el.checkpoint) so a killed job resumes mid-pipeline.
+
+Fixed-overhead discipline (the scaling criterion): each Ray Data
+execution costs ~1s of executor startup and each exchange ~3s of
+aggregator startup, so the default plan fuses single-consumer stages
+into their consumers, pins the mention table exactly twice, and fans
+driver-side work out as plain tasks over group-aligned chunks instead
+of paying exchanges.
 """
 
 from __future__ import annotations
@@ -81,18 +91,96 @@ def _alias_profile_block(df):
     ).reset_index()
     out["n_mentions"] = out["n_mentions"].astype("int64")
     if "context" in df.columns:
+        import numpy as np
+
         s = df.sort_values(["group_key", "mention_id"]).groupby(
             "group_key", sort=False
         ).head(CTX_SAMPLE_K)
-        samp = s.groupby("group_key", sort=False).apply(
-            lambda gg: sample_contexts(
-                list(zip(gg["mention_id"], gg["context"]))
-            )
-        )
+        # contiguous-run assembly (a groupby.apply here measured ~4s per
+        # block at bench scale — pure pandas overhead)
+        gk = s["group_key"].to_numpy()
+        mids = s["mention_id"].tolist()
+        ctxs = s["context"].tolist()
+        bounds = np.flatnonzero(gk[1:] != gk[:-1]) + 1
+        starts = np.concatenate(([0], bounds, [len(gk)])) if len(gk) else [0]
+        samp: dict[str, str] = {}
+        for a, b in zip(starts[:-1], starts[1:]):
+            samp[gk[a]] = sample_contexts(list(zip(mids[a:b], ctxs[a:b])))
         out["ctx_sample"] = out["group_key"].map(samp)
     else:  # context-free callers (isolated benches) degrade gracefully
         out["ctx_sample"] = ""
     return out
+
+
+def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
+    """Fused stage A+B for CONV-SORTED input: extraction and the
+    per-conversation alias rules run in ONE stateless pass over each
+    read block — no conv_id hash exchange. A block sees contiguous
+    conversations, but Ray may split a file mid-conversation for read
+    parallelism, so the block's FIRST and LAST conversations are emitted
+    UNRESOLVED (boundary=True, empty alias) and patched on the driver —
+    O(2 x blocks) conversations regardless of scale. Interior
+    conversations (everything else) resolve locally.
+    Equivalence with the exchange-based plan is a pytest."""
+    import pandas as pd
+
+    from .alias import resolve_block
+    from .mentions import extract_mentions_batch
+
+    m = extract_mentions_batch(batch)
+    df = m.to_pandas()
+    convs = batch.column("conv_id")
+    edge = ({convs[0].as_py(), convs[-1].as_py()}
+            if batch.num_rows else set())
+    bmask = df["conv_id"].isin(edge)
+    interior = resolve_block(df[~bmask])
+    interior = interior.assign(boundary=False)
+    boundary = df[bmask].assign(alias="", alias_norm="", boundary=True)
+    out = pd.concat([interior, boundary[interior.columns]],
+                    ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
+    """Shared finishing map over extracted+canonicalized mention blocks:
+    (a) write back the boundary-conversation alias patch (broadcast
+    mention_id map), (b) attach the contraction group_key from the
+    override choices — one pass, so the mention table is never pinned
+    for an intermediate step."""
+    import ray
+
+    if "boundary" in t.column_names:
+        if patch_ref is not None:
+            p = ray.get(patch_ref)
+            bmask = t.column("boundary").to_pylist()
+            if p and any(bmask):
+                alias = t.column("alias").to_pylist()
+                an = t.column("alias_norm").to_pylist()
+                mids = t.column("mention_id").to_pylist()
+                for i, b in enumerate(bmask):
+                    if b:
+                        alias[i], an[i] = p[mids[i]]
+                names = t.column_names
+                t = t.set_column(names.index("alias"), "alias",
+                                 pa.array(alias, pa.string()))
+                t = t.set_column(names.index("alias_norm"), "alias_norm",
+                                 pa.array(an, pa.string()))
+        t = t.drop_columns(["boundary"])
+    if ov_ref is not None:
+        from .overrides import group_key_of
+
+        ov = ray.get(ov_ref)
+        alias = t.column("alias_norm").to_pylist()
+        if ov:
+            conv = t.column("conv_id").to_pylist()
+            gk = [
+                group_key_of(a, *ov[(a, c)]) if (a, c) in ov else a
+                for a, c in zip(alias, conv)
+            ]
+        else:
+            gk = alias
+        t = t.append_column("group_key", pa.array(gk, pa.string()))
+    return t
 
 
 def _chunk_table(tbl: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
@@ -104,21 +192,18 @@ def _chunk_table(tbl: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
             for i in range(0, tbl.num_rows, rows_per_chunk)]
 
 
-def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
-    """Driver-side merge of per-batch partial profiles (the partial fn is
-    associative: per-key rep = min (alias, surface, ner) tuple,
-    min_mention = min, n_mentions = sum, ctx_sample = re-sampled union).
-    Finalizes the context vectors: document-frequency filter over the
-    merged alias set, strip + cap (el.ctxvec)."""
+def _merge_chunk(tbl: pa.Table) -> pa.Table:
+    """Merge one GROUP-ALIGNED chunk of partial profiles (all rows of
+    any group_key in exactly one chunk): the associative reduce plus the
+    summed raw context vector (pre-df-filter)."""
+    import numpy as np
     import pandas as pd
 
-    from .ctxvec import (df_threshold, merge_samples, strip_and_cap,
-                         sum_sample)
-    from .text import normalize_name
+    from .ctxvec import merge_samples, sum_sample
 
-    df = partials_tbl.to_pandas()
+    df = tbl.to_pandas()
     if len(df) == 0:
-        return partials_tbl
+        return pa.table({})
     df = df.sort_values(["group_key", "alias", "surface", "ner_type"])
     g = df.groupby("group_key", sort=True)
     out = g.agg(
@@ -130,17 +215,87 @@ def _merge_profiles(partials_tbl: pa.Table) -> pa.Table:
         n_mentions=("n_mentions", "sum"),
     ).reset_index()
     out["n_mentions"] = out["n_mentions"].astype("int64")
-    samples = g["ctx_sample"].agg(lambda s: merge_samples(list(s)))
-    raw = [sum_sample(samples[a]) for a in out["group_key"]]
-    thr = df_threshold(len(out))
+    s = df.sort_values("group_key", kind="mergesort")
+    gk = s["group_key"].to_numpy()
+    samples_col = s["ctx_sample"].tolist()
+    bounds = np.flatnonzero(gk[1:] != gk[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [len(gk)]))
+    import json
+
+    raws: dict[str, str] = {}
+    for a, b in zip(starts[:-1], starts[1:]):
+        merged = (samples_col[a] if b - a == 1
+                  else merge_samples(samples_col[a:b]))
+        raws[gk[a]] = json.dumps(sum_sample(merged), sort_keys=True)
+    out["ctx_raw"] = out["group_key"].map(raws)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _group_aligned_chunks(tbl: pa.Table, key: str, target: int) -> list:
+    """Sort by ``key`` and slice into chunks of ~target rows whose
+    boundaries fall on key changes (all rows of a key in one chunk)."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return [tbl]
+    idx = pc.sort_indices(tbl, sort_keys=[(key, "ascending")])
+    tbl = tbl.take(idx)
+    arr = np.asarray(tbl.column(key).to_pylist(), dtype=object)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [len(arr)])
+    )
+    chunks, lo = [], 0
+    for b in starts[1:]:
+        if b - lo >= target or b == len(arr):
+            if b > lo:
+                chunks.append(tbl.slice(lo, b - lo))
+            lo = b
+    return chunks
+
+
+def _merge_profiles_fast(cat: pa.Table) -> pa.Table:
+    """Merge collected partial profiles: group-aligned chunks fan out as
+    plain Ray tasks (the JSON sample merging measured ~7s serial at 9.6M
+    turns — parallel here without an exchange), then the global context
+    finalize (df filter + strip, el.ctxvec) runs over the contracted
+    (driver-scale) result."""
+    import json
+
+    import ray
+    import ray.data
+
+    from .ctxvec import df_threshold, strip_and_cap
+    from .text import normalize_name
+
+    if cat.num_rows == 0:
+        return cat
+    chunks = _group_aligned_chunks(cat, "group_key", 20_000)
+    if len(chunks) == 1:
+        merged = _merge_chunk(chunks[0])
+    else:
+        parts = [
+            t for t in (
+                ray.get(r) for r in ray.data.from_arrow(chunks).map_batches(
+                    _merge_chunk, batch_format="pyarrow", batch_size=None
+                ).to_arrow_refs()
+            ) if t.num_rows
+        ]
+        cols = parts[0].column_names
+        merged = pa.concat_tables([t.select(cols) for t in parts])
+    raw = [json.loads(x) if x else {}
+           for x in merged.column("ctx_raw").to_pylist()]
+    thr = df_threshold(merged.num_rows)
     dfreq: dict[str, int] = {}
     for vec in raw:
         for t in vec:
             dfreq[t] = dfreq.get(t, 0) + 1
     common = {t for t, c in dfreq.items() if c > thr}
-    out["ctx_vec"] = [strip_and_cap(vec, common) for vec in raw]
-    out["surface_norm"] = [normalize_name(s) for s in out["surface"]]
-    return pa.Table.from_pandas(out, preserve_index=False)
+    vecs = [strip_and_cap(vec, common) for vec in raw]
+    sn = [normalize_name(x) for x in merged.column("surface").to_pylist()]
+    merged = merged.drop_columns(["ctx_raw"])
+    return merged.append_column(
+        "ctx_vec", pa.array(vecs, pa.string())
+    ).append_column("surface_norm", pa.array(sn, pa.string()))
 
 
 def _finalize_profile_distributed(profile_ds, num_partitions: int):
@@ -292,21 +447,16 @@ def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
     el.linkdecide.CandidateLinker, for heavyweight per-actor state)."""
     import ray
 
-    from .linkdecide import link_group_key
+    from .linkdecide import link_group_keys_batch
 
     kb = ray.get(kb_ref)
     keys = t.column("group_key").to_pylist()
-    ids, scores, confs = [], [], []
-    for k in keys:
-        kb_id, s, c = link_group_key(k, kb)
-        ids.append(kb_id)
-        scores.append(s)
-        confs.append(c)
+    rows = link_group_keys_batch(keys, kb)
     return pa.table({
         "group_key": pa.array(keys, pa.string()),
-        "kb_id": pa.array(ids, pa.string()),
-        "link_score": pa.array(scores, pa.float64()),
-        "link_conf": pa.array(confs, pa.float64()),
+        "kb_id": pa.array([r[0] for r in rows], pa.string()),
+        "link_score": pa.array([r[1] for r in rows], pa.float64()),
+        "link_conf": pa.array([r[2] for r in rows], pa.float64()),
     })
 
 
@@ -664,6 +814,7 @@ def run_linkage(
     driver_cc_max_nodes: int = DRIVER_CC_MAX_NODES,
     timings: dict | None = None,
     sports_classify: bool = True,
+    conv_partitioned: bool = True,
 ):
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
@@ -717,85 +868,157 @@ def run_linkage(
         cols = tbls[0].column_names  # blocks may order columns differently
         return pa.concat_tables([t.select(cols) for t in tbls])
 
-    # [A] extract, then [B] canonicalize over one conv_id hash exchange.
-    # The extraction result is pinned first: letting the exchange run
-    # concurrently with extraction measured ~2.7x slower than the two
-    # phases back-to-back (resource contention between the read/extract
-    # tasks and the shuffle aggregators). The clustering path never
-    # reads `context`, so the shuffled payload stays narrow.
-    aliased = _timed("aliased", lambda: ckpt.stage(
-        "aliased", {"input": tr_path},
-        lambda: canonicalize(
-            _timed("extract", lambda: extract_mentions(
-                ray.data.read_parquet(
-                    tr_path, columns=["conv_id", "turn_idx", "text"])
-            ).select_columns(
-                ["mention_id", "conv_id", "turn_idx", "beg", "end",
-                 "surface", "ner_type", "context"]).materialize())
-        ),
-    ))
-    n_mentions = aliased.count()
-    driver_path = n_mentions <= driver_cc_max_nodes
+    # [A+B] extraction + per-conversation alias canonicalization.
+    # DEFAULT (conv_partitioned=True): the input contract says
+    # transcripts are sorted by (conv_id, turn_idx); both stages FUSE
+    # into one stateless map over the read (no conv_id hash exchange);
+    # block-straddling conversations are patched via a tiny broadcast
+    # map (O(2 x blocks) rows). The boundary patch and the group_key
+    # column are applied in the SAME later map, so the mention table is
+    # pinned exactly twice (raw + grouped), not three times.
+    # FALLBACK (conv_partitioned=False): arbitrarily-ordered input pays
+    # the one conv_id exchange; equivalence is a pytest.
+    from .kb import KBIndex
+    from .overrides import find_context_overrides
 
-    kb_ref = broadcast_kb(kb_path)
+    kb_index = KBIndex.from_parquet(kb_path)
+    kb_ref = ray.put(kb_index)
+
+    def compute_patch(raw) -> dict:
+        from .alias import resolve_block
+
+        btbl = collect(raw.map_batches(
+            lambda t: t.filter(pc.equal(t.column("boundary"), True)),
+            batch_format="pyarrow",
+        ))
+        if btbl.num_rows == 0:
+            return {}
+        resolved = resolve_block(
+            btbl.drop_columns(["alias", "alias_norm", "boundary"]).to_pandas()
+        )
+        return dict(zip(resolved["mention_id"],
+                        zip(resolved["alias"], resolved["alias_norm"])))
+
+    fast_fused = conv_partitioned and ckpt.root is None
+    if fast_fused:
+        src = ray.data.read_parquet(
+            tr_path, columns=["conv_id", "turn_idx", "text"])
+        raw = _timed("aliased", lambda: src.map_batches(
+            _extract_canonicalize_fused, batch_format="pyarrow",
+            batch_size=None).materialize())
+        patch_ref = ray.put(compute_patch(raw))
+        # lazy patched view: the override scans re-run the (cheap)
+        # patch map over the materialized raw blocks
+        aliased = raw.map_batches(
+            _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
+            batch_format="pyarrow",
+        )
+        n_mentions = raw.count()
+    else:
+        def build_aliased():
+            src = ray.data.read_parquet(
+                tr_path, columns=["conv_id", "turn_idx", "text"])
+            if conv_partitioned:
+                raw = src.map_batches(_extract_canonicalize_fused,
+                                      batch_format="pyarrow",
+                                      batch_size=None).materialize()
+                pref = ray.put(compute_patch(raw))
+                return raw.map_batches(
+                    _patch_and_group, fn_kwargs={"patch_ref": pref},
+                    batch_format="pyarrow",
+                )
+            return canonicalize(
+                _timed("extract", lambda: extract_mentions(src)
+                       .select_columns(
+                           ["mention_id", "conv_id", "turn_idx", "beg",
+                            "end", "surface", "ner_type", "context"])
+                       .materialize())
+            )
+
+        aliased = _timed("aliased", lambda: ckpt.stage(
+            "aliased",
+            {"input": tr_path, "conv_partitioned": conv_partitioned},
+            build_aliased,
+        ))
+        n_mentions = aliased.count()
+    driver_path = n_mentions <= driver_cc_max_nodes
 
     # [B2] per-document context overrides (doc-sim ambiguity resolution,
     # NE overlap, sports sense — el.overrides) -> contraction group_key.
     # With no ambiguous aliases and no sports candidates this is one
     # stateless scan and a passthrough column.
-    from .overrides import find_context_overrides, group_key_of
-
     overrides = _timed("overrides", lambda: find_context_overrides(
         aliased, kb_ref, sports=sports_classify,
         num_partitions=num_partitions))
     ov_ref = ray.put(overrides)
 
-    def add_group_key(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        ov = _ray.get(ov_ref)
-        alias = t.column("alias_norm").to_pylist()
-        if ov:
-            conv = t.column("conv_id").to_pylist()
-            gk = []
-            for a, c in zip(alias, conv):
-                hit = ov.get((a, c))
-                gk.append(group_key_of(a, hit[0], hit[1]) if hit else a)
-        else:
-            gk = alias
-        return t.append_column("group_key", pa.array(gk, pa.string()))
-
-    grouped = aliased.map_batches(add_group_key, batch_format="pyarrow")
-    if overrides:
-        grouped = grouped.materialize()
+    if fast_fused:
+        grouped = raw.map_batches(
+            _patch_and_group,
+            fn_kwargs={"patch_ref": patch_ref, "ov_ref": ov_ref},
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        grouped = aliased.map_batches(
+            _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
+            batch_format="pyarrow",
+        )
+        if overrides:
+            grouped = grouped.materialize()
 
     if driver_path:
-        # per-batch partial profiles -> driver merge (no exchange)
-        partials = grouped.select_columns(
-            ["mention_id", "alias", "alias_norm", "surface", "ner_type",
-             "context", "group_key"]
-        ).map_batches(_alias_profile_block, batch_format="pandas",
-                      batch_size=None)
+        # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
+        # collect -> vectorized driver merge + context finalize (no
+        # exchange: the contracted profile is driver-scale by contract)
+        def build_profile():
+            # batch_size trades combiner effectiveness against task
+            # parallelism: hot aliases appear in EVERY batch, so the
+            # partial-row count is ~batches x distinct-aliases — 64k-row
+            # batches keep the collected partial table ~10x smaller than
+            # per-read-block batches at 9.6M turns
+            partials = grouped.select_columns(
+                ["mention_id", "alias", "alias_norm", "surface", "ner_type",
+                 "context", "group_key"]
+            ).map_batches(_alias_profile_block, batch_format="pandas",
+                          batch_size=65536)
+            return ray.data.from_arrow(_merge_profiles_fast(collect(partials)))
+
         profile = _timed("alias_profile", lambda: ckpt.stage(
-            "alias_profile", {"input": tr_path},
-            lambda: ray.data.from_arrow(
-                _merge_profiles(collect(partials))),
-        ))
+            "alias_profile", {"input": tr_path}, build_profile))
         profile_tbl = collect(profile)
 
-        def build_links():
-            src = profile_tbl.select(["group_key"])
-            chunks = _chunk_table(src, 1024)
-            return ray.data.from_arrow(chunks).map_batches(
-                _link_batch,
-                fn_kwargs={"kb_ref": kb_ref},
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
+        # link decision: small contracted node sets link on the driver
+        # (no Ray Data execution); larger ones use the task-based map
+        if ckpt.root is None and profile_tbl.num_rows <= 100_000:
+            def links_local() -> pa.Table:
+                from .linkdecide import link_group_keys_batch
 
-        links = _timed("links", lambda: ckpt.stage(
-            "links", {"input": tr_path, "kb": kb_path}, build_links))
-        links_tbl = collect(links)
+                keys = profile_tbl.column("group_key").to_pylist()
+                rows = link_group_keys_batch(keys, kb_index)
+                return pa.table({
+                    "group_key": pa.array(keys, pa.string()),
+                    "kb_id": pa.array([r[0] for r in rows], pa.string()),
+                    "link_score": pa.array([r[1] for r in rows],
+                                           pa.float64()),
+                    "link_conf": pa.array([r[2] for r in rows],
+                                          pa.float64()),
+                })
+
+            links_tbl = _timed("links", links_local)
+        else:
+            def build_links():
+                src = profile_tbl.select(["group_key"])
+                chunks = _chunk_table(src, 1024)
+                return ray.data.from_arrow(chunks).map_batches(
+                    _link_batch,
+                    fn_kwargs={"kb_ref": kb_ref},
+                    batch_format="pyarrow",
+                    batch_size=1024,
+                )
+
+            links = _timed("links", lambda: ckpt.stage(
+                "links", {"input": tr_path, "kb": kb_path}, build_links))
+            links_tbl = collect(links)
 
         def build_scored():
             pairs_tbl = _pairs_from_profile(profile_tbl)
@@ -808,16 +1031,24 @@ def run_linkage(
                 batch_size=batch_size,
             )
 
-        scored = _timed("scored_pairs", lambda: ckpt.stage(
-            "scored_pairs", {"input": tr_path}, build_scored))
+        def edge_filter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.greater_equal(t.column("score"), MERGE_CUTOFF)
+            ).select(["a1", "a2"])
+
+        if ckpt.root is None:
+            # fuse scoring into the edge collection: ONE execution for
+            # score + threshold + collect (scored has a single consumer)
+            edges_tbl = _timed("scored_pairs", lambda: collect(
+                build_scored().map_batches(edge_filter,
+                                           batch_format="pyarrow")))
+        else:
+            scored = _timed("scored_pairs", lambda: ckpt.stage(
+                "scored_pairs", {"input": tr_path}, build_scored))
+            edges_tbl = collect(scored.map_batches(edge_filter,
+                                                   batch_format="pyarrow"))
 
         def build_answers():
-            edges_tbl = collect(scored.map_batches(
-                lambda t: t.filter(
-                    pc.greater_equal(t.column("score"), MERGE_CUTOFF)
-                ).select(["a1", "a2"]),
-                batch_format="pyarrow",
-            ))
             alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
                                                 edges_tbl)
             map_ref = ray.put(alias_map)

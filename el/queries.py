@@ -34,6 +34,14 @@ FIXTURE_SQL_DIR = "/tmp/el_fixtures/t2"
 NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 STOPLIST_SQL = "('the','and','of','to','a','in','is','was','that','for')"
 
+# American-soundex adjacent-duplicate collapse without backreferences
+# (DuckDB's RE2 has none): one chained replace per digit
+_SOUNDEX_COLLAPSE = "coded"
+for _d in "123456":
+    _SOUNDEX_COLLAPSE = (
+        f"regexp_replace({_SOUNDEX_COLLAPSE}, '{_d}{_d}+', '{_d}', 'g')"
+    )
+
 
 def _round_half_away(series, k: int):
     scale = 10 ** k
@@ -238,9 +246,31 @@ def q_el_contexts(sf_dir: str):
     return build_turn_contexts(tr)
 
 
+def q_el_coref_contexts(sf_dir: str):
+    """Repeat-mention coref-context union per conversation (M4/M9
+    analog, KBPQuery.scala:34-57): oracle is join + ordered string_agg."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .contexts import build_coref_contexts
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "conv_id", "turn_idx", "surface"],
+    )
+    return build_coref_contexts(tr, gm)
+
+
 def q_el_doc_entities(sf_dir: str):
     """Per-conversation NE lists (the doc_annotate prep pipeline,
-    SerializeNamedEntities analog; rows-only check — list columns)."""
+    SerializeNamedEntities analog), EXPLODED to scalar rows
+    (conv_id, kind, rank, surface) so the oracle hash is engine-neutral
+    — the SQL replays type_surface + the first-occurrence dedup +
+    gazetteer state expansion."""
     fd = ensure_fixture(sf_dir)
     import ray.data
 
@@ -251,7 +281,29 @@ def q_el_doc_entities(sf_dir: str):
         os.path.join(fd, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "text"],
     )
-    return build_doc_entities(extract_mentions(tr))
+    de = build_doc_entities(extract_mentions(tr))
+
+    def explode(t: pa.Table) -> pa.Table:
+        conv_o, kind_o, rank_o, surf_o = [], [], [], []
+        for conv, pers, orgs, locs in zip(
+            t.column("conv_id").to_pylist(), t.column("pers").to_pylist(),
+            t.column("orgs").to_pylist(), t.column("locs").to_pylist()
+        ):
+            for kind, lst in (("pers", pers), ("orgs", orgs),
+                              ("locs", locs)):
+                for i, s in enumerate(lst or [], 1):
+                    conv_o.append(conv)
+                    kind_o.append(kind)
+                    rank_o.append(i)
+                    surf_o.append(s)
+        return pa.table({
+            "conv_id": pa.array(conv_o, pa.string()),
+            "kind": pa.array(kind_o, pa.string()),
+            "rank": pa.array(rank_o, pa.int64()),
+            "surface": pa.array(surf_o, pa.string()),
+        })
+
+    return de.map_batches(explode, batch_format="pyarrow")
 
 
 def q_el_human_readable(sf_dir: str):
@@ -415,6 +467,34 @@ def q_embedding_dups(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.9999)
 
 
+# ============================================================ multimodal
+def q_multimodal_features(sf_dir: str):
+    """Binary-column plumbing under the driver contract: deterministic
+    fake media assets -> actor-pool decode/featurize (the decode kernel
+    is an honestly-stubbed boundary, el/ops/multimodal.py). Rows-only:
+    the feature values are pinned by unit tests (sha256-derived)."""
+    import ray.data
+
+    from .ops.multimodal import fake_assets_table, featurize_assets
+
+    assets = ray.data.from_arrow(fake_assets_table(n=240, seed=42))
+    feats = featurize_assets(assets)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        # driver-friendly layout: first 4 feature dims as scalars
+        feat = t.column("feat").to_pylist()
+        out = t.select(["asset_id", "kind", "width", "height", "frames"])
+        for i in range(4):
+            out = out.append_column(
+                f"f{i}",
+                pa.array(_round_half_away([f[i] for f in feat], 6),
+                         pa.float64()),
+            )
+        return out
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 # ============================================================ relational
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: per-batch PRE-AGGREGATION (combiner),
@@ -551,6 +631,92 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 # ================================================================ oracle
+def _doc_entities_sql(gm: str) -> str:
+    """Oracle for el_doc_entities: replays el.mentions.type_surface,
+    el.alias._doc_lists (global first-occurrence dedup + per-kind
+    filters) and gazetteer state expansion in ANSI SQL. The gazetteer /
+    suffix constants are generated from the same Python modules the
+    engine uses."""
+    from . import gazetteer
+    from .mentions import ORG_SUFFIXES
+
+    states_vals = ", ".join(
+        f"('{a}', '{f}')" for a, f in sorted(gazetteer.STATES.items())
+    )
+    city_vals = ", ".join(
+        f"('{c}', '{s}')" for c, s in sorted(gazetteer.CITY_STATE.items())
+    )
+    suffixes = ", ".join(f"'{s}'" for s in sorted(ORG_SUFFIXES))
+    cities = ", ".join(f"'{c}'" for c in sorted(gazetteer.CITY_STATE))
+    return f"""
+        WITH states(abbr, fullname) AS (VALUES {states_vals}),
+        city_state(city, state_full) AS (VALUES {city_vals}),
+        first AS (
+            SELECT conv_id, surface, turn_idx, beg FROM {gm}
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, surface ORDER BY turn_idx, beg) = 1
+        ),
+        typed AS (
+            SELECT conv_id, surface, turn_idx, beg,
+                   len(string_split(surface, ' ')) AS ntok,
+                   (length(surface) >= 2 AND surface = upper(surface)
+                    AND regexp_full_match(surface, '[A-Za-z]+')) AS is_acr,
+                   position(', ' IN surface) > 0 AS has_comma,
+                   list_extract(string_split(surface, ', '),
+                       len(string_split(surface, ', '))) AS tail
+            FROM first
+        ),
+        ner AS (
+            SELECT *,
+                CASE
+                  WHEN is_acr THEN 'ORG'
+                  WHEN has_comma THEN
+                    CASE WHEN upper(tail) IN (SELECT abbr FROM states)
+                              OR tail IN (SELECT fullname FROM states)
+                         THEN 'GPE' ELSE 'ORG' END
+                  WHEN ntok = 1 THEN
+                    CASE WHEN surface IN ({cities}) THEN 'GPE' ELSE 'PER' END
+                  WHEN lower(list_extract(string_split(surface, ' '), ntok))
+                       IN ({suffixes}) THEN 'ORG'
+                  WHEN ntok = 2 THEN 'PER'
+                  ELSE 'ORG'
+                END AS ner_type
+            FROM typed
+        ),
+        cls AS (
+            SELECT conv_id, turn_idx, beg,
+                CASE
+                  WHEN ner_type = 'PER' AND ntok >= 2 THEN 'pers'
+                  WHEN ner_type = 'ORG' AND NOT is_acr AND ntok >= 2
+                       THEN 'orgs'
+                  WHEN ner_type = 'GPE' AND has_comma THEN 'locs'
+                END AS kind,
+                CASE WHEN ner_type = 'GPE' AND has_comma THEN
+                    COALESCE((
+                        SELECT array_to_string(list_slice(
+                                   string_split(ner.surface, ', '), 1,
+                                   len(string_split(ner.surface, ', ')) - 1),
+                                   ', ')
+                               || ', ' || s.fullname
+                        FROM states s JOIN city_state cs
+                          ON cs.state_full = s.fullname
+                        WHERE s.abbr = upper(ner.tail)
+                          AND cs.city = array_to_string(list_slice(
+                                  string_split(ner.surface, ', '), 1,
+                                  len(string_split(ner.surface, ', ')) - 1),
+                                  ', ')
+                    ), surface)
+                ELSE surface END AS out_surface
+            FROM ner
+        )
+        SELECT conv_id, kind,
+               row_number() OVER (PARTITION BY conv_id, kind
+                                  ORDER BY turn_idx, beg) AS rank,
+               out_surface AS surface
+        FROM cls WHERE kind IS NOT NULL
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
@@ -605,6 +771,74 @@ def oracle_sql() -> dict[str, str]:
             FROM {tr}
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         """,
+        "el_doc_entities": _doc_entities_sql(gm),
+        "el_coref_contexts": f"""
+            WITH st AS (
+                SELECT DISTINCT m.conv_id, m.surface, m.turn_idx, t.text
+                FROM {gm} m JOIN {tr} t
+                  ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+            ),
+            agg AS (
+                SELECT conv_id, surface,
+                       string_agg(text, ' ' ORDER BY turn_idx) AS coref_context
+                FROM st GROUP BY conv_id, surface
+            )
+            SELECT m.mention_id, a.coref_context
+            FROM {gm} m JOIN agg a
+              ON m.conv_id = a.conv_id AND m.surface = a.surface
+        """,
+        "el_block_keys_phonetic": f"""
+            WITH m AS (
+                SELECT mention_id,
+                       regexp_extract({norm}, '([a-z0-9]+)$', 1) AS last
+                FROM {gm}
+            ), b AS (
+                SELECT mention_id, last,
+                       regexp_replace(last, '[^a-z]', '', 'g') AS w
+                FROM m
+            ), c AS (
+                SELECT mention_id, last, w, substr(w, 1, 1) AS head,
+                       translate(substr(w, 1, 1) ||
+                           replace(replace(substr(w, 2), 'h', ''), 'w', ''),
+                           'bfpvcgjkqsxzdtlmnr', '111122222222334556')
+                           AS coded
+                FROM b
+            ), d AS (
+                SELECT mention_id, last, w, head, {_SOUNDEX_COLLAPSE}
+                           AS collapsed
+                FROM c
+            )
+            SELECT mention_id,
+                   'ph:' ||
+                   CASE WHEN w = '' THEN '0000'
+                        ELSE upper(head) || substr(
+                            regexp_replace(substr(collapsed, 2),
+                                           '[^1-6]', '', 'g') || '000', 1, 3)
+                   END || ':' || substr(last, 1, 1) AS block_key
+            FROM d
+        """,
+        "el_training_pairs": f"""
+            WITH g AS (
+                SELECT m1_id, m2_id, block_key, same_entity,
+                       md5(m1_id || ':' || m2_id) AS h
+                FROM {gp}
+            ),
+            pos AS (
+                SELECT m1_id, m2_id, block_key, same_entity FROM g
+                WHERE same_entity
+                QUALIFY row_number() OVER (ORDER BY h) <= least(
+                    (SELECT count(*) FROM g WHERE same_entity), 272)
+            ),
+            neg AS (
+                SELECT m1_id, m2_id, block_key, same_entity FROM g
+                WHERE NOT same_entity
+                QUALIFY row_number() OVER (ORDER BY h) <= least(
+                    (SELECT count(*) FROM g WHERE NOT same_entity),
+                    10 * least((SELECT count(*) FROM g WHERE same_entity),
+                               272))
+            )
+            SELECT * FROM pos UNION ALL SELECT * FROM neg
+        """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "exact_dedup": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id
@@ -635,6 +869,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
                         ELSE 'zh' END AS lang_guess
             FROM c
+        """,
+        "ngram_jaccard": f"""
+            WITH clones AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '), 1,
+                           greatest(len(string_split(text, ' ')) - 2, 0)),
+                           ' ') AS text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM clones
+            ),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                           )) AS s
+                    FROM toks WHERE len(tk) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(tk, ' ') AS s
+                    FROM toks
+                    WHERE len(tk) < 3 AND array_to_string(tk, ' ') != ''
+                )
+            ),
+            co AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS co
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            SELECT co.d1, co.d2,
+                   {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} AS jaccard
+            FROM co
+            JOIN sizes s1 ON co.d1 = s1.doc_id
+            JOIN sizes s2 ON co.d2 = s2.doc_id
+            WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -682,6 +955,7 @@ def queries():
         "el_block_keys_phonetic": q_el_block_keys_phonetic,
         "el_pair_jw": q_el_pair_jw,
         "el_contexts": q_el_contexts,
+        "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,
         "el_human_readable": q_el_human_readable,
         "el_training_pairs": q_el_training_pairs,
@@ -699,6 +973,7 @@ def queries():
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,

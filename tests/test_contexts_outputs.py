@@ -73,14 +73,14 @@ def test_training_set_sampling(ray_session, t1_fixture):
     import ray.data
 
     gp = ray.data.read_parquet(f"{t1_fixture}/gold_pairs.parquet")
-    ts = build_pair_training_set(gp, seed=0).to_pandas()
+    ts = build_pair_training_set(gp).to_pandas()
     n_pos = int(ts.same_entity.sum())
     n_neg = len(ts) - n_pos
     assert n_pos > 0 and n_neg > 0
     assert n_neg <= 10 * n_pos
     assert len(ts) <= 3000 + 10  # cap honored (pos + 10x neg)
-    # seeded -> reproducible
-    ts2 = build_pair_training_set(gp, seed=0).to_pandas()
+    # hash-ranked -> reproducible (no RNG, no order dependence)
+    ts2 = build_pair_training_set(gp).to_pandas()
     a = ts.sort_values(["m1_id", "m2_id"]).reset_index(drop=True)
     b = ts2.sort_values(["m1_id", "m2_id"]).reset_index(drop=True)
     assert a.equals(b)

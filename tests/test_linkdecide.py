@@ -1,5 +1,32 @@
 import pyarrow as pa
 
+
+def test_batch_link_matches_scalar(ray_session=None):
+    """link_group_keys_batch (DuckDB fuzzy pass) must be bit-equal to
+    the scalar link_group_key over every node kind."""
+    from el.kb import KBIndex
+    from el.linkdecide import link_group_key, link_group_keys_batch
+
+    kb = KBIndex.from_table(pa.table({
+        "kb_id": ["E0000001", "E0000002", "E0000003"],
+        "title": ["Janet Harper", "Harbor Grain Council", "Austin, Texas"],
+        "type": ["PER", "ORG", "GPE"],
+        "wiki_type": ["person", "organization", "settlement"],
+        "intro_text": ["a", "b", "c"],
+        "aliases": [["Janet Harper"], ["Harbor Grain Council", "HGC"],
+                    ["Austin"]],
+        "named_entities": [[], [], []],
+        "ambiguity": pa.array([1, 1, 1], pa.int32()),
+    }))
+    keys = [
+        "janet harper", "janet harpre", "hgc", "harbor grain council",
+        "austin texas", "harbor grain council of texas", "nobody here",
+        "x#A:E0000002", "austin texas#S:E0000001", "austin texas#S:", "",
+    ]
+    batch = link_group_keys_batch(keys, kb)
+    for k, got in zip(keys, batch):
+        assert got == link_group_key(k, kb), k
+
 from el.kb import KBIndex
 from el.linkdecide import (
     CandidateLinker,

@@ -44,6 +44,16 @@ def test_deterministic_across_runs(ray_session, t1_fixture, t1_answers):
     assert a.equals(b)
 
 
+def test_fused_matches_exchange_plan(ray_session, t1_fixture, t1_answers):
+    """The fused extract+canonicalize plan (conv-partitioned input, no
+    conv_id exchange) must equal the exchange-based plan on every
+    column."""
+    df2 = run_linkage(t1_fixture, conv_partitioned=False).to_pandas()
+    a = t1_answers.sort_values("mention_id").reset_index(drop=True)
+    b = df2.sort_values("mention_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_distributed_cc_path_matches_driver(ray_session, t1_fixture, t1_answers):
     """Force the distributed label-propagation fallback and compare
     cluster assignments with the driver union-find path."""
