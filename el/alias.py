@@ -70,6 +70,12 @@ def resolve_mention(surface: str, ner_type: str, pers: list[str],
         state = CITY_STATE.get(surface)
         if state:
             return f"{surface}, {state}", "GPE"
+        # M7 best-location fallback (CorefHelperMethods.scala:426-509):
+        # a bare city unknown to the gazetteer expands from the
+        # document's own "City, State" location mentions
+        for loc in locs:
+            if loc.split(",")[0].strip() == surface:
+                return loc, "GPE"
         return surface, "GPE"
     if ner_type == "PER" and len(toks) == 1:
         target = surface.lower()

@@ -840,12 +840,9 @@ def run_linkage(
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
     if concurrency is None:
-        # light actor pools (linker / finisher): a quarter of the CPUs,
-        # capped — oversized pools pay startup cost without speedup
+        # light actor pools (fallback-plan linker): a quarter of the
+        # CPUs, capped — oversized pools pay startup without speedup
         concurrency = max(2, min(8, cpus // 4))
-    # the pair scorer is the compute-heavy pool: let it scale with the
-    # session so its throughput follows the CPU count
-    score_concurrency = max(2, min(16, cpus // 2))
 
     import time as _time
 

@@ -33,6 +33,18 @@ def test_city_expansion():
     assert alias == "Austin, Texas"
 
 
+def test_best_location_doc_fallback():
+    """M7 analog (CorefHelperMethods.scala:426-509): a bare city the
+    static gazetteer does not know expands from the document's own
+    'City, State' mentions; with no document evidence it stays bare."""
+    alias, ner = resolve_mention(
+        "Springport", "GPE", [], [], ["Springport, Ohio"]
+    )
+    assert alias == "Springport, Ohio" and ner == "GPE"
+    alias, _ = resolve_mention("Springport", "GPE", [], [], [])
+    assert alias == "Springport"
+
+
 def test_org_prefix_expansion_refines_type():
     alias, ner = resolve_mention(
         "United Western", "PER", [], ["United Western Commerce Council"], []
