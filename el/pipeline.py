@@ -138,6 +138,10 @@ def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
     boundary = df[bmask].assign(alias="", alias_norm="", boundary=True)
     out = pd.concat([interior, boundary[interior.columns]],
                     ignore_index=True)
+    # emit SORTED blocks: with conv-sorted input, map order preservation
+    # then makes the global (conv_id, turn_idx) order hold end-to-end,
+    # so the answers stage can skip the final sort exchange
+    out = out.sort_values(["conv_id", "turn_idx", "beg"], kind="mergesort")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -1053,8 +1057,15 @@ def run_linkage(
                 _finish_batch,
                 fn_kwargs={"map_ref": map_ref},
                 batch_format="pyarrow",
-                batch_size=batch_size,
+                # batch_size=None keeps whole blocks -> block order +
+                # in-block order survive the map
+                batch_size=None,
             )
+            # the sink sort is NOT skippable even though fused blocks
+            # are emitted pre-sorted: the streaming executor reorders
+            # completed blocks (preserve_order defaults off, and turning
+            # it on taxes every stage) — measured as a rare ordering
+            # flake. Pre-sorted blocks still make the range sort cheap.
             return finished.sort(["conv_id", "turn_idx"])
 
         return _timed("answers", lambda: ckpt.stage(
