@@ -35,34 +35,41 @@ from .text import initials, is_acronym, normalize_name
 def _doc_lists(rows: list[dict]) -> tuple[list[str], list[str], list[str]]:
     """(pers, orgs, locs) full-form NE lists from a conversation's
     mentions, ordered by (turn_idx, beg), deduplicated keeping first."""
-    pers: list[str] = []
-    orgs: list[str] = []
-    locs: list[str] = []
-    seen: set[str] = set()
-    for r in sorted(rows, key=lambda r: (r["turn_idx"], r["beg"])):
-        s = r["surface"]
-        if s in seen:
-            continue
-        seen.add(s)
-        t = r["ner_type"]
-        if t == "PER" and len(s.split()) >= 2:
-            pers.append(s)
-        elif t == "ORG" and not is_acronym(s) and len(s.split()) >= 2:
-            orgs.append(s)
-        elif t == "GPE" and ", " in s:
-            locs.append(expand_state_abbreviation(s))
+    ordered = sorted(rows, key=lambda r: (r["turn_idx"], r["beg"]))
+    pers, orgs, locs, _ = _doc_lists_ordered(
+        [(r["surface"], r["ner_type"]) for r in ordered]
+    )
     return pers, orgs, locs
 
 
+def _nearest(cands: list[str], positions: dict | None,
+             mention_pos: int | None) -> str:
+    """M10 proximity sort (CorefHelperMethods.scala:243-260): among
+    matching candidates, the one closest to the mention's own position
+    wins (tie -> earlier in document); without position info, document
+    order (the deterministic r01 behavior) is the fallback."""
+    if not cands:
+        return ""
+    if positions is None or mention_pos is None:
+        return cands[0]
+    return min(cands,
+               key=lambda c: (abs(positions.get(c, 0) - mention_pos),
+                              positions.get(c, 0)))
+
+
 def resolve_mention(surface: str, ner_type: str, pers: list[str],
-                    orgs: list[str], locs: list[str]) -> tuple[str, str]:
-    """-> (alias, refined ner_type) for one mention."""
+                    orgs: list[str], locs: list[str],
+                    positions: dict | None = None,
+                    mention_pos: int | None = None) -> tuple[str, str]:
+    """-> (alias, refined ner_type) for one mention. ``positions`` maps
+    candidate surface -> first document position; with ``mention_pos``
+    it enables the proximity sort (M10)."""
     toks = surface.split()
     if ner_type == "ORG" and is_acronym(surface):
         target = surface.lower()
-        for org in orgs:
-            if initials(org).lower() == target:
-                return org, "ORG"
+        matches = [o for o in orgs if initials(o).lower() == target]
+        if matches:
+            return _nearest(matches, positions, mention_pos), "ORG"
         return surface, "ORG"
     if ner_type == "GPE":
         if ", " in surface:
@@ -79,29 +86,37 @@ def resolve_mention(surface: str, ner_type: str, pers: list[str],
         return surface, "GPE"
     if ner_type == "PER" and len(toks) == 1:
         target = surface.lower()
-        for p in pers:
-            pt = p.split()
-            if len(pt) >= 2 and pt[-1].lower() == target:
-                return p, "PER"
+        matches = [
+            p for p in pers
+            if len(p.split()) >= 2 and p.split()[-1].lower() == target
+        ]
+        if matches:
+            return _nearest(matches, positions, mention_pos), "PER"
         return surface, "PER"
     # multi-token PER/ORG: leftmost-word containment expansion against orgs
     if len(toks) >= 2:
         prefix = normalize_name(surface) + " "
-        for org in orgs:
-            if normalize_name(org).startswith(prefix):
-                return org, "ORG"
+        matches = [o for o in orgs if normalize_name(o).startswith(prefix)]
+        if matches:
+            return _nearest(matches, positions, mention_pos), "ORG"
     return surface, ner_type
 
 
 def resolve_conv(group: pa.Table) -> pa.Table:
     """map_groups fn over groupby("conv_id"): mentions -> ALIASED rows."""
     rows = group.to_pylist()
-    pers, orgs, locs = _doc_lists(rows)
+    order = sorted(range(len(rows)),
+                   key=lambda i: (rows[i]["turn_idx"], rows[i]["beg"]))
+    pers, orgs, locs, positions = _doc_lists_ordered(
+        [(rows[i]["surface"], rows[i]["ner_type"]) for i in order]
+    )
+    pos_of = {ri: j for j, ri in enumerate(order)}
     aliases: list[str] = []
     norms: list[str] = []
     types: list[str] = []
-    for r in rows:
-        alias, ner = resolve_mention(r["surface"], r["ner_type"], pers, orgs, locs)
+    for i, r in enumerate(rows):
+        alias, ner = resolve_mention(r["surface"], r["ner_type"], pers, orgs,
+                                     locs, positions, pos_of[i])
         aliases.append(alias)
         norms.append(normalize_name(alias))
         types.append(ner)
@@ -172,11 +187,12 @@ def resolve_block(df):
     out_ner: list[str] = []
     for s, e in zip(starts[:-1], starts[1:]):
         # rows are already in (turn_idx, beg) document order
-        pers, orgs, locs = _doc_lists_ordered(
+        pers, orgs, locs, positions = _doc_lists_ordered(
             [(surfaces[i], ners[i]) for i in range(s, e)]
         )
         for i in range(s, e):
-            alias, ner = resolve_mention(surfaces[i], ners[i], pers, orgs, locs)
+            alias, ner = resolve_mention(surfaces[i], ners[i], pers, orgs,
+                                         locs, positions, i - s)
             out_alias.append(alias)
             out_norm.append(normalize_name(alias))
             out_ner.append(ner)
@@ -187,24 +203,32 @@ def resolve_block(df):
     return out
 
 
-def _doc_lists_ordered(pairs: list[tuple[str, str]]) -> tuple[list[str], list[str], list[str]]:
-    """(pers, orgs, locs) from (surface, ner) pairs already in document
-    order — the fast-path core of _doc_lists."""
+def _doc_lists_ordered(
+    pairs: list[tuple[str, str]]
+) -> tuple[list[str], list[str], list[str], dict]:
+    """(pers, orgs, locs, positions) from (surface, ner) pairs already
+    in document order — the fast-path core of _doc_lists. ``positions``
+    maps each candidate surface to its first document position (the
+    proximity-sort input, M10)."""
     pers: list[str] = []
     orgs: list[str] = []
     locs: list[str] = []
+    positions: dict = {}
     seen: set[str] = set()
-    for s, t in pairs:
+    for j, (s, t) in enumerate(pairs):
         if s in seen:
             continue
         seen.add(s)
+        positions[s] = j
         if t == "PER" and " " in s:
             pers.append(s)
         elif t == "ORG" and not is_acronym(s) and " " in s:
             orgs.append(s)
         elif t == "GPE" and ", " in s:
-            locs.append(expand_state_abbreviation(s))
-    return pers, orgs, locs
+            loc = expand_state_abbreviation(s)
+            locs.append(loc)
+            positions.setdefault(loc, j)
+    return pers, orgs, locs, positions
 
 
 def canonicalize(mentions_ds, **kwargs):

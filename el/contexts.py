@@ -27,7 +27,8 @@ def _ctx_block(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"conv_id": pd.Series(dtype=str),
                              "turn_idx": pd.Series(dtype="int32"),
                              "context": pd.Series(dtype=str),
-                             "wide_context": pd.Series(dtype=str)})
+                             "wide_context": pd.Series(dtype=str),
+                             "headline": pd.Series(dtype=str)})
     df = df.sort_values(["conv_id", "turn_idx"])
     g = df.groupby("conv_id")["text"]
     prev = g.shift(1)
@@ -40,6 +41,9 @@ def _ctx_block(df: pd.DataFrame) -> pd.DataFrame:
     out = df[["conv_id", "turn_idx"]].copy()
     out["context"] = df["text"]
     out["wide_context"] = wide
+    # M3 headline analog (SolrHelper.scala:190-205): the conversation's
+    # FIRST turn stands in for <HEADLINE>/first <P>
+    out["headline"] = g.transform("first")
     return out
 
 

@@ -467,6 +467,37 @@ def q_embedding_dups(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.9999)
 
 
+def q_el_benchmark_report(sf_dir: str):
+    """End-to-end evaluation surface (Benchmarker.scala:94-148 analog):
+    per-mention category counts (CORRECT / WRONG KB ID / EXP KB ID /
+    EXP NIL / NIL OK), pairwise F1, B-cubed, and the over-clustering
+    counter, as one tidy (metric, value) table. Rows-only (depends on
+    the non-SQL pipeline output); the quality floors are pytest-gated."""
+    fd = ensure_fixture(sf_dir)
+    import pyarrow.parquet as pq
+
+    from .metrics import (b_cubed, category_report, over_clustering,
+                          pairwise_f1)
+
+    answers = run_linkage(fd).to_pandas()
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"))
+    gp = pq.read_table(os.path.join(fd, "gold_pairs.parquet"))
+    gold_of = dict(zip(gm["mention_id"].to_pylist(),
+                       gm["gold_kb_id"].to_pylist()))
+    cluster_of = dict(zip(answers.mention_id, answers.cluster_id))
+    kb_link_of = dict(zip(answers.mention_id, answers.kb_link))
+    rows: list[tuple[str, float]] = []
+    for k, v in sorted(category_report(kb_link_of, gold_of).items()):
+        rows.append((f"category:{k}", float(v)))
+    pf = pairwise_f1(cluster_of, gp)
+    b3 = b_cubed(cluster_of, gold_of)
+    rows.append(("pairwise_f1", _round_half_away([pf["f1"]], 6)[0]))
+    rows.append(("b_cubed_f1", _round_half_away([b3["f1"]], 6)[0]))
+    rows.append(("over_clustering", float(over_clustering(cluster_of,
+                                                          gold_of))))
+    return pd.DataFrame(rows, columns=["metric", "value"])
+
+
 # ============================================================ multimodal
 def q_multimodal_features(sf_dir: str):
     """Binary-column plumbing under the driver contract: deterministic
@@ -767,7 +798,8 @@ def oracle_sql() -> dict[str, str]:
         "el_contexts": f"""
             SELECT conv_id, turn_idx, text AS context,
                    concat_ws(' ',
-                       lag(text) OVER w, text, lead(text) OVER w) AS wide_context
+                       lag(text) OVER w, text, lead(text) OVER w) AS wide_context,
+                   first_value(text) OVER w AS headline
             FROM {tr}
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         """,
@@ -960,6 +992,7 @@ def queries():
         "el_human_readable": q_el_human_readable,
         "el_training_pairs": q_el_training_pairs,
         "el_sports_links": q_el_sports_links,
+        "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
         "doc_fingerprint": q_doc_fingerprint,

@@ -47,6 +47,23 @@ def sports_sense(context_tokens: list[str]) -> bool:
     return hits / len(context_tokens) >= SPORTS_THRESHOLD
 
 
+def location_variance(locs: list[str]) -> float:
+    """Unique/total ratio over a document's location mentions — the A5
+    location-variance feature (SportsSenseFeatures.scala:128-201):
+    sports coverage repeats few venues (low variance), travelogues many
+    (high). Exposed in the sports feature set; 0.0 for no locations."""
+    if not locs:
+        return 0.0
+    return len(set(locs)) / len(locs)
+
+
+def org_location_ratio(orgs: list[str], locs: list[str]) -> float:
+    """orgs-with-location share of a document's ORG+LOC mentions (the
+    companion A5 ratio, SportsSenseFeatures.scala:128-201)."""
+    total = len(orgs) + len(locs)
+    return len(orgs) / total if total else 0.0
+
+
 def team_rerank(alias_norm: str, kb: KBIndex) -> tuple[str, float] | None:
     """Re-rank candidates for a team-typed KB entry carrying the
     location name; -> (kb_id, confidence 0.7) or None (-> NIL 0.5).

@@ -33,6 +33,22 @@ def test_city_expansion():
     assert alias == "Austin, Texas"
 
 
+def test_proximity_sort_picks_nearest_candidate():
+    """M10 (CorefHelperMethods.scala:243-260): with positions, the
+    candidate CLOSEST to the mention wins; ties break to document
+    order; without positions, document order (r01 behavior)."""
+    pers = ["Janet Smith", "Ada Smith"]
+    positions = {"Janet Smith": 0, "Ada Smith": 5}
+    alias, _ = resolve_mention("Smith", "PER", pers, [], [],
+                               positions, mention_pos=6)
+    assert alias == "Ada Smith"
+    alias, _ = resolve_mention("Smith", "PER", pers, [], [],
+                               positions, mention_pos=1)
+    assert alias == "Janet Smith"
+    alias, _ = resolve_mention("Smith", "PER", pers, [], [])
+    assert alias == "Janet Smith"
+
+
 def test_best_location_doc_fallback():
     """M7 analog (CorefHelperMethods.scala:426-509): a bare city the
     static gazetteer does not know expands from the document's own

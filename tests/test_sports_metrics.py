@@ -41,6 +41,16 @@ def test_team_rerank():
     assert team_rerank("zzz nowhere", kb) is None
 
 
+def test_location_variance_ratios():
+    from el.sports import location_variance, org_location_ratio
+
+    assert location_variance([]) == 0.0
+    assert location_variance(["A", "A", "A", "B"]) == 0.5
+    assert location_variance(["A", "B"]) == 1.0
+    assert org_location_ratio([], []) == 0.0
+    assert org_location_ratio(["O"], ["L", "L", "L"]) == 0.25
+
+
 def test_over_clustering():
     gold = {"a": "g1", "b": "g2", "c": "g1"}
     assert over_clustering({"a": "x", "b": "x", "c": "y"}, gold) == 1
