@@ -75,11 +75,23 @@ def q_el_mentions(sf_dir: str):
                              "surface"])
 
 
+# answers memo: four driver queries (el_answers, el_human_readable,
+# el_sports_links, el_benchmark_report) consume the same pipeline run —
+# one execution per (session, fixture) instead of four
+_ANSWERS_CACHE: dict[str, object] = {}
+
+
+def _answers(fd: str):
+    if fd not in _ANSWERS_CACHE:
+        _ANSWERS_CACHE[fd] = run_linkage(fd)
+    return _ANSWERS_CACHE[fd]
+
+
 def q_el_answers(sf_dir: str):
     """Full pipeline output (non-SQL-expressible: actor scoring + union
     find; rows-only driver check, quality gated in pytest)."""
     fd = ensure_fixture(sf_dir)
-    return run_linkage(fd)
+    return _answers(fd)
 
 
 def q_el_exact_cluster(sf_dir: str):
@@ -314,7 +326,7 @@ def q_el_human_readable(sf_dir: str):
     from .kb import broadcast_kb
     from .outputs import human_readable
 
-    answers = run_linkage(fd)
+    answers = _answers(fd)
     kb_ref = broadcast_kb(os.path.join(fd, "kb.parquet"))
     return human_readable(answers, kb_ref)
 
@@ -329,7 +341,7 @@ def q_el_sports_links(sf_dir: str):
 
     from .gazetteer import CITIES
 
-    answers = run_linkage(fd)
+    answers = _answers(fd)
     cities = pa.array(sorted(CITIES))
 
     def only_cities(t: pa.Table) -> pa.Table:
@@ -479,7 +491,7 @@ def q_el_benchmark_report(sf_dir: str):
     from .metrics import (b_cubed, category_report, over_clustering,
                           pairwise_f1)
 
-    answers = run_linkage(fd).to_pandas()
+    answers = _answers(fd).to_pandas()
     gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"))
     gp = pq.read_table(os.path.join(fd, "gold_pairs.parquet"))
     gold_of = dict(zip(gm["mention_id"].to_pylist(),

@@ -1,6 +1,20 @@
 import pyarrow as pa
 
 
+def test_poison_row_degrades_to_nil():
+    """linkQuery's catch-all (RunKBPEntityLinkerSystem.scala:152-157):
+    a row whose lookup explodes yields NIL confidence 0.10, never a
+    task failure."""
+    from el.linkdecide import CONF_ERROR, link_alias
+
+    class ExplodingKB:
+        @property
+        def id_of_title_norm(self):
+            raise RuntimeError("poison")
+
+    assert link_alias("anything", ExplodingKB()) == ("", 0.0, CONF_ERROR)
+
+
 def test_batch_link_matches_scalar(ray_session=None):
     """link_group_keys_batch (DuckDB fuzzy pass) must be bit-equal to
     the scalar link_group_key over every node kind."""

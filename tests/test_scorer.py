@@ -101,6 +101,33 @@ def test_ctx_veto_splits_twins():
     assert s >= MERGE_CUTOFF
 
 
+def test_ctx_sample_merge_associative():
+    """The per-alias context sample must be independent of how mentions
+    were split across partial blocks — the invariant that makes the
+    driver and distributed physical plans produce identical vectors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ctxvec import merge_samples, sample_contexts
+
+    pairs_st = st.lists(
+        st.tuples(st.text("abc", min_size=1, max_size=6),
+                  st.text("xyz ", max_size=20)),
+        min_size=0, max_size=20, unique_by=lambda p: p[0],
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(pairs_st, st.integers(0, 20))
+    def check(pairs, split):
+        whole = sample_contexts(pairs)
+        split = min(split, len(pairs))
+        merged = merge_samples([sample_contexts(pairs[:split]),
+                                sample_contexts(pairs[split:])])
+        assert merged == whole
+
+    check()
+
+
 def test_scorer_batch():
     t = pa.table(
         {
