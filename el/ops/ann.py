@@ -148,6 +148,97 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
     return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
 
 
+def _kmeans_fit(X: np.ndarray, n_clusters: int, seed: int,
+                iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd iterations on normalized vectors (spherical
+    k-means); empty clusters keep their previous centroid."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[c] = m / n
+    return C
+
+
+class _IvfScorer:
+    """IVF probe scorer: rows score only against queries whose
+    ``n_probe`` nearest centroids include the row's assigned cluster —
+    the inverted-file pruning, expressed as a scan-time filter (the
+    centroid fit is a one-time driver pass over a deterministic
+    sample; centroids are broadcast once)."""
+
+    def __init__(self, q_ref, c_ref, top_m: int, n_probe: int):
+        import ray
+
+        self.Q = ray.get(q_ref)
+        self.C = ray.get(c_ref)
+        self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        sims = self.Qn @ self.C.T
+        n_probe = min(n_probe, self.C.shape[0])
+        self.probes = np.argsort(-sims, axis=1)[:, :n_probe]  # (nq, p)
+        self.top_m = top_m
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(df["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+        assign = np.argmax(Xn @ self.C.T, axis=1)
+        vec_ids = df["vec_id"].to_numpy()
+        rows = []
+        for qi in range(len(self.Q)):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            sims = Xn[mask] @ self.Qn[qi]
+            ids = vec_ids[mask]
+            order = np.lexsort((ids, -sims))[: self.top_m]
+            for j in order:
+                rows.append((qi, int(ids[j]), float(sims[j])))
+        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, seed: int = 5, sample_mod: int = 4,
+             concurrency: int = 2):
+    """Approximate top-k via an IVF coarse quantizer: spherical k-means
+    centroids fitted on a deterministic hash sample (vec_id %
+    sample_mod == 0), broadcast once; each batch scores only the
+    queries probing its rows' clusters. At cluster scale the same
+    assignment keys a partitioned layout so I/O (not just compute) is
+    pruned; here the scan-prune shape is the tested path."""
+    import functools
+
+    import ray
+
+    Q = np.asarray(queries, dtype=np.float64)
+    sample = emb_ds.map_batches(
+        lambda df: df[df["vec_id"] % sample_mod == 0][["vec_id", "embedding"]],
+        batch_format="pandas",
+    ).take_all()
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(sample, key=lambda r: r["vec_id"])])
+    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+    C = _kmeans_fit(Xn, n_clusters, seed)
+    q_ref, c_ref = ray.put(Q), ray.put(C)
+    local = emb_ds.map_batches(
+        _IvfScorer,
+        fn_constructor_args=(q_ref, c_ref, k, n_probe),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    from ..shuffle import group_map_pandas
+
+    return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
+
+
 def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
                      seed: int = 5):
     """Embedding-cosine near-duplicate pairs: LSH-bucket by sign

@@ -465,6 +465,15 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), Q, k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-quantized approximate top-10 (the scale path beside LSH);
+    recall vs brute force is pytest-gated; rows-only driver check."""
+    from .ops.ann import ivf_topk
+
+    Q = _query_matrix(sf_dir)
+    return ivf_topk(_read(sf_dir, "embeddings"), Q, k=10, n_probe=6)
+
+
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs over embeddings plus planted
     exact copies (vec_id + 1_000_000)."""
@@ -1017,6 +1026,7 @@ def queries():
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,

@@ -137,6 +137,26 @@ def test_lsh_topk_recall(ray_session, emb_ds):
     assert sum(recalls) / len(recalls) >= 0.5, recalls  # approximate but useful
 
 
+def test_ivf_topk_recall(ray_session, emb_ds):
+    from el.ops.ann import brute_force_topk, ivf_topk
+
+    df = emb_ds.to_pandas().sort_values("vec_id").head(3)
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    exact = brute_force_topk(emb_ds, Q, k=10).to_pandas()
+    approx = ivf_topk(emb_ds, Q, k=10, n_clusters=16, n_probe=6).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.q_id == qi].vec_id)
+        a = set(approx[approx.q_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # same bar as LSH
+    # deterministic across runs (seeded sample + k-means)
+    again = ivf_topk(emb_ds, Q, k=10, n_clusters=16, n_probe=6).to_pandas()
+    a1 = approx.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    a2 = again.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a1.equals(a2)
+
+
 def test_embedding_dup_pairs(ray_session, emb_ds):
     from el.ops.ann import cosine_dup_pairs
 
