@@ -48,6 +48,26 @@ ALIASED = pa.schema(
     ]
 )
 
+# Stage B2 output: ALIASED + contraction node key (alias_norm, or
+# alias_norm + '#<kind>:<kb_id>' for override-affected mentions —
+# el.overrides: doc-sim ambiguity, sports sense).
+GROUPED = pa.schema(list(ALIASED) + [("group_key", pa.string())])
+
+# Alias profile: one row per distinct contraction node.
+PROFILE = pa.schema(
+    [
+        ("group_key", pa.string()),
+        ("alias_norm", pa.string()),
+        ("alias", pa.string()),
+        ("surface", pa.string()),
+        ("ner_type", pa.string()),
+        ("min_mention", pa.string()),
+        ("n_mentions", pa.int64()),
+        ("ctx_vec", pa.string()),  # JSON term->count (df-filtered topics)
+        ("surface_norm", pa.string()),
+    ]
+)
+
 # KB side table (wikimap + title/type/intro maps,
 # WikiMappingHelper.scala:102-204, KBPQuery.scala:144-175).
 KB = pa.schema(
@@ -63,11 +83,13 @@ KB = pa.schema(
     ]
 )
 
-# Stage C output: candidate pairs of distinct aliases within a block
-# (replaces global all-pairs, Clusterer.scala:89-93).
+# Stage C output: candidate pairs of distinct contraction nodes within
+# a block (replaces global all-pairs, Clusterer.scala:89-93); n1/s1n/
+# ctx1 are the pre-normalized / context columns the scorer consumes
+# without per-pair re-derivation (el/blocking.py PAIR_COLUMNS).
 PAIRS = pa.schema(
     [
-        ("a1", pa.string()),  # alias-group node id (min norm)
+        ("a1", pa.string()),  # contraction node id "A:<group_key>"
         ("a2", pa.string()),
         ("alias1", pa.string()),
         ("alias2", pa.string()),
@@ -76,6 +98,12 @@ PAIRS = pa.schema(
         ("ner1", pa.string()),
         ("ner2", pa.string()),
         ("block_key", pa.string()),
+        ("n1", pa.string()),
+        ("n2", pa.string()),
+        ("s1n", pa.string()),
+        ("s2n", pa.string()),
+        ("ctx1", pa.string()),
+        ("ctx2", pa.string()),
     ]
 )
 
