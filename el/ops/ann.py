@@ -254,7 +254,14 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
             ).standard_normal((nbits, d))
         X = _to_matrix(df["embedding"])
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
-        out = df[["vec_id", "embedding"]].copy()
+        out = df[["vec_id"]].copy()
+        # plain Python lists, not ndarrays: uniform-shape ndarray columns
+        # round-trip through Ray's tensor extension, which intermittently
+        # breaks the pandas block re-format in the downstream group map
+        out["embedding"] = [
+            v.tolist() if hasattr(v, "tolist") else list(v)
+            for v in df["embedding"]
+        ]
         out["bucket"] = _signatures(Xn, planes_holder["planes"])
         return out
 

@@ -1196,11 +1196,22 @@ def main(argv=None):
     import argparse
     import ray
 
+    # CLI parity with the reference's scopt options (baseDir/outputFile/
+    # humanReadable/sportsClassify/fromScratch,
+    # RunKBPEntityLinkerSystem.scala:207-216)
     ap = argparse.ArgumentParser(description="Ray-Data entity-linking pipeline")
     ap.add_argument("--input", required=True, help="fixture dir (transcripts+kb)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--from-scratch", action="store_true")
+    ap.add_argument("--human-readable", action="store_true",
+                    help="also write the answers x KB join next to --output")
+    ap.add_argument("--no-sports-classify", action="store_true",
+                    help="disable the sports-sense override (linkQuery "
+                         "steps 1+8)")
+    ap.add_argument("--conv-unordered", action="store_true",
+                    help="input is NOT conv-sorted: use the conv_id "
+                         "exchange plan instead of the fused read")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
     args = ap.parse_args(argv)
@@ -1208,8 +1219,21 @@ def main(argv=None):
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True)
     try:
-        answers = run_linkage(args.input, args.checkpoint_dir, args.from_scratch)
+        answers = run_linkage(
+            args.input, args.checkpoint_dir, args.from_scratch,
+            sports_classify=not args.no_sports_classify,
+            conv_partitioned=not args.conv_unordered,
+        )
+        if args.human_readable:  # two consumers -> pin once
+            answers = answers.materialize()
         answers.write_parquet(args.output)
+        if args.human_readable:
+            from .kb import broadcast_kb
+            from .outputs import human_readable
+
+            kb_ref = broadcast_kb(os.path.join(args.input, "kb.parquet"))
+            human_readable(answers, kb_ref).write_parquet(
+                args.output.rstrip("/") + "_human_readable")
     finally:
         ray.shutdown()
 
