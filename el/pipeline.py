@@ -974,14 +974,15 @@ def run_linkage(
         def build_profile():
             # batch_size trades combiner effectiveness against task
             # parallelism: hot aliases appear in EVERY batch, so the
-            # partial-row count is ~batches x distinct-aliases — 64k-row
-            # batches keep the collected partial table ~10x smaller than
-            # per-read-block batches at 9.6M turns
+            # partial-row count is ~batches x distinct-aliases. Cap the
+            # batch count at ~32 (bounds the duplicate factor) with a
+            # 32k floor (keeps small runs parallel)
+            bs = max(32768, -(-n_mentions // 32))
             partials = grouped.select_columns(
                 ["mention_id", "alias", "alias_norm", "surface", "ner_type",
                  "context", "group_key"]
             ).map_batches(_alias_profile_block, batch_format="pandas",
-                          batch_size=65536)
+                          batch_size=bs)
             return ray.data.from_arrow(_merge_profiles_fast(collect(partials)))
 
         profile = _timed("alias_profile", lambda: ckpt.stage(
