@@ -201,6 +201,28 @@ def compute_pair_features(batch: pa.Table) -> dict:
     }
 
 
+# ---------------------------------------------------------------------
+# Extension surface (§2.10): the reference composes named Feature
+# objects into a FeatureSet (MentionPairFeatures.scala:181-193,
+# LinkFeatures.scala:22-178). Ours is a registry of
+# name -> (weight, fn(batch: pa.Table) -> ndarray of z-contributions)
+# applied additively after the built-in features — register_feature()
+# plugs a new signal into every scoring path without touching the
+# engine.
+EXTRA_FEATURES: dict = {}
+
+
+def register_feature(name: str, weight: float, fn) -> None:
+    """Register an extra pair feature: ``fn(batch)`` returns a float
+    array (len == batch rows) added to the logit as ``weight * value``.
+    Deterministic fns only (scores feed the clustering)."""
+    EXTRA_FEATURES[name] = (weight, fn)
+
+
+def unregister_feature(name: str) -> None:
+    EXTRA_FEATURES.pop(name, None)
+
+
 def ctx_adjustment(ctx1_col, ctx2_col) -> "object":
     """Vector of z-adjustments from the per-alias context vectors: only
     pairs where BOTH sides kept a non-empty topic vector (a small
@@ -242,6 +264,8 @@ def score_pairs_batch(batch: pa.Table) -> pa.Table:
     if "ctx1" in batch.column_names:
         z = z + ctx_adjustment(batch.column("ctx1").to_pylist(),
                                batch.column("ctx2").to_pylist())
+    for _name, (weight, fn) in sorted(EXTRA_FEATURES.items()):
+        z = z + weight * np.asarray(fn(batch), dtype=np.float64)
     scores = 1.0 / (1.0 + np.exp(-z))
     out = batch.append_column("jw_alias", pa.array(f["jw_alias"], pa.float64()))
     return out.append_column("score", pa.array(scores, pa.float64()))

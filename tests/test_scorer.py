@@ -70,6 +70,27 @@ def test_vectorized_matches_scalar():
         assert abs(out.column("score")[i].as_py() - pair_score(ref)) < 1e-12
 
 
+def test_feature_registry_extension():
+    """§2.10 extension surface: a registered feature shifts the score
+    and unregistering restores the built-in behavior exactly."""
+    import numpy as np
+
+    from el.scorer import (register_feature, score_pairs_batch,
+                           unregister_feature)
+
+    t = pa.table({"alias1": ["Janet Harper"], "alias2": ["Janet Harpr"],
+                  "surface1": ["Janet Harper"], "surface2": ["Janet Harpr"]})
+    base = score_pairs_batch(t).column("score")[0].as_py()
+    register_feature("always_against", -100.0,
+                     lambda b: np.ones(b.num_rows))
+    try:
+        vetoed = score_pairs_batch(t).column("score")[0].as_py()
+        assert vetoed < 0.01 < base
+    finally:
+        unregister_feature("always_against")
+    assert score_pairs_batch(t).column("score")[0].as_py() == base
+
+
 def test_ctx_veto_splits_twins():
     """Adversarial-twin semantics (fixture v9): a pair above the
     string-similarity merge region MUST be vetoed when both aliases
