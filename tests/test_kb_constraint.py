@@ -47,6 +47,60 @@ def test_components_pure_nil_label_is_min_mention():
     assert comps["y"] == ("", "m2", 2)
 
 
+def test_kb_constraint_properties():
+    """Property check over random graphs: the clustering (a) labels
+    every node, (b) NEVER puts two distinct KB ids in one cluster,
+    (c) honors every NIL-NIL merge edge, and (d) is invariant under
+    edge-order permutation — the order-freeness that replaces the
+    reference's order-dependent greedy merge."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nodes_st = st.integers(3, 12)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        nodes_st,
+        st.data(),
+    )
+    def check(n, data):
+        names = [f"a{i}" for i in range(n)]
+        kb_of = {
+            a: data.draw(st.sampled_from(["", "", "E1", "E2", "E3"]),
+                         label=f"kb_{a}")
+            for a in names
+        }
+        min_mention = {a: f"m{i:02d}" for i, a in enumerate(names)}
+        n_edges = data.draw(st.integers(0, 2 * n), label="n_edges")
+        edges = [
+            tuple(sorted(data.draw(
+                st.lists(st.sampled_from(names), min_size=2, max_size=2,
+                         unique=True), label=f"e{j}")))
+            for j in range(n_edges)
+        ]
+        out = kb_constrained_components(names, kb_of, min_mention, edges)
+        # (a) total partition
+        assert set(out) == set(names)
+        # (b) two distinct KB ids never share a cluster
+        label_kb: dict = {}
+        for a in names:
+            kb, label, _size = out[a]
+            if kb_of[a]:
+                assert kb == kb_of[a]  # own link always kept
+            prev = label_kb.setdefault(label, kb)
+            assert prev == kb
+        # (c) every NIL-NIL edge merged
+        for x, y in edges:
+            if not kb_of[x] and not kb_of[y]:
+                assert out[x][1] == out[y][1], (x, y)
+        # (d) edge-order invariance
+        out2 = kb_constrained_components(
+            names, kb_of, min_mention, list(reversed(edges)))
+        assert out == out2
+
+    check()
+
+
 def test_alias_answer_confidences():
     assert alias_answer("E1", 0.95, "E1", "E1", 3) == ("E1", "E1", 0.95)
     assert alias_answer("", 0.55, "E1", "E1", 3) == ("E1", "E1", 0.7)
