@@ -20,12 +20,17 @@ contract to the node ``a#<kind>:<kb_id>`` instead of ``a``, so the
 override-affected mentions cluster separately without giving up the
 distinct-alias contraction for the (vastly dominant) unaffected rest.
 
-Scale note: the collected choice table is proportional to the number of
+Scale note: the choice table is proportional to the number of
 (ambiguous-alias | sports-candidate, conversation) pairs — rare by the
-curated-ambiguity assumption; it is broadcast via one ray.put. The scan
-that finds candidates is a stateless map over the mention stream; the
-per-conversation resolution is one conv_id hash exchange over ONLY the
-flagged conversations' mentions.
+curated-ambiguity assumption. The DRIVER plan (contracted graph within
+the size guard) collects it into one ray.put broadcast; the FALLBACK
+plan keeps it as a Dataset and attaches group keys via a conv_id hash
+join (el.pipeline._attach_group_key_join), so nothing
+corpus-proportional ever lives on the driver. The scan that finds
+candidates is a stateless map over the mention stream; the
+per-conversation resolution runs over ONLY the flagged conversations'
+mentions (conversation-aligned task chunks below a size bound, a
+conv_id hash exchange above it).
 """
 
 from __future__ import annotations
@@ -81,7 +86,7 @@ def resolve_ambiguous(alias_norm: str, contexts: list[str],
     return best_id
 
 
-def conv_overrides_block(t: pa.Table, kb) -> pa.Table:
+def conv_overrides_block(t: pa.Table, kb, sports: bool = True) -> pa.Table:
     """Block fn over conv_id-partitioned flagged-conversation mentions:
     emits (alias_norm, conv_id, kind, kb_id) choice rows."""
     import numpy as np
@@ -119,7 +124,7 @@ def conv_overrides_block(t: pa.Table, kb) -> pa.Table:
             ctxs = [context[i] for i in rows[:8]]
             # sports first: linkQuery's step-8 override beats the plain
             # link (RunKBPEntityLinkerSystem.scala:131-147)
-            if is_sports_candidate(surface[rows[0]], ner[rows[0]]):
+            if sports and is_sports_candidate(surface[rows[0]], ner[rows[0]]):
                 toks: list[str] = []
                 for c in ctxs:
                     toks.extend(tokenize(c))
@@ -145,11 +150,11 @@ def conv_overrides_block(t: pa.Table, kb) -> pa.Table:
     })
 
 
-def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
-                           num_partitions: int | None = None) -> dict:
-    """-> {(alias_norm, conv_id): (kind, kb_id)}. Empty when the corpus
-    has no ambiguous aliases and no sports candidates (zero extra cost
-    beyond one stateless scan)."""
+def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
+                          num_partitions: int | None = None):
+    """Choice rows (alias_norm, conv_id, kind, kb_id) as a DATASET —
+    the scale form consumed by the fallback plan's join-based group-key
+    attach; None when the corpus has no candidates."""
     import pyarrow.compute as pc
     import ray
 
@@ -191,7 +196,7 @@ def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
     flagged = aliased_ds.map_batches(flag, batch_format="pyarrow")
     convs = sorted({r["conv_id"] for r in flagged.take_all()})  # rare
     if not convs:
-        return {}
+        return None
     convs_ref = ray.put(convs)
 
     def in_flagged(t: pa.Table, ref=convs_ref) -> pa.Table:
@@ -212,8 +217,8 @@ def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
     # driver bound, the exchange path keeps it fully distributed.
     DRIVER_SUBSET_MAX = 2_000_000
 
-    def block(t: pa.Table, kb_ref=kb_ref) -> pa.Table:
-        return conv_overrides_block(t, ray.get(kb_ref))
+    def block(t: pa.Table, kb_ref=kb_ref, sports=sports) -> pa.Table:
+        return conv_overrides_block(t, ray.get(kb_ref), sports)
 
     subset = subset.materialize()
     import numpy as np
@@ -242,16 +247,26 @@ def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
                 lo = b
         import ray.data
 
-        choices_rows = ray.data.from_arrow(chunks).map_batches(
+        return ray.data.from_arrow(chunks).map_batches(
             block, batch_format="pyarrow", batch_size=None
-        ).take_all()
-    else:
-        choices = group_blocks(subset, ["conv_id"], block,
-                               batch_format="pyarrow",
-                               num_partitions=num_partitions)
-        choices_rows = choices.take_all()
+        )
+    return group_blocks(subset, ["conv_id"], block,
+                        batch_format="pyarrow",
+                        num_partitions=num_partitions)
+
+
+def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
+                           num_partitions: int | None = None) -> dict:
+    """-> {(alias_norm, conv_id): (kind, kb_id)} — the broadcast form
+    the driver plan consumes (bounded by the contracted-graph guard);
+    the fallback plan uses context_override_rows + a conv_id hash join
+    instead, so no corpus-proportional dict ever lives on the driver.
+    Empty when the corpus has no candidates (one stateless scan)."""
+    rows = context_override_rows(aliased_ds, kb_ref, sports,
+                                 num_partitions)
+    if rows is None:
+        return {}
     out: dict = {}
-    for r in choices_rows:
-        if not (r["kind"] == KIND_SPORTS and not sports):
-            out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
+    for r in rows.take_all():
+        out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
     return out

@@ -187,6 +187,78 @@ def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
     return t
 
 
+def _attach_group_key_join(aliased_ds, ov_rows, num_partitions: int):
+    """Fallback-plan group-key attach: one conv_id hash exchange joining
+    mentions with the override choice rows (group_blocks union idiom) —
+    no corpus-proportional choices dict ever lives on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from .overrides import SEP
+    from .shuffle import group_blocks
+
+    if ov_rows is None:
+        return aliased_ds.map_batches(
+            lambda t: t.append_column("group_key", t.column("alias_norm")),
+            batch_format="pyarrow",
+        )
+
+    def m_rows(t: pa.Table) -> pa.Table:
+        return (
+            t.append_column("okind", pa.array([""] * len(t), pa.string()))
+            .append_column("okb", pa.array([""] * len(t), pa.string()))
+        )
+
+    mention_defaults = {
+        "mention_id": ("", pa.string()), "turn_idx": (0, pa.int32()),
+        "beg": (0, pa.int32()), "end": (0, pa.int32()),
+        "surface": ("", pa.string()), "ner_type": ("", pa.string()),
+        "context": ("", pa.string()), "alias": ("", pa.string()),
+    }
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        cols = {"conv_id": t.column("conv_id"),
+                "alias_norm": t.column("alias_norm"),
+                "okind": t.column("kind"), "okb": t.column("kb_id")}
+        for name, (default, typ) in mention_defaults.items():
+            cols[name] = pa.array([default] * len(t), typ)
+        return pa.table(cols)
+
+    left = aliased_ds.map_batches(m_rows, batch_format="pyarrow")
+    right = ov_rows.map_batches(c_rows, batch_format="pyarrow")
+    cols_order = left.schema().names
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [c for c in df.columns if c not in ("okind", "okb")]
+        if len(df) == 0:
+            return df[out_cols].assign(group_key=pd.Series(dtype=str))
+        c = df[df["mention_id"] == ""]
+        m = df[df["mention_id"] != ""].drop(columns=["okind", "okb"])
+        if len(c):
+            lut = c[["conv_id", "alias_norm", "okind", "okb"]] \
+                .drop_duplicates(["conv_id", "alias_norm"])
+            m = m.merge(lut, on=["conv_id", "alias_norm"], how="left")
+            hit = m["okind"].notna() & (m["okind"] != "")
+            m["group_key"] = np.where(
+                hit,
+                m["alias_norm"] + SEP + m["okind"].fillna("") + ":"
+                + m["okb"].fillna(""),
+                m["alias_norm"],
+            )
+            m = m.drop(columns=["okind", "okb"])
+        else:
+            m = m.assign(group_key=m["alias_norm"])
+        return m
+
+    sel = [c for c in cols_order if c not in ("okind", "okb")]
+    out = group_blocks(left.union(right.map_batches(
+        lambda t: t.select(cols_order), batch_format="pyarrow")),
+        ["conv_id"], attach, batch_format="pandas",
+        num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: t.select(sel + ["group_key"]), batch_format="pyarrow")
+
+
 def _chunk_table(tbl: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
     """Slice a table into block-sized chunks (map_batches parallelism is
     per block)."""
@@ -947,25 +1019,37 @@ def run_linkage(
     # [B2] per-document context overrides (doc-sim ambiguity resolution,
     # NE overlap, sports sense — el.overrides) -> contraction group_key.
     # With no ambiguous aliases and no sports candidates this is one
-    # stateless scan and a passthrough column.
-    overrides = _timed("overrides", lambda: find_context_overrides(
-        aliased, kb_ref, sports=sports_classify,
-        num_partitions=num_partitions))
-    ov_ref = ray.put(overrides)
+    # stateless scan and a passthrough column. The driver plan collects
+    # the (rare-by-assumption) choices into a broadcast dict; the
+    # fallback plan attaches them via a conv_id hash join instead, so
+    # no corpus-proportional structure ever lives on the driver.
+    if driver_path:
+        overrides = _timed("overrides", lambda: find_context_overrides(
+            aliased, kb_ref, sports=sports_classify,
+            num_partitions=num_partitions))
+        ov_ref = ray.put(overrides)
 
-    if fast_fused:
-        grouped = raw.map_batches(
-            _patch_and_group,
-            fn_kwargs={"patch_ref": patch_ref, "ov_ref": ov_ref},
-            batch_format="pyarrow",
-        ).materialize()
+        if fast_fused:
+            grouped = raw.map_batches(
+                _patch_and_group,
+                fn_kwargs={"patch_ref": patch_ref, "ov_ref": ov_ref},
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            grouped = aliased.map_batches(
+                _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
+                batch_format="pyarrow",
+            )
+            if overrides:
+                grouped = grouped.materialize()
     else:
-        grouped = aliased.map_batches(
-            _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
-            batch_format="pyarrow",
-        )
-        if overrides:
-            grouped = grouped.materialize()
+        from .overrides import context_override_rows
+
+        ov_rows = _timed("overrides", lambda: context_override_rows(
+            aliased, kb_ref, sports=sports_classify,
+            num_partitions=num_partitions))
+        grouped = _attach_group_key_join(
+            aliased, ov_rows, num_partitions).materialize()
 
     if driver_path:
         # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
