@@ -20,12 +20,23 @@ def comention_counts(mentions_ds, num_partitions: int | None = None):
     conversations in which both surfaces appear (s1 < s2)."""
 
     def conv_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         if len(df) == 0:
             return pd.DataFrame({"s1": pd.Series(dtype=str),
                                  "s2": pd.Series(dtype=str)})
+        cap = 1000  # quadratic guard for degenerate conversations
         rows = []
-        for _, g in df.groupby("conv_id", sort=True):
+        for conv_id, g in df.groupby("conv_id", sort=True):
             surfaces = sorted(set(g["surface"]))
+            if len(surfaces) > cap:
+                dropped = (len(surfaces) * (len(surfaces) - 1)
+                           - cap * (cap - 1)) // 2
+                logging.getLogger(__name__).warning(
+                    "comention_counts: conversation %s has %d distinct "
+                    "surfaces; capped at %d (%d pairs dropped)",
+                    conv_id, len(surfaces), cap, dropped)
+                surfaces = surfaces[:cap]
             for i in range(len(surfaces)):
                 for j in range(i + 1, len(surfaces)):
                     rows.append((surfaces[i], surfaces[j]))
