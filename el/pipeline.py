@@ -130,6 +130,20 @@ def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
     m = extract_mentions_batch(batch)
     df = m.to_pandas()
     convs = batch.column("conv_id")
+    if batch.num_rows:
+        # contract check: conv-sorted input means each conversation is
+        # ONE contiguous run per block — interleaved runs would be
+        # silently mis-resolved, so fail loudly instead
+        import numpy as np
+
+        arr = np.asarray(convs.to_pylist(), dtype=object)
+        runs = 1 + int(np.count_nonzero(arr[1:] != arr[:-1]))
+        if runs != len(set(arr)):
+            raise ValueError(
+                "transcripts are not sorted by conv_id within a read "
+                "block; rerun with conv_partitioned=False (the conv_id "
+                "exchange plan) for unordered input"
+            )
     edge = ({convs[0].as_py(), convs[-1].as_py()}
             if batch.num_rows else set())
     bmask = df["conv_id"].isin(edge)

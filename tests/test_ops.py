@@ -79,6 +79,18 @@ def test_ngram_jaccard_exact(ray_session, planted):
     assert missing == 0
 
 
+def test_cap_counters_in_output_schema(ray_session, planted):
+    """No silent truncation: the bucketed near-dup ops carry the
+    dropped-pair counter column through to their outputs."""
+    from el.ops.dedup import minhash_dedup_pairs, simhash_pairs
+
+    mh = minhash_dedup_pairs(planted, threshold=0.7).to_pandas()
+    assert "dropped_pairs" in mh.columns
+    assert (mh["dropped_pairs"] >= 0).all()
+    sh = simhash_pairs(planted, max_hamming=3).to_pandas()
+    assert "dropped_pairs" in sh.columns
+
+
 def test_simhash_finds_planted_dups(ray_session, planted):
     from el.ops.dedup import simhash64, simhash_pairs
 

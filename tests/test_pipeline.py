@@ -88,6 +88,34 @@ def test_twins_split_only_by_context(t1_answers, t1_fixture):
         assert ca != cb, (a.canonical, b.canonical)
 
 
+def test_fused_rejects_unsorted_input(ray_session, tmp_path):
+    """conv_partitioned=True on input violating the conv-sorted contract
+    must fail loudly, not mis-resolve silently."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    src = "/tmp/el_fixtures/t1"
+    d = str(tmp_path / "unsorted")
+    shutil.copytree(src, d)
+    tdir = os.path.join(d, "transcripts.parquet")
+    tbl = pq.read_table(tdir)
+    # fully interleave conversations: all turn-0 rows, then all turn-1
+    # rows, ... — every block sees each conversation in many runs
+    import pyarrow.compute as pc2
+
+    order = pc2.sort_indices(
+        tbl, sort_keys=[("turn_idx", "ascending"), ("conv_id", "ascending")]
+    )
+    shutil.rmtree(tdir)
+    pq.write_table(tbl.take(order),
+                   os.path.join(d) + "/transcripts.parquet")
+    with pytest.raises(ray.exceptions.RayTaskError):
+        run_linkage(d).to_pandas()
+
+
 def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):
     ck = str(tmp_path / "ckpt")
     out1 = run_linkage(t1_fixture, checkpoint_dir=ck).to_pandas()
