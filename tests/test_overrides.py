@@ -84,6 +84,24 @@ def test_ambiguous_mentions_link_to_gold(ray_session, v9_gold):
     assert checked > 0  # the planner produced shared-mode conversations
 
 
+def test_sports_flag_is_load_bearing(ray_session, t1_fixture, t1_answers):
+    """Disabling the sports override must measurably hurt: city surfaces
+    in sports conversations fall back to the location entity, breaking
+    gold pairs — i.e. the wired path, not the fixture, earns the F1."""
+    import pyarrow.parquet as pq
+
+    from el.metrics import pairwise_f1
+    from el.pipeline import run_linkage
+
+    off = run_linkage(t1_fixture, sports_classify=False).to_pandas()
+    gp = pq.read_table(f"{t1_fixture}/gold_pairs.parquet")
+    f1_on = pairwise_f1(
+        dict(zip(t1_answers.mention_id, t1_answers.cluster_id)), gp)["f1"]
+    f1_off = pairwise_f1(
+        dict(zip(off.mention_id, off.cluster_id)), gp)["f1"]
+    assert f1_on > f1_off, (f1_on, f1_off)
+
+
 def test_sports_mentions_link_to_team(ray_session, v9_gold):
     ents, m = v9_gold
     teams = [e for e in ents if e.is_team]
