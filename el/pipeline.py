@@ -170,34 +170,48 @@ def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
     if "boundary" in t.column_names:
         if patch_ref is not None:
             p = ray.get(patch_ref)
-            bmask = t.column("boundary").to_pylist()
-            if p and any(bmask):
-                alias = t.column("alias").to_pylist()
-                an = t.column("alias_norm").to_pylist()
-                mids = t.column("mention_id").to_pylist()
-                for i, b in enumerate(bmask):
-                    if b:
-                        alias[i], an[i] = p[mids[i]]
+            bmask = t.column("boundary").combine_chunks()
+            n_bound = pc.sum(bmask).as_py() or 0
+            if p and n_bound:
+                # touch ONLY the boundary rows (rare: O(2 x blocks)
+                # conversations corpus-wide)
+                idx = pc.indices_nonzero(bmask)
+                mids = t.column("mention_id").take(idx).to_pylist()
+                rep_alias = pa.array([p[m][0] for m in mids], pa.string())
+                rep_norm = pa.array([p[m][1] for m in mids], pa.string())
                 names = t.column_names
-                t = t.set_column(names.index("alias"), "alias",
-                                 pa.array(alias, pa.string()))
-                t = t.set_column(names.index("alias_norm"), "alias_norm",
-                                 pa.array(an, pa.string()))
+                t = t.set_column(
+                    names.index("alias"), "alias",
+                    pc.replace_with_mask(
+                        t.column("alias").combine_chunks(), bmask, rep_alias))
+                t = t.set_column(
+                    names.index("alias_norm"), "alias_norm",
+                    pc.replace_with_mask(
+                        t.column("alias_norm").combine_chunks(), bmask,
+                        rep_norm))
         t = t.drop_columns(["boundary"])
     if ov_ref is not None:
         from .overrides import group_key_of
 
         ov = ray.get(ov_ref)
-        alias = t.column("alias_norm").to_pylist()
+        alias_arr = t.column("alias_norm").combine_chunks()
+        gk_arr = alias_arr
         if ov:
-            conv = t.column("conv_id").to_pylist()
-            gk = [
-                group_key_of(a, *ov[(a, c)]) if (a, c) in ov else a
-                for a, c in zip(alias, conv)
-            ]
-        else:
-            gk = alias
-        t = t.append_column("group_key", pa.array(gk, pa.string()))
+            # candidate rows = mentions of an overridden alias; only
+            # those pay the per-row (alias, conv) dict probe
+            cand = pa.array(sorted({a for a, _ in ov}), pa.string())
+            mask = pc.is_in(alias_arr, value_set=cand)
+            if pc.sum(mask).as_py():
+                idx = pc.indices_nonzero(mask)
+                a_hit = alias_arr.take(idx).to_pylist()
+                c_hit = t.column("conv_id").take(idx).to_pylist()
+                rep = pa.array(
+                    [group_key_of(a, *ov[(a, c)]) if (a, c) in ov else a
+                     for a, c in zip(a_hit, c_hit)],
+                    pa.string(),
+                )
+                gk_arr = pc.replace_with_mask(alias_arr, mask, rep)
+        t = t.append_column("group_key", gk_arr)
     return t
 
 
@@ -553,21 +567,34 @@ def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
 def _finish_batch(t: pa.Table, map_ref) -> pa.Table:
     """Final mention-scale map: attach cluster / kb_link / confidence
     from the broadcast group-key map. Task-based: ray.get of the
-    broadcast ref is a shared-memory read, so no actor pool is needed."""
+    broadcast ref is a shared-memory read, so no actor pool is needed.
+    Vectorized via dictionary encoding: the map lookup runs once per
+    DISTINCT group key in the batch, then fans out with one take()."""
+    import numpy as np
     import ray
 
     alias_map = ray.get(map_ref)
-    out_cluster, out_kb, out_conf = [], [], []
-    for an in t.column("group_key").to_pylist():
+    dict_arr = pc.dictionary_encode(
+        t.column("group_key").combine_chunks()
+    )
+    uniq = dict_arr.dictionary.to_pylist()
+    codes = dict_arr.indices
+    u_cluster, u_kb, u_conf = [], [], []
+    for an in uniq:
         cluster, kb_link, conf = alias_map[an]
-        out_cluster.append(cluster)
-        out_kb.append(kb_link)
-        out_conf.append(conf)
+        u_cluster.append(cluster)
+        u_kb.append(kb_link)
+        u_conf.append(conf)
     keep = t.select(["mention_id", "conv_id", "turn_idx", "surface", "alias"])
     return (
-        keep.append_column("cluster_id", pa.array(out_cluster, pa.string()))
-        .append_column("kb_link", pa.array(out_kb, pa.string()))
-        .append_column("confidence", pa.array(out_conf, pa.float64()))
+        keep.append_column(
+            "cluster_id", pa.array(u_cluster, pa.string()).take(codes))
+        .append_column(
+            "kb_link", pa.array(u_kb, pa.string()).take(codes))
+        .append_column(
+            "confidence",
+            pa.array(np.asarray(u_conf, dtype=np.float64))
+            .take(codes))
     )
 
 
