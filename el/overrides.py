@@ -150,6 +150,79 @@ def conv_overrides_block(t: pa.Table, kb, sports: bool = True) -> pa.Table:
     })
 
 
+def flag_convs(t: pa.Table, amb_aliases, sports: bool = True) -> pa.Table:
+    """One (conv_id) row per mention that makes its conversation an
+    override candidate: an ambiguous-alias mention, or a
+    gazetteer-location mention whose OWN turn shows >= 1 sports marker
+    (the cheap marker prefilter keeps the flagged set proportional to
+    actual sports/ambiguous usage, not to every location mention).
+    ``amb_aliases``: the KB's ambiguous-alias names (a small list — the
+    full index never ships to this scan)."""
+    import pyarrow.compute as pc
+
+    from .gazetteer import CITIES, STATE_NAMES
+    from .sports import SPORTS_MARKERS
+
+    amb = sorted(amb_aliases)
+    amb_arr = pa.array(amb, pa.string()) if amb else None
+    masks = []
+    if amb_arr is not None:
+        masks.append(pc.is_in(t.column("alias_norm"), value_set=amb_arr))
+    if sports:
+        loc_arr = pa.array(sorted(CITIES | STATE_NAMES), pa.string())
+        marker_re = r"\b(" + "|".join(sorted(SPORTS_MARKERS)) + r")\b"
+        masks.append(pc.and_kleene(
+            pc.and_kleene(
+                pc.is_in(t.column("surface"), value_set=loc_arr),
+                pc.not_equal(t.column("ner_type"), "PER"),
+            ),
+            pc.match_substring_regex(t.column("context"), marker_re),
+        ))
+    if not masks:
+        return pa.table({"conv_id": pa.array([], pa.string())})
+    m = masks[0]
+    for extra in masks[1:]:
+        m = pc.or_kleene(m, extra)
+    return t.filter(m).select(["conv_id"])
+
+
+SUBSET_COLUMNS = ["mention_id", "conv_id", "alias_norm", "surface",
+                  "ner_type", "context"]
+
+
+def subset_flagged(t: pa.Table, convs: pa.Array) -> pa.Table:
+    """Mentions belonging to a flagged conversation (resolution input)."""
+    import pyarrow.compute as pc
+
+    return t.filter(
+        pc.is_in(t.column("conv_id"), value_set=convs)
+    ).select(SUBSET_COLUMNS)
+
+
+def conv_aligned_chunks(tbl: pa.Table, target: int = 20_000) -> list:
+    """Sort by (conv_id, mention_id) and slice into ~target-row chunks
+    whose boundaries fall on conversation changes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("conv_id", "ascending"),
+                        ("mention_id", "ascending")]
+    )
+    tbl = tbl.take(idx)
+    conv = np.asarray(tbl.column("conv_id").to_pylist(), dtype=object)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)])
+    )
+    chunks, lo = [], 0
+    for b in starts[1:]:
+        if b - lo >= target or b == len(conv):
+            if b > lo:
+                chunks.append(tbl.slice(lo, b - lo))
+            lo = b
+    return chunks
+
+
 def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
                           num_partitions: int | None = None):
     """Choice rows (alias_norm, conv_id, kind, kb_id) as a DATASET —
@@ -158,40 +231,13 @@ def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
     import pyarrow.compute as pc
     import ray
 
-    from .gazetteer import CITIES, STATE_NAMES
     from .shuffle import group_blocks
-    from .sports import SPORTS_MARKERS
 
     kb = ray.get(kb_ref)
-    amb = sorted(kb.ambiguous_aliases)
-    amb_arr = pa.array(amb, pa.string()) if amb else None
-    loc_arr = pa.array(sorted(CITIES | STATE_NAMES), pa.string())
-    # cheap marker prefilter: a sports-candidate mention is evaluated
-    # only when its OWN turn already shows >= 1 marker (the fixture —
-    # and any reasonable corpus — puts markers in the mention turn);
-    # this keeps the flagged-conversation set proportional to the
-    # actual sports/ambiguous usage, not to every location mention
-    marker_re = r"\b(" + "|".join(sorted(SPORTS_MARKERS)) + r")\b"
+    amb_aliases = sorted(kb.ambiguous_aliases)
 
     def flag(t: pa.Table) -> pa.Table:
-        masks = []
-        if amb_arr is not None:
-            masks.append(pc.is_in(t.column("alias_norm"),
-                                  value_set=amb_arr))
-        if sports:
-            masks.append(pc.and_kleene(
-                pc.and_kleene(
-                    pc.is_in(t.column("surface"), value_set=loc_arr),
-                    pc.not_equal(t.column("ner_type"), "PER"),
-                ),
-                pc.match_substring_regex(t.column("context"), marker_re),
-            ))
-        if not masks:
-            return pa.table({"conv_id": pa.array([], pa.string())})
-        m = masks[0]
-        for extra in masks[1:]:
-            m = pc.or_kleene(m, extra)
-        return t.filter(m).select(["conv_id"])
+        return flag_convs(t, amb_aliases, sports)
 
     flagged = aliased_ds.map_batches(flag, batch_format="pyarrow")
     convs = sorted({r["conv_id"] for r in flagged.take_all()})  # rare
@@ -200,13 +246,7 @@ def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
     convs_ref = ray.put(convs)
 
     def in_flagged(t: pa.Table, ref=convs_ref) -> pa.Table:
-        cs = pa.array(ray.get(ref), pa.string())
-        return t.filter(
-            pc.is_in(t.column("conv_id"), value_set=cs)
-        ).select(
-            ["mention_id", "conv_id", "alias_norm", "surface", "ner_type",
-             "context"]
-        )
+        return subset_flagged(t, pa.array(ray.get(ref), pa.string()))
 
     subset = aliased_ds.map_batches(in_flagged, batch_format="pyarrow")
 
@@ -221,7 +261,6 @@ def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
         return conv_overrides_block(t, ray.get(kb_ref), sports)
 
     subset = subset.materialize()
-    import numpy as np
 
     if subset.count() <= DRIVER_SUBSET_MAX:
         tbl = pa.concat_tables(
@@ -229,22 +268,7 @@ def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
              if t.num_rows],
             promote_options="default",
         )
-        idx = pc.sort_indices(
-            tbl, sort_keys=[("conv_id", "ascending"),
-                            ("mention_id", "ascending")]
-        )
-        tbl = tbl.take(idx)
-        conv = np.asarray(tbl.column("conv_id").to_pylist(), dtype=object)
-        starts = np.concatenate(
-            ([0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)])
-        )
-        target = 20_000
-        chunks, lo = [], 0
-        for b in starts[1:]:
-            if b - lo >= target or b == len(conv):
-                if b > lo:
-                    chunks.append(tbl.slice(lo, b - lo))
-                lo = b
+        chunks = conv_aligned_chunks(tbl)
         import ray.data
 
         return ray.data.from_arrow(chunks).map_batches(

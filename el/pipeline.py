@@ -55,6 +55,15 @@ from .shuffle import group_blocks, group_map
 DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
 
 
+def _maybe_get(x):
+    """ray.get that tolerates already-resolved values: plain-task call
+    sites auto-dereference top-level ObjectRef args, map_batches
+    fn_kwargs don't — the shared per-block functions accept both."""
+    import ray
+
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
 def _alias_profile_block(df):
     """Vectorized block fn over hash-partitioned group_key (the
     contraction node: alias_norm, or alias_norm + override suffix): one
@@ -169,7 +178,7 @@ def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
 
     if "boundary" in t.column_names:
         if patch_ref is not None:
-            p = ray.get(patch_ref)
+            p = _maybe_get(patch_ref)
             bmask = t.column("boundary").combine_chunks()
             n_bound = pc.sum(bmask).as_py() or 0
             if p and n_bound:
@@ -193,7 +202,7 @@ def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
     if ov_ref is not None:
         from .overrides import group_key_of
 
-        ov = ray.get(ov_ref)
+        ov = _maybe_get(ov_ref)
         alias_arr = t.column("alias_norm").combine_chunks()
         gk_arr = alias_arr
         if ov:
@@ -357,49 +366,81 @@ def _group_aligned_chunks(tbl: pa.Table, key: str, target: int) -> list:
     return chunks
 
 
-def _merge_profiles_fast(cat: pa.Table) -> pa.Table:
-    """Merge collected partial profiles: group-aligned chunks fan out as
-    plain Ray tasks (the JSON sample merging measured ~7s serial at 9.6M
-    turns — parallel here without an exchange), then the global context
-    finalize (df filter + strip, el.ctxvec) runs over the contracted
-    (driver-scale) result."""
+def _merge_chunk_with_dfreq(tbl: pa.Table):
+    """_merge_chunk plus this chunk's partial document frequency
+    (term -> number of aliases carrying it) — additive across
+    group-aligned chunks, so the driver only merges small dicts."""
+    import json
+
+    merged = _merge_chunk(tbl)
+    dfreq: dict[str, int] = {}
+    if merged.num_rows:
+        for x in merged.column("ctx_raw").to_pylist():
+            if x:
+                for term in json.loads(x):
+                    dfreq[term] = dfreq.get(term, 0) + 1
+    return merged, {"dfreq": dfreq, "rows": merged.num_rows}
+
+
+def _finalize_profile_part(tbl: pa.Table, common_ref) -> pa.Table:
+    """Per-part context finalize: strip common terms (global df filter)
+    + cap, and attach surface_norm."""
     import json
 
     import ray
-    import ray.data
 
-    from .ctxvec import df_threshold, strip_and_cap
+    from .ctxvec import strip_and_cap
     from .text import normalize_name
+
+    if tbl.num_rows == 0:
+        return tbl
+    common = _maybe_get(common_ref)
+    vecs = [strip_and_cap(json.loads(x) if x else {}, common)
+            for x in tbl.column("ctx_raw").to_pylist()]
+    sn = [normalize_name(x) for x in tbl.column("surface").to_pylist()]
+    tbl = tbl.drop_columns(["ctx_raw"])
+    return tbl.append_column(
+        "ctx_vec", pa.array(vecs, pa.string())
+    ).append_column("surface_norm", pa.array(sn, pa.string()))
+
+
+def _merge_profiles_fast(cat: pa.Table) -> pa.Table:
+    """Merge collected partial profiles: group-aligned chunks fan out
+    as plain Ray tasks (the JSON sample merging measured ~7s serial at
+    9.6M turns — parallel with no exchange and no Ray Data executor
+    startup), each returning (merged part, partial dfreq). The driver
+    only merges the small per-chunk dfreq dicts and broadcasts the
+    common-term set; the global finalize (df strip + cap, el.ctxvec)
+    fans back out over the SAME part refs — merged parts never land on
+    the driver until the final contracted concat."""
+    import ray
+
+    from .ctxvec import df_threshold
 
     if cat.num_rows == 0:
         return cat
     chunks = _group_aligned_chunks(cat, "group_key", 20_000)
-    if len(chunks) == 1:
-        merged = _merge_chunk(chunks[0])
-    else:
-        parts = [
-            t for t in (
-                ray.get(r) for r in ray.data.from_arrow(chunks).map_batches(
-                    _merge_chunk, batch_format="pyarrow", batch_size=None
-                ).to_arrow_refs()
-            ) if t.num_rows
-        ]
-        cols = parts[0].column_names
-        merged = pa.concat_tables([t.select(cols) for t in parts])
-    raw = [json.loads(x) if x else {}
-           for x in merged.column("ctx_raw").to_pylist()]
-    thr = df_threshold(merged.num_rows)
+    merge_rem = ray.remote(num_returns=2)(_merge_chunk_with_dfreq)
+    out = [merge_rem.remote(c) for c in chunks]
+    metas = ray.get([m for _, m in out])
     dfreq: dict[str, int] = {}
-    for vec in raw:
-        for t in vec:
-            dfreq[t] = dfreq.get(t, 0) + 1
-    common = {t for t, c in dfreq.items() if c > thr}
-    vecs = [strip_and_cap(vec, common) for vec in raw]
-    sn = [normalize_name(x) for x in merged.column("surface").to_pylist()]
-    merged = merged.drop_columns(["ctx_raw"])
-    return merged.append_column(
-        "ctx_vec", pa.array(vecs, pa.string())
-    ).append_column("surface_norm", pa.array(sn, pa.string()))
+    for m in metas:
+        for term, c in m["dfreq"].items():
+            dfreq[term] = dfreq.get(term, 0) + c
+    # total distinct aliases = sum of part sizes (chunks are
+    # group-aligned, so no group spans two parts)
+    n_aliases = sum(m["rows"] for m in metas)
+    thr = df_threshold(n_aliases)
+    common = {term for term, c in dfreq.items() if c > thr}
+    common_ref = ray.put(common)
+    fin_rem = ray.remote(_finalize_profile_part)
+    parts = [t for t in ray.get(
+        [fin_rem.remote(tref, common_ref) for tref, _ in out]
+    ) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    cols = parts[0].column_names
+    return pa.concat_tables([t.select(cols) for t in parts])
 
 
 def _finalize_profile_distributed(profile_ds, num_partitions: int):
@@ -516,28 +557,35 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
     first.sort()
     i1, i2, keys = i1[first], i2[first], keys[first]
 
-    def take(col: str, idx: np.ndarray) -> pa.Array:
-        return profile_tbl.column(col).take(pa.array(idx))
+    # per-PAIR columns are pure take()s over per-ALIAS arrays (a python
+    # loop here runs over millions of pairs; the alias-scale prep is
+    # thousands) — measured 5.6s -> <1s at 800k pairs
+    node_arr = pa.array([f"A:{g}" for g in gkeys], pa.string())
+    norms_arr = pa.array(norms, pa.string())
+    ia1, ia2 = pa.array(i1), pa.array(i2)
+
+    def take(col: str, idx: pa.Array) -> pa.Array:
+        return profile_tbl.column(col).take(idx)
 
     tbl = pa.table(
         {
-            "a1": pa.array([f"A:{gkeys[i]}" for i in i1], pa.string()),
-            "a2": pa.array([f"A:{gkeys[i]}" for i in i2], pa.string()),
-            "alias1": take("alias", i1),
-            "alias2": take("alias", i2),
-            "surface1": take("surface", i1),
-            "surface2": take("surface", i2),
-            "ner1": take("ner_type", i1),
-            "ner2": take("ner_type", i2),
-            "block_key": pa.array(keys.tolist(), pa.string()),
+            "a1": node_arr.take(ia1),
+            "a2": node_arr.take(ia2),
+            "alias1": take("alias", ia1),
+            "alias2": take("alias", ia2),
+            "surface1": take("surface", ia1),
+            "surface2": take("surface", ia2),
+            "ner1": take("ner_type", ia1),
+            "ner2": take("ner_type", ia2),
+            "block_key": pa.array(keys, pa.string()),
             # pre-normalized + context columns: the scorer consumes these
             # directly (no per-pair re-normalization in the hot stage)
-            "n1": pa.array([norms[i] for i in i1], pa.string()),
-            "n2": pa.array([norms[i] for i in i2], pa.string()),
-            "s1n": take("surface_norm", i1),
-            "s2n": take("surface_norm", i2),
-            "ctx1": take("ctx_vec", i1),
-            "ctx2": take("ctx_vec", i2),
+            "n1": norms_arr.take(ia1),
+            "n2": norms_arr.take(ia2),
+            "s1n": take("surface_norm", ia1),
+            "s2n": take("surface_norm", ia2),
+            "ctx1": take("ctx_vec", ia1),
+            "ctx2": take("ctx_vec", ia2),
         }
     )
     return tbl.append_column(
@@ -553,7 +601,7 @@ def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
 
     from .linkdecide import link_group_keys_batch
 
-    kb = ray.get(kb_ref)
+    kb = _maybe_get(kb_ref)
     keys = t.column("group_key").to_pylist()
     rows = link_group_keys_batch(keys, kb)
     return pa.table({
@@ -573,7 +621,7 @@ def _finish_batch(t: pa.Table, map_ref) -> pa.Table:
     import numpy as np
     import ray
 
-    alias_map = ray.get(map_ref)
+    alias_map = _maybe_get(map_ref)
     dict_arr = pc.dictionary_encode(
         t.column("group_key").combine_chunks()
     )
@@ -610,6 +658,190 @@ class _Finisher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return _finish_batch(t, self._ref)
+
+
+def _boundary_rows_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:  # empty read splits yield schemaless blocks
+        return pa.table({})
+    return t.filter(pc.equal(t.column("boundary"), True))
+
+
+def _flag_convs_task(t: pa.Table, amb_aliases: list,
+                     patch_ref, sports: bool) -> list:
+    """Plain-task flag scan over one materialized mention block: apply
+    the boundary patch, then return the block's flagged conv_ids
+    (deduped — small). Receives only the ambiguous-alias LIST, not the
+    KB index — at real KB scale the index is GBs and this scan runs
+    once per block."""
+    from .overrides import flag_convs
+
+    if t.num_rows == 0:
+        return []
+    t = _patch_and_group(t, patch_ref=patch_ref)
+    out = flag_convs(t, amb_aliases, sports)
+    return sorted(set(out.column("conv_id").to_pylist()))
+
+
+def _subset_flagged_task(t: pa.Table, patch_ref, convs_ref) -> pa.Table:
+    import ray
+
+    from .overrides import subset_flagged
+
+    if t.num_rows == 0:
+        return pa.table({})
+    t = _patch_and_group(t, patch_ref=patch_ref)
+    return subset_flagged(t, pa.array(_maybe_get(convs_ref), pa.string()))
+
+
+def _resolve_overrides_task(chunk: pa.Table, kb_ref, sports: bool) -> pa.Table:
+    import ray
+
+    from .overrides import conv_overrides_block
+
+    return conv_overrides_block(chunk, _maybe_get(kb_ref), sports)
+
+
+def _find_overrides_tasks(raw, patch_ref, kb_ref, sports: bool) -> dict:
+    """Driver-plan override discovery as plain Ray tasks over the
+    materialized mention blocks — same two scans + per-conversation
+    resolution as el.overrides.context_override_rows, with zero Ray
+    Data executor startups. Returns the broadcast choice dict
+    {(alias_norm, conv_id): (kind, kb_id)} (driver-scale by the
+    rare-override assumption, same bound as the take_all it replaces)."""
+    import ray
+
+    from .overrides import SUBSET_COLUMNS, conv_aligned_chunks
+
+    refs = raw.to_arrow_refs()
+    amb_aliases = sorted(_maybe_get(kb_ref).ambiguous_aliases)
+    flag_rem = ray.remote(_flag_convs_task)
+    conv_lists = ray.get(
+        [flag_rem.remote(r, amb_aliases, patch_ref, sports) for r in refs])
+    convs = sorted(set().union(*(set(c) for c in conv_lists))) \
+        if conv_lists else []
+    if not convs:
+        return {}
+    convs_ref = ray.put(convs)
+    sub_rem = ray.remote(_subset_flagged_task)
+    subs = [t for t in ray.get(
+        [sub_rem.remote(r, patch_ref, convs_ref) for r in refs]
+    ) if t.num_rows]
+    if not subs:
+        return {}
+    tbl = pa.concat_tables([t.select(SUBSET_COLUMNS) for t in subs])
+    chunks = conv_aligned_chunks(tbl)
+    res_rem = ray.remote(_resolve_overrides_task)
+    parts = ray.get([res_rem.remote(c, kb_ref, sports) for c in chunks])
+    out: dict = {}
+    for p in parts:
+        for r in p.to_pylist():
+            out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
+    return out
+
+
+PARTIAL_PROFILE_COLUMNS = ["mention_id", "alias", "alias_norm", "surface",
+                           "ner_type", "context", "group_key"]
+
+
+def _partials_task(ctx_refs, *tbls: pa.Table) -> pa.Table:
+    """Per-bundle partial alias profile (the combiner) over one or more
+    materialized mention blocks. ``ctx_refs = (patch_ref, ov_ref)``:
+    the boundary patch + group-key attach run HERE (vectorized,
+    rare-row-only) instead of materializing a second full copy of the
+    mention table; refs arrive nested so they resolve in-task."""
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return pa.table({})
+    if ctx_refs is not None:
+        patch_ref, ov_ref = ctx_refs
+        tbls = [_patch_and_group(t, patch_ref=patch_ref, ov_ref=ov_ref)
+                for t in tbls]
+    cat = pa.concat_tables([t.select(PARTIAL_PROFILE_COLUMNS)
+                            for t in tbls])
+    out = _alias_profile_block(cat.to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _score_edges_slice(pairs_ref, off: int, ln: int) -> pa.Table:
+    """Score one zero-copy slice of the shared pairs table and keep only
+    merge edges (score >= cutoff) — the only rows that return."""
+    import ray
+
+    t = _maybe_get(pairs_ref).slice(off, ln)
+    s = score_pairs_batch(t)
+    return s.filter(
+        pc.greater_equal(s.column("score"), MERGE_CUTOFF)
+    ).select(["a1", "a2"])
+
+
+def _finish_with_meta(t: pa.Table, map_ref, ctx_refs=None):
+    """_finish_batch plus this block's (first, last) sink-order keys —
+    blocks under the fused conv-sorted plan are internally sorted, so
+    first/last rows ARE the key range. ``ctx_refs`` (patch_ref, ov_ref)
+    applies the boundary patch + group-key attach in-task (the fast
+    plan never materializes a patched copy of the mention table)."""
+    if t.num_rows == 0:
+        return pa.table({}), None
+    if ctx_refs is not None:
+        t = _patch_and_group(t, patch_ref=ctx_refs[0], ov_ref=ctx_refs[1])
+    out = _finish_batch(t, map_ref)
+    if out.num_rows == 0:
+        meta = None
+    else:
+        meta = (
+            out.column("conv_id")[0].as_py(),
+            out.column("turn_idx")[0].as_py(),
+            out.column("conv_id")[-1].as_py(),
+            out.column("turn_idx")[-1].as_py(),
+        )
+    return out, meta
+
+
+def _assemble_answers_tasks(mention_refs, map_ref, ctx_refs=None):
+    """Fast-plan answers assembly: the final attach runs as plain tasks
+    over the materialized mention blocks, and the sink ordering comes
+    from reordering BLOCKS by their (conv_id, turn_idx) ranges instead
+    of a sort exchange — valid because fused-plan blocks are internally
+    sorted with non-overlapping ranges (read blocks partition the
+    conv-sorted file). The range invariant is CHECKED; any violation
+    (e.g. the conv_id-exchange plan, whose blocks interleave) falls
+    back to Dataset.sort over the already-finished block refs, so
+    nothing is recomputed."""
+    import ray
+    import ray.data
+
+    fin_rem = ray.remote(num_returns=2)(_finish_with_meta)
+    out = [fin_rem.remote(r, map_ref, ctx_refs)
+           for r in mention_refs]
+    metas = ray.get([m for _, m in out])
+    blocks = [(m, tref) for (tref, _), m in zip(out, metas)
+              if m is not None]
+    blocks.sort(key=lambda x: (x[0][0], x[0][1]))
+    ordered = True
+    for (pm, _), (nm, _) in zip(blocks, blocks[1:]):
+        if (pm[2], pm[3]) > (nm[0], nm[1]):
+            ordered = False
+            break
+    refs = [tref for _, tref in blocks]
+    if not refs:
+        empty = pa.table({
+            "mention_id": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "surface": pa.array([], pa.string()),
+            "alias": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+            "kb_link": pa.array([], pa.string()),
+            "confidence": pa.array([], pa.float64()),
+        })
+        return ray.data.from_arrow(empty)
+    ds = ray.data.from_arrow_refs(refs)
+    if ordered:
+        return ds
+    # loud fallback: unexpected under the fused plan — keep correctness
+    print("[el.pipeline] block ranges overlap; falling back to sort "
+          "for the sink ordering")
+    return ds.sort(["conv_id", "turn_idx"])
 
 
 def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
@@ -988,8 +1220,9 @@ def run_linkage(
     # into one stateless map over the read (no conv_id hash exchange);
     # block-straddling conversations are patched via a tiny broadcast
     # map (O(2 x blocks) rows). The boundary patch and the group_key
-    # column are applied in the SAME later map, so the mention table is
-    # pinned exactly twice (raw + grouped), not three times.
+    # column are applied INSIDE each consuming task (vectorized,
+    # rare-row-only), so the raw mention table is the ONLY full
+    # object-store pin in the fast plan.
     # FALLBACK (conv_partitioned=False): arbitrarily-ordered input pays
     # the one conv_id exchange; equivalence is a pytest.
     from .kb import KBIndex
@@ -999,14 +1232,18 @@ def run_linkage(
     kb_ref = ray.put(kb_index)
 
     def compute_patch(raw) -> dict:
+        """Boundary-conversation re-resolution: plain tasks filter each
+        materialized block to its boundary rows (tiny), the driver
+        resolves them whole (O(2 x blocks) conversations)."""
         from .alias import resolve_block
 
-        btbl = collect(raw.map_batches(
-            lambda t: t.filter(pc.equal(t.column("boundary"), True)),
-            batch_format="pyarrow",
-        ))
-        if btbl.num_rows == 0:
+        rem = ray.remote(_boundary_rows_block)
+        tbls = [t for t in ray.get(
+            [rem.remote(r) for r in raw.to_arrow_refs()]) if t.num_rows]
+        if not tbls:
             return {}
+        btbl = pa.concat_tables(
+            [t.select(tbls[0].column_names) for t in tbls])
         resolved = resolve_block(
             btbl.drop_columns(["alias", "alias_norm", "boundary"]).to_pandas()
         )
@@ -1065,17 +1302,21 @@ def run_linkage(
     # fallback plan attaches them via a conv_id hash join instead, so
     # no corpus-proportional structure ever lives on the driver.
     if driver_path:
-        overrides = _timed("overrides", lambda: find_context_overrides(
-            aliased, kb_ref, sports=sports_classify,
-            num_partitions=num_partitions))
+        # fast plan: the two override scans + resolution run as plain
+        # tasks over the materialized blocks (no executor startups)
+        overrides = _timed("overrides", lambda: (
+            _find_overrides_tasks(raw, patch_ref, kb_ref, sports_classify)
+            if fast_fused else find_context_overrides(
+                aliased, kb_ref, sports=sports_classify,
+                num_partitions=num_partitions)))
         ov_ref = ray.put(overrides)
 
         if fast_fused:
-            grouped = raw.map_batches(
-                _patch_and_group,
-                fn_kwargs={"patch_ref": patch_ref, "ov_ref": ov_ref},
-                batch_format="pyarrow",
-            ).materialize()
+            # no second mention-table copy: the patch + group-key map
+            # runs INSIDE the profile and answers tasks (vectorized,
+            # rare-row-only) — the raw table is the only full pin
+            ctx_refs = (patch_ref, ov_ref)
+            mention_refs = raw.to_arrow_refs()
         else:
             grouped = aliased.map_batches(
                 _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
@@ -1094,25 +1335,46 @@ def run_linkage(
 
     if driver_path:
         # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
-        # collect -> vectorized driver merge + context finalize (no
+        # collect -> task-parallel merge + context finalize (no
         # exchange: the contracted profile is driver-scale by contract)
+        def build_profile_tasks() -> pa.Table:
+            # bundle count trades combiner effectiveness against task
+            # parallelism: hot aliases appear in EVERY bundle, so the
+            # partial-row count is ~bundles x distinct-aliases. Cap at
+            # ~32 bundles (bounds the duplicate factor); plain tasks
+            # over the materialized blocks, no executor startup.
+            import numpy as np
+
+            nb = max(1, min(32, len(mention_refs)))
+            rem = ray.remote(_partials_task)
+            parts = [
+                t for t in ray.get([
+                    rem.remote(ctx_refs, *(mention_refs[i] for i in b))
+                    for b in np.array_split(np.arange(len(mention_refs)),
+                                            nb)
+                    if len(b)
+                ]) if t.num_rows
+            ]
+            if not parts:
+                return pa.table({})
+            cols = parts[0].column_names
+            return _merge_profiles_fast(
+                pa.concat_tables([t.select(cols) for t in parts]))
+
         def build_profile():
-            # batch_size trades combiner effectiveness against task
-            # parallelism: hot aliases appear in EVERY batch, so the
-            # partial-row count is ~batches x distinct-aliases. Cap the
-            # batch count at ~32 (bounds the duplicate factor) with a
-            # 32k floor (keeps small runs parallel)
             bs = max(32768, -(-n_mentions // 32))
             partials = grouped.select_columns(
-                ["mention_id", "alias", "alias_norm", "surface", "ner_type",
-                 "context", "group_key"]
+                PARTIAL_PROFILE_COLUMNS
             ).map_batches(_alias_profile_block, batch_format="pandas",
                           batch_size=bs)
             return ray.data.from_arrow(_merge_profiles_fast(collect(partials)))
 
-        profile = _timed("alias_profile", lambda: ckpt.stage(
-            "alias_profile", {"input": tr_path}, build_profile))
-        profile_tbl = collect(profile)
+        if fast_fused:
+            profile_tbl = _timed("alias_profile", build_profile_tasks)
+        else:
+            profile = _timed("alias_profile", lambda: ckpt.stage(
+                "alias_profile", {"input": tr_path}, build_profile))
+            profile_tbl = collect(profile)
 
         # link decision: small contracted node sets link on the driver
         # (no Ray Data execution); larger ones use the task-based map
@@ -1132,6 +1394,19 @@ def run_linkage(
                 })
 
             links_tbl = _timed("links", links_local)
+        elif ckpt.root is None:
+            # task-based link fan-out over group_key chunks (no
+            # executor startup; the KB index resolves from shared
+            # memory per task)
+            def links_tasks() -> pa.Table:
+                chunks = _chunk_table(profile_tbl.select(["group_key"]),
+                                      1024)
+                rem = ray.remote(_link_batch)
+                parts = ray.get([rem.remote(c, kb_ref) for c in chunks])
+                cols = parts[0].column_names
+                return pa.concat_tables([t.select(cols) for t in parts])
+
+            links_tbl = _timed("links", links_tasks)
         else:
             def build_links():
                 src = profile_tbl.select(["group_key"])
@@ -1164,16 +1439,43 @@ def run_linkage(
             ).select(["a1", "a2"])
 
         if ckpt.root is None:
-            # fuse scoring into the edge collection: ONE execution for
-            # score + threshold + collect (scored has a single consumer)
-            edges_tbl = _timed("scored_pairs", lambda: collect(
-                build_scored().map_batches(edge_filter,
-                                           batch_format="pyarrow")))
+            # task-based scoring over zero-copy slices of the shared
+            # pairs table: score + threshold fused into each task, only
+            # merge edges return (no executor startup)
+            def scored_edges_tasks() -> pa.Table:
+                pairs_tbl = _pairs_from_profile(profile_tbl)
+                n = pairs_tbl.num_rows
+                if n == 0:
+                    return pairs_tbl.select(["a1", "a2"])
+                pairs_ref = ray.put(pairs_tbl)
+                rem = ray.remote(_score_edges_slice)
+                outs = ray.get([
+                    rem.remote(pairs_ref, o, batch_size)
+                    for o in range(0, n, batch_size)
+                ])
+                ne = [t for t in outs if t.num_rows]
+                if not ne:
+                    return pa.table({"a1": pa.array([], pa.string()),
+                                     "a2": pa.array([], pa.string())})
+                return pa.concat_tables(
+                    [t.select(["a1", "a2"]) for t in ne])
+
+            edges_tbl = _timed("scored_pairs", scored_edges_tasks)
         else:
             scored = _timed("scored_pairs", lambda: ckpt.stage(
                 "scored_pairs", {"input": tr_path}, build_scored))
             edges_tbl = collect(scored.map_batches(edge_filter,
                                                    batch_format="pyarrow"))
+
+        if fast_fused:
+            def build_answers_fast():
+                alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
+                                                    edges_tbl)
+                map_ref = ray.put(alias_map)
+                return _assemble_answers_tasks(mention_refs, map_ref,
+                                               ctx_refs)
+
+            return _timed("answers", build_answers_fast)
 
         def build_answers():
             alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
