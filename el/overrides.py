@@ -210,13 +210,17 @@ def conv_aligned_chunks(tbl: pa.Table, target: int = 20_000) -> list:
                         ("mention_id", "ascending")]
     )
     tbl = tbl.take(idx)
-    conv = np.asarray(tbl.column("conv_id").to_pylist(), dtype=object)
+    conv = tbl.column("conv_id").combine_chunks()
+    n = len(conv)
+    neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
     starts = np.concatenate(
-        ([0], np.flatnonzero(conv[1:] != conv[:-1]) + 1, [len(conv)])
+        ([0],
+         np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1,
+         [n])
     )
     chunks, lo = [], 0
     for b in starts[1:]:
-        if b - lo >= target or b == len(conv):
+        if b - lo >= target or b == n:
             if b > lo:
                 chunks.append(tbl.slice(lo, b - lo))
             lo = b

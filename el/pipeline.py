@@ -13,7 +13,7 @@ Ray shape (SURVEY.md §3.1): read_parquet(transcripts)
   -> [C: blocking keys + within-block distinct-node pairs (salted)]
   -> [D: pair scoring, DuckDB kernels + context cosine/veto]
   -> [F: KB-constrained components over the CONTRACTED graph]
-  -> [G: answers map_batches + sort(conv_id, turn_idx) + write_parquet]
+  -> [G: answers attach + (conv_id, turn_idx) sink order + write_parquet]
 
 Scale design. Every mention-scale operation is a stateless map or a
 single hash exchange; the clustering runs on the *contracted node
@@ -29,10 +29,15 @@ checkpoint per-partition Parquet with a lineage manifest
 
 Fixed-overhead discipline (the scaling criterion): each Ray Data
 execution costs ~1s of executor startup and each exchange ~3s of
-aggregator startup, so the default plan fuses single-consumer stages
-into their consumers, pins the mention table exactly twice, and fans
-driver-side work out as plain tasks over group-aligned chunks instead
-of paying exchanges.
+aggregator startup, so the default plan runs ONE Ray Data execution
+(the fused extract+canonicalize read, materialized) and expresses
+every later stage as plain Ray tasks over those block refs — override
+scans, profile partials/merge/finalize, link fan-out, pair scoring,
+final attach. The patched/group-keyed view is computed inside each
+consuming task (vectorized, rare-row-only), so the raw mention table
+is the only full object-store pin, and the sink ordering reorders
+internally-sorted blocks by key range instead of paying a sort
+exchange (checked invariant; loud Dataset.sort fallback).
 """
 
 from __future__ import annotations
@@ -353,13 +358,17 @@ def _group_aligned_chunks(tbl: pa.Table, key: str, target: int) -> list:
         return [tbl]
     idx = pc.sort_indices(tbl, sort_keys=[(key, "ascending")])
     tbl = tbl.take(idx)
-    arr = np.asarray(tbl.column(key).to_pylist(), dtype=object)
+    col = tbl.column(key).combine_chunks()
+    n = len(col)
+    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
     starts = np.concatenate(
-        ([0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [len(arr)])
+        ([0],
+         np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1,
+         [n])
     )
     chunks, lo = [], 0
     for b in starts[1:]:
-        if b - lo >= target or b == len(arr):
+        if b - lo >= target or b == n:
             if b > lo:
                 chunks.append(tbl.slice(lo, b - lo))
             lo = b
@@ -749,6 +758,11 @@ def _partials_task(ctx_refs, *tbls: pa.Table) -> pa.Table:
     the boundary patch + group-key attach run HERE (vectorized,
     rare-row-only) instead of materializing a second full copy of the
     mention table; refs arrive nested so they resolve in-task."""
+    from .scorer import _duck
+
+    _duck()  # pre-warm this worker's DuckDB connection: the scoring
+    # tasks later land on the same worker pool, and a cold connection
+    # there costs ~50ms x workers on the critical path
     tbls = [t for t in tbls if t.num_rows]
     if not tbls:
         return pa.table({})
