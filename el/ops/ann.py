@@ -294,3 +294,52 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
     from ..shuffle import group_map_pandas
 
     return group_map_pandas(bucketed, "bucket", bucket_pairs)
+
+
+def exact_cosine_pairs(emb_ds, threshold: float = 0.999):
+    """Exact all-pairs embedding-cosine near-duplicate pairs
+    (d1 < d2, sim >= threshold) — the brute-force BASELINE beside the
+    LSH-bucketed ``cosine_dup_pairs`` (same contract, approximate).
+
+    Shape: the full normalized (id, vector) matrix is broadcast ONCE
+    (ray.put, zero-copy numpy); each batch computes a batch x corpus
+    matmul and emits only the over-threshold pairs. Quadratic in corpus
+    size BY DESIGN — this is the correctness/oracle companion; use
+    cosine_dup_pairs when the corpus no longer fits one broadcast."""
+    import ray
+
+    mats, ids_parts = [], []
+    for ref in emb_ds.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        df = t.select(["vec_id", "embedding"]).to_pandas()
+        mats.append(_to_matrix(df["embedding"]))
+        ids_parts.append(df["vec_id"].to_numpy(dtype=np.int64))
+    if not mats:
+        import ray.data
+
+        return ray.data.from_items([])
+    X = np.concatenate(mats)
+    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+    ids_all = np.concatenate(ids_parts)
+    ref = ray.put((ids_all, Xn))
+
+    def batch_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids_a, Xn_a = ray.get(ref)
+        B = _to_matrix(df["embedding"])
+        Bn = B / np.clip(np.linalg.norm(B, axis=1, keepdims=True),
+                         1e-30, None)
+        sims = Bn @ Xn_a.T
+        ids_b = df["vec_id"].to_numpy(dtype=np.int64)
+        r, c = np.nonzero(sims >= threshold)
+        d1, d2, sv = ids_b[r], ids_a[c], sims[r, c]
+        keep = d1 < d2  # each unordered pair exactly once
+        return pd.DataFrame({"d1": d1[keep], "d2": d2[keep],
+                             "sim": sv[keep]})
+
+    return emb_ds.map_batches(batch_pairs, batch_format="pandas")

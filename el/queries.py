@@ -488,6 +488,29 @@ def q_embedding_dups(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.9999)
 
 
+def q_embedding_dups_exact(sf_dir: str):
+    """Exact (brute-force) embedding-cosine near-duplicate pairs over the
+    same planted-clone input as ``embedding_dups`` — the oracle-checkable
+    companion to the LSH-bucketed approximate path (DuckDB cross-join
+    oracle, same contract as ``ann_topk``)."""
+    from .ops.ann import exact_cosine_pairs
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["vec_id"] % 7 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        return pd.concat([df, c], ignore_index=True)
+
+    emb = _read(sf_dir, "embeddings").map_batches(clones, batch_format="pandas")
+    out = exact_cosine_pairs(emb, threshold=0.9999)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sim"] = _round_half_away(df["sim"], 5)
+        return df[["d1", "d2", "sim"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_el_benchmark_report(sf_dir: str):
     """End-to-end evaluation surface (Benchmarker.scala:94-148 analog):
     per-mention category counts (CORRECT / WRONG KB ID / EXP KB ID /
@@ -975,6 +998,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
             FROM r WHERE rank <= 10
         """,
+        "embedding_dups_exact": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 7 = 0
+            )
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   {_roundsql('list_cosine_similarity(a.e, b.e)', 5)} AS sim
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.9999
+        """,
         "events_hourly": f"""
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    count(*) AS n,
@@ -1028,6 +1065,7 @@ def queries():
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "segment_revenue": q_segment_revenue,

@@ -185,6 +185,31 @@ def test_embedding_dup_pairs(ray_session, emb_ds):
     assert len(exact_hits) == n_clones  # identical vectors share buckets
 
 
+def test_exact_cosine_pairs(ray_session, emb_ds):
+    """Brute-force exact pairs: finds every planted clone pair, each
+    unordered pair exactly once, and is a superset of the LSH path."""
+    from el.ops.ann import cosine_dup_pairs, exact_cosine_pairs
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["vec_id"] % 7 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        return pd.concat([df, c], ignore_index=True)
+
+    planted = emb_ds.map_batches(clones, batch_format="pandas")
+    exact = exact_cosine_pairs(planted, threshold=0.9999).to_pandas()
+    n_clones = emb_ds.count() // 7 + 1
+    clone_hits = {(r.d1, r.d2) for r in exact.itertuples()
+                  if r.d2 == r.d1 + 1_000_000}
+    assert len(clone_hits) == n_clones
+    assert (exact.d1 < exact.d2).all()
+    assert not exact.duplicated(["d1", "d2"]).any()
+    assert (exact.sim >= 0.9999).all()
+    approx = cosine_dup_pairs(planted, threshold=0.9999).to_pandas()
+    approx_set = {(r.d1, r.d2) for r in approx.itertuples()}
+    exact_set = {(r.d1, r.d2) for r in exact.itertuples()}
+    assert approx_set <= exact_set  # approximate path never invents pairs
+
+
 def test_textstats_batches():
     from el.ops.textstats import (
         lang_id_batch,
