@@ -52,14 +52,19 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    import zlib
+    """64-bit shingle hashes = last 8 md5 bytes, little-endian — chosen
+    because it is bit-equal to DuckDB's ``md5_number_lower``, which lets
+    the SQL oracle replay the exact MinHash signatures."""
+    import hashlib
 
     sh = word_shingles(text, k)
     if not sh:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(
-        np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
-    )
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+         for s in sh],
+        dtype=np.uint64,
+    ))
 
 
 class MinHasher:
@@ -210,6 +215,9 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
             s2 = word_shingles(dmap.get(key, ""), k)
             u = len(s1 | s2)
             j = len(s1 & s2) / u if u else 0.0
+            # half-away rounding (matches the DuckDB oracle's
+            # floor(x*1e6+.5)); threshold applies to the rounded value
+            j = float(np.floor(j * 1e6 + 0.5) / 1e6)
             if j >= threshold:
                 out.append((int(d1), int(d2), j, int(dp)))
         return pd.DataFrame(out, columns=["d1", "d2", "jaccard",
@@ -336,13 +344,18 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
 
 # --------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (weighted bit-vote)."""
-    import zlib
+    """64-bit SimHash over word tokens (weighted bit-vote, token
+    multiplicity counts). Token hash = last 8 md5 bytes little-endian,
+    bit-equal to DuckDB's ``md5_number_lower`` so the SQL oracle can
+    replay signatures exactly."""
+    import hashlib
 
     v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for tok in text.split():
-        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        h = np.uint64(int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[8:16], "little"))
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
         v += 2 * bits - 1
     out = 0
     for i in range(64):

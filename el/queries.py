@@ -792,6 +792,49 @@ def _doc_entities_sql(gm: str) -> str:
     """
 
 
+# Planted-near-dup corpus + word-3-gram shingles, shared by the
+# ngram_jaccard / minhash_dedup oracles (mirrors _planted_dups +
+# el.ops.dedup.word_shingles).
+_PLANTED_SHINGLES_CTE = """clones AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '), 1,
+                           greatest(len(string_split(text, ' ')) - 2, 0)),
+                           ' ') AS text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM clones
+            ),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                           )) AS s
+                    FROM toks WHERE len(tk) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(tk, ' ') AS s
+                    FROM toks
+                    WHERE len(tk) < 3 AND array_to_string(tk, ' ') != ''
+                )
+            )"""
+
+
+def _minhash_perms_values() -> str:
+    """The MinHasher's seeded universal-hash constants as SQL VALUES
+    rows (p, a, b) — embedding them as literals lets DuckDB replay the
+    exact signatures (the generator itself is not SQL-expressible)."""
+    from .ops.dedup import MinHasher
+
+    mh = MinHasher()
+    return ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
@@ -947,31 +990,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "ngram_jaccard": f"""
-            WITH clones AS (
-                SELECT doc_id + 1000000 AS doc_id,
-                       array_to_string(list_slice(string_split(text, ' '), 1,
-                           greatest(len(string_split(text, ' ')) - 2, 0)),
-                           ' ') AS text
-                FROM documents WHERE doc_id % 5 = 0
-            ),
-            docs AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id, text FROM clones
-            ),
-            toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
-            sh AS (
-                SELECT DISTINCT doc_id, s FROM (
-                    SELECT doc_id,
-                           unnest(list_transform(range(len(tk) - 2),
-                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
-                           )) AS s
-                    FROM toks WHERE len(tk) >= 3
-                    UNION ALL
-                    SELECT doc_id, array_to_string(tk, ' ') AS s
-                    FROM toks
-                    WHERE len(tk) < 3 AND array_to_string(tk, ' ') != ''
-                )
-            ),
+            WITH {_PLANTED_SHINGLES_CTE},
             co AS (
                 SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS co
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -984,6 +1003,87 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON co.d1 = s1.doc_id
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
+        """,
+        "minhash_dedup": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            hs AS (
+                SELECT DISTINCT doc_id,
+                       md5_number_lower(s)::HUGEINT AS h
+                FROM sh
+            ),
+            perms AS (SELECT * FROM (VALUES {_minhash_perms_values()})
+                      AS t(p, a, b)),
+            -- ((a*h mod 2^64) + b) mod 2^64 mod M: replays numpy's
+            -- wrapping uint64 universal hash bit-for-bit (HUGEINT holds
+            -- the 125-bit product)
+            vals AS (
+                SELECT doc_id, p,
+                       min((((a * h) % 18446744073709551616 + b)
+                            % 18446744073709551616)
+                           % 2305843009213693951) AS v
+                FROM hs CROSS JOIN perms
+                GROUP BY doc_id, p
+            ),
+            bands AS (
+                SELECT doc_id, p // 4 AS band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey
+                FROM vals GROUP BY doc_id, p // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                            AND a.doc_id < b.doc_id
+            ),
+            co AS (
+                SELECT c.d1, c.d2, count(*) AS co
+                FROM cand c
+                JOIN sh s1 ON s1.doc_id = c.d1
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            SELECT co.d1, co.d2,
+                   {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} AS jaccard,
+                   CAST(0 AS BIGINT) AS dropped_pairs
+            FROM co
+            JOIN sizes s1 ON co.d1 = s1.doc_id
+            JOIN sizes s2 ON co.d2 = s2.doc_id
+            WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.8
+        """,
+        "simhash_dedup": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM docs),
+            th AS (SELECT doc_id, md5_number_lower(tok)::UBIGINT AS h
+                   FROM tok WHERE tok != ''),
+            -- weighted bit-vote per (doc, bit): token multiplicity counts
+            bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) g
+                GROUP BY doc_id, i
+            ),
+            sig0 AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY i) AS s
+                FROM bits GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT d.doc_id, COALESCE(s0.s, repeat('0', 64)) AS s
+                FROM (SELECT DISTINCT doc_id FROM docs) d
+                LEFT JOIN sig0 s0 USING (doc_id)
+            )
+            -- all-pairs hamming: exact, because the Python path's
+            -- 4-block pigeonhole bucketing has 100% recall at
+            -- max_hamming=3 and the 200-doc bucket cap is never hit at
+            -- this scale (dropped_pairs is 0 on every emitted row)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(hamming(a.s, b.s) AS BIGINT) AS hamming,
+                   CAST(0 AS BIGINT) AS dropped_pairs
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE hamming(a.s, b.s) <= 3
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
