@@ -57,6 +57,10 @@ from .mentions import extract_mentions
 from .scorer import MERGE_CUTOFF, PairScorer, score_pairs_batch
 from .shuffle import group_blocks, group_map
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
 
 
@@ -776,6 +780,23 @@ def _partials_task(ctx_refs, *tbls: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _launch_partial_refs(mention_refs, ctx_refs):
+    """Launch the per-bundle combiner tasks and return their ObjectRefs
+    WITHOUT pulling any table to the driver — callers first probe
+    ``sum(num_rows)`` (the quantity the driver plan actually
+    materializes) and only collect if it fits the driver guard."""
+    import numpy as np
+    import ray
+
+    nb = max(1, min(32, len(mention_refs)))
+    rem = ray.remote(_partials_task)
+    return [
+        rem.remote(ctx_refs, *(mention_refs[i] for i in b))
+        for b in np.array_split(np.arange(len(mention_refs)), nb)
+        if len(b)
+    ]
+
+
 def _score_edges_slice(pairs_ref, off: int, ln: int) -> pa.Table:
     """Score one zero-copy slice of the shared pairs table and keep only
     merge edges (score >= cutoff) — the only rows that return."""
@@ -1306,7 +1327,35 @@ def run_linkage(
             build_aliased,
         ))
         n_mentions = aliased.count()
+    # Tier-1 guard: mention count (cheap, conservative). Tier-2 (fast
+    # plan only): the driver plan never materializes the mention table —
+    # it collects the CONTRACTED alias profile — so when tier 1 trips,
+    # probe the real quantity: launch the combiner tasks (needed by the
+    # driver plan anyway), sum their row counts without pulling a byte
+    # to the driver, and reclaim the fast plan when the contraction is
+    # strong. Only a corpus whose contracted profile itself exceeds the
+    # guard pays the distributed fallback.
     driver_path = n_mentions <= driver_cc_max_nodes
+    probe_partial_refs = probe_ov_ref = None
+    if fast_fused and not driver_path:
+        overrides = _timed("overrides", lambda: _find_overrides_tasks(
+            raw, patch_ref, kb_ref, sports_classify))
+        probe_ov_ref = ray.put(overrides)
+        probe_partial_refs = _launch_partial_refs(
+            raw.to_arrow_refs(), (patch_ref, probe_ov_ref))
+        nrows_rem = ray.remote(lambda t: t.num_rows)
+        n_partial_rows = sum(ray.get(
+            [nrows_rem.remote(r) for r in probe_partial_refs]))
+        if n_partial_rows <= driver_cc_max_nodes:
+            driver_path = True
+        else:
+            # combiner probe is discarded; the fallback recomputes its
+            # profile via the exchange plan (rare by construction)
+            probe_partial_refs = probe_ov_ref = None
+            logger.info(
+                "driver-guard probe: %d partial profile rows > %d — "
+                "using the distributed fallback plan",
+                n_partial_rows, driver_cc_max_nodes)
 
     # [B2] per-document context overrides (doc-sim ambiguity resolution,
     # NE overlap, sports sense — el.overrides) -> contraction group_key.
@@ -1317,13 +1366,18 @@ def run_linkage(
     # no corpus-proportional structure ever lives on the driver.
     if driver_path:
         # fast plan: the two override scans + resolution run as plain
-        # tasks over the materialized blocks (no executor startups)
-        overrides = _timed("overrides", lambda: (
-            _find_overrides_tasks(raw, patch_ref, kb_ref, sports_classify)
-            if fast_fused else find_context_overrides(
-                aliased, kb_ref, sports=sports_classify,
-                num_partitions=num_partitions)))
-        ov_ref = ray.put(overrides)
+        # tasks over the materialized blocks (no executor startups).
+        # A tier-2 probe already paid for overrides — reuse its ref.
+        if probe_ov_ref is not None:
+            ov_ref = probe_ov_ref
+        else:
+            overrides = _timed("overrides", lambda: (
+                _find_overrides_tasks(raw, patch_ref, kb_ref,
+                                      sports_classify)
+                if fast_fused else find_context_overrides(
+                    aliased, kb_ref, sports=sports_classify,
+                    num_partitions=num_partitions)))
+            ov_ref = ray.put(overrides)
 
         if fast_fused:
             # no second mention-table copy: the patch + group-key map
@@ -1344,8 +1398,8 @@ def run_linkage(
         ov_rows = _timed("overrides", lambda: context_override_rows(
             aliased, kb_ref, sports=sports_classify,
             num_partitions=num_partitions))
-        grouped = _attach_group_key_join(
-            aliased, ov_rows, num_partitions).materialize()
+        grouped = _timed("group_attach", lambda: _attach_group_key_join(
+            aliased, ov_rows, num_partitions).materialize())
 
     if driver_path:
         # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
@@ -1356,19 +1410,11 @@ def run_linkage(
             # parallelism: hot aliases appear in EVERY bundle, so the
             # partial-row count is ~bundles x distinct-aliases. Cap at
             # ~32 bundles (bounds the duplicate factor); plain tasks
-            # over the materialized blocks, no executor startup.
-            import numpy as np
-
-            nb = max(1, min(32, len(mention_refs)))
-            rem = ray.remote(_partials_task)
-            parts = [
-                t for t in ray.get([
-                    rem.remote(ctx_refs, *(mention_refs[i] for i in b))
-                    for b in np.array_split(np.arange(len(mention_refs)),
-                                            nb)
-                    if len(b)
-                ]) if t.num_rows
-            ]
+            # over the materialized blocks, no executor startup. A
+            # tier-2 probe already ran the combiner — reuse its refs.
+            refs = (probe_partial_refs if probe_partial_refs is not None
+                    else _launch_partial_refs(mention_refs, ctx_refs))
+            parts = [t for t in ray.get(refs) if t.num_rows]
             if not parts:
                 return pa.table({})
             cols = parts[0].column_names
@@ -1514,7 +1560,7 @@ def run_linkage(
             "answers", {"input": tr_path, "kb": kb_path}, build_answers))
 
     # ----------------------------------------------- distributed fallback
-    profile = ckpt.stage(
+    profile = _timed("alias_profile", lambda: ckpt.stage(
         "alias_profile", {"input": tr_path},
         lambda: _finalize_profile_distributed(
             group_blocks(
@@ -1526,9 +1572,9 @@ def run_linkage(
             ),
             num_partitions,
         ),
-    )
+    ).materialize())
 
-    links = ckpt.stage(
+    links = _timed("links", lambda: ckpt.stage(
         "links", {"input": tr_path, "kb": kb_path},
         lambda: profile.map_batches(
             CandidateLinker,
@@ -1538,7 +1584,7 @@ def run_linkage(
             concurrency=concurrency,
             num_cpus=0.5,
         ).select_columns(["group_key", "kb_id", "link_score", "link_conf"]),
-    )
+    ).materialize())
 
     def build_scored():
         keys = profile.map_batches(
@@ -1557,7 +1603,8 @@ def run_linkage(
             num_cpus=0.5,
         )
 
-    scored = ckpt.stage("scored_pairs", {"input": tr_path}, build_scored)
+    scored = _timed("scored_pairs", lambda: ckpt.stage(
+        "scored_pairs", {"input": tr_path}, build_scored).materialize())
 
     def build_answers():
         edges = scored.map_batches(
@@ -1630,8 +1677,8 @@ def run_linkage(
                                 num_partitions=num_partitions)
         return finished.sort(["conv_id", "turn_idx"])
 
-    return ckpt.stage("answers", {"input": tr_path, "kb": kb_path},
-                      build_answers)
+    return _timed("answers", lambda: ckpt.stage(
+        "answers", {"input": tr_path, "kb": kb_path}, build_answers))
 
 
 def main(argv=None):

@@ -63,6 +63,25 @@ def test_distributed_cc_path_matches_driver(ray_session, t1_fixture, t1_answers)
     assert a == b
 
 
+def test_tier2_probe_reclaims_driver_plan(ray_session, t1_fixture,
+                                          t1_answers):
+    """When the mention count trips the guard but the CONTRACTED
+    profile (what the driver plan actually materializes) fits, the
+    tier-2 combiner probe must reclaim the fast driver plan — same
+    answers, and no fallback-only stage in the timings."""
+    import pyarrow.parquet as pq
+    import os
+
+    n_mentions = len(t1_answers)
+    timings: dict = {}
+    df2 = run_linkage(t1_fixture, driver_cc_max_nodes=n_mentions - 1,
+                      timings=timings).to_pandas()
+    assert "group_attach" not in timings  # fallback marker absent
+    a = t1_answers.sort_values("mention_id").reset_index(drop=True)
+    b = df2.sort_values("mention_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_twins_split_only_by_context(t1_answers, t1_fixture):
     """Fixture v9 plants twin entities whose canonical names sit ABOVE
     the string-only merge region (jw >= 0.95) — they must still come out
