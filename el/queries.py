@@ -457,12 +457,23 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-10 (recall vs brute force is asserted
-    in pytest; rows-only driver check)."""
+    """LSH-bucketed approximate top-10. Oracle-checked: the seeded
+    hyperplanes are embedded as literals in the SQL, which replays the
+    signature/probe/top-k logic exactly (bit signs are scale-invariant,
+    so the oracle skips the normalization)."""
     from .ops.ann import lsh_topk
 
     Q = _query_matrix(sf_dir)
-    return lsh_topk(_read(sf_dir, "embeddings"), Q, k=10)
+    out = lsh_topk(_read(sf_dir, "embeddings"), Q, k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_id"] = df["q_id"].astype("int64")
+        df["sim"] = _round_half_away(df["sim"], 5)
+        df["rank"] = df["rank"].astype("int64")
+        return df[["q_id", "vec_id", "sim", "rank"]]
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def q_ann_ivf(sf_dir: str):
@@ -822,6 +833,17 @@ _PLANTED_SHINGLES_CTE = """clones AS (
             )"""
 
 
+def _lsh_planes_values(nbits: int = 12, dim: int = 64, seed: int = 5) -> str:
+    """The lsh_topk hyperplanes (seeded PCG64 standard normals) as SQL
+    VALUES rows (i, plane-list literal); repr round-trips float64."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((nbits, dim))
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(planes)
+    )
+
+
 def _minhash_perms_values() -> str:
     """The MinHasher's seeded universal-hash constants as SQL VALUES
     rows (p, a, b) — embedding them as literals lets DuckDB replay the
@@ -1095,6 +1117,37 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY q_id
                                             ORDER BY sim DESC, vec_id) AS rank
                   FROM s)
+            SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
+            FROM r WHERE rank <= 10
+        """,
+        "ann_lsh": f"""
+            WITH planes AS (SELECT * FROM (VALUES {_lsh_planes_values()})
+                            AS t(i, p)),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+            sig AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN list_dot_product(e, p) > 0
+                                     THEN 1 << i ELSE 0 END) AS BIGINT) AS s
+                FROM emb CROSS JOIN planes GROUP BY vec_id
+            ),
+            q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
+            qs AS (SELECT vec_id AS q_id, s AS qsig FROM sig
+                   WHERE vec_id < 3),
+            cand AS (
+                SELECT qs.q_id, xs.vec_id,
+                       list_cosine_similarity(q.qe, x.e) AS sim
+                FROM qs
+                JOIN q ON q.q_id = qs.q_id
+                JOIN sig xs ON bit_count(xor(xs.s, qs.qsig)) <= 3
+                JOIN emb x ON x.vec_id = xs.vec_id
+            ),
+            r AS (
+                SELECT q_id, vec_id, sim,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM cand
+            )
             SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
             FROM r WHERE rank <= 10
         """,
