@@ -508,12 +508,12 @@ def _finalize_profile_distributed(profile_ds, num_partitions: int):
     return profile_ds.map_batches(attach, batch_format="pyarrow")
 
 
-def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
-    """Driver-side blocking + pair generation over the distinct-alias
-    profile (small by contract): same key functions and per-block
-    salting/caps as the distributed path, plus cross-block pair dedup.
-    Vectorized: index pairs per block via numpy triu, one take() at the
-    end instead of building millions of Python tuples."""
+def _pair_indices_from_profile(profile_tbl: pa.Table):
+    """Blocking + pair-index generation over the distinct-alias profile
+    (alias-scale python + pair-scale numpy — cheap on the driver): same
+    key functions and per-block salting/caps as the distributed path,
+    plus cross-block dedup. Returns (i1, i2, keys, dropped): row-index
+    pairs into the profile, per-pair block key, dropped-pair count."""
     import numpy as np
 
     from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
@@ -555,11 +555,8 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
             key_parts.append(k)
             key_counts.append(len(r))
     if not i1_parts:
-        names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
-                 "ner1", "ner2", "block_key", "n1", "n2", "s1n", "s2n",
-                 "ctx1", "ctx2"]
-        tbl = pa.table({n: pa.array([], pa.string()) for n in names})
-        return tbl.append_column("dropped_pairs", pa.array([], pa.int64()))
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, np.array([], dtype=object), dropped
     i1 = np.concatenate(i1_parts)
     i2 = np.concatenate(i2_parts)
     keys = np.repeat(np.array(key_parts, dtype=object), key_counts)
@@ -568,11 +565,26 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
     pair_ids = i1.astype(np.int64) * len(gkeys) + i2
     _, first = np.unique(pair_ids, return_index=True)
     first.sort()
-    i1, i2, keys = i1[first], i2[first], keys[first]
+    return i1[first], i2[first], keys[first], dropped
 
-    # per-PAIR columns are pure take()s over per-ALIAS arrays (a python
-    # loop here runs over millions of pairs; the alias-scale prep is
-    # thousands) — measured 5.6s -> <1s at 800k pairs
+
+def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
+    """Driver-side pair TABLE build over the profile (checkpoint-plan
+    form; the fast plan ships index slices to tasks instead —
+    _score_edges_idx_slice). Vectorized: per-pair columns are pure
+    take()s over per-alias arrays — measured 5.6s -> <1s at 800k
+    pairs."""
+    import numpy as np
+
+    i1, i2, keys, dropped = _pair_indices_from_profile(profile_tbl)
+    gkeys = profile_tbl.column("group_key").to_pylist()
+    norms = profile_tbl.column("alias_norm").to_pylist()
+    if len(i1) == 0:
+        names = ["a1", "a2", "alias1", "alias2", "surface1", "surface2",
+                 "ner1", "ner2", "block_key", "n1", "n2", "s1n", "s2n",
+                 "ctx1", "ctx2"]
+        tbl = pa.table({n: pa.array([], pa.string()) for n in names})
+        return tbl.append_column("dropped_pairs", pa.array([], pa.int64()))
     node_arr = pa.array([f"A:{g}" for g in gkeys], pa.string())
     norms_arr = pa.array(norms, pa.string())
     ia1, ia2 = pa.array(i1), pa.array(i2)
@@ -604,6 +616,34 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
     return tbl.append_column(
         "dropped_pairs", pa.array([dropped] * len(tbl), pa.int64())
     )
+
+
+def _score_edges_idx_slice(profile_ref, i1, i2) -> pa.Table:
+    """Build ONE pair slice in-task from the shared profile (take()s
+    over alias-scale arrays — the per-pair work never touches the
+    driver), score it, and return only the merge edges. Emits just the
+    columns the scorer consumes (prenorm + context + node ids)."""
+    prof = _maybe_get(profile_ref)
+    ia1, ia2 = pa.array(i1), pa.array(i2)
+    gk = prof.column("group_key")
+    node1 = pc.binary_join_element_wise(
+        pa.array(["A:"] * len(i1)), gk.take(ia1).combine_chunks(), "")
+    node2 = pc.binary_join_element_wise(
+        pa.array(["A:"] * len(i2)), gk.take(ia2).combine_chunks(), "")
+    t = pa.table({
+        "a1": node1,
+        "a2": node2,
+        "n1": prof.column("alias_norm").take(ia1),
+        "n2": prof.column("alias_norm").take(ia2),
+        "s1n": prof.column("surface_norm").take(ia1),
+        "s2n": prof.column("surface_norm").take(ia2),
+        "ctx1": prof.column("ctx_vec").take(ia1),
+        "ctx2": prof.column("ctx_vec").take(ia2),
+    })
+    s = score_pairs_batch(t)
+    return s.filter(
+        pc.greater_equal(s.column("score"), MERGE_CUTOFF)
+    ).select(["a1", "a2"])
 
 
 def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
@@ -1289,6 +1329,23 @@ def run_linkage(
     if fast_fused:
         src = ray.data.read_parquet(
             tr_path, columns=["conv_id", "turn_idx", "text"])
+        # Coarse-input re-block: a corpus delivered as few large files
+        # (one row group each) caps the fused read+extract at one task
+        # per file — at 64 files / 32 CPUs that is 2 waves and a
+        # straggler-bound 1.45x speedup (measured; 3.8x after
+        # re-blocking). When file-level parallelism is scarce relative
+        # to the cluster, materialize the narrow 3-column read first
+        # (~2s) so the extract map runs over target-size blocks. Blocks
+        # stay intra-sorted; conversations straddling the extra block
+        # cuts are re-resolved by the boundary patch as usual.
+        try:
+            n_read_tasks = (len([f for f in os.listdir(tr_path)
+                                 if f.endswith(".parquet")])
+                            if os.path.isdir(tr_path) else 1)
+        except OSError:
+            n_read_tasks = 1
+        if n_read_tasks < 4 * cpus:
+            src = src.materialize()
         raw = _timed("aliased", lambda: src.map_batches(
             _extract_canonicalize_fused, batch_format="pyarrow",
             batch_size=None).materialize())
@@ -1344,8 +1401,8 @@ def run_linkage(
         probe_partial_refs = _launch_partial_refs(
             raw.to_arrow_refs(), (patch_ref, probe_ov_ref))
         nrows_rem = ray.remote(lambda t: t.num_rows)
-        n_partial_rows = sum(ray.get(
-            [nrows_rem.remote(r) for r in probe_partial_refs]))
+        n_partial_rows = _timed("profile_probe", lambda: sum(ray.get(
+            [nrows_rem.remote(r) for r in probe_partial_refs])))
         if n_partial_rows <= driver_cc_max_nodes:
             driver_path = True
         else:
@@ -1503,14 +1560,22 @@ def run_linkage(
             # pairs table: score + threshold fused into each task, only
             # merge edges return (no executor startup)
             def scored_edges_tasks() -> pa.Table:
-                pairs_tbl = _pairs_from_profile(profile_tbl)
-                n = pairs_tbl.num_rows
+                # driver does only alias-scale blocking + pair-scale
+                # numpy; the per-pair table build AND scoring run in
+                # tasks over index slices of the shared profile
+                i1, i2, _keys, _dropped = _timed(
+                    "pair_gen",
+                    lambda: _pair_indices_from_profile(profile_tbl))
+                n = len(i1)
                 if n == 0:
-                    return pairs_tbl.select(["a1", "a2"])
-                pairs_ref = ray.put(pairs_tbl)
-                rem = ray.remote(_score_edges_slice)
+                    return pa.table({"a1": pa.array([], pa.string()),
+                                     "a2": pa.array([], pa.string())})
+                prof_ref = ray.put(profile_tbl.select(
+                    ["group_key", "alias_norm", "surface_norm", "ctx_vec"]))
+                rem = ray.remote(_score_edges_idx_slice)
                 outs = ray.get([
-                    rem.remote(pairs_ref, o, batch_size)
+                    rem.remote(prof_ref, i1[o:o + batch_size],
+                               i2[o:o + batch_size])
                     for o in range(0, n, batch_size)
                 ])
                 ne = [t for t in outs if t.num_rows]

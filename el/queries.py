@@ -496,7 +496,14 @@ def q_embedding_dups(sf_dir: str):
         return pd.concat([df, c], ignore_index=True)
 
     emb = _read(sf_dir, "embeddings").map_batches(clones, batch_format="pandas")
-    return cosine_dup_pairs(emb, threshold=0.9999)
+    out = cosine_dup_pairs(emb, threshold=0.9999)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sim"] = _round_half_away(df["sim"], 5)
+        return df[["d1", "d2", "sim", "dropped_pairs"]]
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def q_embedding_dups_exact(sf_dir: str):
@@ -1150,6 +1157,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
             FROM r WHERE rank <= 10
+        """,
+        "embedding_dups": f"""
+            WITH planes AS (SELECT * FROM
+                            (VALUES {_lsh_planes_values(10, 64, 5)})
+                            AS t(i, p)),
+            emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 7 = 0
+            ),
+            sig AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN list_dot_product(e, p) > 0
+                                     THEN 1 << i ELSE 0 END) AS BIGINT) AS s
+                FROM emb CROSS JOIN planes GROUP BY vec_id
+            )
+            -- in-bucket exact cosine; the 500-per-bucket cap never
+            -- trips at this scale, so dropped_pairs is 0 on every row
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   {_roundsql('list_cosine_similarity(ea.e, eb.e)', 5)}
+                       AS sim,
+                   CAST(0 AS BIGINT) AS dropped_pairs
+            FROM sig a
+            JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+            JOIN emb ea ON ea.vec_id = a.vec_id
+            JOIN emb eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9999
         """,
         "embedding_dups_exact": f"""
             WITH emb AS (
