@@ -210,6 +210,57 @@ def test_exact_cosine_pairs(ray_session, emb_ds):
     assert approx_set <= exact_set  # approximate path never invents pairs
 
 
+def test_md5_hash_matches_duckdb_oracle_kernel():
+    """The minhash/simhash oracles replay signatures in SQL, which is
+    only sound if the Python token hash is bit-equal to DuckDB's
+    md5_number_lower on ARBITRARY text — property-checked here."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def check(s):
+        py = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                            "little")
+        db = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+        assert py == int(db)
+
+    check()
+
+
+def test_universal_hash_matches_hugeint_emulation():
+    """numpy's wrapping uint64 (a*h+b) % M vs the oracle's HUGEINT
+    ((a*h mod 2^64)+b mod 2^64) % M — must agree for any h."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ops.dedup import MinHasher, _MERSENNE
+
+    mh = MinHasher()
+    a, b = int(mh.a[0]), int(mh.b[0])
+    con = duckdb.connect()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    def check(h):
+        py = int((np.uint64(a) * np.uint64(h) + np.uint64(b))
+                 % np.uint64(_MERSENNE))
+        db = con.execute(
+            f"SELECT ((({a}::HUGEINT * {h}::HUGEINT)"
+            f" % 18446744073709551616 + {b}::HUGEINT)"
+            f" % 18446744073709551616) % {_MERSENNE}"
+        ).fetchone()[0]
+        assert py == int(db), (h, py, db)
+
+    check()
+
+
 def test_textstats_batches():
     from el.ops.textstats import (
         lang_id_batch,
