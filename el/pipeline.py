@@ -508,12 +508,16 @@ def _finalize_profile_distributed(profile_ds, num_partitions: int):
     return profile_ds.map_batches(attach, batch_format="pyarrow")
 
 
-def _pair_indices_from_profile(profile_tbl: pa.Table):
+def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True):
     """Blocking + pair-index generation over the distinct-alias profile
     (alias-scale python + pair-scale numpy — cheap on the driver): same
     key functions and per-block salting/caps as the distributed path,
     plus cross-block dedup. Returns (i1, i2, keys, dropped): row-index
-    pairs into the profile, per-pair block key, dropped-pair count."""
+    pairs into the profile, per-pair block key, dropped-pair count.
+    ``with_keys=False`` skips the per-pair block-key array (the scoring
+    path never reads it; the object-dtype repeat + first-occurrence
+    dedup it forces is ~half the cost at 800k pairs) and dedups by
+    sorted pair id instead."""
     import numpy as np
 
     from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
@@ -559,10 +563,13 @@ def _pair_indices_from_profile(profile_tbl: pa.Table):
         return empty, empty, np.array([], dtype=object), dropped
     i1 = np.concatenate(i1_parts)
     i2 = np.concatenate(i2_parts)
-    keys = np.repeat(np.array(key_parts, dtype=object), key_counts)
     # cross-block dedup on (i1, i2) — indices are group_key-sorted so
     # i1 < i2 in node order
     pair_ids = i1.astype(np.int64) * len(gkeys) + i2
+    if not with_keys:
+        ids = np.unique(pair_ids)  # sorted distinct pair ids
+        return ids // len(gkeys), ids % len(gkeys), None, dropped
+    keys = np.repeat(np.array(key_parts, dtype=object), key_counts)
     _, first = np.unique(pair_ids, return_index=True)
     first.sort()
     return i1[first], i2[first], keys[first], dropped
@@ -1565,7 +1572,8 @@ def run_linkage(
                 # tasks over index slices of the shared profile
                 i1, i2, _keys, _dropped = _timed(
                     "pair_gen",
-                    lambda: _pair_indices_from_profile(profile_tbl))
+                    lambda: _pair_indices_from_profile(profile_tbl,
+                                                       with_keys=False))
                 n = len(i1)
                 if n == 0:
                     return pa.table({"a1": pa.array([], pa.string()),
