@@ -844,18 +844,6 @@ def _launch_partial_refs(mention_refs, ctx_refs):
     ]
 
 
-def _score_edges_slice(pairs_ref, off: int, ln: int) -> pa.Table:
-    """Score one zero-copy slice of the shared pairs table and keep only
-    merge edges (score >= cutoff) — the only rows that return."""
-    import ray
-
-    t = _maybe_get(pairs_ref).slice(off, ln)
-    s = score_pairs_batch(t)
-    return s.filter(
-        pc.greater_equal(s.column("score"), MERGE_CUTOFF)
-    ).select(["a1", "a2"])
-
-
 def _finish_with_meta(t: pa.Table, map_ref, ctx_refs=None):
     """_finish_batch plus this block's (first, last) sink-order keys —
     blocks under the fused conv-sorted plan are internally sorted, so
