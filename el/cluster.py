@@ -233,6 +233,113 @@ def gather_min(ds, key: str, value: str, num_partitions: int | None = None):
                         num_partitions=num_partitions)
 
 
+def _tag_edges(t: pa.Table) -> pa.Table:
+    """Undirected (key, dst, label='') rows — both directions of each
+    edge, so min-label messages flow both ways."""
+    n = len(t)
+    if n == 0:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    empty = pa.array([""] * (2 * n), pa.string())
+    return pa.table({
+        "key": pa.concat_arrays(
+            [t.column("src").combine_chunks().cast(pa.string()),
+             t.column("dst").combine_chunks().cast(pa.string())]),
+        "dst": pa.concat_arrays(
+            [t.column("dst").combine_chunks().cast(pa.string()),
+             t.column("src").combine_chunks().cast(pa.string())]),
+        "label": empty,
+    })
+
+
+def _scatter_task(und: pa.Table, lab: pa.Table, n: int):
+    """One partition's scatter round: min label per key -> messages to
+    self + neighbors, split by destination partition (num_returns=n)."""
+    import pandas as pd
+
+    from .shuffle import _partition_one
+
+    lab_rows = pa.table({
+        "key": lab.column("node"),
+        "dst": pa.array([""] * len(lab), pa.string()),
+        "label": lab.column("label"),
+    }) if lab.num_rows else None
+    parts = [t for t in (und, lab_rows) if t is not None and t.num_rows]
+    if not parts:
+        empty = pa.table({"node": pa.array([], pa.string()),
+                          "label": pa.array([], pa.string())})
+        return tuple(empty for _ in range(n)) if n > 1 else empty
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()
+    out = _scatter_block(df)
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    return _partition_one(tbl, ["node"], n)
+
+
+def _gather_task(old_lab: pa.Table, *msg_tbls):
+    """One partition's gather round: min label per node + changed flag
+    vs the previous labels (same partitioning, so comparable
+    locally)."""
+    import pandas as pd
+
+    tbls = [t for t in msg_tbls if t is not None and t.num_rows]
+    if not tbls:
+        return old_lab, False
+    cat = pa.concat_tables(
+        [t.select(["node", "label"]) for t in tbls]).to_pandas()
+    new = cat.groupby("node", as_index=False)["label"].min() \
+             .sort_values("node").reset_index(drop=True)
+    # an empty partition may arrive schema-less through the identity
+    # partitioning fn — normalize before comparing
+    old = (old_lab.to_pandas().sort_values("node").reset_index(drop=True)
+           if old_lab.num_rows else
+           pd.DataFrame({"node": pd.Series(dtype=str),
+                         "label": pd.Series(dtype=str)}))
+    changed = not (len(old) == len(new)
+                   and old["node"].equals(new["node"])
+                   and old["label"].equals(new["label"]))
+    return pa.Table.from_pandas(new, preserve_index=False), changed
+
+
+def label_propagation_tasks(edge_refs, label_refs,
+                            num_partitions: int = 8,
+                            max_iters: int = 20):
+    """Min-label propagation as a PLAIN-TASK shuffle loop: the
+    undirected edge set is hash-partitioned ONCE; each round is P
+    scatter tasks (messages split by destination partition in-task) +
+    P gather tasks, converging when no partition's labels move. Zero
+    Ray Data executions inside the loop — the Dataset form
+    (label_propagation) pays two aggregator-fleet exchanges PER
+    ITERATION, which dominates the fallback plan's wall time at bench
+    scale. Same semantics, equivalence-tested against the driver
+    union-find. Returns per-partition (node, label) table refs."""
+    import ray
+
+    from .shuffle import map_refs, task_group_blocks
+
+    P = max(2, num_partitions)
+    und_parts = task_group_blocks(
+        map_refs(edge_refs, _tag_edges), ["key"], lambda t: t,
+        num_partitions=P, batch_format="pyarrow")
+    lab_parts = task_group_blocks(
+        label_refs, ["node"], lambda t: t,
+        num_partitions=P, batch_format="pyarrow")
+    scat = ray.remote(_scatter_task).options(num_returns=P)
+    gath = ray.remote(_gather_task).options(num_returns=2)
+    for _ in range(max_iters):
+        msgs = [scat.remote(und_parts[p], lab_parts[p], P)
+                for p in range(P)]
+        msgs = [[m] if P == 1 else list(m) for m in msgs]
+        outs = [gath.remote(lab_parts[p], *[msgs[q][p] for q in range(P)])
+                for p in range(P)]
+        new_parts = [o[0] for o in outs]
+        changed = ray.get([o[1] for o in outs])
+        lab_parts = new_parts
+        if not any(changed):
+            break
+    return lab_parts
+
+
 def label_propagation(edges_ds, labels_ds, num_partitions: int = 8,
                       max_iters: int = 20):
     """Iterated hash-to-min over (src, dst) edges — join-free.

@@ -353,6 +353,53 @@ def _merge_chunk(tbl: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _merge_partials_block(df):
+    """Merge PARTIAL profile rows whose groups are co-located by a
+    group_key hash exchange (the probed-fallback profile path: the
+    exchange moves ~bundles x distinct-aliases partial rows instead of
+    the full mention table). Emits the same schema as
+    _alias_profile_block over complete groups — ctx_sample is the
+    merged full-group sample (merge_samples is associative), so
+    _finalize_profile_distributed consumes it unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from .ctxvec import merge_samples
+
+    if len(df) == 0:
+        return pd.DataFrame({
+            "group_key": pd.Series(dtype=str),
+            "alias_norm": pd.Series(dtype=str),
+            "alias": pd.Series(dtype=str),
+            "surface": pd.Series(dtype=str),
+            "ner_type": pd.Series(dtype=str),
+            "min_mention": pd.Series(dtype=str),
+            "n_mentions": pd.Series(dtype="int64"),
+            "ctx_sample": pd.Series(dtype=str),
+        })
+    df = df.sort_values(["group_key", "alias", "surface", "ner_type"])
+    out = df.groupby("group_key", sort=True).agg(
+        alias_norm=("alias_norm", "first"),
+        alias=("alias", "first"),
+        surface=("surface", "first"),
+        ner_type=("ner_type", "first"),
+        min_mention=("min_mention", "min"),
+        n_mentions=("n_mentions", "sum"),
+    ).reset_index()
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    s = df.sort_values("group_key", kind="mergesort")
+    gk = s["group_key"].to_numpy()
+    samples_col = s["ctx_sample"].tolist()
+    bounds = np.flatnonzero(gk[1:] != gk[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [len(gk)]))
+    merged: dict[str, str] = {}
+    for a, b in zip(starts[:-1], starts[1:]):
+        merged[gk[a]] = (samples_col[a] if b - a == 1
+                         else merge_samples(samples_col[a:b]))
+    out["ctx_sample"] = out["group_key"].map(merged)
+    return out
+
+
 def _group_aligned_chunks(tbl: pa.Table, key: str, target: int) -> list:
     """Sort by ``key`` and slice into chunks of ~target rows whose
     boundaries fall on key changes (all rows of a key in one chunk)."""
@@ -974,14 +1021,18 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
     """
     import numpy as np
     import pandas as pd
+    import ray
+    import ray.data
 
-    from .cluster import gather_min
-    from .shuffle import group_blocks
+    from .cluster import label_propagation_tasks
+    from .shuffle import map_refs, task_group_blocks
 
-    links_kv = links_ds.map_batches(
+    links_refs = links_ds.map_batches(
         lambda t: t.select(["group_key", "kb_id", "link_conf"]),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize().to_arrow_refs()
+    prof_refs = profile_ds.materialize().to_arrow_refs()
+    edge_refs = edges_ds.materialize().to_arrow_refs()
 
     # ---- edge transform: attach each endpoint's kb, then rewrite
     SEP = "\x01"
@@ -1024,10 +1075,8 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
             "kb": e["key"].map(kb_of).fillna(""),
         })
 
-    sides = group_blocks(
-        edges_ds.map_batches(edge_sides, batch_format="pyarrow").union(
-            links_kv.map_batches(link_rows, batch_format="pyarrow")
-        ),
+    sides_refs = task_group_blocks(
+        map_refs(edge_refs, edge_sides) + map_refs(links_refs, link_rows),
         ["key"], attach_kb, batch_format="pandas",
         num_partitions=num_partitions,
     )
@@ -1061,19 +1110,20 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pd.DataFrame(out, columns=["src", "dst", "node", "label",
                                           "kind"])
 
-    rewritten = group_blocks(sides, ["eid"], rewrite_edges,
-                             batch_format="pandas",
-                             num_partitions=num_partitions).materialize()
-    kept_edges = rewritten.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), "e")).select(
-            ["src", "dst"]),
-        batch_format="pyarrow",
-    )
-    seed_labels = rewritten.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), "s")).select(
-            ["node", "label"]),
-        batch_format="pyarrow",
-    )
+    rewritten_refs = task_group_blocks(sides_refs, ["eid"], rewrite_edges,
+                                       batch_format="pandas",
+                                       num_partitions=num_partitions)
+
+    def keep_edges_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "e")).select(
+            ["src", "dst"])
+
+    def seed_labels_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "s")).select(
+            ["node", "label"])
+
+    kept_edge_refs = map_refs(rewritten_refs, keep_edges_fn)
+    seed_label_refs = map_refs(rewritten_refs, seed_labels_fn)
 
     # ---- initial labels + anchor edges
     def alias_nodes(t: pa.Table) -> pa.Table:
@@ -1127,27 +1177,33 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
             }
         )
 
-    edges = kept_edges.union(
-        links_kv.map_batches(anchor_edges, batch_format="pyarrow"))
-    init = gather_min(
-        profile_ds.map_batches(alias_nodes, batch_format="pyarrow")
-        .union(links_kv.map_batches(linked_labels, batch_format="pyarrow"))
-        .union(links_kv.map_batches(hub_nodes, batch_format="pyarrow"))
-        .union(seed_labels),
-        "node", "label", num_partitions=num_partitions,
+    all_edge_refs = kept_edge_refs + map_refs(links_refs, anchor_edges)
+
+    def node_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "label": pd.Series(dtype=str)})
+        return df.groupby("node", as_index=False)["label"].min()
+
+    init_refs = task_group_blocks(
+        map_refs(prof_refs, alias_nodes)
+        + map_refs(links_refs, linked_labels)
+        + map_refs(links_refs, hub_nodes)
+        + seed_label_refs,
+        ["node"], node_min, batch_format="pandas",
+        num_partitions=num_partitions,
     )
-    labels = label_propagation(edges, init, num_partitions=num_partitions)
-    alias_labels = labels.map_batches(
-        lambda t: (
-            lambda f: pa.table(
-                {
-                    "group_key": pc.utf8_slice_codeunits(f.column("node"), 2),
-                    "label": f.column("label"),
-                }
-            )
-        )(t.filter(pc.starts_with(t.column("node"), "A:"))),
-        batch_format="pyarrow",
-    )
+    label_refs = label_propagation_tasks(all_edge_refs, init_refs,
+                                         num_partitions=num_partitions)
+
+    def alias_labels_fn(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.starts_with(t.column("node"), "A:"))
+        return pa.table({
+            "group_key": pc.utf8_slice_codeunits(f.column("node"), 2),
+            "label": f.column("label"),
+        })
+
+    alias_label_refs = map_refs(label_refs, alias_labels_fn)
 
     # ---- per-alias answers (cluster_id, kb_link, confidence)
     def merge_links(df: pd.DataFrame) -> pd.DataFrame:
@@ -1166,22 +1222,25 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
                 lnk["link_conf"].astype("float64")).fillna(0.55),
         })
 
-    tagged = alias_labels.map_batches(
-        lambda t: t.append_column("kind", pa.array(["L"] * len(t))).append_column(
+    def tag_label_fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "kind", pa.array(["L"] * len(t))).append_column(
             "kb_id", pa.array([""] * len(t))).append_column(
-            "link_conf", pa.array([0.0] * len(t), pa.float64())),
-        batch_format="pyarrow",
-    ).union(links_kv.map_batches(
-        lambda t: pa.table({"group_key": t.column("group_key"),
-                            "label": pa.array([""] * len(t)),
-                            "kind": pa.array(["K"] * len(t)),
-                            "kb_id": t.column("kb_id"),
-                            "link_conf": t.column("link_conf")}),
-        batch_format="pyarrow",
-    ))
-    merged = group_blocks(tagged, ["group_key"], merge_links,
-                          batch_format="pandas",
-                          num_partitions=num_partitions)
+            "link_conf", pa.array([0.0] * len(t), pa.float64()))
+
+    def tag_link_fn(t: pa.Table) -> pa.Table:
+        return pa.table({"group_key": t.column("group_key"),
+                         "label": pa.array([""] * len(t)),
+                         "kind": pa.array(["K"] * len(t)),
+                         "kb_id": t.column("kb_id"),
+                         "link_conf": t.column("link_conf")})
+
+    merged_refs = task_group_blocks(
+        map_refs(alias_label_refs, tag_label_fn)
+        + map_refs(links_refs, tag_link_fn),
+        ["group_key"], merge_links, batch_format="pandas",
+        num_partitions=num_partitions,
+    )
 
     def finish_block(df: pd.DataFrame) -> pd.DataFrame:
         """per-label block: component size + the shared answer rule
@@ -1208,19 +1267,20 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
             "confidence": conf,
         })
 
-    answers = group_blocks(merged, ["label"], finish_block,
-                           batch_format="pandas",
-                           num_partitions=num_partitions)
+    answer_refs = task_group_blocks(merged_refs, ["label"], finish_block,
+                                    batch_format="pandas",
+                                    num_partitions=num_partitions)
+
     # clean Arrow schema (pandas object dtypes confuse Dataset.join)
-    return answers.map_batches(
-        lambda t: pa.table({
+    def clean_fn(t: pa.Table) -> pa.Table:
+        return pa.table({
             "group_key": t.column("group_key").cast(pa.string()),
             "cluster_id": t.column("cluster_id").cast(pa.string()),
             "kb_link": t.column("kb_link").cast(pa.string()),
             "confidence": t.column("confidence").cast(pa.float64()),
-        }),
-        batch_format="pyarrow",
-    )
+        })
+
+    return ray.data.from_arrow_refs(map_refs(answer_refs, clean_fn))
 
 
 def run_linkage(
@@ -1234,6 +1294,7 @@ def run_linkage(
     timings: dict | None = None,
     sports_classify: bool = True,
     conv_partitioned: bool = True,
+    broadcast_answers_max: int = 2_000_000,
 ):
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
@@ -1401,12 +1462,14 @@ def run_linkage(
         if n_partial_rows <= driver_cc_max_nodes:
             driver_path = True
         else:
-            # combiner probe is discarded; the fallback recomputes its
-            # profile via the exchange plan (rare by construction)
-            probe_partial_refs = probe_ov_ref = None
+            # the probe's combiner output is NOT discarded: the fallback
+            # merges the partials per group (an exchange over
+            # ~bundles x distinct-aliases rows) instead of re-shuffling
+            # the full mention table, and the override dict the probe
+            # already paid for attaches group keys without a join
             logger.info(
                 "driver-guard probe: %d partial profile rows > %d — "
-                "using the distributed fallback plan",
+                "using the distributed fallback plan over the partials",
                 n_partial_rows, driver_cc_max_nodes)
 
     # [B2] per-document context overrides (doc-sim ambiguity resolution,
@@ -1444,6 +1507,17 @@ def run_linkage(
             )
             if overrides:
                 grouped = grouped.materialize()
+    elif probe_ov_ref is not None:
+        # probed fallback (fast plan, contraction too big for the
+        # driver): group keys attach in-task from the probe's override
+        # dict — bounded by the override-CHOICE count, which the probe
+        # already materialized — so no mention-table join exchange
+        grouped = raw.map_batches(
+            _patch_and_group,
+            fn_kwargs={"patch_ref": patch_ref, "ov_ref": probe_ov_ref},
+            batch_format="pyarrow",
+        )
+        partials_ds = ray.data.from_arrow_refs(probe_partial_refs)
     else:
         from .overrides import context_override_rows
 
@@ -1452,6 +1526,7 @@ def run_linkage(
             num_partitions=num_partitions))
         grouped = _timed("group_attach", lambda: _attach_group_key_join(
             aliased, ov_rows, num_partitions).materialize())
+        partials_ds = None
 
     if driver_path:
         # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
@@ -1621,19 +1696,26 @@ def run_linkage(
             "answers", {"input": tr_path, "kb": kb_path}, build_answers))
 
     # ----------------------------------------------- distributed fallback
-    profile = _timed("alias_profile", lambda: ckpt.stage(
-        "alias_profile", {"input": tr_path},
-        lambda: _finalize_profile_distributed(
-            group_blocks(
+    def build_profile_distributed():
+        if partials_ds is not None:
+            # probed fallback: the exchange moves partial PROFILE rows
+            # (~bundles x aliases), not the mention table
+            src = group_blocks(partials_ds, ["group_key"],
+                               _merge_partials_block,
+                               batch_format="pandas")
+        else:
+            src = group_blocks(
                 grouped.select_columns(
                     ["mention_id", "alias", "alias_norm", "surface",
                      "ner_type", "context", "group_key"]
                 ),
                 ["group_key"], _alias_profile_block, batch_format="pandas",
-            ),
-            num_partitions,
-        ),
-    ).materialize())
+            )
+        return _finalize_profile_distributed(src, num_partitions)
+
+    profile = _timed("alias_profile", lambda: ckpt.stage(
+        "alias_profile", {"input": tr_path},
+        build_profile_distributed).materialize())
 
     links = _timed("links", lambda: ckpt.stage(
         "links", {"input": tr_path, "kb": kb_path},
@@ -1674,9 +1756,36 @@ def run_linkage(
             ).select(["a1", "a2"]),
             batch_format="pyarrow",
         )
-        answers = _cluster_aliases_distributed(
-            profile, links, edges, num_partitions
-        )
+        answers = _timed("answers_cluster",
+                         lambda: _cluster_aliases_distributed(
+                             profile, links, edges, num_partitions))
+        # size-adaptive attach: the answer side is ALIAS-scale. Below
+        # the bound, broadcast it and attach in-task (classic
+        # broadcast-join cutover — skips the full mention-table
+        # exchange, which dominated the forced-fallback wall time);
+        # beyond it, the group_key hash join below is the scale shape.
+        if broadcast_answers_max > 0:
+            ans_mat = answers.materialize()
+            if ans_mat.count() <= broadcast_answers_max:
+                amap: dict = {}
+                for ref in ans_mat.to_arrow_refs():
+                    tt = ray.get(ref)
+                    for gk, c, k, cf in zip(
+                            tt.column("group_key").to_pylist(),
+                            tt.column("cluster_id").to_pylist(),
+                            tt.column("kb_link").to_pylist(),
+                            tt.column("confidence").to_pylist()):
+                        amap[gk] = (c, k, cf)
+                map_ref = ray.put(amap)
+                if fast_fused:
+                    return _assemble_answers_tasks(
+                        raw.to_arrow_refs(), map_ref,
+                        (patch_ref, probe_ov_ref))
+                finished = grouped.map_batches(
+                    _finish_batch, fn_kwargs={"map_ref": map_ref},
+                    batch_format="pyarrow", batch_size=None)
+                return finished.sort(["conv_id", "turn_idx"])
+            answers = ans_mat
         # hash-join mentions x alias answers on group_key via the
         # repo's group_blocks idiom (Dataset.join's aggregator rejects
         # empty-schema partitions, and this is one exchange either way)

@@ -96,6 +96,103 @@ def group_map(ds, key: str, group_fn: Callable, *,
                         batch_format="pyarrow", **kwargs)
 
 
+def _task_part_ids(tbl: pa.Table, keys: Sequence[str], n: int) -> np.ndarray:
+    """Deterministic partition id per row (pandas siphash — stable
+    across processes and runs, independent of Ray's exchange hash)."""
+    import pandas as pd
+
+    if len(keys) == 1:
+        col = tbl.column(keys[0]).to_pandas().astype(str)
+    else:
+        col = tbl.select(list(keys)).to_pandas().astype(str).agg(
+            "\x1f".join, axis=1)
+    h = pd.util.hash_pandas_object(col, index=False).to_numpy()
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+def _partition_one(tbl: pa.Table, keys: Sequence[str], n: int):
+    """IN-TASK map phase of the task shuffle: split one table into n
+    hash partitions (argsort + run slicing, one pass)."""
+    if n == 1:
+        return tbl
+    if tbl.num_rows == 0:
+        return tuple(tbl for _ in range(n))
+    pid = _task_part_ids(tbl, keys, n)
+    order = np.argsort(pid, kind="stable")
+    t = tbl.take(pa.array(order))
+    sp = pid[order]
+    bounds = np.searchsorted(sp, np.arange(n + 1))
+    return tuple(t.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(n))
+
+
+def _reduce_partition(block_fn: Callable, batch_format: str, *tbls):
+    """IN-TASK reduce phase: concat one partition's slices and run the
+    block fn (same contract as group_blocks' per-block call)."""
+    import pandas as pd
+
+    tbls = [t for t in tbls if t is not None and t.num_rows]
+    if not tbls:
+        out = block_fn(pd.DataFrame() if batch_format == "pandas"
+                       else pa.table({}))
+    else:
+        cols = tbls[0].column_names
+        cat = pa.concat_tables([t.select(cols) for t in tbls])
+        out = block_fn(cat.to_pandas() if batch_format == "pandas" else cat)
+    if isinstance(out, pa.Table):
+        return out
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def task_group_blocks(refs, keys: Sequence[str], block_fn: Callable, *,
+                      num_partitions: int | None = None,
+                      batch_format: str = "pandas"):
+    """group_blocks semantics as a HAND-ROLLED shuffle of plain Ray
+    tasks over materialized table refs: the same all-to-all data
+    movement, WITHOUT the per-exchange aggregator-actor fleet a Ray
+    Data hash repartition spins up (~3-8s startup each — fatal inside
+    iterative loops, and the dominant fixed cost of the fallback
+    plan's alias-scale exchanges, which move kilobytes).
+
+    Returns a list of per-partition output table REFS (callers concat,
+    from_arrow_refs, or feed the next shuffle). Tradeoff vs
+    group_blocks: n_refs x num_partitions intermediate objects and no
+    streaming backpressure — right for bounded alias-scale working
+    sets, wrong for the mention-scale stages (those keep the Dataset
+    exchange)."""
+    import ray
+
+    n = num_partitions or default_partitions()
+    part = ray.remote(_partition_one).options(num_returns=n)
+    cols = [part.remote(r, list(keys), n) for r in refs]
+    cols = [[c] if n == 1 else list(c) for c in cols]
+    red = ray.remote(_reduce_partition)
+    return [
+        red.remote(block_fn, batch_format, *[cols[i][p]
+                                             for i in range(len(cols))])
+        for p in range(n)
+    ]
+
+
+def map_refs(refs, fn: Callable):
+    """Plain-task map over table refs (skips nothing — fns guard empty
+    input themselves); returns new refs."""
+    import ray
+
+    rem = ray.remote(_map_one)
+    return [rem.remote(fn, r) for r in refs]
+
+
+def _map_one(fn: Callable, tbl: pa.Table) -> pa.Table:
+    if tbl.num_rows == 0 and not tbl.column_names:
+        return tbl  # schema-less empty block: nothing to map, and the
+        # fn would KeyError on its columns; shuffles skip empties
+    out = fn(tbl)
+    if isinstance(out, pa.Table):
+        return out
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def group_map_pandas(ds, key: str | Sequence[str], group_fn: Callable, *,
                      num_partitions: int | None = None, **kwargs):
     """Pandas flavor of group_map; ``group_fn``: DataFrame (one group)

@@ -55,9 +55,25 @@ def test_fused_matches_exchange_plan(ray_session, t1_fixture, t1_answers):
 
 
 def test_distributed_cc_path_matches_driver(ray_session, t1_fixture, t1_answers):
-    """Force the distributed label-propagation fallback and compare
-    cluster assignments with the driver union-find path."""
+    """Force the distributed label-propagation fallback (probed form:
+    profile merged from the combiner partials) and compare cluster
+    assignments with the driver union-find path."""
     df2 = run_linkage(t1_fixture, driver_cc_max_nodes=0).to_pandas()
+    a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    b = dict(zip(df2.mention_id, df2.cluster_id))
+    assert a == b
+
+
+def test_distributed_exchange_fallback_matches_driver(ray_session,
+                                                      t1_fixture,
+                                                      t1_answers):
+    """The NON-probed fallback (unordered input: conv_id exchange +
+    mention-table profile shuffle + join-based group-key attach) must
+    also match the driver path on every mention. broadcast_answers_max=0
+    forces the join-based attach so that path stays covered."""
+    df2 = run_linkage(t1_fixture, driver_cc_max_nodes=0,
+                      conv_partitioned=False,
+                      broadcast_answers_max=0).to_pandas()
     a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
     b = dict(zip(df2.mention_id, df2.cluster_id))
     assert a == b
