@@ -503,22 +503,28 @@ def _merge_profiles_fast(cat: pa.Table) -> pa.Table:
     return pa.concat_tables([t.select(cols) for t in parts])
 
 
-def _finalize_profile_distributed(profile_ds, num_partitions: int):
+def _finalize_profile_distributed(profile_ds_or_refs, num_partitions: int):
     """Distributed analog of _merge_profiles' context finalization: the
     profile blocks already hold complete per-alias ctx samples (group
     co-location), so this adds the global document-frequency filter —
-    one small term-count exchange, collect ONLY the common terms (the
-    few above the df threshold), broadcast, strip + cap per alias."""
+    one small term-count TASK shuffle, collect ONLY the common terms
+    (the few above the df threshold), broadcast, strip + cap per alias.
+    Accepts a Dataset or a list of table refs; returns a Dataset."""
     import ray
+    import ray.data
 
     import pandas as pd
 
     from .ctxvec import df_threshold, strip_and_cap, sum_sample
-    from .shuffle import group_blocks
+    from .shuffle import map_refs, task_group_blocks
     from .text import normalize_name
 
-    profile_ds = profile_ds.materialize()
-    n_aliases = profile_ds.count()
+    if isinstance(profile_ds_or_refs, list):
+        refs = profile_ds_or_refs
+    else:
+        refs = profile_ds_or_refs.materialize().to_arrow_refs()
+    nrows_rem = ray.remote(lambda t: t.num_rows)
+    n_aliases = sum(ray.get([nrows_rem.remote(r) for r in refs]))
     thr = df_threshold(n_aliases)
 
     def term_rows(t: pa.Table) -> pa.Table:
@@ -535,16 +541,18 @@ def _finalize_profile_distributed(profile_ds, num_partitions: int):
             columns={"size": "df"})
         return out[out["df"] > thr]  # only common terms leave the block
 
-    common_ds = group_blocks(
-        profile_ds.map_batches(term_rows, batch_format="pyarrow"),
-        ["term"], block_count, batch_format="pandas",
-        num_partitions=num_partitions,
+    common_refs = task_group_blocks(
+        map_refs(refs, term_rows), ["term"], block_count,
+        batch_format="pandas", num_partitions=num_partitions,
     )
-    common = {r["term"] for r in common_ds.take_all()}  # small by the df cut
+    common: set = set()
+    for t in ray.get(common_refs):  # small by the df cut
+        if t.num_rows:
+            common.update(t.column("term").to_pylist())
     ref = ray.put(common)
 
-    def attach(t: pa.Table, common_ref=ref) -> pa.Table:
-        com = ray.get(common_ref)
+    def attach(t: pa.Table) -> pa.Table:
+        com = ray.get(ref)
         vecs = [strip_and_cap(sum_sample(s), com)
                 for s in t.column("ctx_sample").to_pylist()]
         sn = [normalize_name(s) for s in t.column("surface").to_pylist()]
@@ -552,7 +560,7 @@ def _finalize_profile_distributed(profile_ds, num_partitions: int):
         return t.append_column("ctx_vec", pa.array(vecs, pa.string())) \
                 .append_column("surface_norm", pa.array(sn, pa.string()))
 
-    return profile_ds.map_batches(attach, batch_format="pyarrow")
+    return ray.data.from_arrow_refs(map_refs(refs, attach))
 
 
 def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True):
@@ -1130,10 +1138,10 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(t)), t.column("group_key"), ""
+                    pa.array(["A:"] * len(t), pa.string()), t.column("group_key"), ""
                 ),
                 "label": pc.binary_join_element_wise(
-                    pa.array(["M:"] * len(t)), t.column("min_mention"), ""
+                    pa.array(["M:"] * len(t), pa.string()), t.column("min_mention"), ""
                 ),
             }
         )
@@ -1143,10 +1151,10 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(f)), f.column("group_key"), ""
+                    pa.array(["A:"] * len(f), pa.string()), f.column("group_key"), ""
                 ),
                 "label": pc.binary_join_element_wise(
-                    pa.array(["K:"] * len(f)), f.column("kb_id"), ""
+                    pa.array(["K:"] * len(f), pa.string()), f.column("kb_id"), ""
                 ),
             }
         )
@@ -1156,10 +1164,10 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "node": pc.binary_join_element_wise(
-                    pa.array(["C:"] * len(f)), f.column("kb_id"), ""
+                    pa.array(["C:"] * len(f), pa.string()), f.column("kb_id"), ""
                 ),
                 "label": pc.binary_join_element_wise(
-                    pa.array(["K:"] * len(f)), f.column("kb_id"), ""
+                    pa.array(["K:"] * len(f), pa.string()), f.column("kb_id"), ""
                 ),
             }
         )
@@ -1169,10 +1177,10 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
         return pa.table(
             {
                 "src": pc.binary_join_element_wise(
-                    pa.array(["A:"] * len(f)), f.column("group_key"), ""
+                    pa.array(["A:"] * len(f), pa.string()), f.column("group_key"), ""
                 ),
                 "dst": pc.binary_join_element_wise(
-                    pa.array(["C:"] * len(f)), f.column("kb_id"), ""
+                    pa.array(["C:"] * len(f), pa.string()), f.column("kb_id"), ""
                 ),
             }
         )
@@ -1224,14 +1232,14 @@ def _cluster_aliases_distributed(profile_ds, links_ds, edges_ds, num_partitions:
 
     def tag_label_fn(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "kind", pa.array(["L"] * len(t))).append_column(
-            "kb_id", pa.array([""] * len(t))).append_column(
+            "kind", pa.array(["L"] * len(t), pa.string())).append_column(
+            "kb_id", pa.array([""] * len(t), pa.string())).append_column(
             "link_conf", pa.array([0.0] * len(t), pa.float64()))
 
     def tag_link_fn(t: pa.Table) -> pa.Table:
         return pa.table({"group_key": t.column("group_key"),
-                         "label": pa.array([""] * len(t)),
-                         "kind": pa.array(["K"] * len(t)),
+                         "label": pa.array([""] * len(t), pa.string()),
+                         "kind": pa.array(["K"] * len(t), pa.string()),
                          "kb_id": t.column("kb_id"),
                          "link_conf": t.column("link_conf")})
 
@@ -1698,19 +1706,23 @@ def run_linkage(
     # ----------------------------------------------- distributed fallback
     def build_profile_distributed():
         if partials_ds is not None:
-            # probed fallback: the exchange moves partial PROFILE rows
-            # (~bundles x aliases), not the mention table
-            src = group_blocks(partials_ds, ["group_key"],
-                               _merge_partials_block,
-                               batch_format="pandas")
-        else:
-            src = group_blocks(
-                grouped.select_columns(
-                    ["mention_id", "alias", "alias_norm", "surface",
-                     "ner_type", "context", "group_key"]
-                ),
-                ["group_key"], _alias_profile_block, batch_format="pandas",
-            )
+            # probed fallback: the shuffle moves partial PROFILE rows
+            # (~bundles x aliases), not the mention table — and runs as
+            # a plain-task shuffle (no aggregator fleet)
+            from .shuffle import task_group_blocks
+
+            merged_refs = task_group_blocks(
+                probe_partial_refs, ["group_key"], _merge_partials_block,
+                batch_format="pandas", num_partitions=num_partitions)
+            return _finalize_profile_distributed(merged_refs,
+                                                 num_partitions)
+        src = group_blocks(
+            grouped.select_columns(
+                ["mention_id", "alias", "alias_norm", "surface",
+                 "ner_type", "context", "group_key"]
+            ),
+            ["group_key"], _alias_profile_block, batch_format="pandas",
+        )
         return _finalize_profile_distributed(src, num_partitions)
 
     profile = _timed("alias_profile", lambda: ckpt.stage(

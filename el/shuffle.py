@@ -126,6 +126,22 @@ def _partition_one(tbl: pa.Table, keys: Sequence[str], n: int):
                  for p in range(n))
 
 
+def _from_pandas_safe(df) -> pa.Table:
+    """from_pandas that never emits NULL-typed columns: an empty object
+    column (pandas' str dtype) otherwise converts to Arrow null type,
+    which downstream string kernels (binary_join_element_wise, slice)
+    reject."""
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    if t.num_rows == 0 and any(pa.types.is_null(f.type)
+                               for f in t.schema):
+        return pa.table({
+            f.name: pa.array([], pa.string() if pa.types.is_null(f.type)
+                             else f.type)
+            for f in t.schema
+        })
+    return t
+
+
 def _reduce_partition(block_fn: Callable, batch_format: str, *tbls):
     """IN-TASK reduce phase: concat one partition's slices and run the
     block fn (same contract as group_blocks' per-block call)."""
@@ -137,11 +153,12 @@ def _reduce_partition(block_fn: Callable, batch_format: str, *tbls):
                        else pa.table({}))
     else:
         cols = tbls[0].column_names
-        cat = pa.concat_tables([t.select(cols) for t in tbls])
+        cat = pa.concat_tables([t.select(cols) for t in tbls],
+                               promote_options="default")
         out = block_fn(cat.to_pandas() if batch_format == "pandas" else cat)
     if isinstance(out, pa.Table):
         return out
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _from_pandas_safe(out)
 
 
 def task_group_blocks(refs, keys: Sequence[str], block_fn: Callable, *,
@@ -184,13 +201,22 @@ def map_refs(refs, fn: Callable):
 
 
 def _map_one(fn: Callable, tbl: pa.Table) -> pa.Table:
-    if tbl.num_rows == 0 and not tbl.column_names:
-        return tbl  # schema-less empty block: nothing to map, and the
-        # fn would KeyError on its columns; shuffles skip empties
+    if tbl.num_rows == 0:
+        if not tbl.column_names:
+            return tbl  # schema-less empty block: nothing to map, and
+            # the fn would KeyError on its columns; shuffles skip empties
+        if any(pa.types.is_null(f.type) for f in tbl.schema):
+            # null-typed empty (pandas object-column artifact): string
+            # kernels inside map fns reject null inputs
+            tbl = pa.table({
+                f.name: pa.array([], pa.string()
+                                 if pa.types.is_null(f.type) else f.type)
+                for f in tbl.schema
+            })
     out = fn(tbl)
     if isinstance(out, pa.Table):
         return out
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _from_pandas_safe(out)
 
 
 def group_map_pandas(ds, key: str | Sequence[str], group_fn: Callable, *,
