@@ -303,7 +303,7 @@ def _gather_task(old_lab: pa.Table, *msg_tbls):
 
 def label_propagation_tasks(edge_refs, label_refs,
                             num_partitions: int = 8,
-                            max_iters: int = 20):
+                            max_iters: int = 128):
     """Min-label propagation as a PLAIN-TASK shuffle loop: the
     undirected edge set is hash-partitioned ONCE; each round is P
     scatter tasks (messages split by destination partition in-task) +
@@ -326,6 +326,7 @@ def label_propagation_tasks(edge_refs, label_refs,
         num_partitions=P, batch_format="pyarrow")
     scat = ray.remote(_scatter_task).options(num_returns=P)
     gath = ray.remote(_gather_task).options(num_returns=2)
+    converged = False
     for _ in range(max_iters):
         msgs = [scat.remote(und_parts[p], lab_parts[p], P)
                 for p in range(P)]
@@ -336,7 +337,17 @@ def label_propagation_tasks(edge_refs, label_refs,
         changed = ray.get([o[1] for o in outs])
         lab_parts = new_parts
         if not any(changed):
+            converged = True
             break
+    if not converged:
+        # convergence is bounded by component diameter; a truncated
+        # result silently under-merges, so be LOUD about it
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "label_propagation_tasks: not converged after %d rounds — "
+            "raise max_iters (component diameter exceeds the cap)",
+            max_iters)
     return lab_parts
 
 

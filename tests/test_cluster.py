@@ -53,3 +53,75 @@ def test_label_propagation_matches_union_find(ray_session):
         r["node"]: r["label"] for r in out.take_all()
     }
     assert got == expected
+
+
+def test_label_propagation_tasks_matches_dataset_form(ray_session):
+    """The plain-task shuffle loop must converge to the same labels as
+    the Dataset-exchange form on a random graph (multiple components,
+    chains, isolated nodes)."""
+    import ray
+    import ray.data
+
+    from el.cluster import label_propagation_tasks
+
+    rng = np.random.default_rng(23)
+    nodes = [f"n{i:03d}" for i in range(150)]
+    edges = sorted(
+        {
+            (nodes[int(rng.integers(0, 150))], nodes[int(rng.integers(0, 150))])
+            for _ in range(110)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = union_find_local(edges, nodes=nodes)
+
+    edge_refs = ray.data.from_arrow(
+        pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    ).to_arrow_refs()
+    label_refs = ray.data.from_arrow(
+        pa.table({"node": nodes, "label": nodes})
+    ).to_arrow_refs()
+    parts = ray.get(label_propagation_tasks(edge_refs, label_refs,
+                                            num_partitions=4))
+    got = {}
+    for t in parts:
+        for n, l in zip(t.column("node").to_pylist(),
+                        t.column("label").to_pylist()):
+            got[n] = l
+    assert got == expected
+
+
+def test_task_group_blocks_matches_group_blocks(ray_session):
+    """task_group_blocks co-locates keys exactly like the Dataset
+    exchange: per-key aggregates agree with a local pandas groupby,
+    including empty partitions and multi-column keys."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from el.shuffle import task_group_blocks
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": [f"k{int(x):02d}" for x in rng.integers(0, 40, n)],
+        "k2": rng.integers(0, 3, n).astype("int64"),
+        "v": rng.integers(0, 1000, n).astype("int64"),
+    })
+    expected = df.groupby(["k1", "k2"], as_index=False)["v"].sum() \
+                 .sort_values(["k1", "k2"]).reset_index(drop=True)
+
+    def block_sum(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"k1": pd.Series(dtype=str),
+                                 "k2": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        return b.groupby(["k1", "k2"], as_index=False)["v"].sum()
+
+    refs = ray.data.from_pandas(df).repartition(7).to_arrow_refs()
+    outs = ray.get(task_group_blocks(refs, ["k1", "k2"], block_sum,
+                                     num_partitions=64))  # > #keys: empties
+    got = pd.concat([t.to_pandas() for t in outs if t.num_rows],
+                    ignore_index=True) \
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert got.equals(expected)
