@@ -177,7 +177,8 @@ def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _patch_and_group(t: pa.Table, patch_ref=None, ov_ref=None) -> pa.Table:
+def _patch_and_group(t: pa.Table, patch_ref=None,
+                     ov_ref=None) -> pa.Table:
     """Shared finishing map over extracted+canonicalized mention blocks:
     (a) write back the boundary-conversation alias patch (broadcast
     mention_id map), (b) attach the contraction group_key from the
@@ -781,77 +782,105 @@ def _boundary_rows_block(t: pa.Table) -> pa.Table:
     return t.filter(pc.equal(t.column("boundary"), True))
 
 
-def _flag_convs_task(t: pa.Table, amb_aliases: list,
-                     patch_ref, sports: bool) -> list:
-    """Plain-task flag scan over one materialized mention block: apply
-    the boundary patch, then return the block's flagged conv_ids
-    (deduped — small). Receives only the ambiguous-alias LIST, not the
-    KB index — at real KB scale the index is GBs and this scan runs
-    once per block."""
-    from .overrides import flag_convs
+def _fused_scan_task(t: pa.Table, kb_ref, sports: bool):
+    """ONE pass over a materialized mention block returning everything
+    downstream stages need from it before the combiner can launch:
+    (boundary rows, resolved override-choice rows). Flagging, subset
+    and per-conversation override RESOLUTION all run here, in-task —
+    the flagged rows never leave the block, so no driver-side subset
+    materialization exists at any scale.
 
+    Correct without the boundary patch because conversations are
+    contiguous within a block under the fused conv-sorted plan:
+    - edge (block-straddling) conversations are emitted with
+      boundary=True for EVERY one of their rows, so the non-boundary
+      remainder consists only of interior conversations, whose aliases
+      the patch never touches — flags, subset and choices computed here
+      are exactly the post-patch values;
+    - edge conversations are flagged, subset and resolved on the DRIVER
+      from the resolved boundary table (complete by construction), so
+      nothing is double-counted or missed.
+
+    Per-block cost is proportional to the block's flagged-conversation
+    rows; a corpus whose overrides concentrate in one key range skews
+    this wave (acceptable: the same skew would hit any conv-partitioned
+    resolve)."""
+    import ray
+
+    from .overrides import (SUBSET_COLUMNS, conv_overrides_block,
+                            flag_convs)
+
+    kb = _maybe_get(kb_ref)
+    empty_choices = pa.table({
+        "alias_norm": pa.array([], pa.string()),
+        "conv_id": pa.array([], pa.string()),
+        "kind": pa.array([], pa.string()),
+        "kb_id": pa.array([], pa.string()),
+    })
     if t.num_rows == 0:
-        return []
-    t = _patch_and_group(t, patch_ref=patch_ref)
-    out = flag_convs(t, amb_aliases, sports)
-    return sorted(set(out.column("conv_id").to_pylist()))
-
-
-def _subset_flagged_task(t: pa.Table, patch_ref, convs_ref) -> pa.Table:
-    import ray
-
-    from .overrides import subset_flagged
-
-    if t.num_rows == 0:
-        return pa.table({})
-    t = _patch_and_group(t, patch_ref=patch_ref)
-    return subset_flagged(t, pa.array(_maybe_get(convs_ref), pa.string()))
-
-
-def _resolve_overrides_task(chunk: pa.Table, kb_ref, sports: bool) -> pa.Table:
-    import ray
-
-    from .overrides import conv_overrides_block
-
-    return conv_overrides_block(chunk, _maybe_get(kb_ref), sports)
-
-
-def _find_overrides_tasks(raw, patch_ref, kb_ref, sports: bool) -> dict:
-    """Driver-plan override discovery as plain Ray tasks over the
-    materialized mention blocks — same two scans + per-conversation
-    resolution as el.overrides.context_override_rows, with zero Ray
-    Data executor startups. Returns the broadcast choice dict
-    {(alias_norm, conv_id): (kind, kb_id)} (driver-scale by the
-    rare-override assumption, same bound as the take_all it replaces)."""
-    import ray
-
-    from .overrides import SUBSET_COLUMNS, conv_aligned_chunks
-
-    refs = raw.to_arrow_refs()
-    amb_aliases = sorted(_maybe_get(kb_ref).ambiguous_aliases)
-    flag_rem = ray.remote(_flag_convs_task)
-    conv_lists = ray.get(
-        [flag_rem.remote(r, amb_aliases, patch_ref, sports) for r in refs])
-    convs = sorted(set().union(*(set(c) for c in conv_lists))) \
-        if conv_lists else []
+        return pa.table({}), empty_choices
+    bmask = t.column("boundary").combine_chunks()
+    boundary = t.filter(bmask)
+    nb = t.filter(pc.invert(bmask))
+    if nb.num_rows == 0:
+        return boundary, empty_choices
+    amb_aliases = sorted(kb.ambiguous_aliases)
+    flags = flag_convs(nb, amb_aliases, sports)
+    convs = sorted(set(flags.column("conv_id").to_pylist()))
     if not convs:
-        return {}
-    convs_ref = ray.put(convs)
-    sub_rem = ray.remote(_subset_flagged_task)
-    subs = [t for t in ray.get(
-        [sub_rem.remote(r, patch_ref, convs_ref) for r in refs]
-    ) if t.num_rows]
-    if not subs:
-        return {}
-    tbl = pa.concat_tables([t.select(SUBSET_COLUMNS) for t in subs])
-    chunks = conv_aligned_chunks(tbl)
-    res_rem = ray.remote(_resolve_overrides_task)
-    parts = ray.get([res_rem.remote(c, kb_ref, sports) for c in chunks])
+        return boundary, empty_choices
+    sub = nb.filter(
+        pc.is_in(nb.column("conv_id").combine_chunks(),
+                 value_set=pa.array(convs, pa.string()))
+    ).select(SUBSET_COLUMNS)
+    return boundary, conv_overrides_block(sub, kb, sports)
+
+
+def _fused_scan_wave(raw, kb_ref, kb, sports: bool):
+    """Driver side of the fused scan: one task wave over the
+    materialized mention blocks, then (a) resolve the boundary
+    conversations whole (O(2 x blocks) conversations), (b) flag +
+    resolve overrides for those boundary conversations (the only rows
+    the in-task pass could not judge), (c) union the choice rows.
+    Returns (patch dict, override choice dict) — the override dict is
+    the ONLY driver-side structure, bounded by the override-CHOICE
+    count (the rare-override assumption), not by flagged-row count."""
+    import ray
+
+    from .alias import resolve_block
+    from .overrides import SUBSET_COLUMNS, conv_overrides_block, flag_convs
+
+    amb_aliases = sorted(kb.ambiguous_aliases)
+    rem = ray.remote(_fused_scan_task)
+    outs = ray.get([rem.remote(r, kb_ref, sports)
+                    for r in raw.to_arrow_refs()])
+    choice_tbls = [c for _, c in outs if c.num_rows]
+    btbls = [b for b, _ in outs if b.num_rows]
+    patch: dict = {}
+    if btbls:
+        btbl = pa.concat_tables(
+            [t.select(btbls[0].column_names) for t in btbls])
+        resolved = resolve_block(
+            btbl.drop_columns(["alias", "alias_norm", "boundary"])
+            .to_pandas())
+        patch = dict(zip(resolved["mention_id"],
+                         zip(resolved["alias"], resolved["alias_norm"])))
+        rtbl = pa.Table.from_pandas(resolved, preserve_index=False)
+        bflags = flag_convs(rtbl, amb_aliases, sports)
+        bconvs = set(bflags.column("conv_id").to_pylist())
+        if bconvs:
+            bsub = rtbl.filter(pc.is_in(
+                rtbl.column("conv_id").combine_chunks(),
+                value_set=pa.array(sorted(bconvs), pa.string()),
+            )).select(SUBSET_COLUMNS)
+            bchoices = conv_overrides_block(bsub, kb, sports)
+            if bchoices.num_rows:
+                choice_tbls.append(bchoices)
     out: dict = {}
-    for p in parts:
+    for p in choice_tbls:
         for r in p.to_pylist():
             out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
-    return out
+    return patch, out
 
 
 PARTIAL_PROFILE_COLUMNS = ["mention_id", "alias", "alias_norm", "surface",
@@ -1413,13 +1442,23 @@ def run_linkage(
         raw = _timed("aliased", lambda: src.map_batches(
             _extract_canonicalize_fused, batch_format="pyarrow",
             batch_size=None).materialize())
-        patch_ref = ray.put(compute_patch(raw))
-        # lazy patched view: the override scans re-run the (cheap)
-        # patch map over the materialized raw blocks
+        # ONE fused wave over the blocks: boundary rows come back for
+        # the driver patch, and override flagging + subset + resolution
+        # all run IN-TASK (flagged rows never leave their block) — the
+        # three former full-table waves and the driver-side subset
+        # materialization are gone.
+        patch, overrides = _timed("scan", lambda: _fused_scan_wave(
+            raw, kb_ref, kb_index, sports_classify))
+        patch_ref = ray.put(patch)
+        ov_ref = ray.put(overrides)
+        # lazy patched view for any Dataset-form consumer
         aliased = raw.map_batches(
             _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
             batch_format="pyarrow",
         )
+        mention_refs = raw.to_arrow_refs()
+        partial_refs = _launch_partial_refs(
+            mention_refs, (patch_ref, ov_ref))
         n_mentions = raw.count()
     else:
         def build_aliased():
@@ -1457,16 +1496,10 @@ def run_linkage(
     # strong. Only a corpus whose contracted profile itself exceeds the
     # guard pays the distributed fallback.
     driver_path = n_mentions <= driver_cc_max_nodes
-    probe_partial_refs = probe_ov_ref = None
     if fast_fused and not driver_path:
-        overrides = _timed("overrides", lambda: _find_overrides_tasks(
-            raw, patch_ref, kb_ref, sports_classify))
-        probe_ov_ref = ray.put(overrides)
-        probe_partial_refs = _launch_partial_refs(
-            raw.to_arrow_refs(), (patch_ref, probe_ov_ref))
         nrows_rem = ray.remote(lambda t: t.num_rows)
         n_partial_rows = _timed("profile_probe", lambda: sum(ray.get(
-            [nrows_rem.remote(r) for r in probe_partial_refs])))
+            [nrows_rem.remote(r) for r in partial_refs])))
         if n_partial_rows <= driver_cc_max_nodes:
             driver_path = True
         else:
@@ -1487,45 +1520,37 @@ def run_linkage(
     # the (rare-by-assumption) choices into a broadcast dict; the
     # fallback plan attaches them via a conv_id hash join instead, so
     # no corpus-proportional structure ever lives on the driver.
+    fallback_partial_refs = None
     if driver_path:
-        # fast plan: the two override scans + resolution run as plain
-        # tasks over the materialized blocks (no executor startups).
-        # A tier-2 probe already paid for overrides — reuse its ref.
-        if probe_ov_ref is not None:
-            ov_ref = probe_ov_ref
-        else:
-            overrides = _timed("overrides", lambda: (
-                _find_overrides_tasks(raw, patch_ref, kb_ref,
-                                      sports_classify)
-                if fast_fused else find_context_overrides(
-                    aliased, kb_ref, sports=sports_classify,
-                    num_partitions=num_partitions)))
-            ov_ref = ray.put(overrides)
-
         if fast_fused:
             # no second mention-table copy: the patch + group-key map
             # runs INSIDE the profile and answers tasks (vectorized,
-            # rare-row-only) — the raw table is the only full pin
+            # rare-row-only) — the raw table is the only full pin;
+            # overrides already resolved concurrently with the combiner
             ctx_refs = (patch_ref, ov_ref)
-            mention_refs = raw.to_arrow_refs()
         else:
+            overrides = _timed("overrides", lambda: find_context_overrides(
+                aliased, kb_ref, sports=sports_classify,
+                num_partitions=num_partitions))
+            ov_ref = ray.put(overrides)
             grouped = aliased.map_batches(
                 _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
                 batch_format="pyarrow",
             )
             if overrides:
                 grouped = grouped.materialize()
-    elif probe_ov_ref is not None:
+    elif fast_fused:
         # probed fallback (fast plan, contraction too big for the
-        # driver): group keys attach in-task from the probe's override
-        # dict — bounded by the override-CHOICE count, which the probe
-        # already materialized — so no mention-table join exchange
+        # driver): group keys attach in-task from the override dict —
+        # bounded by the override-CHOICE count — so no mention-table
+        # join exchange; the combiner partials already carry final
+        # group keys and feed the merge shuffle directly
         grouped = raw.map_batches(
             _patch_and_group,
-            fn_kwargs={"patch_ref": patch_ref, "ov_ref": probe_ov_ref},
+            fn_kwargs={"patch_ref": patch_ref, "ov_ref": ov_ref},
             batch_format="pyarrow",
         )
-        partials_ds = ray.data.from_arrow_refs(probe_partial_refs)
+        fallback_partial_refs = partial_refs
     else:
         from .overrides import context_override_rows
 
@@ -1534,7 +1559,6 @@ def run_linkage(
             num_partitions=num_partitions))
         grouped = _timed("group_attach", lambda: _attach_group_key_join(
             aliased, ov_rows, num_partitions).materialize())
-        partials_ds = None
 
     if driver_path:
         # per-READ-BLOCK partial profiles (combiner, parallel) -> ONE
@@ -1544,12 +1568,10 @@ def run_linkage(
             # bundle count trades combiner effectiveness against task
             # parallelism: hot aliases appear in EVERY bundle, so the
             # partial-row count is ~bundles x distinct-aliases. Cap at
-            # ~32 bundles (bounds the duplicate factor); plain tasks
-            # over the materialized blocks, no executor startup. A
-            # tier-2 probe already ran the combiner — reuse its refs.
-            refs = (probe_partial_refs if probe_partial_refs is not None
-                    else _launch_partial_refs(mention_refs, ctx_refs))
-            parts = [t for t in ray.get(refs) if t.num_rows]
+            # ~32 bundles (bounds the duplicate factor). The combiner
+            # launched right after the fused scan with final group
+            # keys, so here the driver only collects and merges.
+            parts = [t for t in ray.get(partial_refs) if t.num_rows]
             if not parts:
                 return pa.table({})
             cols = parts[0].column_names
@@ -1705,14 +1727,15 @@ def run_linkage(
 
     # ----------------------------------------------- distributed fallback
     def build_profile_distributed():
-        if partials_ds is not None:
+        if fallback_partial_refs is not None:
             # probed fallback: the shuffle moves partial PROFILE rows
             # (~bundles x aliases), not the mention table — and runs as
             # a plain-task shuffle (no aggregator fleet)
             from .shuffle import task_group_blocks
 
             merged_refs = task_group_blocks(
-                probe_partial_refs, ["group_key"], _merge_partials_block,
+                fallback_partial_refs, ["group_key"],
+                _merge_partials_block,
                 batch_format="pandas", num_partitions=num_partitions)
             return _finalize_profile_distributed(merged_refs,
                                                  num_partitions)
@@ -1792,7 +1815,7 @@ def run_linkage(
                 if fast_fused:
                     return _assemble_answers_tasks(
                         raw.to_arrow_refs(), map_ref,
-                        (patch_ref, probe_ov_ref))
+                        (patch_ref, ov_ref))
                 finished = grouped.map_batches(
                     _finish_batch, fn_kwargs={"map_ref": map_ref},
                     batch_format="pyarrow", batch_size=None)
