@@ -210,28 +210,32 @@ def _patch_and_group(t: pa.Table, patch_ref=None,
                         rep_norm))
         t = t.drop_columns(["boundary"])
     if ov_ref is not None:
-        from .overrides import group_key_of
-
-        ov = _maybe_get(ov_ref)
-        alias_arr = t.column("alias_norm").combine_chunks()
-        gk_arr = alias_arr
-        if ov:
-            # candidate rows = mentions of an overridden alias; only
-            # those pay the per-row (alias, conv) dict probe
-            cand = pa.array(sorted({a for a, _ in ov}), pa.string())
-            mask = pc.is_in(alias_arr, value_set=cand)
-            if pc.sum(mask).as_py():
-                idx = pc.indices_nonzero(mask)
-                a_hit = alias_arr.take(idx).to_pylist()
-                c_hit = t.column("conv_id").take(idx).to_pylist()
-                rep = pa.array(
-                    [group_key_of(a, *ov[(a, c)]) if (a, c) in ov else a
-                     for a, c in zip(a_hit, c_hit)],
-                    pa.string(),
-                )
-                gk_arr = pc.replace_with_mask(alias_arr, mask, rep)
-        t = t.append_column("group_key", gk_arr)
+        t = _attach_group_keys(t, _maybe_get(ov_ref))
     return t
+
+
+def _attach_group_keys(t: pa.Table, ov: dict) -> pa.Table:
+    """Append the contraction group_key column: alias_norm, overridden
+    per (alias_norm, conv_id) by the choice dict. Vectorized — only
+    mentions of an overridden alias pay the per-row dict probe."""
+    from .overrides import group_key_of
+
+    alias_arr = t.column("alias_norm").combine_chunks()
+    gk_arr = alias_arr
+    if ov:
+        cand = pa.array(sorted({a for a, _ in ov}), pa.string())
+        mask = pc.is_in(alias_arr, value_set=cand)
+        if pc.sum(mask).as_py():
+            idx = pc.indices_nonzero(mask)
+            a_hit = alias_arr.take(idx).to_pylist()
+            c_hit = t.column("conv_id").take(idx).to_pylist()
+            rep = pa.array(
+                [group_key_of(a, *ov[(a, c)]) if (a, c) in ov else a
+                 for a, c in zip(a_hit, c_hit)],
+                pa.string(),
+            )
+            gk_arr = pc.replace_with_mask(alias_arr, mask, rep)
+    return t.append_column("group_key", gk_arr)
 
 
 def _attach_group_key_join(aliased_ds, ov_rows, num_partitions: int):
@@ -782,81 +786,102 @@ def _boundary_rows_block(t: pa.Table) -> pa.Table:
     return t.filter(pc.equal(t.column("boundary"), True))
 
 
-def _fused_scan_task(t: pa.Table, kb_ref, sports: bool):
-    """ONE pass over a materialized mention block returning everything
-    downstream stages need from it before the combiner can launch:
-    (boundary rows, resolved override-choice rows). Flagging, subset
-    and per-conversation override RESOLUTION all run here, in-task —
-    the flagged rows never leave the block, so no driver-side subset
-    materialization exists at any scale.
+EMPTY_CHOICES = {
+    "alias_norm": pa.string(), "conv_id": pa.string(),
+    "kind": pa.string(), "kb_id": pa.string(),
+}
+
+
+def _empty_choices() -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in EMPTY_CHOICES.items()})
+
+
+def _choice_dict(tbls) -> dict:
+    out: dict = {}
+    for p in tbls:
+        for r in p.to_pylist():
+            out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
+    return out
+
+
+def _scan_partials_task(kb_ref, sports: bool, *tbls: pa.Table):
+    """ONE wave per bundle of materialized mention blocks doing both the
+    override scan AND the combiner: returns (partial alias profile,
+    boundary rows, resolved override-choice rows). Flagging, subset and
+    per-conversation override resolution all run here, in-task — the
+    flagged rows never leave their bundle, so no driver-side subset
+    materialization exists at any scale, and the combiner needs no
+    prior wave at all.
 
     Correct without the boundary patch because conversations are
-    contiguous within a block under the fused conv-sorted plan:
-    - edge (block-straddling) conversations are emitted with
-      boundary=True for EVERY one of their rows, so the non-boundary
-      remainder consists only of interior conversations, whose aliases
-      the patch never touches — flags, subset and choices computed here
-      are exactly the post-patch values;
-    - edge conversations are flagged, subset and resolved on the DRIVER
-      from the resolved boundary table (complete by construction), so
-      nothing is double-counted or missed.
+    contiguous within a bundle under the fused conv-sorted plan
+    (bundles are consecutive blocks of the conv-sorted corpus):
+    - edge (block-straddling) conversations carry boundary=True on
+      EVERY row, so the non-boundary remainder consists only of whole
+      interior conversations, whose aliases the patch never touches —
+      flags, choices and the partial profile computed here are exactly
+      the post-patch values, and the local choices ARE the global
+      choices for these conversations;
+    - edge conversations are excluded from the local partial profile
+      entirely; the DRIVER resolves, flags and profiles them from the
+      returned boundary tables (complete by construction), emitting one
+      extra partial — so nothing is double-counted or missed.
 
-    Per-block cost is proportional to the block's flagged-conversation
-    rows; a corpus whose overrides concentrate in one key range skews
-    this wave (acceptable: the same skew would hit any conv-partitioned
+    Per-bundle cost grows with the bundle's flagged-conversation rows;
+    a corpus whose overrides concentrate in one key range skews this
+    wave (acceptable: the same skew would hit any conv-partitioned
     resolve)."""
-    import ray
+    from .overrides import SUBSET_COLUMNS, conv_overrides_block, flag_convs
+    from .scorer import _duck
 
-    from .overrides import (SUBSET_COLUMNS, conv_overrides_block,
-                            flag_convs)
-
+    _duck()  # pre-warm this worker's DuckDB connection: the scoring
+    # tasks later land on the same worker pool, and a cold connection
+    # there costs ~50ms x workers on the critical path
     kb = _maybe_get(kb_ref)
-    empty_choices = pa.table({
-        "alias_norm": pa.array([], pa.string()),
-        "conv_id": pa.array([], pa.string()),
-        "kind": pa.array([], pa.string()),
-        "kb_id": pa.array([], pa.string()),
-    })
-    if t.num_rows == 0:
-        return pa.table({}), empty_choices
-    bmask = t.column("boundary").combine_chunks()
-    boundary = t.filter(bmask)
-    nb = t.filter(pc.invert(bmask))
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return pa.table({}), pa.table({}), _empty_choices()
+    cat = pa.concat_tables([t.select(tbls[0].column_names) for t in tbls])
+    bmask = cat.column("boundary").combine_chunks()
+    boundary = cat.filter(bmask)
+    nb = cat.filter(pc.invert(bmask))
     if nb.num_rows == 0:
-        return boundary, empty_choices
-    amb_aliases = sorted(kb.ambiguous_aliases)
-    flags = flag_convs(nb, amb_aliases, sports)
+        return pa.table({}), boundary, _empty_choices()
+    flags = flag_convs(nb, sorted(kb.ambiguous_aliases), sports)
     convs = sorted(set(flags.column("conv_id").to_pylist()))
-    if not convs:
-        return boundary, empty_choices
-    sub = nb.filter(
-        pc.is_in(nb.column("conv_id").combine_chunks(),
-                 value_set=pa.array(convs, pa.string()))
-    ).select(SUBSET_COLUMNS)
-    return boundary, conv_overrides_block(sub, kb, sports)
+    choices = _empty_choices()
+    ov: dict = {}
+    if convs:
+        sub = nb.filter(
+            pc.is_in(nb.column("conv_id").combine_chunks(),
+                     value_set=pa.array(convs, pa.string()))
+        ).select(SUBSET_COLUMNS)
+        choices = conv_overrides_block(sub, kb, sports)
+        ov = _choice_dict([choices])
+    nb = _attach_group_keys(nb.drop_columns(["boundary"]), ov)
+    out = _alias_profile_block(
+        nb.select(PARTIAL_PROFILE_COLUMNS).to_pandas())
+    return (pa.Table.from_pandas(out, preserve_index=False),
+            boundary, choices)
 
 
-def _fused_scan_wave(raw, kb_ref, kb, sports: bool):
-    """Driver side of the fused scan: one task wave over the
-    materialized mention blocks, then (a) resolve the boundary
+def _scan_partials_driver(btbls, ctbls, kb, sports: bool):
+    """Driver side of the merged wave: (a) resolve the boundary
     conversations whole (O(2 x blocks) conversations), (b) flag +
-    resolve overrides for those boundary conversations (the only rows
-    the in-task pass could not judge), (c) union the choice rows.
-    Returns (patch dict, override choice dict) — the override dict is
-    the ONLY driver-side structure, bounded by the override-CHOICE
-    count (the rare-override assumption), not by flagged-row count."""
-    import ray
-
+    resolve overrides for them (the only rows the in-task pass could
+    not judge), (c) union the choice dicts, (d) profile the patched
+    boundary rows as ONE extra partial. Returns
+    (patch dict, override choice dict, boundary partial table | None).
+    The override dict is the ONLY corpus-derived driver structure,
+    bounded by the override-CHOICE count (the rare-override
+    assumption), not by flagged-row count."""
     from .alias import resolve_block
     from .overrides import SUBSET_COLUMNS, conv_overrides_block, flag_convs
 
-    amb_aliases = sorted(kb.ambiguous_aliases)
-    rem = ray.remote(_fused_scan_task)
-    outs = ray.get([rem.remote(r, kb_ref, sports)
-                    for r in raw.to_arrow_refs()])
-    choice_tbls = [c for _, c in outs if c.num_rows]
-    btbls = [b for b, _ in outs if b.num_rows]
+    choice_tbls = [c for c in ctbls if c.num_rows]
+    btbls = [b for b in btbls if b.num_rows]
     patch: dict = {}
+    bpart = None
     if btbls:
         btbl = pa.concat_tables(
             [t.select(btbls[0].column_names) for t in btbls])
@@ -866,7 +891,7 @@ def _fused_scan_wave(raw, kb_ref, kb, sports: bool):
         patch = dict(zip(resolved["mention_id"],
                          zip(resolved["alias"], resolved["alias_norm"])))
         rtbl = pa.Table.from_pandas(resolved, preserve_index=False)
-        bflags = flag_convs(rtbl, amb_aliases, sports)
+        bflags = flag_convs(rtbl, sorted(kb.ambiguous_aliases), sports)
         bconvs = set(bflags.column("conv_id").to_pylist())
         if bconvs:
             bsub = rtbl.filter(pc.is_in(
@@ -876,56 +901,18 @@ def _fused_scan_wave(raw, kb_ref, kb, sports: bool):
             bchoices = conv_overrides_block(bsub, kb, sports)
             if bchoices.num_rows:
                 choice_tbls.append(bchoices)
-    out: dict = {}
-    for p in choice_tbls:
-        for r in p.to_pylist():
-            out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
-    return patch, out
+        ov_all = _choice_dict(choice_tbls)
+        bprof = _alias_profile_block(
+            _attach_group_keys(rtbl, ov_all)
+            .select(PARTIAL_PROFILE_COLUMNS).to_pandas())
+        if len(bprof):
+            bpart = pa.Table.from_pandas(bprof, preserve_index=False)
+        return patch, ov_all, bpart
+    return patch, _choice_dict(choice_tbls), bpart
 
 
 PARTIAL_PROFILE_COLUMNS = ["mention_id", "alias", "alias_norm", "surface",
                            "ner_type", "context", "group_key"]
-
-
-def _partials_task(ctx_refs, *tbls: pa.Table) -> pa.Table:
-    """Per-bundle partial alias profile (the combiner) over one or more
-    materialized mention blocks. ``ctx_refs = (patch_ref, ov_ref)``:
-    the boundary patch + group-key attach run HERE (vectorized,
-    rare-row-only) instead of materializing a second full copy of the
-    mention table; refs arrive nested so they resolve in-task."""
-    from .scorer import _duck
-
-    _duck()  # pre-warm this worker's DuckDB connection: the scoring
-    # tasks later land on the same worker pool, and a cold connection
-    # there costs ~50ms x workers on the critical path
-    tbls = [t for t in tbls if t.num_rows]
-    if not tbls:
-        return pa.table({})
-    if ctx_refs is not None:
-        patch_ref, ov_ref = ctx_refs
-        tbls = [_patch_and_group(t, patch_ref=patch_ref, ov_ref=ov_ref)
-                for t in tbls]
-    cat = pa.concat_tables([t.select(PARTIAL_PROFILE_COLUMNS)
-                            for t in tbls])
-    out = _alias_profile_block(cat.to_pandas())
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def _launch_partial_refs(mention_refs, ctx_refs):
-    """Launch the per-bundle combiner tasks and return their ObjectRefs
-    WITHOUT pulling any table to the driver — callers first probe
-    ``sum(num_rows)`` (the quantity the driver plan actually
-    materializes) and only collect if it fits the driver guard."""
-    import numpy as np
-    import ray
-
-    nb = max(1, min(32, len(mention_refs)))
-    rem = ray.remote(_partials_task)
-    return [
-        rem.remote(ctx_refs, *(mention_refs[i] for i in b))
-        for b in np.array_split(np.arange(len(mention_refs)), nb)
-        if len(b)
-    ]
 
 
 def _finish_with_meta(t: pa.Table, map_ref, ctx_refs=None):
@@ -1442,23 +1429,40 @@ def run_linkage(
         raw = _timed("aliased", lambda: src.map_batches(
             _extract_canonicalize_fused, batch_format="pyarrow",
             batch_size=None).materialize())
-        # ONE fused wave over the blocks: boundary rows come back for
-        # the driver patch, and override flagging + subset + resolution
-        # all run IN-TASK (flagged rows never leave their block) — the
-        # three former full-table waves and the driver-side subset
-        # materialization are gone.
-        patch, overrides = _timed("scan", lambda: _fused_scan_wave(
-            raw, kb_ref, kb_index, sports_classify))
+        # ONE merged wave over the blocks does the override scan,
+        # per-conversation resolution AND the combiner (partial alias
+        # profiles) per bundle — flagged rows never leave their bundle,
+        # boundary rows come back for the driver patch, and no earlier
+        # wave exists between extraction and the contracted profile.
+        import numpy as np
+
+        mention_refs = raw.to_arrow_refs()
+        nb_bundles = max(1, min(32, len(mention_refs)))
+        sp_rem = ray.remote(num_returns=3)(_scan_partials_task)
+        triples = [
+            sp_rem.remote(kb_ref, sports_classify,
+                          *(mention_refs[i] for i in b))
+            for b in np.array_split(np.arange(len(mention_refs)),
+                                    nb_bundles)
+            if len(b)
+        ]
+        def _finish_scan():
+            btbls = ray.get([b for _, b, _ in triples])
+            ctbls = ray.get([c for _, _, c in triples])
+            return _scan_partials_driver(btbls, ctbls, kb_index,
+                                         sports_classify)
+
+        patch, overrides, bpart = _timed("scan", _finish_scan)
         patch_ref = ray.put(patch)
         ov_ref = ray.put(overrides)
+        partial_refs = [p for p, _, _ in triples]
+        if bpart is not None and bpart.num_rows:
+            partial_refs.append(ray.put(bpart))
         # lazy patched view for any Dataset-form consumer
         aliased = raw.map_batches(
             _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
             batch_format="pyarrow",
         )
-        mention_refs = raw.to_arrow_refs()
-        partial_refs = _launch_partial_refs(
-            mention_refs, (patch_ref, ov_ref))
         n_mentions = raw.count()
     else:
         def build_aliased():

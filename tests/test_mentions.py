@@ -65,3 +65,48 @@ def test_empty_batch():
          "text": pa.array([], pa.string())}
     )
     assert len(extract_mentions_batch(t)) == 0
+
+
+def test_single_scan_matches_per_row_reference():
+    """The joined-string single-scan extractor must be bit-identical to
+    a straightforward per-row finditer (offsets, ids, types, context),
+    including texts that contain newlines, adjacent mentions around the
+    join separator, and mention-free rows."""
+    from el.mentions import MENTION_RE, mention_id, type_surface
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    words_up = ["Austin", "Harper", "Global", "Timber", "UWCC", "Quinn",
+                "Dallas", "Meridian", "Institute", "TX"]
+    words_lo = ["we", "met", "near", "the", "team", "and", "with"]
+    texts = []
+    for i in range(200):
+        k = int(rng.integers(0, 9))
+        toks = [str(rng.choice(words_up if rng.random() < 0.4
+                               else words_lo)) for _ in range(k)]
+        s = " ".join(toks)
+        if rng.random() < 0.2:
+            s = s + "\nNewline Harper here"
+        if rng.random() < 0.1:
+            s = "Austin, TX " + s  # mention at position 0
+        texts.append(s)
+    t = pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(200)], pa.string()),
+        "turn_idx": pa.array(list(range(200)), pa.int32()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+    rows = []
+    for c, ti, text in zip(t.column("conv_id").to_pylist(),
+                           t.column("turn_idx").to_pylist(),
+                           t.column("text").to_pylist()):
+        for m in MENTION_RE.finditer(text):
+            s = m.group(0)
+            rows.append({"mention_id": mention_id(c, ti, m.start()),
+                         "conv_id": c, "turn_idx": ti,
+                         "beg": m.start(), "end": m.end(),
+                         "surface": s, "ner_type": type_surface(s),
+                         "context": text})
+    got = extract_mentions_batch(t).to_pylist()
+    assert got == rows
