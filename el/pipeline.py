@@ -713,6 +713,89 @@ def _score_edges_idx_slice(profile_ref, i1, i2) -> pa.Table:
     ).select(["a1", "a2"])
 
 
+def _pair_group_shards(profile_tbl: pa.Table, target_pairs: int,
+                       max_shards: int):
+    """Blocking over the distinct-alias profile, stopping at GROUPS:
+    returns (shards, n_pairs, dropped) where each shard is a list of
+    np.int64 row-index arrays (one per within-block group) packed
+    greedily to ~equal pair counts. The pair-scale work (triu, dedup,
+    table build, scoring) happens INSIDE the scoring tasks — the driver
+    only does alias-scale blocking, so this stage's driver cost no
+    longer grows with the pair count. Cross-block duplicate pairs may
+    be scored twice in different shards (each shard dedups locally);
+    duplicate merge edges are harmless to the downstream union-find /
+    label propagation (verified semantics: min-adoption + idempotent
+    union)."""
+    import numpy as np
+
+    from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
+
+    gkeys = profile_tbl.column("group_key").to_pylist()
+    norms = profile_tbl.column("alias_norm").to_pylist()
+    order = sorted(range(len(gkeys)), key=lambda i: gkeys[i])
+    key_map: dict[str, list[int]] = {}
+    for i in order:
+        for k in block_keys(norms[i]):
+            key_map.setdefault(k, []).append(i)
+    groups: list = []
+    counts: list[int] = []
+    dropped = 0
+    for k in sorted(key_map):
+        idxs = key_map[k]
+        n = len(idxs)
+        if n < 2:
+            continue
+        if n <= MAX_ALIASES_PER_BLOCK:
+            gs = [idxs]
+        else:
+            n_salts = -(-n // MAX_ALIASES_PER_BLOCK)
+            buckets: dict[int, list[int]] = {}
+            for i in idxs:
+                buckets.setdefault(_salt(gkeys[i], n_salts), []).append(i)
+            gs = list(buckets.values())
+            total = n * (n - 1) // 2
+            dropped += total - sum(len(g) * (len(g) - 1) // 2 for g in gs)
+        for g in gs:
+            if len(g) >= 2:
+                groups.append(np.asarray(g, dtype=np.int64))
+                counts.append(len(g) * (len(g) - 1) // 2)
+    n_pairs = sum(counts)
+    if not groups:
+        return [], 0, dropped
+    n_shards = max(1, min(max_shards, -(-n_pairs // target_pairs)))
+    shards: list[list] = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for cnt, g in sorted(zip(counts, groups),
+                         key=lambda x: -x[0]):
+        j = loads.index(min(loads))
+        shards[j].append(g)
+        loads[j] += cnt
+    return [s for s in shards if s], n_pairs, dropped
+
+
+def _score_edges_groups(profile_ref, groups) -> pa.Table:
+    """Scoring task over one shard of blocking groups: pair indices are
+    generated HERE (triu per group + local dedup), then scored via the
+    shared profile — the driver never touches pair-scale arrays."""
+    import numpy as np
+
+    prof = _maybe_get(profile_ref)
+    i1p, i2p = [], []
+    for g in groups:
+        arr = np.asarray(g, dtype=np.int64)
+        r, c = np.triu_indices(len(arr), k=1)
+        i1p.append(arr[r])
+        i2p.append(arr[c])
+    if not i1p:
+        return pa.table({"a1": pa.array([], pa.string()),
+                         "a2": pa.array([], pa.string())})
+    i1 = np.concatenate(i1p)
+    i2 = np.concatenate(i2p)
+    n = prof.num_rows
+    ids = np.unique(i1 * np.int64(n) + i2)
+    return _score_edges_idx_slice(prof, ids // n, ids % n)
+
+
 def _link_batch(t: pa.Table, kb_ref) -> pa.Table:
     """Task-based link decision over distinct contraction nodes: the KB
     index ref resolves from shared memory per task (actor-pool form:
@@ -1597,37 +1680,16 @@ def run_linkage(
                 "alias_profile", {"input": tr_path}, build_profile))
             profile_tbl = collect(profile)
 
-        # link decision: small contracted node sets link on the driver
-        # (no Ray Data execution); larger ones use the task-based map
-        if ckpt.root is None and profile_tbl.num_rows <= 100_000:
-            def links_local() -> pa.Table:
-                from .linkdecide import link_group_keys_batch
-
-                keys = profile_tbl.column("group_key").to_pylist()
-                rows = link_group_keys_batch(keys, kb_index)
-                return pa.table({
-                    "group_key": pa.array(keys, pa.string()),
-                    "kb_id": pa.array([r[0] for r in rows], pa.string()),
-                    "link_score": pa.array([r[1] for r in rows],
-                                           pa.float64()),
-                    "link_conf": pa.array([r[2] for r in rows],
-                                          pa.float64()),
-                })
-
-            links_tbl = _timed("links", links_local)
-        elif ckpt.root is None:
-            # task-based link fan-out over group_key chunks (no
-            # executor startup; the KB index resolves from shared
-            # memory per task)
-            def links_tasks() -> pa.Table:
-                chunks = _chunk_table(profile_tbl.select(["group_key"]),
-                                      1024)
-                rem = ray.remote(_link_batch)
-                parts = ray.get([rem.remote(c, kb_ref) for c in chunks])
-                cols = parts[0].column_names
-                return pa.concat_tables([t.select(cols) for t in parts])
-
-            links_tbl = _timed("links", links_tasks)
+        # link decision: task fan-out over group_key chunks, LAUNCHED
+        # before pair scoring and collected after it — the two stages
+        # depend only on the profile, so the link scan rides along with
+        # the scoring wave instead of serializing in front of it
+        link_refs = None
+        if ckpt.root is None:
+            link_chunks = _chunk_table(profile_tbl.select(["group_key"]),
+                                       1024)
+            link_rem = ray.remote(_link_batch)
+            link_refs = [link_rem.remote(c, kb_ref) for c in link_chunks]
         else:
             def build_links():
                 src = profile_tbl.select(["group_key"])
@@ -1660,29 +1722,23 @@ def run_linkage(
             ).select(["a1", "a2"])
 
         if ckpt.root is None:
-            # task-based scoring over zero-copy slices of the shared
-            # pairs table: score + threshold fused into each task, only
-            # merge edges return (no executor startup)
+            # task-based scoring over SHARDS of blocking groups: pair
+            # generation (triu + dedup), table build, scoring and
+            # thresholding all run in-task; the driver does only
+            # alias-scale blocking and shard packing, so its cost no
+            # longer grows with the pair count
             def scored_edges_tasks() -> pa.Table:
-                # driver does only alias-scale blocking + pair-scale
-                # numpy; the per-pair table build AND scoring run in
-                # tasks over index slices of the shared profile
-                i1, i2, _keys, _dropped = _timed(
+                shards, _n_pairs, _dropped = _timed(
                     "pair_gen",
-                    lambda: _pair_indices_from_profile(profile_tbl,
-                                                       with_keys=False))
-                n = len(i1)
-                if n == 0:
+                    lambda: _pair_group_shards(profile_tbl, batch_size,
+                                               max_shards=16 * cpus))
+                if not shards:
                     return pa.table({"a1": pa.array([], pa.string()),
                                      "a2": pa.array([], pa.string())})
                 prof_ref = ray.put(profile_tbl.select(
                     ["group_key", "alias_norm", "surface_norm", "ctx_vec"]))
-                rem = ray.remote(_score_edges_idx_slice)
-                outs = ray.get([
-                    rem.remote(prof_ref, i1[o:o + batch_size],
-                               i2[o:o + batch_size])
-                    for o in range(0, n, batch_size)
-                ])
+                rem = ray.remote(_score_edges_groups)
+                outs = ray.get([rem.remote(prof_ref, s) for s in shards])
                 ne = [t for t in outs if t.num_rows]
                 if not ne:
                     return pa.table({"a1": pa.array([], pa.string()),
@@ -1691,6 +1747,19 @@ def run_linkage(
                     [t.select(["a1", "a2"]) for t in ne])
 
             edges_tbl = _timed("scored_pairs", scored_edges_tasks)
+            def links_collect() -> pa.Table:
+                parts = ray.get(link_refs)
+                if not parts:
+                    return pa.table({
+                        "group_key": pa.array([], pa.string()),
+                        "kb_id": pa.array([], pa.string()),
+                        "link_score": pa.array([], pa.float64()),
+                        "link_conf": pa.array([], pa.float64()),
+                    })
+                cols = parts[0].column_names
+                return pa.concat_tables([t.select(cols) for t in parts])
+
+            links_tbl = _timed("links", links_collect)
         else:
             scored = _timed("scored_pairs", lambda: ckpt.stage(
                 "scored_pairs", {"input": tr_path}, build_scored))
