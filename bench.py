@@ -142,9 +142,15 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Identical EL job in two fresh processes at 8 and 32 CPUs on the
     same input (the sandbox proxy for N vs 4N nodes). Uses the
-    compute-dominant bench8 fixture scale so the measurement reflects
-    parallel work, not per-session fixed costs; generated once, cached."""
-    scale = os.environ.get("EL_SCALING_SCALE", "bench8")
+    compute-dominant bench32 fixture scale (38.4M turns) so the
+    measurement reflects parallel work, not per-session fixed costs:
+    strong-scaling efficiency is workload-relative, and after the r02
+    speedups the smaller bench8 job finishes in ~5s of parallel compute
+    at 32 CPUs — below the ~8s of fixed driver/orchestration overhead,
+    so it measures the constant, not the scaling. Generated once,
+    cached; set EL_SCALING_SCALE to override (BASELINE.md records both
+    scales)."""
+    scale = os.environ.get("EL_SCALING_SCALE", "bench32")
 
     from el.fixtures import ensure_fixture
 

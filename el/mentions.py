@@ -89,9 +89,11 @@ def extract_mentions_batch(batch: pa.Table) -> pa.Table:
             "ner_type": pa.array([], pa.string()),
             "context": pa.array([], pa.string()),
         })
-    texts = batch.column("text").to_pylist()
-    lens = np.fromiter((len(x) + 1 for x in texts), dtype=np.int64,
-                       count=n)
+    text_arr = batch.column("text").combine_chunks()
+    texts = text_arr.to_pylist()
+    # char lengths via the Arrow kernel (matches Python len(): both
+    # count characters, not bytes) — no per-row Python
+    lens = pa.compute.utf8_length(text_arr).to_numpy().astype(np.int64) + 1
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     mega = "\n".join(texts) + "\n"
     pos_l: list[int] = []

@@ -1508,7 +1508,10 @@ def run_linkage(
         except OSError:
             n_read_tasks = 1
         if n_read_tasks < 4 * cpus:
-            src = src.materialize()
+            # timed separately: disk-bound, so in the single-node
+            # sandbox this cost does NOT scale with CPUs (on a real
+            # cluster aggregate disk bandwidth scales with nodes)
+            src = _timed("read", src.materialize)
         raw = _timed("aliased", lambda: src.map_batches(
             _extract_canonicalize_fused, batch_format="pyarrow",
             batch_size=None).materialize())

@@ -82,12 +82,20 @@ def term_vector(text: str, top_k: int | None = None) -> dict[str, int]:
     return dict(c)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
 def normalize_name(name: str) -> str:
     """Canonical blocking-side normalization: lowercase, strip
     punctuation, collapse whitespace. The exact-alias grouping key of the
     reference's clusterNils (RunKBPEntityLinkerSystem.scala:162-170) uses
     raw entityString equality; we normalize so case/punct variants of the
-    same alias collide."""
+    same alias collide.
+
+    Memoized per worker process (pure function, Zipfian surfaces: the
+    extract stage calls this ~0.5x per mention-token with heavy
+    repeats; the cache removes most of the two regex passes)."""
     s = _NON_ALNUM_RE.sub(" ", name.lower())
     return _WS_RE.sub(" ", s).strip()
 
