@@ -165,15 +165,18 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, trials: int) -> dict:
-        # this sandbox shares its host with other tenants (load spikes
-        # of 10+ cores appear mid-run); min-of-N isolates OUR cost
-        runs = [one(ncpu) for _ in range(trials)]
-        return min(runs, key=lambda r: r["value"])
-
     trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
     lo, hi = 8, 32
-    r_lo, r_hi = best_of(lo, trials), best_of(hi, trials)
+    # this sandbox shares its host with other tenants (load spikes of
+    # 10+ cores appear mid-run); min-of-N per arm isolates OUR cost,
+    # and INTERLEAVING the arms (lo,hi,lo,hi) spreads a spike across
+    # both instead of sinking one arm's every trial
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # two-point decomposition t = OH + C/n: the per-run fixed cost OH
     # (exchange aggregator startup, driver contracted-graph work) and

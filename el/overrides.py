@@ -165,25 +165,27 @@ def flag_convs(t: pa.Table, amb_aliases, sports: bool = True) -> pa.Table:
 
     amb = sorted(amb_aliases)
     amb_arr = pa.array(amb, pa.string()) if amb else None
-    masks = []
+    out = []
     if amb_arr is not None:
-        masks.append(pc.is_in(t.column("alias_norm"), value_set=amb_arr))
+        out.append(t.filter(
+            pc.is_in(t.column("alias_norm"), value_set=amb_arr)
+        ).select(["conv_id"]))
     if sports:
         loc_arr = pa.array(sorted(CITIES | STATE_NAMES), pa.string())
-        marker_re = r"\b(" + "|".join(sorted(SPORTS_MARKERS)) + r")\b"
-        masks.append(pc.and_kleene(
-            pc.and_kleene(
-                pc.is_in(t.column("surface"), value_set=loc_arr),
-                pc.not_equal(t.column("ner_type"), "PER"),
-            ),
-            pc.match_substring_regex(t.column("context"), marker_re),
+        # two-step: cut to gazetteer-surface non-PER rows FIRST (rare),
+        # then run the marker regex only over that subset — the
+        # alternation regex over every context was the scan's hot spot
+        cand = t.filter(pc.and_kleene(
+            pc.is_in(t.column("surface"), value_set=loc_arr),
+            pc.not_equal(t.column("ner_type"), "PER"),
         ))
-    if not masks:
+        if cand.num_rows:
+            marker_re = r"\b(" + "|".join(sorted(SPORTS_MARKERS)) + r")\b"
+            out.append(cand.filter(pc.match_substring_regex(
+                cand.column("context"), marker_re)).select(["conv_id"]))
+    if not out:
         return pa.table({"conv_id": pa.array([], pa.string())})
-    m = masks[0]
-    for extra in masks[1:]:
-        m = pc.or_kleene(m, extra)
-    return t.filter(m).select(["conv_id"])
+    return pa.concat_tables(out)
 
 
 SUBSET_COLUMNS = ["mention_id", "conv_id", "alias_norm", "surface",
