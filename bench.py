@@ -206,8 +206,99 @@ def run_scaling() -> dict:
     }
 
 
+def run_weak_scaling() -> dict:
+    """WEAK-scaling proxy: the same per-CPU workload at two cluster
+    sizes — bench8 (9.6M turns) on 8 CPUs vs bench32 (38.4M turns, 4x)
+    on 32 CPUs, fresh processes. This is the closest sandbox analog to
+    how a real 100-TB deployment grows (add nodes WITH data, not nodes
+    against a fixed corpus); ideal efficiency is wall-time parity."""
+    from el.fixtures import ensure_fixture
+
+    def one(ncpu: int, scale: str) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="el",
+                   EL_FIXTURE_SCALE=scale)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_fixture("bench8")
+    ensure_fixture("bench32")
+    trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):  # interleaved (see run_scaling)
+        runs_lo.append(one(8, "bench8"))
+        runs_hi.append(one(32, "bench32"))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    return {
+        "metric": "weak_scaling_efficiency",
+        # ideal = 1.0 (equal wall time for 4x data on 4x CPUs)
+        "value": round(r_lo["value"] / r_hi["value"], 3),
+        "unit": "ratio",
+        "cpus_lo": 8, "cpus_hi": 32,
+        "n_turns_lo": r_lo["n_turns"], "n_turns_hi": r_hi["n_turns"],
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "stages_lo": r_lo.get("stages", {}),
+        "stages_hi": r_hi.get("stages", {}),
+    }
+
+
+def run_host_ceiling() -> dict:
+    """Control experiment for interpreting strong-scaling numbers on
+    this shared host: 64 identical PURE-CPU Ray tasks (no I/O, no
+    memory pressure) at 8 vs 32 CPUs in fresh sessions. On dedicated
+    hardware this scales ~4x; here it measures the oversubscription /
+    steal-time ceiling that bounds ANY job's 8->32 efficiency
+    (baseline steal ~6 percent at idle, spiking with neighbor load).
+    BASELINE.md cites this next to the pipeline's efficiency."""
+
+    def one(ncpu: int) -> float:
+        code = (
+            "import time, ray, json\n"
+            f"ray.init(address='local', num_cpus={ncpu}, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "@ray.remote\n"
+            "def spin(n):\n"
+            "    s = 0.0; x = 1.0000001\n"
+            "    for i in range(n):\n"
+            "        x = x * 1.0000001 % 1.7; s += x\n"
+            "    return s\n"
+            "t0 = time.time()\n"
+            "ray.get([spin.remote(4_000_000) for _ in range(64)])\n"
+            "print(json.dumps(time.time() - t0))\n"
+            "ray.shutdown()\n"
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, check=True)
+        return float(out.stdout.strip().splitlines()[-1])
+
+    trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):  # interleaved, like run_scaling
+        runs_lo.append(one(8))
+        runs_hi.append(one(32))
+    s_lo, s_hi = min(runs_lo), min(runs_hi)
+    return {
+        "metric": "host_cpu_ceiling_efficiency",
+        "value": round((s_lo / s_hi) / 4.0, 3),
+        "unit": "ratio",
+        "cpus_lo": 8, "cpus_hi": 32,
+        "sec_lo": round(s_lo, 2), "sec_hi": round(s_hi, 2),
+        "note": "pure-CPU Ray tasks; bounds any job's 8->32 efficiency "
+                "on this oversubscribed sandbox host",
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--weak-scaling" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
+    elif "--host-ceiling" in sys.argv:
+        print(json.dumps(run_host_ceiling()))
     else:
         print(json.dumps(run_bench()))
