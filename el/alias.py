@@ -28,8 +28,68 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .gazetteer import CITY_STATE, expand_state_abbreviation
+from .gazetteer import (CITY_STATE, COUNTRIES, STATE_NAMES, STATES,
+                        expand_state_abbreviation)
 from .text import initials, is_acronym, normalize_name
+
+
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=1 << 14)
+def _container_pattern_cached(surface: str):
+    """Compiled 'Surface, Container' / 'Surface in Container' scanner
+    (cached per worker: the unresolved-city set is tiny)."""
+    import re
+
+    esc = re.escape(surface)
+    return re.compile(
+        esc + r"(?:,\s*|\s+in\s+)([A-Z][A-Za-z.\-]+(?:\s[A-Z][A-Za-z.\-]+)?)")
+
+
+def expand_location_from_texts(surface: str, texts) -> str:
+    """M7 final location fallbacks, the raw-text analog of
+    CorefHelperMethods.scala:426-509: when a bare city resolves through
+    neither the gazetteer nor the document's own "City, State" location
+    mentions, scan the conversation's turn texts for
+    ``Surface, Container`` / ``Surface in Container`` patterns (the
+    reference's n-gram candidate walk + its raw-doc regex fallback,
+    collapsed into one scan over our plain-text turns), keep only
+    gazetteer-valid containers, and pick the most frequent one
+    (tie -> earliest occurrence, the proximity analog). Returns "" when
+    nothing validates."""
+    pat = _container_pattern_cached(surface)
+    counts: dict[str, int] = {}
+    first: dict[str, int] = {}
+    k = 0
+    for txt in texts:
+        if surface not in txt:
+            continue
+        for m in pat.finditer(txt):
+            cont = m.group(1).rstrip(".,")
+            if len(cont) == 2 and cont.isupper():
+                full = STATES.get(cont)
+            elif cont in STATE_NAMES or cont in COUNTRIES:
+                full = cont
+            else:
+                full = None
+            if not full:
+                continue
+            counts[full] = counts.get(full, 0) + 1
+            if full not in first:
+                first[full] = k
+            k += 1
+    if not counts:
+        return ""
+    best = min(counts, key=lambda c: (-counts[c], first[c]))
+    return f"{surface}, {best}"
+
+
+def _location_fallback_candidates(surface: str, ner: str, alias: str) -> bool:
+    """True when the text-scan fallback applies: a bare GPE city that
+    neither the gazetteer nor the document locs expanded."""
+    return (ner == "GPE" and alias == surface and ", " not in surface
+            and surface not in CITY_STATE)
 
 
 def _doc_lists(rows: list[dict]) -> tuple[list[str], list[str], list[str]]:
@@ -111,12 +171,26 @@ def resolve_conv(group: pa.Table) -> pa.Table:
         [(rows[i]["surface"], rows[i]["ner_type"]) for i in order]
     )
     pos_of = {ri: j for j, ri in enumerate(order)}
+    conv_texts = None
     aliases: list[str] = []
     norms: list[str] = []
     types: list[str] = []
     for i, r in enumerate(rows):
         alias, ner = resolve_mention(r["surface"], r["ner_type"], pers, orgs,
                                      locs, positions, pos_of[i])
+        if (_location_fallback_candidates(r["surface"], ner, alias)
+                and "context" in r):
+            if conv_texts is None:
+                seen_t: set[str] = set()
+                conv_texts = []
+                for ri in order:
+                    tx = rows[ri].get("context", "")
+                    if tx and tx not in seen_t:
+                        seen_t.add(tx)
+                        conv_texts.append(tx)
+            exp = expand_location_from_texts(alias, conv_texts)
+            if exp:
+                alias = exp
         aliases.append(alias)
         norms.append(normalize_name(alias))
         types.append(ner)
@@ -180,6 +254,7 @@ def resolve_block(df):
     conv = df["conv_id"].to_numpy()
     surfaces = df["surface"].tolist()
     ners = df["ner_type"].tolist()
+    contexts = df["context"].tolist() if "context" in df.columns else None
     bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
     starts = np.concatenate(([0], bounds, [len(conv)]))
     out_alias: list[str] = []
@@ -190,9 +265,24 @@ def resolve_block(df):
         pers, orgs, locs, positions = _doc_lists_ordered(
             [(surfaces[i], ners[i]) for i in range(s, e)]
         )
+        conv_texts = None
         for i in range(s, e):
             alias, ner = resolve_mention(surfaces[i], ners[i], pers, orgs,
                                          locs, positions, i - s)
+            if (contexts is not None
+                    and _location_fallback_candidates(surfaces[i], ner,
+                                                      alias)):
+                if conv_texts is None:
+                    seen_t: set[str] = set()
+                    conv_texts = []
+                    for j in range(s, e):
+                        tx = contexts[j]
+                        if tx and tx not in seen_t:
+                            seen_t.add(tx)
+                            conv_texts.append(tx)
+                exp = expand_location_from_texts(alias, conv_texts)
+                if exp:
+                    alias = exp
             out_alias.append(alias)
             out_norm.append(normalize_name(alias))
             out_ner.append(ner)

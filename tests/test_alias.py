@@ -87,3 +87,51 @@ def test_resolve_conv_preserves_types_and_order():
     assert out["mention_id"].to_pylist() == ["m1", "m2"]
     assert out["alias"].to_pylist() == ["Janet Harper", "Janet Harper"]
     assert out["alias_norm"].to_pylist() == ["janet harper", "janet harper"]
+
+
+def test_location_text_fallback():
+    """M7 final fallbacks (CorefHelperMethods.scala:426-509 analog):
+    a bare city unknown to the gazetteer and absent from the document's
+    'City, State' mentions expands from raw-text 'City in State' /
+    'City, ST' patterns; the most frequent valid container wins and
+    invalid containers are ignored."""
+    from el.alias import expand_location_from_texts
+
+    texts = [
+        "we drove to Brushy Creek in Texas last summer",
+        "Brushy Creek in Texas has a park",
+        "Brushy Creek, TX appears on one map",
+        "Brushy Creek in Confusion is not a place",
+    ]
+    assert expand_location_from_texts("Brushy Creek", texts) == \
+        "Brushy Creek, Texas"
+    # nothing validates -> empty
+    assert expand_location_from_texts("Brushy Creek",
+                                      ["Brushy Creek in Confusion"]) == ""
+    # abbreviation-only evidence expands through the state table
+    assert expand_location_from_texts(
+        "Brushy Creek", ["Brushy Creek, TX is lovely"]
+    ) == "Brushy Creek, Texas"
+
+
+def test_resolve_block_applies_text_fallback():
+    import pandas as pd
+
+    from el.alias import resolve_block
+
+    df = pd.DataFrame({
+        "mention_id": ["c1:00000:00000", "c1:00001:00000"],
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pd.array([0, 1], dtype="int32"),
+        "beg": pd.array([0, 0], dtype="int32"),
+        "end": pd.array([11, 11], dtype="int32"),
+        "surface": ["Brushy Creek", "Brushy Creek"],
+        "ner_type": ["GPE", "GPE"],
+        "context": ["Brushy Creek in Texas is north of town",
+                    "Brushy Creek again"],
+    })
+    out = resolve_block(df)
+    assert list(out["alias"]) == ["Brushy Creek, Texas"] * 2
+    # without the context column the fallback silently disables
+    out2 = resolve_block(df.drop(columns=["context"]))
+    assert list(out2["alias"]) == ["Brushy Creek"] * 2
