@@ -150,7 +150,110 @@ def alias_answer(
     return cluster_label, f"NIL:{cluster_label}", conf
 
 
-# ---------------------------------------------------------------- local
+def _min_per_code(codes, values):
+    """values: object ndarray; codes: int ndarray >= 0. Returns
+    (unique_codes, min_value_per_code) via one value-sort + one
+    first-occurrence pass — no pandas object-dtype groupby (which falls
+    back to a pure-Python per-group loop)."""
+    import numpy as np
+
+    order = np.argsort(values, kind="stable")
+    cs = codes[order]
+    uniq, first = np.unique(cs, return_index=True)
+    return uniq, values[order][first]
+
+
+def kb_constrained_components_idx(
+    kb_list: list[str],
+    min_mention_list: list[str],
+    e1, e2,
+) -> list[tuple[str, str, int]]:
+    """Integer-indexed, vectorized form of kb_constrained_components
+    for the driver fast plan: aliases are row positions 0..n-1
+    (``kb_list`` / ``min_mention_list`` aligned), edges are index
+    arrays. Returns per-alias (comp_kb, cluster_label, comp_size)
+    arrays in row order.
+
+    Same semantics as the string form (equivalence is a pytest);
+    internal component representatives are min INDEX instead of min
+    NAME — never observable, because pure-NIL cluster labels come from
+    min(min_mention) and KB labels from the adopted kb_id."""
+    import numpy as np
+
+    n = len(kb_list)
+    kb_arr = np.asarray(kb_list, dtype=object)
+    parent = np.arange(n, dtype=np.int64)
+    has1 = has2 = k1 = k2 = None
+
+    if len(e1):
+        e1 = np.asarray(e1, dtype=np.int64)
+        e2 = np.asarray(e2, dtype=np.int64)
+        k1 = kb_arr[e1]
+        k2 = kb_arr[e2]
+        has1 = k1 != ""
+        has2 = k2 != ""
+        # NIL-NIL edges union; KB-NIL edges seed; KB-KB edges drop
+        # (kb_constrained_transform semantics, Clusterer.scala:40,56-62)
+        nil_nil = ~has1 & ~has2
+        plist = parent  # local alias; scalar ops on ndarray are fine
+        for a, b in zip(e1[nil_nil].tolist(), e2[nil_nil].tolist()):
+            ra = a
+            while plist[ra] != ra:
+                ra = plist[ra]
+            rb = b
+            while plist[rb] != rb:
+                rb = plist[rb]
+            if ra != rb:
+                if ra < rb:
+                    plist[rb] = ra
+                else:
+                    plist[ra] = rb
+    # vectorized pointer jumping: O(log depth) full-array hops
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+    roots = parent
+
+    # min adoption seed per NIL-subcomponent root
+    final_kb = kb_arr.copy()
+    nil_mask = final_kb == ""
+    if len(e1):
+        s1 = has1 & ~has2   # x linked, y NIL -> seed y's component
+        s2 = has2 & ~has1
+        seed_roots = np.concatenate([roots[e2[s1]], roots[e1[s2]]])
+        seed_kbs = np.concatenate([k1[s1], k2[s2]])
+        if len(seed_roots):
+            uniq_roots, seed_min = _min_per_code(seed_roots, seed_kbs)
+            seed_of_root = np.full(n, "", dtype=object)
+            seed_of_root[uniq_roots] = seed_min
+            final_kb[nil_mask] = seed_of_root[roots[nil_mask]]
+    still_nil = final_kb == ""
+
+    # group token: factorize (kb id | NIL-root) into dense codes; the
+    # two key spaces are kept disjoint by offsetting NIL roots past any
+    # possible kb code
+    import pandas as pd
+
+    kb_codes, _ = pd.factorize(final_kb)  # nil rows share the "" code
+    group_codes = np.where(still_nil, roots + (kb_codes.max() + 1),
+                           kb_codes).astype(np.int64)
+    dense, _ = pd.factorize(group_codes)
+    sizes = np.bincount(dense)[dense]
+
+    labels = final_kb.copy()
+    if still_nil.any():
+        mm = np.asarray(min_mention_list, dtype=object)
+        nil_codes = dense[still_nil]
+        uniq, mins = _min_per_code(nil_codes, mm[still_nil])
+        label_of = np.empty(int(dense.max()) + 1, dtype=object)
+        label_of[uniq] = mins
+        labels[still_nil] = label_of[nil_codes]
+    return final_kb, labels, sizes
+
+
+# ---------------------------------------------------------------- local# ---------------------------------------------------------------- local
 def union_find_local(edges, nodes=()) -> dict[str, str]:
     """Driver-side union-find: node -> min-element component label.
     Used by tests and the pure-Python conformance oracle."""

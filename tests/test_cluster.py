@@ -125,3 +125,36 @@ def test_task_group_blocks_matches_group_blocks(ray_session):
                     ignore_index=True) \
             .sort_values(["k1", "k2"]).reset_index(drop=True)
     assert got.equals(expected)
+
+
+def test_kb_constrained_components_idx_matches_string_form():
+    """The integer-indexed driver form must produce identical
+    (comp_kb, cluster_label, comp_size) as the string form on random
+    graphs mixing NIL-NIL unions, KB-NIL adoption seeds, KB-KB rejected
+    edges, multi-seed components and singletons."""
+    from el.cluster import (kb_constrained_components,
+                            kb_constrained_components_idx)
+
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        n = int(rng.integers(5, 120))
+        aliases = [f"al{i:03d}" for i in range(n)]
+        kb_list = ["" if rng.random() < 0.6
+                   else f"E{int(rng.integers(0, max(2, n // 4))):03d}"
+                   for _ in range(n)]
+        mm = [f"c{int(rng.integers(0, 9)):02d}:{i:03d}" for i in range(n)]
+        m = int(rng.integers(0, 3 * n))
+        e1 = rng.integers(0, n, m).tolist()
+        e2 = rng.integers(0, n, m).tolist()
+        pairs = [(a, b) for a, b in zip(e1, e2) if a != b]
+        kb_of = {aliases[i]: kb_list[i] for i in range(n) if kb_list[i]}
+        min_mention = {aliases[i]: mm[i] for i in range(n)}
+        want = kb_constrained_components(
+            aliases, kb_of, min_mention,
+            [(aliases[a], aliases[b]) for a, b in pairs])
+        comp_kb, label, size = kb_constrained_components_idx(
+            kb_list, mm,
+            [a for a, _ in pairs], [b for _, b in pairs])
+        for i, a in enumerate(aliases):
+            got = (comp_kb[i], label[i], int(size[i]))
+            assert got == want[a], (trial, a, got, want[a])
