@@ -54,9 +54,15 @@ def tokenize(text: str) -> list[str]:
     return WORD_RE.findall(text.lower())
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=1 << 17)
 def stem(word: str) -> str:
     """Deterministic Porter-lite stemmer (reference: MorphaStemmer,
-    MentionPairFeatures.scala:198). Keeps stems >= 3 chars."""
+    MentionPairFeatures.scala:198). Keeps stems >= 3 chars. Memoized
+    per worker (pure function over Zipfian token streams: the profile
+    combiner stems every content token of every sampled context)."""
     for suf, rep in _STEM_RULES:
         if word.endswith(suf) and len(word) - len(suf) + len(rep) >= 3:
             return word[: len(word) - len(suf)] + rep
