@@ -377,8 +377,15 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
             doc_ids.append(doc_id)
             sims.append(h)
             buckets.append((blk << 16) | bits)
-    return pd.DataFrame({"doc_id": doc_ids, "simhash": sims,
-                         "bucket": buckets})
+    # simhash is a full 64-bit value: pin the dtype to uint64 so Arrow
+    # never infers int64 from a lucky all-below-2^63 batch and then
+    # overflows on an unlucky one (pandas would otherwise pick int64 or
+    # object depending on the batch's values)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "simhash": np.array(sims, dtype=np.uint64),
+        "bucket": np.array(buckets, dtype=np.int64),
+    })
 
 
 def simhash_pairs(docs_ds, max_hamming: int = 3):
