@@ -1850,26 +1850,66 @@ def run_linkage(
         "alias_profile", {"input": tr_path},
         build_profile_distributed).materialize())
 
-    links = _timed("links", lambda: ckpt.stage(
-        "links", {"input": tr_path, "kb": kb_path},
-        lambda: profile.map_batches(
+    def build_links_distributed():
+        if ckpt.root is None:
+            # plain-task fan-out (no actor-pool startup); the KB index
+            # resolves from shared memory inside each task
+            from .shuffle import map_refs
+
+            def link_fn(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return _link_batch(
+                        pa.table({"group_key": pa.array([], pa.string())}),
+                        kb_ref)
+                return _link_batch(t.select(["group_key"]), kb_ref)
+
+            return ray.data.from_arrow_refs(
+                map_refs(profile.to_arrow_refs(), link_fn))
+        return profile.map_batches(
             CandidateLinker,
             fn_constructor_args=(kb_ref,),
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=concurrency,
             num_cpus=0.5,
-        ).select_columns(["group_key", "kb_id", "link_score", "link_conf"]),
-    ).materialize())
+        ).select_columns(["group_key", "kb_id", "link_score", "link_conf"])
+
+    links = _timed("links", lambda: ckpt.stage(
+        "links", {"input": tr_path, "kb": kb_path},
+        build_links_distributed).materialize())
+
+    def _keys_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return emit_keys_batch(
+            t.select(["group_key", "alias_norm", "alias", "surface",
+                      "ner_type", "surface_norm", "ctx_vec"]))
+
+    def _pairs_block(t: pa.Table) -> pa.Table:
+        from .shuffle import split_groups
+
+        outs = [block_pair_groups(g) for g in split_groups(t, "block_key")]
+        outs = [o for o in outs if o is not None]
+        if not outs:
+            return block_pair_groups(t)  # empty block emits its schema
+        return pa.concat_tables(outs, promote_options="default")
 
     def build_scored():
-        keys = profile.map_batches(
-            lambda t: emit_keys_batch(
-                t.select(["group_key", "alias_norm", "alias", "surface",
-                          "ner_type", "surface_norm", "ctx_vec"])
-            ),
-            batch_format="pyarrow",
-        )
+        if ckpt.root is None:
+            # same key-only exchange, as a plain-task shuffle + task
+            # scoring — mirrors the other fallback stages (the Ray Data
+            # hash repartition + actor-pool form pays ~3-8s aggregator
+            # startup per exchange and dominated the forced-fallback
+            # scoring wall time)
+            from .shuffle import map_refs, task_group_blocks
+
+            key_refs = map_refs(profile.to_arrow_refs(), _keys_fn)
+            pair_refs = task_group_blocks(
+                key_refs, ["block_key"], _pairs_block,
+                batch_format="pyarrow", num_partitions=num_partitions)
+            return ray.data.from_arrow_refs(
+                map_refs(pair_refs, score_pairs_batch))
+        keys = profile.map_batches(_keys_fn, batch_format="pyarrow")
         pairs = group_map(keys, "block_key", block_pair_groups)
         return pairs.map_batches(
             PairScorer,
