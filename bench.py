@@ -35,6 +35,7 @@ def run_bench() -> dict:
 
     from el.fixtures import ensure_fixture
 
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     fixture = ensure_fixture(EL_FIXTURE_SCALE or SF_DIR)  # cached on disk
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -134,6 +135,10 @@ def run_bench() -> dict:
         "n_pairs": n_pairs,
         "turns_per_sec": round(n_turns / el_sec, 1),
         "pairs_scored_per_sec": round(n_pairs / score_sec, 1),
+        # neighbor load on this shared host inflates wall times 2-5x
+        # (BASELINE.md "Measurement discipline"); record it so a noisy
+        # run is distinguishable from a regression
+        "host_load_avg_at_start": load_at_start,
     }
     ray.shutdown()
     return result
