@@ -429,3 +429,139 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         return df.drop_duplicates(["d1", "d2"])
 
     return group_blocks(pairs, ["d1"], block_distinct, batch_format="pandas")
+
+
+# ---------------------------------------------------------- resolution
+_LABEL_PAD = 20  # zero-padded doc-id labels: lexicographic min (what the
+# string-keyed label propagation computes) == numeric min doc_id
+
+
+def _pad_ids(col) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.utf8_lpad(pc.cast(col, pa.string()), _LABEL_PAD, "0")
+
+
+def _edge_rows(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "d1" not in t.column_names:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string())})
+    return pa.table({"src": _pad_ids(t.column("d1")),
+                     "dst": _pad_ids(t.column("d2"))})
+
+
+def _label_rows(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    both = pa.concat_arrays([t.column("src").combine_chunks(),
+                             t.column("dst").combine_chunks()])
+    u = pc.unique(both)
+    return pa.table({"node": u, "label": u})
+
+
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def resolve_near_dups(docs_ds, pairs_ds, *, num_partitions: int | None = None,
+                      broadcast_max: int = 2_000_000):
+    """Near-dup PAIRS -> per-document keep/drop RESOLUTION:
+    (doc_id, canonical_id, keep) for every corpus document, where
+    canonical_id is the min doc_id of the pair-graph component (the
+    representative a dedup pass retains) and keep = 1 iff the document
+    IS its component's canonical (isolated documents keep themselves).
+
+    This is the last step a production dedup pipeline needs after any
+    of the pair generators in this module (the reference repo stops at
+    clusters; the keep-list analog of its NIL-cluster min-id labeling,
+    Clusterer.scala:22-47's representative selection).
+
+    Scale shape: connected components run on the PAIR set only (bounded
+    by duplicate density, not corpus size) via the same plain-task label
+    propagation the linkage fallback uses (el/cluster.py); the
+    corpus-scale attach broadcasts the canonical map when the labeled
+    node count fits ``broadcast_max`` and otherwise hash-joins labels
+    onto docs (group_blocks union idiom) — no corpus-wide driver
+    structure on either path.
+    """
+    import ray
+
+    from ..cluster import label_propagation_tasks
+    from ..shuffle import default_partitions, group_blocks, map_refs
+
+    P = num_partitions or default_partitions()
+    edge_refs = map_refs(pairs_ds.to_arrow_refs(), _edge_rows)
+    lab_parts = label_propagation_tasks(
+        edge_refs, map_refs(edge_refs, _label_rows), num_partitions=P)
+
+    nrows = ray.remote(_num_rows)
+    total = sum(ray.get([nrows.remote(r) for r in lab_parts]))
+
+    if total <= broadcast_max:
+        canon: dict[int, int] = {}
+        for t in ray.get(lab_parts):
+            if t.num_rows == 0:  # empty partitions arrive schema-less
+                continue
+            for n, l in zip(t.column("node").to_pylist(),
+                            t.column("label").to_pylist()):
+                canon[int(n)] = int(l)
+        canon_ref = ray.put(canon)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(canon_ref)
+            ids = df["doc_id"].astype("int64")
+            canonical = ids.map(m).fillna(ids).astype("int64")
+            return pd.DataFrame({
+                "doc_id": ids.values,
+                "canonical_id": canonical.values,
+                "keep": (canonical.values == ids.values).astype("int64"),
+            })
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            attach, batch_format="pandas")
+
+    import ray.data
+
+    def lab_u(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "node" not in df.columns:  # schema-less empty
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype=str),
+                                 "canon": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "key": df["node"].astype("int64"),
+            "kind": "l",
+            "canon": df["label"].astype("int64"),
+        })
+
+    def doc_u(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"),
+            "kind": "d",
+            "canon": np.zeros(len(df), dtype=np.int64),
+        })
+
+    u = docs_ds.select_columns(["doc_id"]).map_batches(
+        doc_u, batch_format="pandas"
+    ).union(ray.data.from_arrow_refs(lab_parts).map_batches(
+        lab_u, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "canonical_id": pd.Series(dtype="int64"),
+                                 "keep": pd.Series(dtype="int64")})
+        lmap = (df[df["kind"] == "l"].drop_duplicates("key")
+                .set_index("key")["canon"])
+        ids = df.loc[df["kind"] == "d", "key"].astype("int64")
+        canonical = ids.map(lmap).fillna(ids).astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids.values,
+            "canonical_id": canonical.values,
+            "keep": (canonical.values == ids.values).astype("int64"),
+        })
+
+    return group_blocks(u, ["key"], finish, batch_format="pandas",
+                        num_partitions=P)

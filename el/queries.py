@@ -418,6 +418,16 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(_planted_dups(sf_dir), threshold=0.8)
 
 
+def q_near_dup_resolve(sf_dir: str):
+    """Corpus-wide keep/drop resolution over the verified minhash
+    pairs: (doc_id, canonical_id, keep) for every planted-dup corpus
+    document."""
+    from .ops.dedup import minhash_dedup_pairs, resolve_near_dups
+
+    docs = _planted_dups(sf_dir).materialize()
+    return resolve_near_dups(docs, minhash_dedup_pairs(docs, threshold=0.8))
+
+
 def q_simhash_dedup(sf_dir: str):
     from .ops.dedup import simhash_pairs
 
@@ -864,6 +874,50 @@ def _minhash_perms_values() -> str:
     )
 
 
+def _minhash_cte_chain() -> str:
+    """shingles -> signatures -> LSH candidates -> co-occurrence +
+    sizes, shared by the minhash_dedup and near_dup_resolve oracles
+    (the caller appends a final SELECT applying the jaccard
+    threshold)."""
+    return f"""hs AS (
+                SELECT DISTINCT doc_id,
+                       md5_number_lower(s)::HUGEINT AS h
+                FROM sh
+            ),
+            perms AS (SELECT * FROM (VALUES {_minhash_perms_values()})
+                      AS t(p, a, b)),
+            -- ((a*h mod 2^64) + b) mod 2^64 mod M: replays numpy's
+            -- wrapping uint64 universal hash bit-for-bit (HUGEINT holds
+            -- the 125-bit product)
+            vals AS (
+                SELECT doc_id, p,
+                       min((((a * h) % 18446744073709551616 + b)
+                            % 18446744073709551616)
+                           % 2305843009213693951) AS v
+                FROM hs CROSS JOIN perms
+                GROUP BY doc_id, p
+            ),
+            bands AS (
+                SELECT doc_id, p // 4 AS band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey
+                FROM vals GROUP BY doc_id, p // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                            AND a.doc_id < b.doc_id
+            ),
+            co AS (
+                SELECT c.d1, c.d2, count(*) AS co
+                FROM cand c
+                JOIN sh s1 ON s1.doc_id = c.d1
+                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
@@ -1035,43 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": f"""
             WITH {_PLANTED_SHINGLES_CTE},
-            hs AS (
-                SELECT DISTINCT doc_id,
-                       md5_number_lower(s)::HUGEINT AS h
-                FROM sh
-            ),
-            perms AS (SELECT * FROM (VALUES {_minhash_perms_values()})
-                      AS t(p, a, b)),
-            -- ((a*h mod 2^64) + b) mod 2^64 mod M: replays numpy's
-            -- wrapping uint64 universal hash bit-for-bit (HUGEINT holds
-            -- the 125-bit product)
-            vals AS (
-                SELECT doc_id, p,
-                       min((((a * h) % 18446744073709551616 + b)
-                            % 18446744073709551616)
-                           % 2305843009213693951) AS v
-                FROM hs CROSS JOIN perms
-                GROUP BY doc_id, p
-            ),
-            bands AS (
-                SELECT doc_id, p // 4 AS band,
-                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey
-                FROM vals GROUP BY doc_id, p // 4
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                FROM bands a
-                JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                            AND a.doc_id < b.doc_id
-            ),
-            co AS (
-                SELECT c.d1, c.d2, count(*) AS co
-                FROM cand c
-                JOIN sh s1 ON s1.doc_id = c.d1
-                JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
-                GROUP BY 1, 2
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            {_minhash_cte_chain()}
             SELECT co.d1, co.d2,
                    {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} AS jaccard,
                    CAST(0 AS BIGINT) AS dropped_pairs
@@ -1079,6 +1097,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON co.d1 = s1.doc_id
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.8
+        """,
+        # connected components over the verified minhash pairs via a
+        # recursive reachability CTE (min reachable doc_id = the
+        # canonical representative), attached onto the planted corpus
+        "near_dup_resolve": f"""
+            WITH RECURSIVE {_PLANTED_SHINGLES_CTE},
+            {_minhash_cte_chain()},
+            dup AS (
+                SELECT co.d1, co.d2
+                FROM co
+                JOIN sizes s1 ON co.d1 = s1.doc_id
+                JOIN sizes s2 ON co.d2 = s2.doc_id
+                WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.8
+            ),
+            und AS (
+                SELECT d1 AS a, d2 AS b FROM dup
+                UNION SELECT d2, d1 FROM dup
+            ),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS canonical_id FROM reach
+                GROUP BY node
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.canonical_id, d.doc_id) AS BIGINT)
+                       AS canonical_id,
+                   CAST(CASE WHEN COALESCE(c.canonical_id, d.doc_id)
+                                  = d.doc_id
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM docs d LEFT JOIN canon c ON c.node = d.doc_id
         """,
         "simhash_dedup": f"""
             WITH {_PLANTED_SHINGLES_CTE},
@@ -1249,6 +1301,7 @@ def queries():
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "minhash_dedup": q_minhash_dedup,
+        "near_dup_resolve": q_near_dup_resolve,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,

@@ -299,3 +299,48 @@ def test_multimodal_plumbing(ray_session):
     # the strict decoder boundary is a clean NotImplementedError
     with pytest.raises(NotImplementedError):
         AssetFeaturizer(strict=True)(fake_assets_table(2))
+
+
+def test_resolve_near_dups_transitive(ray_session):
+    """Chained pairs (1-2, 2-3) and an isolated doc: component min wins
+    as canonical, isolated docs keep themselves, and the broadcast and
+    hash-join attach paths agree."""
+    import ray.data
+
+    from el.ops.dedup import resolve_near_dups
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in (1, 2, 3, 7, 9)])
+    pairs = ray.data.from_items(
+        [{"d1": 2, "d2": 3, "jaccard": 0.9},
+         {"d1": 1, "d2": 2, "jaccard": 0.9},
+         {"d1": 7, "d2": 9, "jaccard": 0.8}])
+
+    def resolved(**kw):
+        df = resolve_near_dups(docs, pairs, **kw).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    out = resolved()
+    assert out["doc_id"].tolist() == [1, 2, 3, 7, 9]
+    assert out["canonical_id"].tolist() == [1, 1, 1, 7, 7]
+    assert out["keep"].tolist() == [1, 0, 0, 1, 0]
+
+    joined = resolved(broadcast_max=0)  # force the hash-join attach
+    assert joined.equals(out)
+
+
+def test_resolve_near_dups_no_pairs(ray_session):
+    """An empty pair set keeps every document."""
+    import ray.data
+
+    from el.ops.dedup import resolve_near_dups
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "x"} for i in range(4)])
+    pairs = ray.data.from_items([]).map_batches(
+        lambda df: pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+    out = resolve_near_dups(docs, pairs).to_pandas()
+    assert (out["keep"] == 1).all() and len(out) == 4
+    assert out["canonical_id"].tolist() == out["doc_id"].tolist()
