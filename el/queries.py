@@ -418,6 +418,29 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(_planted_dups(sf_dir), threshold=0.8)
 
 
+def _curation_corpus(sf_dir: str):
+    """_planted_dups plus EXACT clones (identical text, doc_id
+    + 2,000,000, every 7th doc) so the curation composite exercises
+    both dedup gates."""
+    def eclones(df: pd.DataFrame) -> pd.DataFrame:
+        # originals only — the near-clones (+1,000,000) are not re-cloned
+        c = df[(df["doc_id"] < 1_000_000) & (df["doc_id"] % 7 == 0)].copy()
+        c["doc_id"] = c["doc_id"] + 2_000_000
+        return pd.concat([df, c], ignore_index=True)
+
+    return _planted_dups(sf_dir).map_batches(eclones, batch_format="pandas")
+
+
+def q_corpus_curation(sf_dir: str):
+    """Per-document retention decision over the curation corpus:
+    language gate + token floor + exact-dup collapse + near-dup drop,
+    first failed gate wins the reason column."""
+    from .ops.curate import curate_corpus
+
+    return curate_corpus(_curation_corpus(sf_dir),
+                         keep_lang="en", min_tokens=15)
+
+
 def q_near_dup_resolve(sf_dir: str):
     """Corpus-wide keep/drop resolution over the verified minhash
     pairs: (doc_id, canonical_id, keep) for every planted-dup corpus
@@ -850,6 +873,40 @@ _PLANTED_SHINGLES_CTE = """clones AS (
             )"""
 
 
+# Curation corpus (_curation_corpus): the planted near-dups PLUS exact
+# clones, with the same word-3-gram shingles.
+_CURATION_SHINGLES_CTE = """nclones AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '), 1,
+                           greatest(len(string_split(text, ' ')) - 2, 0)),
+                           ' ') AS text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            eclones AS (
+                SELECT doc_id + 2000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM nclones
+                UNION ALL SELECT doc_id, text FROM eclones
+            ),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                           )) AS s
+                    FROM toks WHERE len(tk) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(tk, ' ') AS s
+                    FROM toks
+                    WHERE len(tk) < 3 AND array_to_string(tk, ' ') != ''
+                )
+            )"""
+
+
 def _lsh_planes_values(nbits: int = 12, dim: int = 64, seed: int = 5) -> str:
     """The lsh_topk hyperplanes (seeded PCG64 standard normals) as SQL
     VALUES rows (i, plane-list literal); repr round-trips float64."""
@@ -1132,6 +1189,61 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM docs d LEFT JOIN canon c ON c.node = d.doc_id
         """,
+        # the curation composite: same minhash chain + recursive CC
+        # over the exact+near planted corpus, scalar gates inline,
+        # first failed gate (GATES order) wins the reason
+        "corpus_curation": f"""
+            WITH RECURSIVE {_CURATION_SHINGLES_CTE},
+            {_minhash_cte_chain()},
+            dup AS (
+                SELECT co.d1, co.d2
+                FROM co
+                JOIN sizes s1 ON co.d1 = s1.doc_id
+                JOIN sizes s2 ON co.d2 = s2.doc_id
+                WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.8
+            ),
+            und AS (
+                SELECT d1 AS a, d2 AS b FROM dup
+                UNION SELECT d2, d1 FROM dup
+            ),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS canonical_id FROM reach
+                GROUP BY node
+            ),
+            stc AS (SELECT doc_id, text, {toks} AS toks FROM docs),
+            lc AS (SELECT doc_id, {lang_counts} FROM stc),
+            lg AS (
+                SELECT doc_id,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                        WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                        WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                        WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                        WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_guess
+                FROM lc
+            ),
+            st AS (
+                SELECT d.doc_id, lg.lang_guess,
+                       len(regexp_extract_all(d.text, '[A-Za-z0-9]+'))
+                           AS n_tokens,
+                       min(d.doc_id) OVER (PARTITION BY d.text) AS exact_min
+                FROM docs d JOIN lg USING (doc_id)
+            )
+            SELECT st.doc_id, st.lang_guess,
+                   CAST(st.n_tokens AS BIGINT) AS n_tokens,
+                   CASE WHEN st.lang_guess != 'en' THEN 'lang'
+                        WHEN st.n_tokens < 15 THEN 'quality'
+                        WHEN st.doc_id != st.exact_min THEN 'exact_dup'
+                        WHEN COALESCE(c.canonical_id, st.doc_id)
+                             != st.doc_id THEN 'near_dup'
+                        ELSE '' END AS reason
+            FROM st LEFT JOIN canon c ON c.node = st.doc_id
+        """,
         "simhash_dedup": f"""
             WITH {_PLANTED_SHINGLES_CTE},
             tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1302,6 +1414,7 @@ def queries():
         "lang_id": q_lang_id,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_resolve": q_near_dup_resolve,
+        "corpus_curation": q_corpus_curation,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,

@@ -344,3 +344,34 @@ def test_resolve_near_dups_no_pairs(ray_session):
     out = resolve_near_dups(docs, pairs).to_pandas()
     assert (out["keep"] == 1).all() and len(out) == 4
     assert out["canonical_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_curate_corpus_gate_order(ray_session):
+    """First failed gate wins: a wrong-lang exact-dup reads 'lang'; an
+    exact clone of a good doc reads 'exact_dup'; a near-dup pair keeps
+    only its min doc_id; short docs read 'quality'."""
+    import ray.data
+
+    from el.ops.curate import curate_corpus
+
+    good = ("the cat sat on the mat and then the dog sat on the mat too "
+            "while the bird was in the tree and the fish was in the bowl")
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},                      # exact dup of 1
+        {"doc_id": 3, "text": good + " extra words"},     # near dup of 1
+        {"doc_id": 4, "text": "der und die das ist nicht " * 5},  # German
+        {"doc_id": 5, "text": "the of and"},              # too short (en)
+        {"doc_id": 6, "text": "the quick brown fox jumps over the lazy dog "
+                              "and the slow red fox watches from the hill"},
+    ])
+    out = curate_corpus(docs, keep_lang="en", min_tokens=5,
+                        near_threshold=0.5).to_pandas()
+    reason = dict(zip(out["doc_id"], out["reason"]))
+    assert reason[1] == ""
+    assert reason[2] == "exact_dup"
+    assert reason[3] == "near_dup"
+    assert reason[4] == "lang"
+    assert reason[5] == "quality"
+    assert reason[6] == ""
+    assert len(out) == 6
