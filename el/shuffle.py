@@ -139,7 +139,9 @@ def _from_pandas_safe(df) -> pa.Table:
                              else f.type)
             for f in t.schema
         })
-    return t
+    # drop the pandas metadata dict: it defeats Ray's schema
+    # deduplication (unhashable), so every block ships its own schema
+    return t.replace_schema_metadata(None)
 
 
 def _reduce_partition(block_fn: Callable, batch_format: str, *tbls):

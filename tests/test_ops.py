@@ -375,3 +375,36 @@ def test_curate_corpus_gate_order(ray_session):
     assert reason[5] == "quality"
     assert reason[6] == ""
     assert len(out) == 6
+
+
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_resolve_matches_local_union_find(ray_session, seed):
+    """resolve_near_dups canonical map == driver union-find on random
+    pair graphs (min doc_id per component; isolated docs canonical)."""
+    import ray.data
+
+    from el.cluster import union_find_local
+    from el.ops.dedup import resolve_near_dups
+
+    rng = np.random.RandomState(seed)
+    n_docs, n_edges = 60, 45
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n_docs,
+                                                      (n_edges, 2))
+             if a != b]
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "x"} for i in range(n_docs)])
+    pairs = ray.data.from_items(
+        [{"d1": min(a, b), "d2": max(a, b)} for a, b in edges])
+
+    got = resolve_near_dups(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = union_find_local([(str(a), str(b)) for a, b in edges])
+    for doc_id, canon, keep in zip(got["doc_id"], got["canonical_id"],
+                                   got["keep"]):
+        # union_find_local labels by string min; doc ids here are
+        # single/double digit so compare via the component SET instead
+        exp = (min(int(x) for x in want
+                   if want[x] == want.get(str(doc_id)))
+               if str(doc_id) in want else doc_id)
+        assert canon == exp, (doc_id, canon, exp)
+        assert keep == (1 if canon == doc_id else 0)
