@@ -97,7 +97,12 @@ class CheckpointManager:
         tmp = os.path.join(self.root, f".tmp-{name}-{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
-        ds.write_parquet(os.path.join(tmp, "data"))
+        from .shuffle import arrowize
+
+        # strip pandas schema metadata before writing: blocks re-read
+        # from the checkpoint otherwise carry it and defeat Ray's schema
+        # deduplication in every downstream exchange
+        arrowize(ds).write_parquet(os.path.join(tmp, "data"))
         rows = ray.data.read_parquet(os.path.join(tmp, "data")).count()
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(

@@ -16,8 +16,10 @@ import pyarrow as pa
 
 def write_submission(answers_ds, out_dir: str, also_csv: bool = False):
     """answers -> sorted (mention_id, kb_link, confidence) files."""
+    from .shuffle import arrowize
+
     sub = answers_ds.select_columns(["mention_id", "kb_link", "confidence"])
-    sub = sub.sort("mention_id")
+    sub = arrowize(sub).sort("mention_id")
     sub.write_parquet(out_dir)
     if also_csv:
         sub.write_csv(out_dir + "_csv")

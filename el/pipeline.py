@@ -55,7 +55,7 @@ from .kb import broadcast_kb
 from .linkdecide import CandidateLinker
 from .mentions import extract_mentions
 from .scorer import MERGE_CUTOFF, PairScorer, score_pairs_batch
-from .shuffle import group_blocks, group_map
+from .shuffle import arrowize, group_blocks, group_map
 
 import logging
 
@@ -1051,7 +1051,7 @@ def _assemble_answers_tasks(mention_refs, map_ref, ctx_refs=None):
     # loud fallback: unexpected under the fused plan — keep correctness
     print("[el.pipeline] block ranges overlap; falling back to sort "
           "for the sink ordering")
-    return ds.sort(["conv_id", "turn_idx"])
+    return arrowize(ds).sort(["conv_id", "turn_idx"])
 
 
 def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
@@ -1818,7 +1818,7 @@ def run_linkage(
             # completed blocks (preserve_order defaults off, and turning
             # it on taxes every stage) — measured as a rare ordering
             # flake. Pre-sorted blocks still make the range sort cheap.
-            return finished.sort(["conv_id", "turn_idx"])
+            return arrowize(finished).sort(["conv_id", "turn_idx"])
 
         return _timed("answers", lambda: ckpt.stage(
             "answers", {"input": tr_path, "kb": kb_path}, build_answers))
@@ -1953,7 +1953,7 @@ def run_linkage(
                 finished = grouped.map_batches(
                     _finish_batch, fn_kwargs={"map_ref": map_ref},
                     batch_format="pyarrow", batch_size=None)
-                return finished.sort(["conv_id", "turn_idx"])
+                return arrowize(finished).sort(["conv_id", "turn_idx"])
             answers = ans_mat
         # hash-join mentions x alias answers on group_key via the
         # repo's group_blocks idiom (Dataset.join's aggregator rejects
@@ -2014,7 +2014,7 @@ def run_linkage(
         finished = group_blocks(m_rows.union(a_rows), ["group_key"], attach,
                                 batch_format="pandas",
                                 num_partitions=num_partitions)
-        return finished.sort(["conv_id", "turn_idx"])
+        return arrowize(finished).sort(["conv_id", "turn_idx"])
 
     return _timed("answers", lambda: ckpt.stage(
         "answers", {"input": tr_path, "kb": kb_path}, build_answers))

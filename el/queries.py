@@ -238,8 +238,10 @@ def q_transcripts_passthrough(sf_dir: str):
         os.path.join(fd, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "role", "text", "tool"],
     )
+    from .shuffle import arrowize
+
     passthrough = tr.map_batches(lambda t: t, batch_format="pyarrow")
-    return passthrough.sort(["conv_id", "turn_idx"])
+    return arrowize(passthrough).sort(["conv_id", "turn_idx"])
 
 
 def q_el_contexts(sf_dir: str):
@@ -656,6 +658,46 @@ def q_events_hourly(sf_dir: str):
 
     return group_blocks(partials, ["user_id", "hour"], merge,
                         batch_format="pandas")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows (streaming windowed-aggregate analog):
+    30-minute inactivity gap per user; SQL oracle replays it with the
+    gaps-and-islands window idiom."""
+    import ray.data
+
+    from .ops.windows import sessionize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev)
+
+
+def q_click_attribution(sf_dir: str):
+    """As-of join (temporal attribution): every click picks the latest
+    preceding view by the same user (backward inclusive, LEFT) —
+    DuckDB's ASOF LEFT JOIN is the oracle."""
+    import ray.data
+
+    from .ops.windows import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pick(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)) \
+                    .drop_columns(["event_type"])
+        return fn
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    views = ev.map_batches(pick("view"), batch_format="pyarrow") \
+              .select_columns(["event_id", "ts", "user_id"])
+    return asof_join(clicks, views, by="user_id", on="ts",
+                     right_cols={"event_id": "view_event_id",
+                                 "ts": "view_ts"})
 
 
 def q_segment_revenue(sf_dir: str):
@@ -1372,6 +1414,34 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 2)} AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
+        "sessionize": f"""
+            WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(is_start) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {_roundsql('SUM(value)', 2)} AS sum_value
+            FROM s GROUP BY user_id, session_no
+        """,
+        "click_attribution": """
+            SELECT c.event_id, c.ts, c.user_id, c.value,
+                   v.event_id AS view_event_id, v.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "segment_revenue": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,
@@ -1424,6 +1494,8 @@ def queries():
         "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,
     }

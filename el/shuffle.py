@@ -52,6 +52,23 @@ def default_partitions() -> int:
     return min(16, max(4, cpus))
 
 
+def _strip_block_meta(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def arrowize(ds):
+    """Force blocks to metadata-free Arrow ahead of a shuffle op.
+
+    Pandas blocks (and Arrow blocks carrying the ``pandas`` schema
+    metadata dict) defeat Ray's schema deduplication — every block then
+    ships its own schema through the exchange ("Failed to hash the
+    schemas" in the aggregator/reduce logs). Zero-copy for clean Arrow
+    blocks; the pandas->Arrow conversion happens in the map task that
+    the shuffle would have paid for anyway."""
+    return ds.map_batches(_strip_block_meta, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def group_blocks(ds, keys: Sequence[str], block_fn: Callable, *,
                  num_partitions: int | None = None,
                  batch_format: str = "pyarrow", **kwargs):
@@ -60,7 +77,7 @@ def group_blocks(ds, keys: Sequence[str], block_fn: Callable, *,
     block)."""
     ensure_hash_shuffle()
     n = num_partitions or default_partitions()
-    rp = ds.repartition(n, keys=list(keys))
+    rp = arrowize(ds).repartition(n, keys=list(keys))
     return rp.map_batches(block_fn, batch_format=batch_format,
                           batch_size=None, **kwargs)
 

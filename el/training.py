@@ -43,6 +43,9 @@ def build_pair_training_set(gold_pairs_ds,
     )
     n_pos = min(pos.count(), max(1, cap // (neg_ratio + 1)))
     n_neg = min(neg.count(), n_pos * neg_ratio)
-    out = pos.sort("h").limit(n_pos).union(neg.sort("h").limit(n_neg))
+    from .shuffle import arrowize
+
+    out = arrowize(pos).sort("h").limit(n_pos).union(
+        arrowize(neg).sort("h").limit(n_neg))
     return out.map_batches(lambda t: t.drop_columns(["h"]),
                            batch_format="pyarrow")
