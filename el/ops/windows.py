@@ -1,0 +1,182 @@
+"""Event-time window operators: gap sessionization and as-of join.
+
+Beyond the reference's own surface (it has no event-stream operators) —
+these are the streaming-window / temporal-join members of the
+training-data-pipeline op set, built on the repo's standard grouping
+idiom (one hash exchange + block-local vectorized kernel,
+``el/shuffle.py::group_blocks``).
+
+Partitioning assumption (both ops): all rows of one ``by`` key co-reside
+after the exchange — required because a session window / as-of match
+needs the key's full timeline. Keys are users, so skew is bounded by a
+single user's history; at 100 TB the replacement is time-chunked
+sessionization with boundary-session merge, which this module's
+block kernel would serve unchanged per chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..shuffle import group_blocks
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # classic 30-minute inactivity gap
+
+
+def _session_block(gap_us: int):
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "session_no": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64"),
+            })
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        island = np.cumsum(new_sess)  # global 1-based session island
+        # per-user numbering: island minus the user's first island, +1
+        run_starts = np.flatnonzero(new_user)
+        run_lens = np.diff(np.append(run_starts, len(df)))
+        sess_no = island - np.repeat(island[run_starts], run_lens) + 1
+        out = df.assign(session_no=sess_no).groupby(
+            ["user_id", "session_no"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "size"), sum_value=("value", "sum"))
+        out["session_no"] = out["session_no"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return block
+
+
+def sessionize(events_ds, gap_us: int = SESSION_GAP_US, *,
+               num_partitions: int | None = None):
+    """Gap-based session windows per user: one hash exchange on
+    ``user_id``, then block-local gaps-and-islands (vectorized cumsum
+    over the sorted timeline). Ties broken by ``event_id`` so the
+    result is deterministic and SQL-replayable.
+
+    In: (event_id, ts, user_id, value). Out one row per session:
+    (user_id, session_no, session_start, session_end, n_events,
+    sum_value[2dp])."""
+    from .textstats import round_half_away
+
+    base = _session_block(gap_us)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        out = base(df)
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
+        return out
+
+    return group_blocks(events_ds, ["user_id"], block,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)
+
+
+def _null_like(template: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    return pa.nulls(n, type=template.type)
+
+
+def asof_join(left_ds, right_ds, *, by: str, on: str,
+              right_cols: dict[str, str],
+              num_partitions: int | None = None):
+    """As-of (backward, inclusive) join: each left row picks the latest
+    right row of the same ``by`` key with ``right.on <= left.on``; left
+    rows with no such row keep nulls (LEFT semantics, matching DuckDB's
+    ``ASOF LEFT JOIN``).
+
+    Plan: tag sides into one dataset (right payload columns pre-renamed
+    via ``right_cols`` src->out, nulls on the opposite side), ONE hash
+    exchange on ``by``, then a block-local merge: lexsort by
+    (key, on, side) with rights first at ties, running maximum of
+    last-seen-right index, validity = matched right shares the key.
+    Fully vectorized — no per-row loop, one pass per block."""
+    n = num_partitions
+    out_names = list(right_cols.values())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__side", pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        for o in out_names:
+            t = t.append_column(o, pa.nulls(t.num_rows))
+        return t
+
+    left_cols = [c for c in left_ds.schema().names]
+    right_schema = right_ds.schema()
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by), on: t.column(on)}
+        for src, o in right_cols.items():
+            cols[o] = t.column(src)
+        out = pa.table(cols)
+        out = out.append_column("__side", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+        for c in left_cols:
+            if c not in (by, on):
+                out = out.append_column(c, pa.nulls(t.num_rows))
+        return out
+
+    # union needs one schema: resolve the null placeholder types from
+    # the two sides' real schemas before tagging
+    left_schema = left_ds.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    out_types = {o: rtypes[src] for src, o in right_cols.items()}
+
+    def cast_full(t: pa.Table) -> pa.Table:
+        fields = [(c, ltypes[c]) for c in left_cols] + \
+                 [("__side", pa.int8())] + \
+                 [(o, out_types[o]) for o in out_names]
+        arrays = [t.column(c).cast(typ) for c, typ in fields]
+        return pa.table({c: a for (c, _), a in zip(fields, arrays)})
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+                .map_batches(cast_full, batch_format="pyarrow")
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow") \
+                 .map_batches(cast_full, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_fields = [(c, ltypes[c]) for c in left_cols] + \
+                     [(o, out_types[o]) for o in out_names]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=typ)
+                             for c, typ in out_fields})
+        codes = pd.factorize(
+            t.column(by).to_numpy(zero_copy_only=False))[0]
+        ts = t.column(on).to_numpy(zero_copy_only=False) \
+              .astype("datetime64[us]").astype("int64")
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        o = np.lexsort((side, ts, codes))
+        s_side, s_codes = side[o], codes[o]
+        ridx = np.where(s_side == 0, np.arange(len(o)), -1)
+        seen = np.maximum.accumulate(ridx)
+        lpos = np.flatnonzero(s_side == 1)
+        m = seen[lpos]
+        valid = (m >= 0) & (s_codes[np.clip(m, 0, None)] == s_codes[lpos])
+        left_orig = pa.array(o[lpos])
+        right_orig = np.where(valid, o[np.clip(m, 0, None)], 0)
+        vmask = pa.array(valid)
+        cols = {c: t.column(c).take(left_orig) for c in left_cols}
+        for oname in out_names:
+            taken = t.column(oname).take(pa.array(right_orig))
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[oname] = pc.if_else(vmask, taken,
+                                     pa.scalar(None, taken.type))
+        return pa.table(cols)
+
+    return group_blocks(both, [by], merge, batch_format="pyarrow",
+                        num_partitions=n)

@@ -408,3 +408,62 @@ def test_resolve_matches_local_union_find(ray_session, seed):
                if str(doc_id) in want else doc_id)
         assert canon == exp, (doc_id, canon, exp)
         assert keep == (1 if canon == doc_id else 0)
+
+
+def _mkts(*mins):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return [base + np.timedelta64(int(m * 60_000_000), "us") for m in mins]
+
+
+def test_sessionize_gap_edges(ray_session):
+    """Gap strictly > 30min opens a session; exactly 30min does not.
+    Sessions are per-user (numbering restarts)."""
+    import ray.data
+
+    from el.ops.windows import sessionize
+
+    ts = _mkts(0, 30, 61, 0, 200)  # u1: 0,30 same; 61 new. u2: own.
+    rows = [
+        {"event_id": 1, "ts": ts[0], "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": ts[1], "user_id": 1, "value": 2.0},
+        {"event_id": 3, "ts": ts[2], "user_id": 1, "value": 4.0},
+        {"event_id": 4, "ts": ts[3], "user_id": 2, "value": 8.0},
+        {"event_id": 5, "ts": ts[4], "user_id": 2, "value": 16.0},
+    ]
+    out = sessionize(ray.data.from_items(rows)).to_pandas() \
+        .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert out[["user_id", "session_no", "n_events", "sum_value"]] \
+        .values.tolist() == [
+        [1, 1, 2, 3.0], [1, 2, 1, 4.0], [2, 1, 1, 8.0], [2, 2, 1, 16.0]]
+    assert out.loc[0, "session_start"] == pd.Timestamp(ts[0])
+    assert out.loc[0, "session_end"] == pd.Timestamp(ts[1])
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward-inclusive match, LEFT nulls on no-match, and no bleed
+    across keys (a right row from another user never matches)."""
+    import ray.data
+
+    from el.ops.windows import asof_join
+
+    ts = _mkts(0, 10, 20, 30)
+    left = ray.data.from_items([
+        {"event_id": 10, "ts": ts[1], "user_id": 1, "value": 1.0},  # @10
+        {"event_id": 11, "ts": ts[2], "user_id": 1, "value": 2.0},  # @20
+        {"event_id": 12, "ts": ts[0], "user_id": 2, "value": 3.0},  # @0
+    ])
+    right = ray.data.from_items([
+        {"event_id": 100, "ts": ts[0], "user_id": 1},   # u1 @0
+        {"event_id": 101, "ts": ts[2], "user_id": 1},   # u1 @20 (tie)
+        {"event_id": 102, "ts": ts[3], "user_id": 1},   # u1 @30 (future)
+        {"event_id": 103, "ts": ts[0], "user_id": 3},   # other user
+    ])
+    out = asof_join(left, right, by="user_id", on="ts",
+                    right_cols={"event_id": "view_event_id",
+                                "ts": "view_ts"}).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["view_event_id"].iloc[:2].tolist() == [100, 101]
+    # tie at @20 matches (inclusive); user 2 gets NULL, not user 3's row
+    assert pd.isna(out.loc[2, "view_event_id"])
+    assert pd.isna(out.loc[2, "view_ts"])
+    assert out.loc[1, "view_ts"] == pd.Timestamp(ts[2])
