@@ -467,3 +467,84 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(out.loc[2, "view_event_id"])
     assert pd.isna(out.loc[2, "view_ts"])
     assert out.loc[1, "view_ts"] == pd.Timestamp(ts[2])
+
+
+@pytest.mark.parametrize("seed", [1, 11, 42])
+def test_asof_join_matches_merge_asof(ray_session, seed):
+    """asof_join == pandas.merge_asof (backward, inclusive) on random
+    per-user event streams, including users present on one side only."""
+    import ray.data
+
+    from el.ops.windows import asof_join
+
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us")
+
+    def mk(n, id0):
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n),
+            "ts": base + rng.randint(0, 10**9, n).astype("timedelta64[us]"),
+            "user_id": rng.randint(0, 12, n).astype("int64"),
+        })
+
+    left = mk(200, 0).assign(value=rng.rand(200).round(3))
+    right = mk(150, 1000)
+    # users 10/11 appear only on one side
+    left = left[left.user_id != 10].reset_index(drop=True)
+    right = right[right.user_id != 11].reset_index(drop=True)
+
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="user_id", on="ts",
+        right_cols={"event_id": "view_event_id", "ts": "view_ts"},
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.rename(columns={"event_id": "view_event_id"})
+             .assign(view_ts=lambda d: d.ts).sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(want) == len(left)
+    lhs = got["view_event_id"].astype("float64")
+    rhs = want["view_event_id"].astype("float64")
+    pd.testing.assert_series_equal(lhs, rhs, check_names=False)
+    pd.testing.assert_series_equal(
+        got["view_ts"], want["view_ts"], check_names=False)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_sessionize_matches_local_reference(ray_session, seed):
+    """sessionize == a driver-side pandas gaps-and-islands reference on
+    random event streams."""
+    import ray.data
+
+    from el.ops.windows import SESSION_GAP_US, sessionize
+
+    rng = np.random.RandomState(seed)
+    n = 400
+    base = np.datetime64("2024-01-01", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": base + rng.randint(0, 5 * 10**9, n).astype("timedelta64[us]"),
+        "user_id": rng.randint(0, 8, n).astype("int64"),
+        "value": rng.rand(n).round(2),
+    })
+    got = sessionize(ray.data.from_pandas(ev)).to_pandas() \
+        .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+
+    ref = ev.sort_values(["user_id", "ts", "event_id"],
+                         ignore_index=True)
+    gap = ref.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+    new = gap.isna() | (gap > SESSION_GAP_US)
+    ref["session_no"] = new.groupby(ref["user_id"]).cumsum().astype("int64")
+    want = ref.groupby(["user_id", "session_no"], as_index=False).agg(
+        session_start=("ts", "min"), session_end=("ts", "max"),
+        n_events=("event_id", "size"), sum_value=("value", "sum"))
+    want["n_events"] = want["n_events"].astype("int64")
+    want["sum_value"] = want["sum_value"].round(2)
+
+    pd.testing.assert_frame_equal(
+        got, want[got.columns], check_dtype=False)
