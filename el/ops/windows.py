@@ -85,8 +85,96 @@ def sessionize(events_ds, gap_us: int = SESSION_GAP_US, *,
                         num_partitions=num_partitions)
 
 
-def _null_like(template: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
-    return pa.nulls(n, type=template.type)
+def sessionize_chunked(events_ds, gap_us: int = SESSION_GAP_US, *,
+                       chunk_us: int = 24 * 3600 * 1_000_000,
+                       num_partitions: int | None = None):
+    """The skew-safe 100-TB shape of :func:`sessionize`: no partition
+    ever holds one user's full EVENT timeline.
+
+    Phase 1 — event-scale exchange on ``(user_id, time-chunk)``; each
+    block sessionizes its chunks locally (sessions never cross a chunk
+    edge here). Phase 2 — SESSION-scale exchange on ``user_id``; chain
+    consecutive local sessions whose boundary gap <= ``gap_us`` (the
+    gap between two adjacent local sessions is exactly
+    ``next.session_start - prev.session_end``, so chaining reproduces
+    the single-pass semantics bit-for-bit), then number per user and
+    round. Equivalence with :func:`sessionize` is pytest-gated on
+    random streams with chunk < gap (chunks cutting mid-session)."""
+    from .textstats import round_half_away
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+              .astype("datetime64[us]").astype("int64")
+        return t.append_column("chunk", pa.array(ts // chunk_us))
+
+    ev = events_ds.map_batches(add_chunk, batch_format="pyarrow")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64"),
+            })
+        df = df.sort_values(["user_id", "chunk", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        ch = df["chunk"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (ch[1:] != ch[:-1]) \
+            | ((ts[1:] - ts[:-1]) > gap_us)
+        out = df.assign(island=np.cumsum(new)).groupby(
+            ["user_id", "island"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("event_id", "size"), sum_value=("value", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.drop(columns=["island"])
+
+    local_sessions = group_blocks(ev, ["user_id", "chunk"], local,
+                                  batch_format="pandas",
+                                  num_partitions=num_partitions)
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "session_no": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64"),
+            })
+        df = df.sort_values(["user_id", "session_start"],
+                            kind="mergesort", ignore_index=True)
+        uid = df["user_id"].to_numpy()
+        start = df["session_start"].to_numpy() \
+            .astype("datetime64[us]").astype("int64")
+        end = df["session_end"].to_numpy() \
+            .astype("datetime64[us]").astype("int64")
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new = new_user.copy()
+        new[1:] |= (start[1:] - end[:-1]) > gap_us
+        island = np.cumsum(new)
+        run_starts = np.flatnonzero(new_user)
+        run_lens = np.diff(np.append(run_starts, len(df)))
+        sess_no = island - np.repeat(island[run_starts], run_lens) + 1
+        out = df.assign(session_no=sess_no).groupby(
+            ["user_id", "session_no"], as_index=False).agg(
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        out["session_no"] = out["session_no"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
+        return out
+
+    return group_blocks(local_sessions, ["user_id"], chain,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)
 
 
 def asof_join(left_ds, right_ds, *, by: str, on: str,

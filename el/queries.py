@@ -674,6 +674,20 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_sessionize_chunked(sf_dir: str):
+    """Same result as q_sessionize through the skew-safe two-phase plan
+    (event-scale (user, chunk) exchange + session-scale chain) — the
+    oracle is identical; the driver proves plan equivalence."""
+    import ray.data
+
+    from .ops.windows import sessionize_chunked
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    return sessionize_chunked(ev)
+
+
 def q_click_attribution(sf_dir: str):
     """As-of join (temporal attribution): every click picks the latest
     preceding view by the same user (backward inclusive, LEFT) —
@@ -1434,6 +1448,26 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('SUM(value)', 2)} AS sum_value
             FROM s GROUP BY user_id, session_no
         """,
+"sessionize_chunked": f"""
+            WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(is_start) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {_roundsql('SUM(value)', 2)} AS sum_value
+            FROM s GROUP BY user_id, session_no
+        """,
         "click_attribution": """
             SELECT c.event_id, c.ts, c.user_id, c.value,
                    v.event_id AS view_event_id, v.ts AS view_ts
@@ -1495,6 +1529,7 @@ def queries():
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,

@@ -548,3 +548,31 @@ def test_sessionize_matches_local_reference(ray_session, seed):
 
     pd.testing.assert_frame_equal(
         got, want[got.columns], check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_sessionize_chunked_equivalent(ray_session, seed):
+    """The skew-safe two-phase plan == single-exchange sessionize, with
+    chunks far smaller than the gap (every session cut mid-flight)."""
+    import ray.data
+
+    from el.ops.windows import SESSION_GAP_US, sessionize, sessionize_chunked
+
+    rng = np.random.RandomState(seed)
+    n = 500
+    base = np.datetime64("2024-01-01", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": base + rng.randint(0, 3 * 10**9, n).astype("timedelta64[us]"),
+        "user_id": rng.randint(0, 6, n).astype("int64"),
+        "value": rng.rand(n).round(2),
+    })
+    ds = ray.data.from_pandas(ev)
+    plain = sessionize(ds).to_pandas() \
+        .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    chunked = sessionize_chunked(
+        ds, chunk_us=10 * 60 * 1_000_000).to_pandas() \
+        .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert SESSION_GAP_US > 10 * 60 * 1_000_000  # chunks cut sessions
+    pd.testing.assert_frame_equal(chunked, plain[chunked.columns],
+                                  check_dtype=False)
