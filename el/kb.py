@@ -39,13 +39,21 @@ class KBIndex:
     # (LinkFeatures.scala:118-158; file scan replaced by a KB column)
     ne_of: dict[str, frozenset] = field(default_factory=dict)
 
+    _ambiguous_cache: dict[str, list[str]] | None = field(
+        default=None, repr=False, compare=False)
+
     @property
     def ambiguous_aliases(self) -> dict[str, list[str]]:
         """Curated aliases carried by >= 2 KB entries — the aliases whose
         link decision NEEDS the per-document context (doc-sim + NE
-        overlap) instead of a global lookup."""
-        return {a: ids for a, ids in self.ids_of_alias_norm.items()
+        overlap) instead of a global lookup. Cached: callers hit this
+        once per flagged conversation, and the dictcomp over every
+        alias was half a scan-bundle task's time (profiled)."""
+        if self._ambiguous_cache is None:
+            self._ambiguous_cache = {
+                a: ids for a, ids in self.ids_of_alias_norm.items()
                 if len(ids) >= 2}
+        return self._ambiguous_cache
 
     @classmethod
     def from_table(cls, kb) -> "KBIndex":

@@ -95,36 +95,45 @@ def _alias_profile_block(df):
             "n_mentions": pd.Series(dtype="int64"),
             "ctx_sample": pd.Series(dtype=str),
         })
+    import numpy as np
+
     if "group_key" not in df.columns:
         df = df.assign(group_key=df["alias_norm"])
-    df = df.sort_values(["group_key", "alias", "surface", "ner_type"])
-    g = df.groupby("group_key", sort=False)
-    out = g.agg(
-        alias_norm=("alias_norm", "first"),
-        alias=("alias", "first"),
-        surface=("surface", "first"),
-        ner_type=("ner_type", "first"),
-        min_mention=("mention_id", "min"),
-        n_mentions=("mention_id", "size"),
-    ).reset_index()
-    out["n_mentions"] = out["n_mentions"].astype("int64")
+    # run-boundary indexing replaces groupby.agg + groupby.head (each
+    # measured ~1s of pure pandas machinery per bundle at bench scale);
+    # both sorts produce the SAME group sequence (lexicographic by
+    # group_key, stable), so run starts/lengths align across them
+    df = df.sort_values(["group_key", "alias", "surface", "ner_type"],
+                        ignore_index=True)
+    gk = df["group_key"].to_numpy()
+    n = len(gk)
+    bounds = np.flatnonzero(gk[1:] != gk[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    rep = df.iloc[starts]
+    s = df.sort_values(["group_key", "mention_id"], ignore_index=True)
+    out = pd.DataFrame({
+        "group_key": rep["group_key"].to_numpy(),
+        "alias_norm": rep["alias_norm"].to_numpy(),
+        "alias": rep["alias"].to_numpy(),
+        "surface": rep["surface"].to_numpy(),
+        "ner_type": rep["ner_type"].to_numpy(),
+        "min_mention": s["mention_id"].to_numpy()[starts],
+        "n_mentions": (ends - starts).astype("int64"),
+    })
     if "context" in df.columns:
-        import numpy as np
-
-        s = df.sort_values(["group_key", "mention_id"]).groupby(
-            "group_key", sort=False
-        ).head(CTX_SAMPLE_K)
-        # contiguous-run assembly (a groupby.apply here measured ~4s per
-        # block at bench scale — pure pandas overhead)
-        gk = s["group_key"].to_numpy()
-        mids = s["mention_id"].tolist()
-        ctxs = s["context"].tolist()
-        bounds = np.flatnonzero(gk[1:] != gk[:-1]) + 1
-        starts = np.concatenate(([0], bounds, [len(gk)])) if len(gk) else [0]
-        samp: dict[str, str] = {}
-        for a, b in zip(starts[:-1], starts[1:]):
-            samp[gk[a]] = sample_contexts(list(zip(mids[a:b], ctxs[a:b])))
-        out["ctx_sample"] = out["group_key"].map(samp)
+        # K smallest mention_ids per run, straight from the second sort
+        lens = np.minimum(ends - starts, CTX_SAMPLE_K)
+        offs = np.cumsum(lens) - lens
+        idx = np.repeat(starts, lens) + (np.arange(int(lens.sum()))
+                                         - np.repeat(offs, lens))
+        mids = s["mention_id"].to_numpy()[idx].tolist()
+        ctxs = s["context"].to_numpy()[idx].tolist()
+        cb = np.concatenate(([0], np.cumsum(lens)))
+        out["ctx_sample"] = [
+            sample_contexts(list(zip(mids[a:b], ctxs[a:b])))
+            for a, b in zip(cb[:-1], cb[1:])
+        ]
     else:  # context-free callers (isolated benches) degrade gracefully
         out["ctx_sample"] = ""
     return out
@@ -1545,7 +1554,16 @@ def run_linkage(
         import numpy as np
 
         mention_refs = raw.to_arrow_refs()
-        nb_bundles = max(1, min(32, len(mention_refs)))
+        # 2 tasks/CPU gives the wave straggler slack (measured ~1s at
+        # bench32/32cpu vs 1 task/CPU); the 64 ceiling bounds the
+        # hot-alias duplicate factor in the combiner partials
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001 — before init
+            ncpu = 8
+        nb_cap = int(os.environ.get("EL_SCAN_BUNDLES_CAP",
+                                    str(min(64, max(32, 2 * ncpu)))))
+        nb_bundles = max(1, min(nb_cap, len(mention_refs)))
         sp_rem = ray.remote(num_returns=3)(_scan_partials_task)
         triples = [
             sp_rem.remote(kb_ref, sports_classify,
