@@ -107,6 +107,19 @@ class MinHasher:
         return pd.DataFrame(rows, columns=["doc_id", "bucket"])
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _cached_minhasher(num_perm: int, bands: int, k: int) -> "MinHasher":
+    return MinHasher(num_perm=num_perm, bands=bands, k=k)
+
+
+def _minhash_batch(df: pd.DataFrame, *, num_perm: int, bands: int,
+                   k: int) -> pd.DataFrame:
+    return _cached_minhasher(num_perm, bands, k)(df)
+
+
 def _bucket_pairs_group(group: pa.Table) -> pa.Table:
     ids = sorted(set(group.column("doc_id").to_pylist()))
     n = len(ids)
@@ -146,12 +159,14 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
     anyway (verify_jaccard) dedup in that join's block for free."""
     from ..shuffle import group_map
 
+    # task pool, not an actor pool: MinHasher's per-actor "state" is two
+    # seeded integer arrays (microseconds to build) — an actor fleet
+    # pays ~2s startup for nothing; the lru-cached instance persists in
+    # each reused Ray worker process anyway
     sigs = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        _minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=0.5,
     )
     pairs = group_map(sigs, "bucket", _bucket_pairs_group)
     return distinct_pairs(pairs) if distinct else pairs
