@@ -89,12 +89,55 @@ class MinHasher:
         vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized batch-wide:
+        ONE DuckDB ``md5_number_lower`` pass hashes every shingle of
+        every doc (bit-equal to :func:`_shingle_hashes`, same oracle
+        anchor), then the universal-hash min runs as a segmented
+        ``minimum.reduceat`` — no per-shingle Python. Duplicate
+        shingles within a doc are left in (min is idempotent).
+        Memory-bounded by slicing at ~500k shingles per reduceat."""
+        from ..scorer import _duck
+
+        per_doc = [word_shingles(t, self.k) for t in texts]  # set order
+        # is irrelevant: each shingle hashes independently and min() is
+        # order-free
+        lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+        flat = [s for doc in per_doc for s in doc]
+        n_docs = len(texts)
+        sigs = np.full((n_docs, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if not flat:
+            return sigs
+        tbl = pa.table({"s": pa.array(flat, pa.string())})
+        h_all = _duck().execute(
+            "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
+        h_all = next(iter(h_all.values())).astype(np.uint64)
+        nonempty = np.flatnonzero(lens)
+        ends = np.cumsum(lens[nonempty])
+        starts = ends - lens[nonempty]
+        # slice into runs of whole docs, <= ~500k shingles each
+        budget = 500_000
+        i = 0
+        while i < len(nonempty):
+            j = i
+            while j < len(nonempty) and ends[j] - starts[i] <= budget:
+                j += 1
+            j = max(j, i + 1)
+            seg = h_all[starts[i]:ends[j - 1]]
+            vals = (self.a[:, None] * seg[None, :] + self.b[:, None]) \
+                % _MERSENNE
+            mins = np.minimum.reduceat(
+                vals, starts[i:j] - starts[i], axis=1)
+            sigs[nonempty[i:j]] = mins.T
+            i = j
+        return sigs
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         import hashlib
 
+        sigs = self.signatures_batch(list(df["text"]))
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(text)
+        for doc_id, sig in zip(df["doc_id"], sigs):
             for band in range(self.bands):
                 chunk = sig[band * self.rows : (band + 1) * self.rows]
                 # stable digest (builtin hash() is per-process seeded);
