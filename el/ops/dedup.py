@@ -422,14 +422,62 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized SimHash signatures, bit-equal to :func:`simhash64`
+    (pytest-pinned): one DuckDB ``md5_number_lower`` pass over every
+    token of every doc, bit votes as one (tokens, 64) matrix, per-doc
+    sums via segmented ``add.reduceat``. Token multiplicity counts
+    (duplicates stay in). Sliced at ~1M tokens to bound the matrix."""
+    from ..scorer import _duck
+
+    per_doc = [t.split() for t in texts]
+    lens = np.array([len(p) for p in per_doc], dtype=np.int64)
+    flat = [tok for doc in per_doc for tok in doc]
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return sigs
+    tbl = pa.table({"s": pa.array(flat, pa.string())})
+    h_all = _duck().execute(
+        "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
+    h_all = next(iter(h_all.values())).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    nonempty = np.flatnonzero(lens)
+    ends = np.cumsum(lens[nonempty])
+    starts = ends - lens[nonempty]
+    budget = 1_000_000
+    i = 0
+    while i < len(nonempty):
+        j = i
+        while j < len(nonempty) and ends[j] - starts[i] <= budget:
+            j += 1
+        j = max(j, i + 1)
+        seg = h_all[starts[i]:ends[j - 1]]
+        votes = (2 * ((seg[:, None] >> shifts[None, :])
+                      & np.uint64(1)).astype(np.int32) - 1)
+        # segmented sums as cumsum differences (add.reduceat along
+        # axis=0 measured 4s for what this does in ~20ms)
+        cs = np.cumsum(votes, axis=0)
+        seg_starts = starts[i:j] - starts[i]
+        seg_ends = ends[i:j] - starts[i]
+        v = cs[seg_ends - 1].copy()
+        nz = seg_starts > 0
+        v[nz] -= cs[seg_starts[nz] - 1]
+        bits = (v > 0).astype(np.uint64)
+        sigs[nonempty[i:j]] = (bits << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        i = j
+    return sigs
+
+
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     """One row per (doc, 16-bit block): pigeonhole LSH — a pair within
     Hamming distance 3 of a 64-bit SimHash must agree exactly on at
     least one of the 4 blocks, so blocking on every block guarantees
     100% recall at the verify threshold."""
     doc_ids, sims, buckets = [], [], []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        h = simhash64(text)
+    hs = simhash64_batch(list(df["text"]))
+    for doc_id, h in zip(df["doc_id"], hs):
+        h = int(h)
         for blk in range(4):
             bits = (h >> (16 * blk)) & 0xFFFF
             doc_ids.append(doc_id)
