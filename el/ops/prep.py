@@ -1,0 +1,247 @@
+"""Training-data preparation operators: PII redaction, corpus
+vocabulary, benchmark decontamination, stratified sampling, and
+per-document salient-term extraction.
+
+All stages follow the engine's standard shapes — stateless vectorized
+``map_batches`` for per-document work, one hash exchange
+(`el.shuffle.group_blocks`) per grouping, broadcast (`ray.put`) for
+small sides — and every output is reproducible bit-for-bit by a DuckDB
+oracle (see `el/queries.py`): integer-exact rankings, md5 sample keys,
+RE2-compatible regexes shared verbatim with the SQL side.
+
+Scale notes (100 TB):
+- pii_redact / doc_top_terms stage 1 are embarrassingly parallel.
+- vocab_topk pre-aggregates per batch (combiner) so the token exchange
+  moves one row per (batch, distinct token), then takes per-partition
+  top-k (a superset of the global top-k because the exchange
+  co-locates each token) and merges the tiny per-partition heads.
+- decontaminate broadcasts only the BENCHMARK n-gram set — eval suites
+  are millions of n-grams at most, the one side of this join that is
+  small by construction; the corpus side streams.
+- stratified_sample moves one row per document through a single
+  stratum exchange; per-group selection is a vectorized argpartition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..shuffle import group_blocks
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+
+# RE2-compatible (no backrefs / lookaround) so DuckDB regexp_replace
+# replays them exactly. Order matters: emails first (their local part
+# may contain digit runs a phone pattern could clip).
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+# ------------------------------------------------------------------ PII
+def pii_redact_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized email/phone redaction with per-document counts."""
+    text = df["text"]
+    n_emails = text.str.count(EMAIL_RE).astype("int64")
+    clean = text.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+    n_phones = clean.str.count(PHONE_RE).astype("int64")
+    clean = clean.str.replace(PHONE_RE, "<PHONE>", regex=True)
+    out = df[["doc_id"]].copy()
+    out["clean_text"] = clean
+    out["n_emails"] = n_emails
+    out["n_phones"] = n_phones
+    return out
+
+
+def pii_redact(docs_ds):
+    return docs_ds.map_batches(pii_redact_batch, batch_format="pandas")
+
+
+# ----------------------------------------------------------- vocabulary
+def _token_counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: one row per distinct token in the batch."""
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
+        if len(toks) else np.array([], dtype=object)
+    if len(flat) == 0:
+        return pd.DataFrame({"token": pd.Series(dtype=str),
+                             "cnt": pd.Series(dtype="int64")})
+    uniq, counts = np.unique(flat.astype(str), return_counts=True)
+    return pd.DataFrame({"token": uniq, "cnt": counts.astype("int64")})
+
+
+def vocab_topk(docs_ds, k: int = 100):
+    """Corpus-wide top-k token frequencies (vocabulary building).
+
+    Combiner -> one token-hash exchange -> per-partition top-k (each
+    token lives wholly in one partition, so the global top-k is a
+    subset of the union of partition top-ks) -> tiny final merge."""
+
+    partials = docs_ds.map_batches(_token_counts_partial,
+                                   batch_format="pandas")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out = out.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(k)
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.reset_index(drop=True)
+
+    heads = group_blocks(partials, ["token"], merge_topk,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_topk(df)
+
+    # per-partition heads are <= n_partitions * k rows — trivially small
+    return heads.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+# ------------------------------------------------------ decontamination
+def _doc_ngrams(texts: pd.Series, n: int) -> pd.Series:
+    """Per-document DISTINCT word n-gram sets (lowercased tokens)."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+
+    def grams(ws) -> set:
+        if len(ws) < n:
+            return set()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    return toks.map(grams)
+
+
+def decontaminate(docs_ds, *, n: int = 8, bench_mod: int = 97):
+    """Flag training documents sharing any word n-gram with a held-out
+    benchmark set (train/eval decontamination).
+
+    The benchmark side (``doc_id % bench_mod == 0``) is aggregated to a
+    distinct n-gram set and broadcast once with ``ray.put`` — eval
+    suites are small by construction, so this is the canonical
+    broadcast-small-side join, not a shuffle. The corpus side streams:
+    one stateless pass computing per-document hit counts."""
+    import ray
+
+    def bench_grams_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[df["doc_id"] % bench_mod == 0]
+        out: set = set()
+        for g in _doc_ngrams(b["text"], n):
+            out |= g
+        return pd.DataFrame({"g": sorted(out)})
+
+    bench_tbl = (
+        docs_ds.map_batches(bench_grams_partial, batch_format="pandas")
+        .to_pandas()  # distinct benchmark n-grams: small by construction
+    )
+    bench_set = set(bench_tbl["g"].tolist())
+    bench_ref = ray.put(bench_set)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        train = df[df["doc_id"] % bench_mod != 0]
+        hits = _doc_ngrams(train["text"], n).map(
+            lambda gs: len(gs & bset))
+        out = train[["doc_id"]].copy()
+        out["n_hits"] = hits.astype("int64")
+        out["contaminated"] = hits > 0
+        return out
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+# -------------------------------------------------------------- sampling
+def _md5_key(ids: pd.Series) -> pd.Series:
+    return ids.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+
+
+def stratified_sample(docs_ds, *, stratum: str = "lang",
+                      per_stratum: int = 20):
+    """Deterministic per-stratum sample: the ``per_stratum`` documents
+    with the lowest md5(doc_id) rank inside each stratum (hash-ranked
+    sampling — seedless, engine-independent, SQL-replayable).
+
+    One stratum-hash exchange; rows carry only (doc_id, stratum, key)."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", stratum]].copy()
+        out["smp_key"] = _md5_key(df["doc_id"])
+        return out
+
+    slim = docs_ds.map_batches(keyed, batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 stratum: pd.Series(dtype=str)})
+        df = df.sort_values(["smp_key", "doc_id"])
+        out = df.groupby(stratum, as_index=False, sort=False).head(
+            per_stratum)
+        return out[["doc_id", stratum]].reset_index(drop=True)
+
+    return group_blocks(slim, [stratum], pick, batch_format="pandas")
+
+
+# ------------------------------------------------------- salient terms
+def _tf_explode(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, term, tf) rows — each document is one input row, so tf
+    is complete per batch."""
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    ex = pd.DataFrame({
+        "doc_id": df["doc_id"].repeat(toks.map(len)).to_numpy(),
+        "term": np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]
+        ).astype(str) if toks.map(len).sum() else np.array([], dtype=str),
+    })
+    if len(ex) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "term": pd.Series(dtype=str),
+                             "tf": pd.Series(dtype="int64")})
+    out = ex.groupby(["doc_id", "term"], as_index=False).size()
+    out = out.rename(columns={"size": "tf"})
+    out["tf"] = out["tf"].astype("int64")
+    return out
+
+
+def doc_top_terms(docs_ds, *, k: int = 3):
+    """Per-document top-k salient terms, TF-IDF-style but integer-exact:
+    rank by (tf DESC, document-frequency ASC, term ASC) so rare terms
+    win ties and the ordering is bit-reproducible in SQL.
+
+    Two hash exchanges: term (attach global df) then doc_id (rank)."""
+
+    tf = docs_ds.map_batches(_tf_explode, batch_format="pandas")
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype=str),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64")})
+        # (doc_id, term) rows are unique, and the exchange co-located
+        # every row of each term: df = rows per term in this block.
+        out = df.copy()
+        out["df"] = df.groupby("term")["term"].transform("size") \
+            .astype("int64")
+        return out
+
+    with_df = group_blocks(tf, ["term"], attach_df, batch_format="pandas")
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype=str),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64")})
+        df = df.sort_values(["doc_id", "tf", "df", "term"],
+                            ascending=[True, False, True, True])
+        out = df.groupby("doc_id", as_index=False, sort=False).head(k)
+        return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
+
+    return group_blocks(with_df, ["doc_id"], rank, batch_format="pandas")

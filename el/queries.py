@@ -397,6 +397,91 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents"))
 
 
+# ============================================================== prep ops
+# deterministic PII planting (emails on every 4th doc, phones on every
+# 6th) — identical string construction on the Ray and SQL sides
+_PII_EMAIL_SUFFIX = "@example.com now"
+_DECON_SENTINEL = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                   "india juliet")
+
+
+def _pii_corpus(sf_dir: str):
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        m4 = df["doc_id"] % 4 == 0
+        df.loc[m4, "text"] = (
+            df.loc[m4, "text"] + " contact user"
+            + df.loc[m4, "doc_id"].astype(str) + _PII_EMAIL_SUFFIX
+        )
+        m6 = df["doc_id"] % 6 == 0
+        df.loc[m6, "text"] = (
+            df.loc[m6, "text"] + " call 415-555-"
+            + (df.loc[m6, "doc_id"] % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    return docs.map_batches(plant, batch_format="pandas")
+
+
+def q_pii_redact(sf_dir: str):
+    """Email/phone redaction with per-document counts over the
+    planted-PII corpus (RE2 patterns shared verbatim with the oracle)."""
+    from .ops.prep import pii_redact
+
+    return pii_redact(_pii_corpus(sf_dir))
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide top-100 token frequencies (vocabulary building):
+    per-batch combiner -> one token exchange -> per-partition top-k ->
+    tiny merge."""
+    from .ops.prep import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents"), k=100)
+
+
+def _decon_corpus(sf_dir: str):
+    """documents with a 10-token sentinel appended to benchmark docs
+    (doc_id % 97 == 0) and to every 13th doc — guarantees known
+    8-gram contamination overlaps."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        m = (df["doc_id"] % 97 == 0) | (df["doc_id"] % 13 == 0)
+        df.loc[m, "text"] = df.loc[m, "text"] + " " + _DECON_SENTINEL
+        return df
+
+    return docs.map_batches(plant, batch_format="pandas")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any 8-gram
+    with the held-out benchmark subset (broadcast bench n-gram set)."""
+    from .ops.prep import decontaminate
+
+    return decontaminate(_decon_corpus(sf_dir), n=8, bench_mod=97)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Hash-ranked 20-per-language stratified sample (seedless,
+    md5-rank — DuckDB replays it exactly)."""
+    from .ops.prep import stratified_sample
+
+    return stratified_sample(_read(sf_dir, "documents"),
+                             stratum="lang", per_stratum=20)
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Per-document top-3 salient terms, TF-IDF-style but integer-exact
+    (tf DESC, global df ASC, term ASC)."""
+    from .ops.prep import doc_top_terms
+
+    return doc_top_terms(_read(sf_dir, "documents"), k=3)
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1185,6 +1270,93 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS lang_guess
             FROM c
         """,
+        "pii_redact": r"""
+            WITH p AS (
+                SELECT doc_id,
+                    text
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com now' ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0
+                            THEN ' call 415-555-'
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS ptext
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(ptext,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                        AS n_emails,
+                    regexp_replace(ptext,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+                FROM p
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                                  '<PHONE>', 'g') AS clean_text,
+                   n_emails,
+                   len(regexp_extract_all(t1,
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+            FROM e
+        """,
+        "vocab_topk": f"""
+            WITH tok AS (
+                SELECT unnest({toks}) AS token FROM documents
+            ),
+            c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+            SELECT token, cnt FROM c
+            QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100
+        """,
+        "decontaminate": f"""
+            WITH p AS (
+                SELECT doc_id,
+                    text || CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+                                 THEN ' {_DECON_SENTINEL}' ELSE '' END
+                        AS ptext
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(ptext), '[a-z0-9]+') AS ts
+                FROM p
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+                FROM tk, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+                WHERE len(ts) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT g.doc_id, count(*) AS n_hits
+                FROM grams g JOIN bench b USING (g)
+                WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id
+            )
+            SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM tk t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            WHERE t.doc_id % 97 <> 0
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        """,
+        "doc_top_terms": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({toks}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id, tf.term, tf.tf, dfx.df
+            FROM tf JOIN dfx USING (term)
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, dfx.df ASC, tf.term) <= 3
+        """,
         "ngram_jaccard": f"""
             WITH {_PLANTED_SHINGLES_CTE},
             co AS (
@@ -1516,6 +1688,11 @@ def queries():
         "token_count": q_token_count,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
+        "vocab_topk": q_vocab_topk,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "doc_top_terms": q_doc_top_terms,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_curation": q_corpus_curation,

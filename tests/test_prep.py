@@ -1,0 +1,111 @@
+"""Training-data prep operators: PII redaction, vocabulary top-k,
+decontamination, stratified sampling, per-doc salient terms."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_pii_redact_counts_and_text(ray_session):
+    import ray.data
+
+    from el.ops.prep import pii_redact
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail me at a.b-c+1@foo-bar.example.org today",
+            "call 415-555-0012 or 415-555-9999",
+            "nothing here 12-34",
+        ],
+    })
+    out = pii_redact(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0]
+    assert out.loc[0, "clean_text"] == "mail me at <EMAIL> today"
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE>"
+    assert out.loc[2, "clean_text"] == "nothing here 12-34"
+
+
+def test_vocab_topk_matches_local_counts(ray_session, docs_ds):
+    import re
+
+    from el.ops.prep import vocab_topk
+
+    out = vocab_topk(docs_ds, k=10).to_pandas()
+    texts = docs_ds.to_pandas()["text"]
+    counts: dict = {}
+    for t in texts:
+        for w in re.findall(r"[A-Za-z0-9]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["token"], out["cnt"]))
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    import ray.data
+
+    from el.ops.prep import decontaminate
+
+    sent = "q w e r t y u i o p"  # 10 tokens -> 3 shared 8-grams
+    df = pd.DataFrame({
+        "doc_id": [0, 13, 26, 5],  # 0 is bench (0 % 97 == 0)
+        "text": [
+            "bench doc body " + sent,
+            "train doc one " + sent,
+            "train doc two " + sent,
+            "clean train doc with no overlap at all here",
+        ],
+    })
+    out = decontaminate(ray.data.from_pandas(df), n=8, bench_mod=97) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [5, 13, 26]  # bench doc excluded
+    by = dict(zip(out["doc_id"], out["n_hits"]))
+    assert by[5] == 0
+    assert by[13] == 3 and by[26] == 3
+    assert out["contaminated"].tolist() == [False, True, True]
+
+
+def test_stratified_sample_bounds_and_determinism(ray_session, docs_ds):
+    from el.ops.prep import stratified_sample
+
+    a = stratified_sample(docs_ds, stratum="lang", per_stratum=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(docs_ds, stratum="lang", per_stratum=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    sizes = a.groupby("lang").size()
+    assert (sizes <= 5).all()
+    # every stratum present in the corpus is represented
+    langs = set(docs_ds.to_pandas()["lang"])
+    assert set(sizes.index) == langs
+
+
+def test_doc_top_terms_ranking_rule(ray_session):
+    import ray.data
+
+    from el.ops.prep import doc_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "zz zz aa aa bb cc",   # tf ties: aa/zz at 2 -> df then term
+            "aa dd dd dd",
+        ],
+    })
+    out = doc_top_terms(ray.data.from_pandas(df), k=2).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values(
+        ["tf", "df", "term"], ascending=[False, True, True])
+    # doc1: zz (tf2, df1) beats aa (tf2, df2) on rarity
+    assert d1["term"].tolist() == ["zz", "aa"]
+    d2 = out[out["doc_id"] == 2]
+    assert d2.sort_values("tf", ascending=False)["term"].tolist() == \
+        ["dd", "aa"]
