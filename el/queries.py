@@ -215,6 +215,62 @@ def q_el_pair_jw(sf_dir: str):
                           batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
+def q_el_jw_components(sf_dir: str):
+    """Connected components over the labeled-pair graph at the
+    agglomerative JW cutoff (Clusterer.scala:40-46 merge semantics as
+    one CC pass): min-label propagation — the engine's DISTRIBUTED
+    clustering path — labeled by min mention_id. First direct SQL
+    oracle over the clustering machinery (recursive-CTE companion to
+    the pytest equivalence gates)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+
+    class Edges:
+        def __init__(self, ref):
+            self.surf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m1 = t.column("m1_id").to_pylist()
+            m2 = t.column("m2_id").to_pylist()
+            jw = _round_half_away(
+                [jaro_winkler(normalize_name(self.surf[a]),
+                              normalize_name(self.surf[b]))
+                 for a, b in zip(m1, m2)], 5)
+            keep = jw >= 0.92
+            return pa.table({
+                "src": pa.array([a for a, k in zip(m1, keep) if k],
+                                pa.string()),
+                "dst": pa.array([b for b, k in zip(m2, keep) if k],
+                                pa.string()),
+            })
+
+    edges = gp.map_batches(Edges, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=2,
+                           num_cpus=0.5)
+    labels = ray.data.from_arrow(
+        pa.table({"node": gm.column("mention_id"),
+                  "label": gm.column("mention_id")}))
+
+    from .cluster import label_propagation
+
+    out = label_propagation(edges, labels, num_partitions=4)
+    return out.map_batches(
+        lambda t: pa.table({"mention_id": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+
+
 def q_comention_counts(sf_dir: str):
     """Conversation-level co-mention counts (extraction-vector join
     analog, J9): oracle is a distinct self-join + group count."""
@@ -1151,6 +1207,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN s s1 ON p.m1_id = s1.mention_id
             JOIN s s2 ON p.m2_id = s2.mention_id
         """,
+        "el_jw_components": f"""
+            WITH RECURSIVE s AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+            ),
+            e AS (
+                SELECT p.m1_id AS a, p.m2_id AS b
+                FROM {gp} p
+                JOIN s s1 ON p.m1_id = s1.mention_id
+                JOIN s s2 ON p.m2_id = s2.mention_id
+                WHERE {_roundsql('jaro_winkler_similarity(s1.norm, s2.norm)', 5)} >= 0.92
+            ),
+            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS component FROM reach GROUP BY node
+            )
+            SELECT m.mention_id,
+                   COALESCE(c.component, m.mention_id) AS component
+            FROM {gm} m LEFT JOIN canon c ON c.node = m.mention_id
+        """,
         "transcripts_passthrough": f"""
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
@@ -1674,6 +1754,7 @@ def queries():
         "el_block_keys": q_el_block_keys,
         "el_block_keys_phonetic": q_el_block_keys_phonetic,
         "el_pair_jw": q_el_pair_jw,
+        "el_jw_components": q_el_jw_components,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,
