@@ -188,6 +188,129 @@ def stratified_sample(docs_ds, *, stratum: str = "lang",
     return group_blocks(slim, [stratum], pick, batch_format="pandas")
 
 
+# ----------------------------------------------------- group quantiles
+def group_quantiles(docs_ds, *, group: str = "lang",
+                    qs: tuple = (0.5, 0.9)):
+    """Exact per-group order-statistic quantiles of the token count
+    (corpus length profiling). Discrete quantile rule is DuckDB's
+    ``quantile_disc``: sorted[ceil(n*q) - 1], computed in float64 on
+    both sides so the index math is bit-identical.
+
+    One slim exchange (group, n_tokens); block-local numpy sort."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group]].copy()
+        out["n_tokens"] = df["text"].str.count(TOKEN_RE).astype("int64")
+        return out
+
+    rows = docs_ds.map_batches(slim, batch_format="pandas")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            cols = {group: pd.Series(dtype=str),
+                    "n_docs": pd.Series(dtype="int64")}
+            for q in qs:
+                cols[f"q{int(q * 100)}_tokens"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        recs = []
+        for g, sub in df.groupby(group, sort=False):
+            v = np.sort(sub["n_tokens"].to_numpy())
+            rec = {group: g, "n_docs": len(v)}
+            for q in qs:
+                idx = int(np.ceil(len(v) * q)) - 1  # quantile_disc rule
+                rec[f"q{int(q * 100)}_tokens"] = int(v[idx])
+            recs.append(rec)
+        out = pd.DataFrame(recs)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        for q in qs:
+            c = f"q{int(q * 100)}_tokens"
+            out[c] = out[c].astype("int64")
+        return out
+
+    return group_blocks(rows, [group], stats, batch_format="pandas")
+
+
+# ------------------------------------------------------ inverted index
+def inverted_index(docs_ds):
+    """Term -> posting list (sorted distinct doc_ids, comma-joined) +
+    document frequency. One term-hash exchange over distinct
+    (term, doc_id) rows; postings serialize as strings so the output
+    is flat-schema (a production index would shard hot terms'
+    postings — at this granularity the term hash exchange IS the
+    shard)."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE).map(set)
+        n = toks.map(len)
+        if n.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=str),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "term": np.concatenate(
+                [np.asarray(sorted(s), dtype=object) for s in toks]
+            ).astype(str),
+            "doc_id": df["doc_id"].repeat(n).to_numpy(),
+        })
+
+    tp = docs_ds.map_batches(pairs, batch_format="pandas")
+
+    def posting(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype=str),
+                                 "df": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype=str)})
+        df = df.sort_values(["term", "doc_id"])
+        g = df.groupby("term", sort=False)["doc_id"]
+        out = pd.DataFrame({
+            "term": g.size().index,
+            "df": g.size().to_numpy().astype("int64"),
+            "postings": g.apply(
+                lambda s: ",".join(str(i) for i in s)).to_numpy(),
+        })
+        return out.reset_index(drop=True)
+
+    return group_blocks(tp, ["term"], posting, batch_format="pandas")
+
+
+# -------------------------------------------------------- bigram counts
+def _bigram_counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    grams: list = []
+    for ws in toks:
+        grams.extend(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+    if not grams:
+        return pd.DataFrame({"token": pd.Series(dtype=str),
+                             "cnt": pd.Series(dtype="int64")})
+    uniq, counts = np.unique(np.asarray(grams, dtype=object).astype(str),
+                             return_counts=True)
+    return pd.DataFrame({"token": uniq, "cnt": counts.astype("int64")})
+
+
+def bigram_topk(docs_ds, k: int = 100):
+    """Corpus-wide top-k token-bigram counts (LM n-gram statistics).
+    Same shape as vocab_topk: combiner -> one exchange -> per-partition
+    top-k -> tiny merge."""
+
+    partials = docs_ds.map_batches(_bigram_counts_partial,
+                                   batch_format="pandas")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out = out.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(k)
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.reset_index(drop=True)
+
+    heads = group_blocks(partials, ["token"], merge_topk,
+                         batch_format="pandas")
+    return heads.repartition(1).map_batches(merge_topk,
+                                            batch_format="pandas",
+                                            batch_size=None)
+
+
 # ------------------------------------------------------- salient terms
 def _tf_explode(df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, term, tf) rows — each document is one input row, so tf

@@ -530,6 +530,31 @@ def q_stratified_sample(sf_dir: str):
                              stratum="lang", per_stratum=20)
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (corpus length
+    profiling) — DuckDB quantile_disc order-statistic rule on both
+    sides."""
+    from .ops.prep import group_quantiles
+
+    return group_quantiles(_read(sf_dir, "documents"),
+                           group="lang", qs=(0.5, 0.9))
+
+
+def q_inverted_index(sf_dir: str):
+    """Term -> df + sorted posting list (comma-joined) over documents:
+    one term exchange over distinct (term, doc_id) rows."""
+    from .ops.prep import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents"))
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-100 token bigrams (LM n-gram statistics)."""
+    from .ops.prep import bigram_topk
+
+    return bigram_topk(_read(sf_dir, "documents"), k=100)
+
+
 def q_doc_top_terms(sf_dir: str):
     """Per-document top-3 salient terms, TF-IDF-style but integer-exact
     (tf DESC, global df ASC, term ASC)."""
@@ -1425,6 +1450,33 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
         """,
+        "group_quantiles": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   quantile_disc(len({toks}), 0.5) AS q50_tokens,
+                   quantile_disc(len({toks}), 0.9) AS q90_tokens
+            FROM documents GROUP BY lang
+        """,
+        "inverted_index": f"""
+            WITH tp AS (
+                SELECT DISTINCT doc_id, unnest({toks}) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS df,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+            FROM tp GROUP BY term
+        """,
+        "bigram_topk": f"""
+            WITH tk AS (SELECT {toks} AS ts FROM documents),
+            bg AS (
+                SELECT ts[i] || ' ' || ts[i + 1] AS token
+                FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+                WHERE len(ts) >= 2
+            ),
+            c AS (SELECT token, count(*) AS cnt FROM bg GROUP BY token)
+            SELECT token, cnt FROM c
+            QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100
+        """,
         "doc_top_terms": f"""
             WITH t AS (
                 SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -1774,6 +1826,9 @@ def queries():
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "doc_top_terms": q_doc_top_terms,
+        "group_quantiles": q_group_quantiles,
+        "inverted_index": q_inverted_index,
+        "bigram_topk": q_bigram_topk,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_curation": q_corpus_curation,

@@ -109,3 +109,52 @@ def test_doc_top_terms_ranking_rule(ray_session):
     d2 = out[out["doc_id"] == 2]
     assert d2.sort_values("tf", ascending=False)["term"].tolist() == \
         ["dd", "aa"]
+
+
+def test_group_quantiles_disc_rule(ray_session):
+    import ray.data
+
+    from el.ops.prep import group_quantiles
+
+    df = pd.DataFrame({
+        "lang": ["en"] * 4 + ["de"] * 5,
+        "text": ["w " * n for n in (1, 2, 3, 4, 10, 20, 30, 40, 50)],
+    })
+    out = group_quantiles(ray.data.from_pandas(df), group="lang",
+                          qs=(0.5, 0.9)).to_pandas().set_index("lang")
+    # quantile_disc: sorted[ceil(n*q)-1]
+    assert out.loc["en", "q50_tokens"] == 2 and out.loc["en", "q90_tokens"] == 4
+    assert out.loc["de", "q50_tokens"] == 30 and out.loc["de", "q90_tokens"] == 50
+    assert out.loc["en", "n_docs"] == 4 and out.loc["de", "n_docs"] == 5
+
+
+def test_inverted_index_postings(ray_session):
+    import ray.data
+
+    from el.ops.prep import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["cat dog cat", "dog bird", "cat"],
+    })
+    out = inverted_index(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("term")
+    assert out.loc["cat", "postings"] == "2,3"  # distinct + sorted
+    assert out.loc["cat", "df"] == 2
+    assert out.loc["dog", "postings"] == "1,3"
+    assert out.loc["bird", "postings"] == "1"
+
+
+def test_bigram_topk_counts(ray_session):
+    import ray.data
+
+    from el.ops.prep import bigram_topk
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b a b", "a b c"],
+    })
+    out = bigram_topk(ray.data.from_pandas(df), k=2).to_pandas()
+    got = dict(zip(out["token"], out["cnt"]))
+    assert got == {"a b": 3, "b a": 1} or got == {"a b": 3, "b c": 1}
+    assert out.iloc[0]["token"] == "a b" and out.iloc[0]["cnt"] == 3
