@@ -215,49 +215,38 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
     return distinct_pairs(pairs) if distinct else pairs
 
 
-def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
-    """Exact-Jaccard verification of candidate pairs, SHUFFLE-NATIVE:
-    two hash exchanges implement pairs ⋈ docs on d1 and then d2 (the
-    group_blocks union idiom), so no corpus-wide structure ever lives on
-    one node — the only payload shipped is each candidate pair's two
-    document texts. This is the 100-TB-safe path that replaces the r01
-    broadcast shingle map."""
-    from ..shuffle import group_blocks
+def _vj_doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "key": df["doc_id"].astype("int64"), "kind": "d",
+        "text": df["text"],
+        "d1": np.int64(0), "d2": np.int64(0), "text1": "",
+        "dp": np.int64(0),
+    })
 
-    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "key": df["doc_id"].astype("int64"), "kind": "d",
-            "text": df["text"],
-            "d1": np.int64(0), "d2": np.int64(0), "text1": "",
-            "dp": np.int64(0),
-        })
 
-    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
-        dp = (df["dropped_pairs"].astype("int64")
-              if "dropped_pairs" in df.columns else np.int64(0))
-        return pd.DataFrame({
-            "key": df["d1"].astype("int64"), "kind": "p", "text": "",
-            "d1": df["d1"].astype("int64"), "d2": df["d2"].astype("int64"),
-            "text1": "", "dp": dp,
-        })
+def _vj_pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+    dp = (df["dropped_pairs"].astype("int64")
+          if "dropped_pairs" in df.columns else np.int64(0))
+    return pd.DataFrame({
+        "key": df["d1"].astype("int64"), "kind": "p", "text": "",
+        "d1": df["d1"].astype("int64"), "d2": df["d2"].astype("int64"),
+        "text1": "", "dp": dp,
+    })
 
-    u1 = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        doc_rows, batch_format="pandas"
-    ).union(pairs_ds.map_batches(pair_rows, batch_format="pandas"))
 
-    def attach_first(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        dmap = df[df["kind"] == "d"].set_index("key")["text"]
-        # all duplicates of a (d1, d2) pair are co-located (keyed d1):
-        # dedup here, saving the dedicated distinct exchange
-        p = df[df["kind"] == "p"].drop_duplicates(["d1", "d2"]).copy()
-        p["text1"] = p["key"].map(dmap).fillna("")
-        p["key"] = p["d2"].astype("int64")
-        return pd.concat([df[df["kind"] == "d"], p], ignore_index=True)
+def _vj_attach_first(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df) == 0:
+        return df
+    dmap = df[df["kind"] == "d"].set_index("key")["text"]
+    # all duplicates of a (d1, d2) pair are co-located (keyed d1):
+    # dedup here, saving the dedicated distinct exchange
+    p = df[df["kind"] == "p"].drop_duplicates(["d1", "d2"]).copy()
+    p["text1"] = p["key"].map(dmap).fillna("")
+    p["key"] = p["d2"].astype("int64")
+    return pd.concat([df[df["kind"] == "d"], p], ignore_index=True)
 
-    r1 = group_blocks(u1, ["key"], attach_first, batch_format="pandas")
 
+def _make_vj_finish(threshold: float, k: int):
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"d1": pd.Series(dtype="int64"),
@@ -281,16 +270,80 @@ def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
         return pd.DataFrame(out, columns=["d1", "d2", "jaccard",
                                           "dropped_pairs"])
 
-    return group_blocks(r1, ["key"], finish, batch_format="pandas")
+    return finish
+
+
+def verify_jaccard(pairs_ds, docs_ds, threshold: float, k: int = 3):
+    """Exact-Jaccard verification of candidate pairs, SHUFFLE-NATIVE:
+    two hash exchanges implement pairs ⋈ docs on d1 and then d2 (the
+    group_blocks union idiom), so no corpus-wide structure ever lives on
+    one node — the only payload shipped is each candidate pair's two
+    document texts. This is the 100-TB-safe path that replaces the r01
+    broadcast shingle map."""
+    from ..shuffle import group_blocks
+
+    u1 = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _vj_doc_rows, batch_format="pandas"
+    ).union(pairs_ds.map_batches(_vj_pair_rows, batch_format="pandas"))
+
+    r1 = group_blocks(u1, ["key"], _vj_attach_first, batch_format="pandas")
+    return group_blocks(r1, ["key"], _make_vj_finish(threshold, k),
+                        batch_format="pandas")
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table({"d1": pa.array([], pa.int64()),
+                     "d2": pa.array([], pa.int64()),
+                     "dropped_pairs": pa.array([], pa.int64())})
+
+
+def _bucket_pairs_block(t: pa.Table) -> pa.Table:
+    from ..shuffle import split_groups
+
+    outs = [_bucket_pairs_group(g) for g in split_groups(t, "bucket")]
+    return pa.concat_tables(outs) if outs else _empty_pairs_table()
 
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **kw):
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification
-    (shuffle-native: the verify join also dedups cross-band candidate
-    duplicates, so the whole op is 3 exchanges end to end)."""
-    docs_ds = docs_ds.materialize()  # consumed by signatures AND verify
-    cands = minhash_candidates(docs_ds, distinct=False, **kw)
-    return verify_jaccard(cands, docs_ds, threshold, k=kw.get("k", 3))
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification,
+    run as a PLAIN-TASK shuffle end to end: signature map, bucket
+    exchange, and the two verify joins are ray tasks over materialized
+    block refs. Semantics identical to minhash_candidates +
+    verify_jaccard (shared kernels, same SQL oracle); the Dataset
+    hash-exchange form paid ~3-8s of aggregator-fleet startup PER
+    EXCHANGE x 3 exchanges at bench scale while moving kilobytes — the
+    task shuffle's fixed cost is ~0. Candidate dedup still rides the
+    first verify join (keyed d1)."""
+    import ray.data
+
+    from ..shuffle import map_refs, task_group_blocks
+
+    num_perm = kw.get("num_perm", 64)
+    bands = kw.get("bands", 16)
+    k = kw.get("k", 3)
+    doc_refs = docs_ds.materialize().to_arrow_refs()
+
+    def sigs_fn(t: pa.Table) -> pd.DataFrame:
+        return _cached_minhasher(num_perm, bands, k)(t.to_pandas())
+
+    pair_refs = task_group_blocks(
+        map_refs(doc_refs, sigs_fn), ["bucket"], _bucket_pairs_block,
+        batch_format="pyarrow")
+
+    def doc_rows_fn(t: pa.Table) -> pd.DataFrame:
+        return _vj_doc_rows(t.select(["doc_id", "text"]).to_pandas())
+
+    def pair_rows_fn(t: pa.Table) -> pd.DataFrame:
+        return _vj_pair_rows(t.to_pandas())
+
+    u_refs = (map_refs(doc_refs, doc_rows_fn)
+              + map_refs(pair_refs, pair_rows_fn))
+    r1_refs = task_group_blocks(u_refs, ["key"], _vj_attach_first,
+                                batch_format="pandas")
+    out_refs = task_group_blocks(r1_refs, ["key"],
+                                 _make_vj_finish(threshold, k),
+                                 batch_format="pandas")
+    return ray.data.from_arrow_refs(out_refs)
 
 
 # ---------------------------------------------------------------- exact
