@@ -61,6 +61,29 @@ def pii_redact(docs_ds):
     return docs_ds.map_batches(pii_redact_batch, batch_format="pandas")
 
 
+# -------------------------------------------------------- markup strip
+TAG_RE = r"<[^>]+>"
+
+
+def strip_markup_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized XML/HTML tag stripping (the reference's tag-stripper
+    family, AnnotatorHelper stripTags analog): remove tags, collapse
+    runs of whitespace, trim. RE2-safe patterns shared with the SQL
+    oracle."""
+    text = df["text"]
+    n_tags = text.str.count(TAG_RE).astype("int64")
+    clean = (text.str.replace(TAG_RE, "", regex=True)
+             .str.replace(r"\s+", " ", regex=True).str.strip())
+    out = df[["doc_id"]].copy()
+    out["clean_text"] = clean
+    out["n_tags"] = n_tags
+    return out
+
+
+def strip_markup(docs_ds):
+    return docs_ds.map_batches(strip_markup_batch, batch_format="pandas")
+
+
 # ----------------------------------------------------------- vocabulary
 def _token_counts_partial(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch combiner: one row per distinct token in the batch."""

@@ -489,6 +489,24 @@ def q_pii_redact(sf_dir: str):
     return pii_redact(_pii_corpus(sf_dir))
 
 
+def q_strip_markup(sf_dir: str):
+    """XML/HTML tag stripping (M17 analog) over a planted-markup
+    corpus: every 3rd doc gets wrapped in tags; output is the clean
+    text + tag count."""
+    from .ops.prep import strip_markup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        m = df["doc_id"] % 3 == 0
+        df.loc[m, "text"] = ("<p>" + df.loc[m, "text"]
+                             + '</p> <a href="x">link</a>')
+        return df
+
+    return strip_markup(docs.map_batches(plant, batch_format="pandas"))
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-100 token frequencies (vocabulary building):
     per-batch combiner -> one token exchange -> per-partition top-k ->
@@ -1406,6 +1424,21 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
             FROM e
         """,
+        "strip_markup": r"""
+            WITH p AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN '<p>' || text || '</p> <a href="x">link</a>'
+                         ELSE text END AS ptext
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(ptext, '<[^>]+>', '', 'g'),
+                       '\s+', ' ', 'g')) AS clean_text,
+                   len(regexp_extract_all(ptext, '<[^>]+>')) AS n_tags
+            FROM p
+        """,
         "vocab_topk": f"""
             WITH tok AS (
                 SELECT unnest({toks}) AS token FROM documents
@@ -1822,6 +1855,7 @@ def queries():
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
+        "strip_markup": q_strip_markup,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,

@@ -158,3 +158,21 @@ def test_bigram_topk_counts(ray_session):
     got = dict(zip(out["token"], out["cnt"]))
     assert got == {"a b": 3, "b a": 1} or got == {"a b": 3, "b c": 1}
     assert out.iloc[0]["token"] == "a b" and out.iloc[0]["cnt"] == 3
+
+
+def test_strip_markup(ray_session):
+    import ray.data
+
+    from el.ops.prep import strip_markup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ['<p>hello <b>world</b></p>\n <a href="x">go</a>',
+                 "no tags here"],
+    })
+    out = strip_markup(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "hello world go"
+    assert out.loc[0, "n_tags"] == 6
+    assert out.loc[1, "clean_text"] == "no tags here"
+    assert out.loc[1, "n_tags"] == 0
