@@ -781,19 +781,36 @@ def q_el_benchmark_report(sf_dir: str):
 
 # ============================================================ multimodal
 def q_multimodal_features(sf_dir: str):
-    """Binary-column plumbing under the driver contract: deterministic
-    fake media assets -> actor-pool decode/featurize (the decode kernel
-    is an honestly-stubbed boundary, el/ops/multimodal.py). Rows-only:
-    the feature values are pinned by unit tests (sha256-derived)."""
+    """Binary-column plumbing under the driver contract: assets derived
+    from the documents table (payload = utf-8 bytes of text, kind by
+    doc_id % 3) -> actor-pool decode/featurize. The decode kernel is
+    the honestly-stubbed boundary (el/ops/multimodal.py) whose
+    deterministic fake derives dims + a 16-dim feature vector from the
+    payload sha256 — which DuckDB replays byte-for-byte, giving this
+    surface a FULL SQL oracle."""
     import ray.data
 
-    from .ops.multimodal import fake_assets_table, featurize_assets
+    from .ops.multimodal import featurize_assets
 
-    assets = ray.data.from_arrow(fake_assets_table(n=240, seed=42))
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    kinds = ["image", "audio", "video"]
+
+    def to_assets(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "asset_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
+            "payload": pa.array(
+                [s.encode("utf-8") for s in t.column("text").to_pylist()],
+                pa.binary()),
+            "meta": pa.array(['{"codec":"utf8"}'] * len(ids), pa.string()),
+        })
+
+    assets = docs.map_batches(to_assets, batch_format="pyarrow")
     feats = featurize_assets(assets)
 
     def flatten(t: pa.Table) -> pa.Table:
-        # driver-friendly layout: first 4 feature dims as scalars
+        # driver-friendly flat layout: first 4 feature dims as scalars
         feat = t.column("feat").to_pylist()
         out = t.select(["asset_id", "kind", "width", "height", "frames"])
         for i in range(4):
@@ -997,6 +1014,40 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 # ================================================================ oracle
+def _multimodal_sql() -> str:
+    """Oracle for multimodal_features: replays the deterministic fake
+    decode (el/ops/multimodal.py::_fake_decode) in SQL — DuckDB's
+    sha256(VARCHAR) hashes the utf-8 bytes, exactly the asset payload;
+    hex digits parse to byte values via strpos arithmetic."""
+    hexd = "0123456789abcdef"
+
+    def byte(i: int) -> str:
+        return (f"((strpos('{hexd}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+                f" + strpos('{hexd}', substr(h, {2 * i + 2}, 1)) - 1)")
+
+    feats = ",\n               ".join(
+        f"{_roundsql(byte(i) + ' / 255.0', 6)} AS f{i}" for i in range(4))
+    return f"""
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   sha256(text) AS h
+            FROM documents
+        )
+        SELECT asset_id, kind,
+               CASE WHEN kind = 'audio' THEN 0
+                    ELSE 64 + {byte(0)} END AS width,
+               CASE WHEN kind = 'audio' THEN 0
+                    ELSE 64 + {byte(1)} END AS height,
+               CASE kind WHEN 'image' THEN 1
+                    WHEN 'audio' THEN 100 + {byte(2)}
+                    ELSE 24 + {byte(3)} END AS frames,
+               {feats}
+        FROM a
+    """
+
+
 def _doc_entities_sql(gm: str) -> str:
     """Oracle for el_doc_entities: replays el.mentions.type_surface,
     el.alias._doc_lists (global first-occurrence dedup + per-kind
@@ -1424,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
                        '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
             FROM e
         """,
+        "multimodal_features": _multimodal_sql(),
         "strip_markup": r"""
             WITH p AS (
                 SELECT doc_id,
