@@ -314,14 +314,22 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **kw):
     EXCHANGE x 3 exchanges at bench scale while moving kilobytes — the
     task shuffle's fixed cost is ~0. Candidate dedup still rides the
     first verify join (keyed d1)."""
+    import ray
     import ray.data
 
-    from ..shuffle import map_refs, task_group_blocks
+    from ..shuffle import bundle_refs, map_refs, task_group_blocks
 
     num_perm = kw.get("num_perm", 64)
     bands = kw.get("bands", 16)
     k = kw.get("k", 3)
-    doc_refs = docs_ds.materialize().to_arrow_refs()
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — before init
+        ncpu = 8
+    # bound the task-shuffle's n_refs x n_partitions object count when
+    # the read hands us thousands of tiny blocks
+    doc_refs = bundle_refs(docs_ds.materialize().to_arrow_refs(),
+                           max_bundles=2 * ncpu)
 
     def sigs_fn(t: pa.Table) -> pd.DataFrame:
         return _cached_minhasher(num_perm, bands, k)(t.to_pandas())

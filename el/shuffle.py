@@ -210,6 +210,33 @@ def task_group_blocks(refs, keys: Sequence[str], block_fn: Callable, *,
     ]
 
 
+def _concat_refs_task(*tbls) -> pa.Table:
+    tbls = [t for t in tbls if t is not None and t.num_rows]
+    if not tbls:
+        return pa.table({})
+    cols = tbls[0].column_names
+    return pa.concat_tables([t.select(cols) for t in tbls],
+                            promote_options="default")
+
+
+def bundle_refs(refs, max_bundles: int):
+    """Coalesce many small table refs into <= max_bundles (one concat
+    task per bundle). The task shuffle makes n_refs x num_partitions
+    intermediate objects — bounded block counts keep that product sane
+    when the input arrives as thousands of read-granularity blocks."""
+    import ray
+
+    refs = list(refs)
+    if len(refs) <= max_bundles:
+        return refs
+    rem = ray.remote(_concat_refs_task)
+    return [
+        rem.remote(*(refs[i] for i in idx))
+        for idx in np.array_split(np.arange(len(refs)), max_bundles)
+        if len(idx)
+    ]
+
+
 def map_refs(refs, fn: Callable):
     """Plain-task map over table refs (skips nothing — fns guard empty
     input themselves); returns new refs."""
