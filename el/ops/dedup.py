@@ -372,13 +372,26 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
       explode (doc, shingle) -> groupby(shingle) pairs (hot cap)
       -> groupby(d1, d2).count co-occurrence
       -> jaccard = co / (|A| + |B| - co) with per-doc shingle counts
-         attached from a broadcast count map (ints only).
-    """
-    from ..shuffle import group_blocks, group_map
+         attached by two hash joins on d1/d2.
 
-    rows = docs_ds.map_batches(
-        lambda df: _shingle_rows(df, k), batch_format="pandas"
-    ).materialize()  # reused by the pair stage AND the size stage
+    All five exchanges run as a plain-task shuffle over block refs
+    (no aggregator fleets; see minhash_dedup_pairs for the rationale).
+    """
+    import ray
+    import ray.data
+
+    from ..shuffle import (bundle_refs, map_refs, split_groups,
+                           task_group_blocks)
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — before init
+        ncpu = 8
+    doc_refs = bundle_refs(docs_ds.materialize().to_arrow_refs(),
+                           max_bundles=2 * ncpu)
+    # reused by the pair stage AND the size stage
+    rows_refs = map_refs(
+        doc_refs, lambda t: _shingle_rows(t.to_pandas(), k))
 
     def group_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))[:hot_shingle_cap]
@@ -390,7 +403,14 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         return pa.table({"d1": pa.array(o1, pa.int64()),
                          "d2": pa.array(o2, pa.int64())})
 
-    pairs = group_map(rows, "shingle", group_pairs)
+    def pairs_block(t: pa.Table) -> pa.Table:
+        outs = [group_pairs(g) for g in split_groups(t, "shingle")]
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"d1": pa.array([], pa.int64()),
+             "d2": pa.array([], pa.int64())})
+
+    pair_refs = task_group_blocks(rows_refs, ["shingle"], pairs_block,
+                                  batch_format="pyarrow")
 
     def block_co(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -401,7 +421,8 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
             columns={"size": "co"}
         )
 
-    co = group_blocks(pairs, ["d1"], block_co, batch_format="pandas")
+    co_refs = task_group_blocks(pair_refs, ["d1"], block_co,
+                                batch_format="pandas")
 
     def block_sizes(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -411,7 +432,8 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
             columns={"size": "n"}
         )
 
-    sizes = group_blocks(rows, ["doc_id"], block_sizes, batch_format="pandas")
+    size_refs = task_group_blocks(rows_refs, ["doc_id"], block_sizes,
+                                  batch_format="pandas")
 
     # attach |A| and |B| by two hash joins on d1/d2 (group_blocks union
     # idiom) — replaces the r01 driver-side take_all() size broadcast
@@ -430,8 +452,8 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
             "co": df["co"].astype("int64"), "n1": np.int64(0),
         })
 
-    u1 = sizes.map_batches(size_rows, batch_format="pandas").union(
-        co.map_batches(co_rows, batch_format="pandas"))
+    u_refs = (map_refs(size_refs, lambda t: size_rows(t.to_pandas()))
+              + map_refs(co_refs, lambda t: co_rows(t.to_pandas())))
 
     def attach_first(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -442,7 +464,8 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         p["key"] = p["d2"].astype("int64")
         return pd.concat([df[df["kind"] == "s"], p], ignore_index=True)
 
-    r1 = group_blocks(u1, ["key"], attach_first, batch_format="pandas")
+    r1_refs = task_group_blocks(u_refs, ["key"], attach_first,
+                                batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -458,7 +481,9 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         out = pd.DataFrame({"d1": p["d1"], "d2": p["d2"], "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
-    return group_blocks(r1, ["key"], finish, batch_format="pandas")
+    out_refs = task_group_blocks(r1_refs, ["key"], finish,
+                                 batch_format="pandas")
+    return ray.data.from_arrow_refs(out_refs)
 
 
 # --------------------------------------------------------------- simhash
@@ -558,10 +583,20 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs within ``max_hamming`` SimHash bits: 4-block
     pigeonhole bucketing + in-bucket Hamming verification + cross-bucket
-    pair dedup."""
-    from ..shuffle import group_blocks, group_map
+    pair dedup — as a plain-task shuffle (2 exchanges, no aggregator
+    fleets; see minhash_dedup_pairs for the rationale)."""
+    import ray
+    import ray.data
 
-    sigs = docs_ds.map_batches(simhash_batch, batch_format="pandas")
+    from ..shuffle import (bundle_refs, map_refs, split_groups,
+                           task_group_blocks)
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — before init
+        ncpu = 8
+    doc_refs = bundle_refs(docs_ds.materialize().to_arrow_refs(),
+                           max_bundles=2 * ncpu)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         all_rows = sorted(
@@ -585,7 +620,20 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                          "dropped_pairs": pa.array([dropped] * len(o1),
                                                    pa.int64())})
 
-    pairs = group_map(sigs, "bucket", bucket_pairs)
+    def sigs_fn(t: pa.Table) -> pd.DataFrame:
+        return simhash_batch(t.to_pandas())
+
+    def bucket_block(t: pa.Table) -> pa.Table:
+        outs = [bucket_pairs(g) for g in split_groups(t, "bucket")]
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"d1": pa.array([], pa.int64()),
+             "d2": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64()),
+             "dropped_pairs": pa.array([], pa.int64())})
+
+    pair_refs = task_group_blocks(map_refs(doc_refs, sigs_fn),
+                                  ["bucket"], bucket_block,
+                                  batch_format="pyarrow")
 
     def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -595,7 +643,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                                  "dropped_pairs": pd.Series(dtype="int64")})
         return df.drop_duplicates(["d1", "d2"])
 
-    return group_blocks(pairs, ["d1"], block_distinct, batch_format="pandas")
+    out_refs = task_group_blocks(pair_refs, ["d1"], block_distinct,
+                                 batch_format="pandas")
+    return ray.data.from_arrow_refs(out_refs)
 
 
 # ---------------------------------------------------------- resolution
