@@ -268,3 +268,62 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
 
     return group_blocks(both, [by], merge, batch_format="pyarrow",
                         num_partitions=n)
+
+
+# ------------------------------------------------------ hopping windows
+HOP_US = 15 * 60 * 1_000_000          # 15-minute hop
+WINDOW_US = 4 * HOP_US                # 1-hour window (4 hops)
+
+
+def _hop_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Combiner: explode each event into its window_size/hop overlapping
+    windows and pre-aggregate inside the batch. Window starts are hop
+    multiples s with s <= ts < s + window (exactly window/hop of them,
+    since window is a whole number of hops)."""
+    if len(df) == 0:
+        return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                             "window_start_us": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "sum_value": pd.Series(dtype="float64")})
+    tu = df["ts"].values.astype("datetime64[us]").astype("int64")
+    base = (tu // HOP_US) * HOP_US
+    k = WINDOW_US // HOP_US
+    ex = pd.DataFrame({
+        "event_type": np.repeat(df["event_type"].to_numpy(), k),
+        "window_start_us": (np.repeat(base, k)
+                            - np.tile(np.arange(k, dtype=np.int64) * HOP_US,
+                                      len(df))),
+        "value": np.repeat(df["value"].to_numpy(), k),
+    })
+    out = ex.groupby(["event_type", "window_start_us"],
+                     as_index=False).agg(n_events=("value", "size"),
+                                         sum_value=("value", "sum"))
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def hopping_window_agg(events_ds):
+    """Hopping (sliding) window aggregate: per (event_type, 1-hour
+    window sliding by 15 min) event counts and value sums. Combiner ->
+    one hash exchange on (event_type, window_start) -> block-local
+    merge; integer epoch-us window keys through the shuffle."""
+
+    partials = events_ds.map_batches(_hop_partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..ops.textstats import round_half_away
+
+        if len(df) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                                 "window_start_us": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "sum_value": pd.Series(dtype="float64")})
+        out = df.groupby(["event_type", "window_start_us"],
+                         as_index=False).agg(n_events=("n_events", "sum"),
+                                             sum_value=("sum_value", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = round_half_away(out["sum_value"], 4)
+        return out
+
+    return group_blocks(partials, ["event_type", "window_start_us"],
+                        merge, batch_format="pandas")

@@ -861,6 +861,14 @@ def q_events_hourly(sf_dir: str):
                         batch_format="pandas")
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (1h window / 15min hop) per event_type:
+    combiner explode -> one (event_type, window) exchange."""
+    from .ops.windows import hopping_window_agg
+
+    return hopping_window_agg(_read(sf_dir, "events"))
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows (streaming windowed-aggregate analog):
     30-minute inactivity gap per user; SQL oracle replays it with the
@@ -1817,6 +1825,20 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 2)} AS sum_value
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
+        "hopping_window": f"""
+            WITH e AS (
+                SELECT event_type, value, epoch_us(ts) AS tu FROM events
+            ),
+            w AS (
+                SELECT event_type, value,
+                       (tu // 900000000 - k) * 900000000 AS window_start_us
+                FROM e, unnest([0, 1, 2, 3]) AS u(k)
+            )
+            SELECT event_type, window_start_us,
+                   count(*) AS n_events,
+                   {_roundsql('sum(value)', 4)} AS sum_value
+            FROM w GROUP BY event_type, window_start_us
+        """,
         "sessionize": f"""
             WITH e AS (
                 SELECT user_id, ts, event_id, value,
@@ -1927,6 +1949,7 @@ def queries():
         "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,

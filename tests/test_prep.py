@@ -176,3 +176,24 @@ def test_strip_markup(ray_session):
     assert out.loc[0, "n_tags"] == 6
     assert out.loc[1, "clean_text"] == "no tags here"
     assert out.loc[1, "n_tags"] == 0
+
+
+def test_hopping_window_membership(ray_session):
+    import ray.data
+
+    from el.ops.windows import hopping_window_agg
+
+    # one event at 00:31:00 -> windows starting 23:45, 00:00, 00:15, 00:30
+    df = pd.DataFrame({
+        "event_id": [1],
+        "ts": pd.to_datetime(["2024-01-02 00:31:00"]),
+        "event_type": ["click"],
+        "value": [2.5],
+    })
+    out = hopping_window_agg(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 4
+    starts = sorted(pd.to_datetime(out["window_start_us"], unit="us"))
+    assert [s.strftime("%H:%M") for s in starts] == \
+        ["23:45", "00:00", "00:15", "00:30"]
+    assert (out["n_events"] == 1).all()
+    assert (out["sum_value"] == 2.5).all()
