@@ -47,7 +47,8 @@ from .blocking import surface_block_keys
 from .sim import jaro_winkler
 from .text import initials, normalize_name
 
-FIXTURE_VERSION = 10
+FIXTURE_VERSION = 11  # v11: bounded 65k-row parquet row groups (layout
+# only — row content identical to v10)
 
 # (n_conversations, n_entities, min_turns, max_turns, max_gold_pairs_per_key)
 SCALES: dict[str, tuple[int, int, int, int, int]] = {
@@ -585,8 +586,13 @@ def generate(outdir: str, scale: str = "t1", seed: int = 42) -> dict:
     for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
         part = transcripts.slice(s, e - s)
         if part.num_rows:
+            # bounded row groups so parquet readers can split a part
+            # into multiple read fragments (a 100-TB corpus never ships
+            # monolithic row groups); cuts need NOT respect conversation
+            # boundaries — the fused plan's boundary patch handles
+            # block-straddling conversations at any granularity
             pq.write_table(part, os.path.join(tdir, f"part-{i:05d}.parquet"),
-                           row_group_size=part.num_rows)
+                           row_group_size=65536)
 
     gold_mentions = pa.table(
         {

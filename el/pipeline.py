@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -137,6 +138,45 @@ def _alias_profile_block(df):
     else:  # context-free callers (isolated benches) degrade gracefully
         out["ctx_sample"] = ""
     return out
+
+
+def _fragment_specs(tr_path: str, target_tasks: int):
+    """(file, row_group_lo, row_group_hi) fragments covering the
+    transcript parquet, ~target_tasks of them: each file's row groups
+    are split into contiguous ranges proportional to its share of the
+    corpus. A file with one giant row group yields one fragment (row
+    groups are the finest readable unit); fixtures and real corpora
+    write bounded row groups precisely so this wave can go wide."""
+    import pyarrow.parquet as pq
+
+    files = (sorted(
+        os.path.join(tr_path, f) for f in os.listdir(tr_path)
+        if f.endswith(".parquet"))
+        if os.path.isdir(tr_path) else [tr_path])
+    metas = [(f, pq.ParquetFile(f).metadata.num_row_groups)
+             for f in files]
+    total = sum(n for _, n in metas) or 1
+    specs = []
+    for f, n in metas:
+        if n == 0:
+            continue
+        chunks = max(1, min(n, round(target_tasks * n / total)))
+        bounds = np.linspace(0, n, chunks + 1).astype(int)
+        specs.extend((f, int(lo), int(hi))
+                     for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo)
+    return specs
+
+
+def _read_extract_fragment(path: str, rg_lo: int, rg_hi: int) -> pa.Table:
+    """One fragment of the fused read+extract wave: read a contiguous
+    row-group range (columns pruned at the read) and run the fused
+    extract+canonicalize kernel on it."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).read_row_groups(
+        list(range(rg_lo, rg_hi)),
+        columns=["conv_id", "turn_idx", "text"])
+    return _extract_canonicalize_fused(t)
 
 
 def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
@@ -1521,31 +1561,26 @@ def run_linkage(
 
     fast_fused = conv_partitioned and ckpt.root is None
     if fast_fused:
-        src = ray.data.read_parquet(
-            tr_path, columns=["conv_id", "turn_idx", "text"])
-        # Coarse-input re-block: a corpus delivered as few large files
-        # (one row group each) caps the fused read+extract at one task
-        # per file — at 64 files / 32 CPUs that is 2 waves and a
-        # straggler-bound 1.45x speedup (measured; 3.8x after
-        # re-blocking). When file-level parallelism is scarce relative
-        # to the cluster, materialize the narrow 3-column read first
-        # (~2s) so the extract map runs over target-size blocks. Blocks
-        # stay intra-sorted; conversations straddling the extra block
-        # cuts are re-resolved by the boundary patch as usual.
-        try:
-            n_read_tasks = (len([f for f in os.listdir(tr_path)
-                                 if f.endswith(".parquet")])
-                            if os.path.isdir(tr_path) else 1)
-        except OSError:
-            n_read_tasks = 1
-        if n_read_tasks < 4 * cpus:
-            # timed separately: disk-bound, so in the single-node
-            # sandbox this cost does NOT scale with CPUs (on a real
-            # cluster aggregate disk bandwidth scales with nodes)
-            src = _timed("read", src.materialize)
-        raw = _timed("aliased", lambda: src.map_batches(
-            _extract_canonicalize_fused, batch_format="pyarrow",
-            batch_size=None).materialize())
+        # Plain-task fragment read+extract: Ray Data's parquet reader
+        # creates ONE read task per file (SplitBlocks only splits the
+        # OUTPUT), so a corpus delivered as few coarse files caps the
+        # fused read+extract wave at n_files tasks (straggler-bound
+        # 1.45x at 64 files / 32 CPUs, measured), and the earlier fix —
+        # materialize the narrow read first (~2.5s) — was pure fixed
+        # overhead the 8-CPU arm never paid. Instead, split each file
+        # into contiguous ROW-GROUP ranges (fragments) and run
+        # read+extract as one plain-task wave at ~4 tasks/CPU: no
+        # materialized read, no Dataset machinery, and fragment blocks
+        # stay intra-sorted (the boundary patch re-resolves
+        # conversations straddling any cut, as it already did for
+        # re-block cuts).
+        frag_specs = _fragment_specs(tr_path, target_tasks=4 * cpus)
+        fx_rem = ray.remote(_read_extract_fragment)
+        frag_refs = [fx_rem.remote(path, lo, hi)
+                     for path, lo, hi in frag_specs]
+        _timed("aliased", lambda: ray.wait(
+            frag_refs, num_returns=len(frag_refs), fetch_local=False))
+        raw = ray.data.from_arrow_refs(frag_refs)
         # ONE merged wave over the blocks does the override scan,
         # per-conversation resolution AND the combiner (partial alias
         # profiles) per bundle — flagged rows never leave their bundle,
@@ -1553,7 +1588,7 @@ def run_linkage(
         # wave exists between extraction and the contracted profile.
         import numpy as np
 
-        mention_refs = raw.to_arrow_refs()
+        mention_refs = frag_refs
         # 2 tasks/CPU gives the wave straggler slack (measured ~1s at
         # bench32/32cpu vs 1 task/CPU); the 64 ceiling bounds the
         # hot-alias duplicate factor in the combiner partials
