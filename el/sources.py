@@ -80,3 +80,27 @@ def kb_table_from_tsv(path: str, encoding: str = "utf-8") -> pa.Table:
             "ambiguity": pa.array([0] * n, pa.int32()),
         }
     )
+
+
+def read_transcripts_jsonl(path: str):
+    """Transcript corpus from JSON-lines shards (one turn per line,
+    keys conv_id/turn_idx/role/text[/tool]) -> the engine's transcript
+    schema with turn_idx pinned to int32. A thin, schema-normalizing
+    wrapper over ``ray.data.read_json`` so pipelines written against
+    the parquet source run unchanged on JSONL drops."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def normalize(t: pa.Table) -> pa.Table:
+        cols = {
+            "conv_id": pc.cast(t.column("conv_id"), pa.string()),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int32()),
+            "text": pc.cast(t.column("text"), pa.string()),
+        }
+        for opt in ("role", "tool"):
+            if opt in t.column_names:
+                cols[opt] = pc.cast(t.column(opt), pa.string())
+        return pa.table(cols)
+
+    return ray.data.read_json(path).map_batches(
+        normalize, batch_format="pyarrow")

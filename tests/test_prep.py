@@ -197,3 +197,22 @@ def test_hopping_window_membership(ray_session):
         ["23:45", "00:00", "00:15", "00:30"]
     assert (out["n_events"] == 1).all()
     assert (out["sum_value"] == 2.5).all()
+
+
+def test_read_transcripts_jsonl_roundtrip(ray_session, tmp_path):
+    import json
+
+    from el.sources import read_transcripts_jsonl
+
+    p = tmp_path / "shard.jsonl"
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "agent", "text": "yo"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "ok"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    out = read_transcripts_jsonl(str(p)).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert out["text"].tolist() == ["hi", "yo", "ok"]
+    assert str(out["turn_idx"].dtype) == "int32"
+    assert out["role"].tolist() == ["user", "agent", "user"]
