@@ -216,3 +216,55 @@ def test_read_transcripts_jsonl_roundtrip(ray_session, tmp_path):
     assert out["text"].tolist() == ["hi", "yo", "ok"]
     assert str(out["turn_idx"].dtype) == "int32"
     assert out["role"].tolist() == ["user", "agent", "user"]
+
+
+def test_pii_redact_property_no_residual_pii():
+    """Property: after redaction the clean text contains no substring
+    matching either PII pattern, and counts equal pattern matches
+    (pure-kernel check, no Ray)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ops.prep import EMAIL_RE, PHONE_RE, pii_redact_batch
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(
+        alphabet="ab @.-0123456789xyz_%+", min_size=0, max_size=40),
+        min_size=1, max_size=8))
+    def prop(texts):
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = pii_redact_batch(df)
+        for t, c, ne, np_ in zip(texts, out["clean_text"],
+                                 out["n_emails"], out["n_phones"]):
+            assert not re.search(EMAIL_RE, c)
+            assert not re.search(PHONE_RE, c)
+            assert ne == len(re.findall(EMAIL_RE, t))
+
+    prop()
+
+
+def test_strip_markup_property_idempotent():
+    """Property: stripping is idempotent and the result has no tags."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ops.prep import TAG_RE, strip_markup_batch
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(
+        alphabet="ab <>/=\"px \n\t", min_size=0, max_size=40),
+        min_size=1, max_size=8))
+    def prop(texts):
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = strip_markup_batch(df)
+        again = strip_markup_batch(
+            out.rename(columns={"clean_text": "text"})[["doc_id", "text"]])
+        for c1, c2 in zip(out["clean_text"], again["clean_text"]):
+            assert not re.search(TAG_RE, c1)
+            assert c1 == c2
+
+    prop()
