@@ -557,6 +557,57 @@ def _merge_profiles_fast(cat: pa.Table) -> pa.Table:
     return pa.concat_tables([t.select(cols) for t in parts])
 
 
+def _merge_partition_with_dfreq(*tbls):
+    """One hash partition's slices -> (merged part, partial dfreq)."""
+    tbls = [t for t in tbls if t is not None and t.num_rows]
+    if not tbls:
+        return pa.table({}), {"dfreq": {}, "rows": 0}
+    cols = tbls[0].column_names
+    cat = pa.concat_tables([t.select(cols) for t in tbls],
+                           promote_options="default")
+    return _merge_chunk_with_dfreq(cat)
+
+
+def _merge_profiles_refs(partial_refs) -> pa.Table:
+    """Task-shuffle flavor of _merge_profiles_fast over combiner-partial
+    REFS: hash-exchange on group_key in plain tasks, per-partition merge
+    + partial dfreq, then the same global-df finalize fan-out. The
+    bundles x distinct-aliases duplicate rows never land on the driver —
+    only the contracted (1x aliases) profile does, cutting the fixed
+    driver cost of the alias_profile stage (~1.5 s at bench32)."""
+    import ray
+
+    from .ctxvec import df_threshold
+    from .shuffle import _partition_one, default_partitions
+
+    P = default_partitions()
+    part = ray.remote(_partition_one).options(num_returns=P)
+    cols = [part.remote(r, ["group_key"], P) for r in partial_refs]
+    cols = [[c] if P == 1 else list(c) for c in cols]
+    red = ray.remote(num_returns=2)(_merge_partition_with_dfreq)
+    out = [red.remote(*[cols[i][p] for i in range(len(cols))])
+           for p in range(P)]
+    metas = ray.get([m for _, m in out])
+    dfreq: dict[str, int] = {}
+    for m in metas:
+        for term, c in m["dfreq"].items():
+            dfreq[term] = dfreq.get(term, 0) + c
+    n_aliases = sum(m["rows"] for m in metas)
+    if n_aliases == 0:
+        return pa.table({})
+    thr = df_threshold(n_aliases)
+    common = {term for term, c in dfreq.items() if c > thr}
+    common_ref = ray.put(common)
+    fin_rem = ray.remote(_finalize_profile_part)
+    parts = [t for t in ray.get(
+        [fin_rem.remote(tref, common_ref) for tref, _ in out]
+    ) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    cols = parts[0].column_names
+    return pa.concat_tables([t.select(cols) for t in parts])
+
+
 def _finalize_profile_distributed(profile_ds_or_refs, num_partitions: int):
     """Distributed analog of _merge_profiles' context finalization: the
     profile blocks already hold complete per-alias ctx samples (group
@@ -1732,16 +1783,12 @@ def run_linkage(
         def build_profile_tasks() -> pa.Table:
             # bundle count trades combiner effectiveness against task
             # parallelism: hot aliases appear in EVERY bundle, so the
-            # partial-row count is ~bundles x distinct-aliases. Cap at
-            # ~32 bundles (bounds the duplicate factor). The combiner
-            # launched right after the fused scan with final group
-            # keys, so here the driver only collects and merges.
-            parts = [t for t in ray.get(partial_refs) if t.num_rows]
-            if not parts:
-                return pa.table({})
-            cols = parts[0].column_names
-            return _merge_profiles_fast(
-                pa.concat_tables([t.select(cols) for t in parts]))
+            # partial-row count is ~bundles x distinct-aliases. The
+            # combiner launched right after the fused scan with final
+            # group keys; the merge is a plain-task hash shuffle over
+            # the partial refs — only the contracted profile lands on
+            # the driver.
+            return _merge_profiles_refs(partial_refs)
 
         def build_profile():
             bs = max(32768, -(-n_mentions // 32))
