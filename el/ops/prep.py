@@ -391,3 +391,140 @@ def doc_top_terms(docs_ds, *, k: int = 3):
         return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
 
     return group_blocks(with_df, ["doc_id"], rank, batch_format="pandas")
+
+
+# ------------------------------------------------- repetition scoring
+def repetition_batch(df: pd.DataFrame, *, n: int = 2) -> pd.DataFrame:
+    """Per-document repeated word-n-gram statistics (boilerplate /
+    degenerate-text detection, the n-gram analog of repeated-line
+    filters in web-corpus curation): total grams, distinct grams, the
+    duplicated fraction, and the hottest gram's count.
+
+    Vectorized: one explode to a flat token array, shifted-concat
+    bigram construction in numpy, a single pandas groupby. Integers
+    plus one half-away-rounded float, so the DuckDB oracle replays it
+    bit-for-bit."""
+    from .textstats import round_half_away
+
+    doc_ids = df["doc_id"].to_numpy()
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    lens = toks.map(len).to_numpy()
+    zero = pd.DataFrame({
+        "doc_id": doc_ids.astype("int64"),
+        "n_grams": np.zeros(len(df), dtype="int64"),
+        "n_uniq_grams": np.zeros(len(df), dtype="int64"),
+        "dup_ratio": np.zeros(len(df), dtype="float64"),
+        "top_gram_count": np.zeros(len(df), dtype="int64"),
+    })
+    if len(df) == 0 or lens.sum() == 0:
+        return zero
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    docs = np.repeat(doc_ids, lens)
+    # gram i spans tokens [i, i+n) — valid iff all n tokens share a doc
+    valid = np.ones(max(len(flat) - (n - 1), 0), dtype=bool)
+    for k in range(1, n):
+        valid &= docs[: len(valid)] == docs[k: k + len(valid)]
+    if not valid.any():
+        return zero
+    parts = [pd.Series(flat[k: k + len(valid)][valid]) for k in range(n)]
+    grams = parts[0].str.cat(parts[1:], sep=" ")
+    gdf = pd.DataFrame({"doc_id": docs[: len(valid)][valid],
+                        "gram": grams.to_numpy()})
+    per_gram = gdf.groupby(["doc_id", "gram"], sort=False).size()
+    agg = per_gram.groupby(level=0).agg(["sum", "size", "max"])
+    agg.columns = ["n_grams", "n_uniq_grams", "top_gram_count"]
+    out = zero.set_index("doc_id")
+    out.loc[agg.index, ["n_grams", "n_uniq_grams", "top_gram_count"]] = \
+        agg.astype("int64")
+    out["dup_ratio"] = np.where(
+        out["n_grams"] > 0,
+        round_half_away(
+            1.0 - out["n_uniq_grams"] / np.maximum(out["n_grams"], 1), 6),
+        0.0)
+    out = out.reset_index()
+    for c in ("n_grams", "n_uniq_grams", "top_gram_count"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def repetition_score(docs_ds, *, n: int = 2):
+    """Stateless vectorized scan — embarrassingly parallel at 100 TB."""
+    return docs_ds.map_batches(repetition_batch, fn_kwargs={"n": n},
+                               batch_format="pandas")
+
+
+# --------------------------------------------------- sequence packing
+def _pack_count_block(tbl, token_re: str):
+    """Wave-1 task: per-doc token counts for one ordered block, plus
+    the block's token total (the only value the driver collects)."""
+    import re as _re
+
+    pat = _re.compile(token_re)
+    texts = tbl.column("text").to_pylist()
+    n = np.fromiter((len(pat.findall(t or "")) for t in texts),
+                    dtype=np.int64, count=len(texts))
+    counts = pa.table({"doc_id": tbl.column("doc_id").cast(pa.int64()),
+                       "n_tokens": pa.array(n, pa.int64())})
+    return counts, int(n.sum())
+
+
+def _pack_emit_block(counts: pa.Table, offset: int, seq_len: int):
+    """Wave-2 task: given this block's global token offset, emit one
+    row per (doc, crossed sequence) with in-doc token spans."""
+    n = counts.column("n_tokens").to_numpy()
+    doc = counts.column("doc_id").to_numpy()
+    g0 = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+    keep = n > 0
+    n, doc, g0 = n[keep], doc[keep], g0[keep]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "seq_id": pa.array([], pa.int64()),
+                      "tok_start": pa.array([], pa.int64()),
+                      "tok_end": pa.array([], pa.int64())})
+    if len(n) == 0:
+        return empty
+    first = g0 // seq_len
+    last = (g0 + n - 1) // seq_len
+    n_seqs = (last - first + 1).astype(np.int64)
+    doc_r = np.repeat(doc, n_seqs)
+    g0_r = np.repeat(g0, n_seqs)
+    n_r = np.repeat(n, n_seqs)
+    # seq_id = first[doc] + within-doc arange
+    starts = np.repeat(first, n_seqs)
+    csum = np.concatenate(([0], np.cumsum(n_seqs)[:-1]))
+    within = np.arange(n_seqs.sum(), dtype=np.int64) - np.repeat(csum, n_seqs)
+    seq = starts + within
+    tok_start = np.maximum(seq * seq_len - g0_r, 0)
+    tok_end = np.minimum((seq + 1) * seq_len - g0_r, n_r)
+    return pa.table({"doc_id": pa.array(doc_r, pa.int64()),
+                     "seq_id": pa.array(seq, pa.int64()),
+                     "tok_start": pa.array(tok_start, pa.int64()),
+                     "tok_end": pa.array(tok_end, pa.int64())})
+
+
+def token_pack(docs_ds, *, seq_len: int = 128, token_re: str = TOKEN_RE):
+    """GPT-style sequence packing: concatenate every document's tokens
+    in doc_id order and cut fixed-length training sequences of exactly
+    ``seq_len`` tokens; emit one row per (document, sequence) span —
+    a document crossing a cut yields one row per crossed sequence.
+
+    This is a DISTRIBUTED PREFIX SUM, the one aggregation shape the
+    engine didn't have: wave 1 computes per-doc token counts per
+    ordered block and returns each block's token TOTAL (one integer per
+    block — the only thing the driver sees); the driver computes
+    exclusive block offsets; wave 2 turns per-block cumsums + the
+    offset into global token positions and emits spans, all numpy.
+    No shuffle beyond the defining doc_id sort; at 100 TB the driver
+    holds one int per block."""
+    import ray
+    import ray.data
+
+    ds = docs_ds.select_columns(["doc_id", "text"]).sort("doc_id")
+    refs = ds.to_arrow_refs()
+    count_rem = ray.remote(num_returns=2)(_pack_count_block)
+    pairs = [count_rem.remote(r, token_re) for r in refs]
+    totals = ray.get([t for _, t in pairs])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    emit_rem = ray.remote(_pack_emit_block)
+    out = [emit_rem.remote(c, int(off), seq_len)
+           for (c, _), off in zip(pairs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -581,6 +581,24 @@ def q_doc_top_terms(sf_dir: str):
     return doc_top_terms(_read(sf_dir, "documents"), k=3)
 
 
+def q_repetition_score(sf_dir: str):
+    """Per-document repeated-bigram statistics (boilerplate /
+    degenerate-text detection): total grams, distinct grams, duplicated
+    fraction, hottest gram count."""
+    from .ops.prep import repetition_score
+
+    return repetition_score(_read(sf_dir, "documents"), n=2)
+
+
+def q_token_pack(sf_dir: str):
+    """GPT-style sequence packing via a distributed prefix sum:
+    concatenate all document tokens in doc_id order, cut 128-token
+    training sequences, emit per-(doc, sequence) spans."""
+    from .ops.prep import token_pack
+
+    return token_pack(_read(sf_dir, "documents"), seq_len=128)
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1582,6 +1600,57 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY tf.tf DESC, dfx.df ASC, tf.term) <= 3
         """,
+        "repetition_score": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS ts FROM documents),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(ts, i, i + 1), ' ') AS gram
+                FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+                WHERE len(ts) >= 2
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS cnt
+                  FROM g GROUP BY doc_id, gram),
+            a AS (SELECT doc_id,
+                         CAST(sum(cnt) AS BIGINT) AS n_grams,
+                         CAST(count(*) AS BIGINT) AS n_uniq_grams,
+                         CAST(max(cnt) AS BIGINT) AS top_gram_count
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   coalesce(a.n_uniq_grams, 0) AS n_uniq_grams,
+                   coalesce({_roundsql(
+                       '1.0 - a.n_uniq_grams / greatest(a.n_grams, 1)', 6)},
+                       0.0) AS dup_ratio,
+                   coalesce(a.top_gram_count, 0) AS top_gram_count
+            FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        "token_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                            AS BIGINT) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, n,
+                       CAST(coalesce(sum(n) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS g0
+                FROM t
+            ),
+            s AS (
+                SELECT doc_id, n, g0,
+                       unnest(generate_series(g0 // 128,
+                                              (g0 + n - 1) // 128)) AS seq_id
+                FROM o WHERE n > 0
+            )
+            SELECT doc_id,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(seq_id * 128 - g0, 0) AS BIGINT) AS tok_start,
+                   CAST(least((seq_id + 1) * 128 - g0, n) AS BIGINT) AS tok_end
+            FROM s
+        """,
         "ngram_jaccard": f"""
             WITH {_PLANTED_SHINGLES_CTE},
             co AS (
@@ -1934,6 +2003,8 @@ def queries():
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "doc_top_terms": q_doc_top_terms,
+        "repetition_score": q_repetition_score,
+        "token_pack": q_token_pack,
         "group_quantiles": q_group_quantiles,
         "inverted_index": q_inverted_index,
         "bigram_topk": q_bigram_topk,

@@ -268,3 +268,78 @@ def test_strip_markup_property_idempotent():
             assert c1 == c2
 
     prop()
+
+
+def test_repetition_score_exact_values(ray_session):
+    import ray.data
+
+    from el.ops.prep import repetition_score
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b a b a",        # bigrams: ab ba ab ba -> 4 grams, 2 uniq
+            "x y z",            # xy yz -> 2 grams, 2 uniq
+            "solo",             # no bigram
+        ],
+    })
+    out = repetition_score(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_grams"].tolist() == [4, 2, 0]
+    assert out["n_uniq_grams"].tolist() == [2, 2, 0]
+    assert out["top_gram_count"].tolist() == [2, 1, 0]
+    assert out["dup_ratio"].tolist() == [0.5, 0.0, 0.0]
+
+
+def test_repetition_batch_doc_boundary(ray_session):
+    # the last token of doc A and first of doc B must NOT form a gram
+    import ray.data
+
+    from el.ops.prep import repetition_score
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["p q", "q p"]})
+    out = repetition_score(ray.data.from_pandas(df)).to_pandas()
+    assert out["n_grams"].tolist() == [1, 1]
+    assert out["n_uniq_grams"].tolist() == [1, 1]
+
+
+def test_token_pack_spans(ray_session):
+    import ray.data
+
+    from el.ops.prep import token_pack
+
+    df = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["w " * 3, "", "w " * 5, "w"],  # counts 3, 0, 5, 1
+    })
+    out = token_pack(ray.data.from_pandas(df), seq_len=4).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    # global stream: doc10 [0,3) doc12 [3,8) doc13 [8,9); cuts at 4, 8
+    want = [
+        (10, 0, 0, 3),   # tokens 0-2 in seq 0
+        (12, 0, 0, 1),   # token 3 in seq 0 -> in-doc [0,1)
+        (12, 1, 1, 5),   # tokens 4-7 in seq 1 -> in-doc [1,5)
+        (13, 2, 0, 1),   # token 8 in seq 2
+    ]
+    got = list(zip(out["doc_id"], out["seq_id"],
+                   out["tok_start"], out["tok_end"]))
+    assert got == want
+    # empty doc emits nothing
+    assert 11 not in set(out["doc_id"])
+
+
+def test_token_pack_spans_tile_docs(ray_session):
+    # per-doc spans must tile [0, n_tokens) with no gaps or overlap
+    import ray.data
+
+    from el.ops.prep import token_pack
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_pack(docs, seq_len=128).to_pandas() \
+        .sort_values(["doc_id", "seq_id"])
+    for doc_id, g in out.groupby("doc_id"):
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_start"].iloc[1:].to_numpy()
+                == g["tok_end"].iloc[:-1].to_numpy()).all()
+        # every span except a doc's last is cut AT a seq boundary
+        assert (g["seq_id"].diff().iloc[1:] == 1).all()
