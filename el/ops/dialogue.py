@@ -1,0 +1,89 @@
+"""Conversation-level analytics over chat transcripts: per-conversation
+turn/role/tool counts, token totals, wall-clock duration, and assistant
+response-latency statistics.
+
+These are the transcript-curation analogs of the document quality ops
+(`el/ops/textstats.py`) — the signals a training-data pipeline filters
+chat logs on (degenerate single-role conversations, stalled sessions,
+tool-call density) before anything expensive runs.
+
+Shape: ONE conv_id hash exchange (`el.shuffle.group_blocks`) then a
+block-local vectorized kernel — adjacent-turn latency needs whole
+conversations co-located, and conversations are tiny relative to
+blocks, so the exchange moves each row exactly once and nothing lands
+on the driver. Every output column is replayed bit-for-bit by a DuckDB
+window-function oracle (`el/queries.py::oracle_sql()["conv_stats"]`):
+integer counts, integer-second timestamps (exact in float64), and one
+half-away-rounded mean.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import group_blocks
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+
+_OUT_SCHEMA = {
+    "conv_id": str,
+    "n_turns": "int64",
+    "n_user": "int64",
+    "n_assistant": "int64",
+    "n_tool": "int64",
+    "n_tokens": "int64",
+    "duration_s": "int64",
+    "n_responses": "int64",
+    "mean_latency_s": "float64",
+    "max_latency_s": "int64",
+}
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in _OUT_SCHEMA.items()})
+
+
+def conv_stats_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation kernel (runs after the conv_id exchange)."""
+    from .textstats import round_half_away
+
+    if len(df) == 0:
+        return _empty()
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    g = df.groupby("conv_id", sort=False)
+    out = pd.DataFrame({
+        "n_turns": g.size().astype("int64"),
+        "n_user": g["role"].agg(lambda r: int((r == "user").sum())),
+        "n_assistant": g["role"].agg(
+            lambda r: int((r == "assistant").sum())),
+        "n_tool": g["tool"].agg(lambda t: int((t != "").sum())),
+    })
+    out["n_tokens"] = df.assign(
+        nt=df["text"].str.count(TOKEN_RE)
+    ).groupby("conv_id", sort=False)["nt"].sum().astype("int64")
+    span = g["ts"].agg(["min", "max"])
+    out["duration_s"] = ((span["max"] - span["min"])
+                         .dt.total_seconds().astype("int64"))
+    # assistant response latency: ts minus the PREVIOUS turn's ts
+    prev = df.groupby("conv_id", sort=False)["ts"].shift(1)
+    lat = (df["ts"] - prev).dt.total_seconds()
+    resp = df.assign(lat=lat)[(df["role"] == "assistant") & prev.notna()]
+    rg = resp.groupby("conv_id", sort=False)["lat"]
+    out["n_responses"] = rg.size().reindex(out.index, fill_value=0) \
+        .astype("int64")
+    out["mean_latency_s"] = np.where(
+        out["n_responses"] > 0,
+        round_half_away(rg.mean().reindex(out.index, fill_value=0.0), 6),
+        0.0)
+    out["max_latency_s"] = rg.max().reindex(out.index, fill_value=0) \
+        .astype("int64")
+    return out.reset_index()[list(_OUT_SCHEMA)]
+
+
+def conv_stats(transcripts_ds):
+    ds = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return group_blocks(ds, ["conv_id"], conv_stats_block,
+                        batch_format="pandas")

@@ -599,6 +599,21 @@ def q_token_pack(sf_dir: str):
     return token_pack(_read(sf_dir, "documents"), seq_len=128)
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation dialogue analytics: turn/role/tool counts,
+    token totals, wall-clock duration, assistant response latency."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.dialogue import conv_stats
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    return conv_stats(tr)
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1355,6 +1370,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
         """,
+        "conv_stats": f"""
+            WITH base AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_user,
+                       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_assistant,
+                       CAST(sum(CASE WHEN tool != '' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_tool,
+                       CAST(sum(len(regexp_extract_all(text,
+                            '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+                       CAST(date_diff('second', min(ts), max(ts))
+                            AS BIGINT) AS duration_s
+                FROM {tr} GROUP BY conv_id
+            ),
+            lagged AS (
+                SELECT conv_id, role,
+                       epoch(ts - lag(ts) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx)) AS lat
+                FROM {tr}
+            ),
+            resp AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_responses,
+                       {_roundsql('avg(lat)', 6)} AS mean_latency_s,
+                       CAST(max(lat) AS BIGINT) AS max_latency_s
+                FROM lagged
+                WHERE role = 'assistant' AND lat IS NOT NULL
+                GROUP BY conv_id
+            )
+            SELECT base.*,
+                   coalesce(resp.n_responses, 0) AS n_responses,
+                   coalesce(resp.mean_latency_s, 0.0) AS mean_latency_s,
+                   coalesce(resp.max_latency_s, 0) AS max_latency_s
+            FROM base LEFT JOIN resp USING (conv_id)
+        """,
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -1992,6 +2044,7 @@ def queries():
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
+        "conv_stats": q_conv_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,

@@ -1,0 +1,58 @@
+"""Conversation analytics: per-conversation role/tool/token counts,
+duration, assistant response latency."""
+
+import pandas as pd
+
+
+def _toy():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00",  # c1 user
+        "2024-01-01 00:00:05",  # c1 assistant (lat 5)
+        "2024-01-01 00:00:06",  # c1 user
+        "2024-01-01 00:00:09",  # c1 assistant (lat 3)
+        "2024-01-01 01:00:00",  # c2 user (lone turn)
+    ])
+    return pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "role": ["user", "assistant", "user", "assistant", "user"],
+        "text": ["hi there", "hello", "run the tool", "done ok now", "hm"],
+        "tool": ["", "", "", "search", ""],
+        "ts": ts,
+    })
+
+
+def test_conv_stats_exact(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import conv_stats
+
+    out = conv_stats(ray.data.from_pandas(_toy())).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    c1 = out.iloc[0]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"],
+            c1["n_tool"]) == (4, 2, 2, 1)
+    assert c1["n_tokens"] == 2 + 1 + 3 + 3
+    assert c1["duration_s"] == 9
+    assert c1["n_responses"] == 2
+    assert c1["mean_latency_s"] == 4.0   # (5 + 3) / 2
+    assert c1["max_latency_s"] == 5
+    c2 = out.iloc[1]
+    assert (c2["n_turns"], c2["n_responses"], c2["duration_s"]) == (1, 0, 0)
+    assert c2["mean_latency_s"] == 0.0
+
+
+def test_conv_stats_split_blocks(ray_session):
+    # a conversation split across input blocks must still aggregate
+    # whole (the exchange co-locates it)
+    import ray.data
+
+    from el.ops.dialogue import conv_stats
+
+    df = _toy()
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = conv_stats(ds).to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+    assert out.loc[0, "n_turns"] == 4
+    assert out.loc[0, "n_responses"] == 2
+    assert out.loc[0, "mean_latency_s"] == 4.0
