@@ -87,3 +87,42 @@ def conv_stats(transcripts_ds):
         ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     return group_blocks(ds, ["conv_id"], conv_stats_block,
                         batch_format="pandas")
+
+
+# ------------------------------------------------ conversation dedup
+def conv_fingerprint_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation content fingerprint: md5 over the turn-ordered
+    'role:text' transcript. Runs after the conv_id exchange."""
+    import hashlib
+
+    if len(df) == 0:
+        return pd.DataFrame({"conv_id": pd.Series(dtype=str),
+                             "fp": pd.Series(dtype=str)})
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    joined = (df["role"].str.cat(df["text"], sep=":")
+              .groupby(df["conv_id"].to_numpy(), sort=False)
+              .agg("\n".join))
+    fp = [hashlib.md5(s.encode()).hexdigest() for s in joined]
+    return pd.DataFrame({"conv_id": joined.index, "fp": fp})
+
+
+def conv_dedup(transcripts_ds):
+    """Exact conversation-level dedup (the transcript analog of
+    `el.ops.dedup.exact_dedup`): fingerprint each conversation's full
+    turn sequence, then keep the lexicographically-min conv_id per
+    fingerprint. Two bounded hash exchanges — turns move once to
+    co-locate conversations, then one row PER CONVERSATION moves to
+    co-locate fingerprints; nothing lands on the driver."""
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "role",
+                                        "text"])
+    fps = group_blocks(ds, ["conv_id"], conv_fingerprint_block,
+                       batch_format="pandas")
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"fp": pd.Series(dtype=str),
+                                 "keep_conv_id": pd.Series(dtype=str)})
+        out = df.groupby("fp", as_index=False)["conv_id"].min()
+        return out.rename(columns={"conv_id": "keep_conv_id"})
+
+    return group_blocks(fps, ["fp"], block_min, batch_format="pandas")

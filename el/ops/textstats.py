@@ -101,3 +101,25 @@ def quality(docs_ds):
 
 def lang_id(docs_ds):
     return docs_ds.map_batches(lang_id_batch, batch_format="pandas")
+
+
+# GPT-2-style pretokenizer, simplified to RE2-compatible alternation
+# (no lookarounds) so the DuckDB oracle shares the pattern verbatim:
+# optional leading space + a letter run / digit run / punct run.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+WS_RE = r"\S+"
+
+
+def bpe_token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Whitespace and BPE-ish pretokenizer token counts per document —
+    the two cheap context-window estimators a packing/budgeting stage
+    uses before a real tokenizer exists in the cluster."""
+    out = df[["doc_id"]].copy()
+    out["n_ws_tokens"] = df["text"].str.count(WS_RE).astype("int64")
+    out["n_bpe_tokens"] = df["text"].str.count(BPE_RE).astype("int64")
+    return out
+
+
+def bpe_token_count(docs_ds):
+    return docs_ds.map_batches(bpe_token_count_batch,
+                               batch_format="pandas")

@@ -614,6 +614,41 @@ def q_conv_stats(sf_dir: str):
     return conv_stats(tr)
 
 
+def q_bpe_token_count(sf_dir: str):
+    """Whitespace + BPE-ish pretokenizer token counts (context-window
+    estimators for packing/budgeting)."""
+    from .ops.textstats import bpe_token_count
+
+    return bpe_token_count(_read(sf_dir, "documents"))
+
+
+def q_conv_dedup(sf_dir: str):
+    """Exact conversation-level dedup over transcripts with planted
+    duplicate conversations (conv_ids ending '01' are copied under a
+    'dup-' prefix): fingerprint each turn sequence, keep the min
+    conv_id per fingerprint."""
+    fd = ensure_fixture(sf_dir)
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from .ops.dialogue import conv_dedup
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        cid = t.column("conv_id")
+        m = _pc.match_substring_regex(cid, "01$")
+        d = t.filter(m)
+        dup = d.set_column(0, "conv_id", _pc.binary_join_element_wise(
+            pa.array(["dup-"] * d.num_rows), d.column("conv_id"), ""))
+        return pa.concat_tables([t, dup])
+
+    return conv_dedup(tr.map_batches(plant, batch_format="pyarrow"))
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1407,6 +1442,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(resp.max_latency_s, 0) AS max_latency_s
             FROM base LEFT JOIN resp USING (conv_id)
         """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "conv_dedup": f"""
+            WITH planted AS (
+                SELECT conv_id, turn_idx, role, text FROM {tr}
+                UNION ALL
+                SELECT 'dup-' || conv_id, turn_idx, role, text FROM {tr}
+                WHERE right(conv_id, 2) = '01'
+            ),
+            fp AS (
+                SELECT conv_id,
+                       md5(string_agg(role || ':' || text, chr(10)
+                           ORDER BY turn_idx)) AS fp
+                FROM planted GROUP BY conv_id
+            )
+            SELECT fp, min(conv_id) AS keep_conv_id FROM fp GROUP BY fp
+        """,
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -2045,6 +2103,8 @@ def queries():
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
+        "conv_dedup": q_conv_dedup,
+        "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,

@@ -56,3 +56,50 @@ def test_conv_stats_split_blocks(ray_session):
     assert out.loc[0, "n_turns"] == 4
     assert out.loc[0, "n_responses"] == 2
     assert out.loc[0, "mean_latency_s"] == 4.0
+
+
+def test_conv_dedup_collapses_exact_copies(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import conv_dedup
+
+    df = _toy()
+    dup = df[df["conv_id"] == "c1"].copy()
+    dup["conv_id"] = "z-copy"
+    both = pd.concat([df, dup], ignore_index=True)
+    out = conv_dedup(ray.data.from_pandas(both)).to_pandas()
+    assert len(out) == 2  # c1==z-copy collapse; c2 alone
+    keeps = set(out["keep_conv_id"])
+    assert keeps == {"c1", "c2"}  # min conv_id wins
+
+
+def test_conv_dedup_turn_order_matters(ray_session):
+    # same turns in a different order = a different conversation
+    import ray.data
+
+    from el.ops.dialogue import conv_dedup
+
+    df = _toy()
+    swapped = df[df["conv_id"] == "c1"].copy()
+    swapped["conv_id"] = "c3"
+    swapped["turn_idx"] = [3, 2, 1, 0]
+    both = pd.concat([df, swapped], ignore_index=True)
+    out = conv_dedup(ray.data.from_pandas(both)).to_pandas()
+    assert len(out) == 3
+
+
+def test_bpe_token_count_exact(ray_session):
+    import ray.data
+
+    from el.ops.textstats import bpe_token_count
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["don't stop2believing!", "  a  b "],
+    })
+    out = bpe_token_count(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc1 ws: ["don't", "stop2believing!"] -> 2
+    # doc1 bpe: [don][']​[t][ stop][2][believing][!] -> 7
+    assert out["n_ws_tokens"].tolist() == [2, 2]
+    assert out["n_bpe_tokens"].tolist() == [7, 2]
