@@ -114,3 +114,126 @@ def featurize_assets(assets_ds, concurrency: int = 2, batch_size: int = 128,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample up to ``max_frames`` evenly-strided
+    frames per asset and emit ONE ROW PER SAMPLED FRAME — the row
+    explosion a video pipeline needs between decode and per-frame
+    featurizing. The frame decode itself is the stubbed boundary
+    (``strict=True`` raises, as in AssetFeaturizer); the deterministic
+    fake derives each frame's 4-dim feature from
+    sha256(payload + b":" + frame_idx)."""
+
+    def __init__(self, max_frames: int = 8, strict: bool = False):
+        self.max_frames = max_frames
+        self.strict = strict
+        try:
+            import PIL  # noqa: F401 — real frame decoder loads here
+
+            self.has_pil = True
+        except ImportError:
+            self.has_pil = False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict and not self.has_pil:
+            raise NotImplementedError(
+                "real frame decode requires libav/PIL; not available here")
+        ids, idxs, feats = [], [], []
+        for asset_id, payload, kind in zip(
+            t.column("asset_id").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("kind").to_pylist(),
+        ):
+            frames = _fake_decode(payload, kind)["frames"]
+            stride = max(1, -(-frames // self.max_frames))
+            for i in range(0, frames, stride):
+                d = hashlib.sha256(payload + b":" + str(i).encode()).digest()
+                ids.append(asset_id)
+                idxs.append(i)
+                feats.append([round_half_away6(b / 255.0) for b in d[:4]])
+        f = np.array(feats, dtype=np.float64).reshape(-1, 4)
+        cols = {"asset_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64())}
+        for j in range(4):
+            cols[f"f{j}"] = pa.array(f[:, j], pa.float64())
+        return pa.table(cols)
+
+
+def round_half_away6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+class ImageResizer:
+    """Actor-pool stage: aspect-preserving fit of each image into a
+    ``target`` x ``target`` box. The geometry is REAL and integer-exact
+    (out = dim * target // max(w, h), so the SQL oracle replays it with
+    no float rounding); the pixel resample is the stubbed boundary —
+    the deterministic fake emits md5(payload : outWxoutH) as the
+    resized payload's fingerprint."""
+
+    def __init__(self, target: int = 224, strict: bool = False):
+        self.target = target
+        self.strict = strict
+        try:
+            import PIL  # noqa: F401
+
+            self.has_pil = True
+        except ImportError:
+            self.has_pil = False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict and not self.has_pil:
+            raise NotImplementedError(
+                "real resample requires PIL; not available here")
+        ids, ws, hs, ows, ohs, fps = [], [], [], [], [], []
+        for asset_id, payload, kind in zip(
+            t.column("asset_id").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("kind").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            d = _fake_decode(payload, kind)
+            w, h = d["width"], d["height"]
+            m = max(w, h)
+            ow, oh = w * self.target // m, h * self.target // m
+            fp = hashlib.md5(
+                payload + f":{ow}x{oh}".encode()).hexdigest()
+            ids.append(asset_id)
+            ws.append(w); hs.append(h); ows.append(ow); ohs.append(oh)
+            fps.append(fp)
+        return pa.table({
+            "asset_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "out_width": pa.array(ows, pa.int32()),
+            "out_height": pa.array(ohs, pa.int32()),
+            "resized_fp": pa.array(fps, pa.string()),
+        })
+
+
+def sample_frames(assets_ds, max_frames: int = 8, concurrency: int = 2,
+                  batch_size: int = 128, strict: bool = False):
+    return assets_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"max_frames": max_frames, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def resize_images(assets_ds, target: int = 224, concurrency: int = 2,
+                  batch_size: int = 128, strict: bool = False):
+    return assets_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target": target, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -892,6 +892,45 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def _doc_assets(sf_dir: str):
+    """Assets derived from documents (the multimodal_features recipe):
+    payload = utf-8 text bytes, kind by doc_id % 3."""
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    kinds = ["image", "audio", "video"]
+
+    def to_assets(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "asset_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
+            "payload": pa.array(
+                [s.encode("utf-8") for s in t.column("text").to_pylist()],
+                pa.binary()),
+            "meta": pa.array(['{"codec":"utf8"}'] * len(ids), pa.string()),
+        })
+
+    return docs.map_batches(to_assets, batch_format="pyarrow")
+
+
+def q_frame_sample(sf_dir: str):
+    """Frame sampling over binary assets: up to 8 evenly-strided frames
+    per asset, one row per sampled frame with a 4-dim frame feature.
+    Frame decode is the stubbed boundary; the deterministic fake
+    (sha256(payload:frame_idx)) gives this a full SQL oracle."""
+    from .ops.multimodal import sample_frames
+
+    return sample_frames(_doc_assets(sf_dir), max_frames=8)
+
+
+def q_image_resize(sf_dir: str):
+    """Aspect-preserving resize of image assets into a 224x224 box:
+    integer-exact geometry + the stubbed resample boundary (md5
+    fingerprint of the fake resized payload)."""
+    from .ops.multimodal import resize_images
+
+    return resize_images(_doc_assets(sf_dir), target=224)
+
+
 # ============================================================ relational
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: per-batch PRE-AGGREGATION (combiner),
@@ -1121,6 +1160,78 @@ def _multimodal_sql() -> str:
                     ELSE 24 + {byte(3)} END AS frames,
                {feats}
         FROM a
+    """
+
+
+def _hexbyte(col: str, i: int) -> str:
+    """SQL for byte i of a lowercase hex digest column."""
+    hexd = "0123456789abcdef"
+    return (f"((strpos('{hexd}', substr({col}, {2 * i + 1}, 1)) - 1) * 16"
+            f" + strpos('{hexd}', substr({col}, {2 * i + 2}, 1)) - 1)")
+
+
+def _frame_sample_sql() -> str:
+    """Oracle for frame_sample: replays the fake decode's frame count
+    (el/ops/multimodal.py::_fake_decode) and the per-frame feature
+    sha256(payload:frame_idx) in SQL."""
+    feats = ",\n               ".join(
+        f"{_roundsql(_hexbyte('h2', j) + ' / 255.0', 6)} AS f{j}"
+        for j in range(4))
+    return f"""
+        WITH a AS (
+            SELECT doc_id AS asset_id, text,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   sha256(text) AS h
+            FROM documents
+        ),
+        fr AS (
+            SELECT asset_id, text,
+                   CASE kind WHEN 'image' THEN 1
+                        WHEN 'audio' THEN 100 + {_hexbyte('h', 2)}
+                        ELSE 24 + {_hexbyte('h', 3)} END AS frames
+            FROM a
+        ),
+        s AS (
+            SELECT asset_id, text,
+                   unnest(generate_series(0, frames - 1,
+                       greatest(1, (frames + 7) // 8))) AS frame_idx
+            FROM fr
+        ),
+        hashed AS (
+            SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS h2
+            FROM s
+        )
+        SELECT asset_id, frame_idx,
+               {feats}
+        FROM hashed
+    """
+
+
+def _image_resize_sql() -> str:
+    """Oracle for image_resize: integer-exact aspect-fit geometry + the
+    md5 fingerprint of the fake resized payload."""
+    return f"""
+        WITH a AS (
+            SELECT doc_id AS asset_id, text, sha256(text) AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        d AS (
+            SELECT asset_id, text,
+                   64 + {_hexbyte('h', 0)} AS w,
+                   64 + {_hexbyte('h', 1)} AS h2
+            FROM a
+        )
+        SELECT asset_id,
+               CAST(w AS INT) AS width,
+               CAST(h2 AS INT) AS height,
+               CAST(w * 224 // greatest(w, h2) AS INT) AS out_width,
+               CAST(h2 * 224 // greatest(w, h2) AS INT) AS out_height,
+               md5(text || ':' || CAST(w * 224 // greatest(w, h2) AS VARCHAR)
+                   || 'x' || CAST(h2 * 224 // greatest(w, h2) AS VARCHAR))
+                   AS resized_fp
+        FROM d
     """
 
 
@@ -1612,6 +1723,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "multimodal_features": _multimodal_sql(),
+        "frame_sample": _frame_sample_sql(),
+        "image_resize": _image_resize_sql(),
         "strip_markup": r"""
             WITH p AS (
                 SELECT doc_id,
@@ -2132,6 +2245,8 @@ def queries():
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "image_resize": q_image_resize,
         "events_hourly": q_events_hourly,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,

@@ -576,3 +576,49 @@ def test_sessionize_chunked_equivalent(ray_session, seed):
     assert SESSION_GAP_US > 10 * 60 * 1_000_000  # chunks cut sessions
     pd.testing.assert_frame_equal(chunked, plain[chunked.columns],
                                   check_dtype=False)
+
+
+def test_frame_sampler_stride_and_bounds(ray_session):
+    import ray.data
+
+    from el.ops.multimodal import (FrameSampler, fake_assets_table,
+                                   sample_frames, _fake_decode)
+
+    assets = fake_assets_table(n=24)
+    out = sample_frames(ray.data.from_arrow(assets),
+                        max_frames=8).to_pandas()
+    payloads = dict(zip(assets.column("asset_id").to_pylist(),
+                        assets.column("payload").to_pylist()))
+    kinds = dict(zip(assets.column("asset_id").to_pylist(),
+                     assets.column("kind").to_pylist()))
+    for aid, g in out.groupby("asset_id"):
+        frames = _fake_decode(payloads[aid], kinds[aid])["frames"]
+        stride = max(1, -(-frames // 8))
+        assert list(g["frame_idx"]) == list(range(0, frames, stride))
+        assert len(g) <= 8
+    # strict marks the real-decoder boundary
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        FrameSampler(strict=True)(assets)
+
+
+def test_image_resizer_geometry_exact(ray_session):
+    import ray.data
+
+    from el.ops.multimodal import (fake_assets_table, resize_images,
+                                   _fake_decode)
+
+    assets = fake_assets_table(n=24)
+    out = resize_images(ray.data.from_arrow(assets),
+                        target=224).to_pandas()
+    # only image assets survive; aspect-fit is integer-exact
+    kinds = dict(zip(assets.column("asset_id").to_pylist(),
+                     assets.column("kind").to_pylist()))
+    assert all(kinds[a] == "image" for a in out["asset_id"])
+    assert len(out) == sum(1 for k in kinds.values() if k == "image")
+    for _, r in out.iterrows():
+        m = max(r["width"], r["height"])
+        assert r["out_width"] == r["width"] * 224 // m
+        assert r["out_height"] == r["height"] * 224 // m
+        assert max(r["out_width"], r["out_height"]) == 224
