@@ -343,3 +343,43 @@ def exact_cosine_pairs(emb_ds, threshold: float = 0.999):
                              "sim": sv[keep]})
 
     return emb_ds.map_batches(batch_pairs, batch_format="pandas")
+
+
+# ----------------------------------------------- int8 quantization
+def quantize_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/transport
+    form an embedding index ships at scale): scale = max|x|,
+    q_i = floor(x_i * 127 / scale + 0.5). The formula (not a round()
+    builtin) is shared verbatim with the SQL oracle so Python and
+    DuckDB agree bit-for-bit, including negative halves. Emits the
+    first 4 quantized dims plus the full-vector checksum (qsum) so the
+    oracle verifies every dimension without 2N columns."""
+    if len(df) == 0:
+        return pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "scale": pd.Series(dtype="float64"),
+            "q0": pd.Series(dtype="int64"),
+            "q1": pd.Series(dtype="int64"),
+            "q2": pd.Series(dtype="int64"),
+            "q3": pd.Series(dtype="int64"),
+            "qsum": pd.Series(dtype="int64"),
+        })
+    X = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in df["embedding"]], dtype=np.float64)
+    scale = np.abs(X).max(axis=1)
+    safe = np.where(scale > 0, scale, 1.0)
+    Q = np.floor(X * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    Q[scale == 0] = 0
+    from .textstats import round_half_away
+
+    return pd.DataFrame({
+        "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+        "scale": round_half_away(scale, 6),
+        "q0": Q[:, 0], "q1": Q[:, 1], "q2": Q[:, 2], "q3": Q[:, 3],
+        "qsum": Q.sum(axis=1),
+    })
+
+
+def quantize_embeddings(emb_ds):
+    """Stateless vectorized scan — embarrassingly parallel."""
+    return emb_ds.map_batches(quantize_batch, batch_format="pandas")

@@ -126,3 +126,40 @@ def conv_dedup(transcripts_ds):
         return out.rename(columns={"conv_id": "keep_conv_id"})
 
     return group_blocks(fps, ["fp"], block_min, batch_format="pandas")
+
+
+# ------------------------------------------------ tool-call extraction
+def tool_calls_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation kernel: every tool-bearing turn with the
+    immediately preceding turn's role and text (the prompt that
+    triggered the call) — the slice an agent-trace analysis starts
+    from."""
+    if len(df) == 0:
+        return pd.DataFrame({
+            "conv_id": pd.Series(dtype=str),
+            "turn_idx": pd.Series(dtype="int64"),
+            "tool": pd.Series(dtype=str),
+            "prev_role": pd.Series(dtype=str),
+            "prev_text": pd.Series(dtype=str),
+        })
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    g = df.groupby("conv_id", sort=False)
+    prev_role = g["role"].shift(1).fillna("")
+    prev_text = g["text"].shift(1).fillna("")
+    m = df["tool"] != ""
+    return pd.DataFrame({
+        "conv_id": df.loc[m, "conv_id"].to_numpy(),
+        "turn_idx": df.loc[m, "turn_idx"].to_numpy(dtype="int64"),
+        "tool": df.loc[m, "tool"].to_numpy(),
+        "prev_role": prev_role[m].to_numpy(),
+        "prev_text": prev_text[m].to_numpy(),
+    })
+
+
+def tool_calls(transcripts_ds):
+    """One conv_id exchange + block-local shift; tool turns are rare,
+    so the output is a small fraction of the input."""
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "role",
+                                        "text", "tool"])
+    return group_blocks(ds, ["conv_id"], tool_calls_block,
+                        batch_format="pandas")

@@ -649,6 +649,29 @@ def q_conv_dedup(sf_dir: str):
     return conv_dedup(tr.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_embed_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (first 4 quantized dims + full-vector checksum)."""
+    from .ops.ann import quantize_embeddings
+
+    return quantize_embeddings(_read(sf_dir, "embeddings"))
+
+
+def q_tool_calls(sf_dir: str):
+    """Tool-bearing turns with the immediately preceding turn's role
+    and text (agent-trace extraction over transcripts)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.dialogue import tool_calls
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    return tool_calls(tr)
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1576,6 +1599,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, min(conv_id) AS keep_conv_id FROM fp GROUP BY fp
         """,
+        "embed_quantize": f"""
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            x -> abs(x))) AS DOUBLE) AS sc
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, sc,
+                       CASE WHEN sc > 0 THEN
+                           list_transform(embedding, x -> CAST(floor(
+                               CAST(x AS DOUBLE) * 127 / sc + 0.5)
+                               AS BIGINT))
+                       ELSE list_transform(embedding, x ->
+                            CAST(0 AS BIGINT)) END AS ql
+                FROM s
+            )
+            SELECT vec_id,
+                   {_roundsql('sc', 6)} AS scale,
+                   ql[1] AS q0, ql[2] AS q1, ql[3] AS q2, ql[4] AS q3,
+                   CAST(list_sum(ql) AS BIGINT) AS qsum
+            FROM q
+        """,
+        "tool_calls": f"""
+            WITH w AS (
+                SELECT conv_id, turn_idx, tool,
+                       coalesce(lag(role) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx), '')
+                           AS prev_role,
+                       coalesce(lag(text) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx), '')
+                           AS prev_text
+                FROM {tr}
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, tool,
+                   prev_role, prev_text
+            FROM w WHERE tool != ''
+        """,
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -2217,6 +2278,8 @@ def queries():
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
         "conv_dedup": q_conv_dedup,
+        "tool_calls": q_tool_calls,
+        "embed_quantize": q_embed_quantize,
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,

@@ -103,3 +103,29 @@ def test_bpe_token_count_exact(ray_session):
     # doc1 bpe: [don][']​[t][ stop][2][believing][!] -> 7
     assert out["n_ws_tokens"].tolist() == [2, 2]
     assert out["n_bpe_tokens"].tolist() == [7, 2]
+
+
+def test_tool_calls_prev_turn(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import tool_calls
+
+    out = tool_calls(ray.data.from_pandas(_toy())).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], r["turn_idx"], r["tool"]) == ("c1", 3, "search")
+    assert r["prev_role"] == "user"
+    assert r["prev_text"] == "run the tool"
+
+
+def test_tool_calls_first_turn_has_empty_prev(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import tool_calls
+
+    df = _toy()
+    df.loc[df["turn_idx"].eq(0) & df["conv_id"].eq("c2"), "tool"] = "shell"
+    out = tool_calls(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    c2 = out[out["conv_id"] == "c2"].iloc[0]
+    assert (c2["prev_role"], c2["prev_text"]) == ("", "")

@@ -622,3 +622,22 @@ def test_image_resizer_geometry_exact(ray_session):
         assert r["out_width"] == r["width"] * 224 // m
         assert r["out_height"] == r["height"] * 224 // m
         assert max(r["out_width"], r["out_height"]) == 224
+
+
+def test_embed_quantize_exact(ray_session):
+    import ray.data
+
+    from el.ops.ann import quantize_embeddings
+
+    df = pd.DataFrame({
+        "vec_id": [1, 2],
+        "embedding": [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]],
+    })
+    out = quantize_embeddings(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # scale 1.0: q = floor(x*127 + 0.5) -> 127, -63 (floor(-63.0)), 32, 0
+    assert out.loc[0, ["q0", "q1", "q2", "q3"]].tolist() == [127, -63, 32, 0]
+    assert out.loc[0, "qsum"] == 127 - 63 + 32
+    assert out.loc[0, "scale"] == 1.0
+    # all-zero vector: scale 0, everything 0
+    assert out.loc[1, ["scale", "q0", "qsum"]].tolist() == [0.0, 0, 0]
