@@ -410,6 +410,31 @@ def q_el_sports_links(sf_dir: str):
     return answers.map_batches(only_cities, batch_format="pyarrow")
 
 
+def q_el_city_links(sf_dir: str):
+    """FULL-ORACLE companion to el_sports_links: the final kb_link of
+    every gazetteer-city mention, WITHOUT the confidence column. The
+    oracle replays the expected answer from gold: KB-linked mentions
+    must carry gold_kb_id verbatim, and NIL mentions must carry the
+    engine's deterministic 'NIL:<min mention_id in cluster>' label,
+    which SQL reconstructs as the min over the gold cluster (exact
+    because the B3 gate pins engine clusters == gold partitions). This
+    puts the sports-override path (linkQuery steps 1 + 8) under the
+    driver's hash check, not just pytest."""
+    fd = ensure_fixture(sf_dir)
+
+    from .gazetteer import CITIES
+
+    answers = _answers(fd)
+    cities = pa.array(sorted(CITIES))
+
+    def only_cities(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("surface"), value_set=cities)
+        ).select(["mention_id", "surface", "kb_link"])
+
+    return answers.map_batches(only_cities, batch_format="pyarrow")
+
+
 def q_el_training_pairs(sf_dir: str):
     """Seeded 10:1 negative-downsampled pair training set
     (MentionPairTrainingData analog; seeded sampling — rows-only)."""
@@ -1186,6 +1211,14 @@ def _multimodal_sql() -> str:
     """
 
 
+def _cities_sql() -> str:
+    """Gazetteer city surfaces as a SQL IN-list (generated from the
+    same Python module the engine uses)."""
+    from .gazetteer import CITIES
+
+    return ", ".join(repr(c) for c in sorted(CITIES))
+
+
 def _hexbyte(col: str, i: int) -> str:
     """SQL for byte i of a lowercase hex digest column."""
     hexd = "0123456789abcdef"
@@ -1538,6 +1571,20 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_passthrough": f"""
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
+        """,
+        "el_city_links": f"""
+            WITH g AS (
+                SELECT mention_id, surface, gold_kb_id,
+                       min(mention_id) OVER (PARTITION BY gold_kb_id)
+                           AS nil_min
+                FROM {gm}
+            )
+            SELECT mention_id, surface,
+                   CASE WHEN gold_kb_id LIKE 'NIL%'
+                        THEN 'NIL:' || nil_min
+                        ELSE gold_kb_id END AS kb_link
+            FROM g
+            WHERE surface IN ({_cities_sql()})
         """,
         "conv_stats": f"""
             WITH base AS (
@@ -2273,6 +2320,7 @@ def queries():
         "el_human_readable": q_el_human_readable,
         "el_training_pairs": q_el_training_pairs,
         "el_sports_links": q_el_sports_links,
+        "el_city_links": q_el_city_links,
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
