@@ -71,10 +71,27 @@ def df_threshold(n_aliases: int) -> int:
     return max(DF_MIN, int(DF_FRAC * n_aliases))
 
 
-def strip_and_cap(vec: dict[str, int], common: set[str]) -> str:
-    """Drop corpus-common terms, keep the top CTX_TOP_TERMS by
-    (count desc, term asc); '' when nothing distinctive remains."""
-    items = [(t, c) for t, c in vec.items() if t not in common]
+def own_name_terms(alias_norm: str, surface_norm: str = "") -> set[str]:
+    """Stemmed + raw tokens of the alias's own name (and surface).
+    Excluded from its context vector: a self-mention carries no topical
+    signal, and leaving it in makes TYPO VARIANTS of one entity look
+    'topically disjoint' (each vector collapses to its own spelling
+    once the df filter strips the generic vocabulary), firing the
+    twin-entity veto on a pair that must merge. The reference's
+    context features likewise exclude the mention string itself."""
+    from .text import stem
+
+    toks = set(alias_norm.split()) | set(surface_norm.split())
+    return toks | {stem(t) for t in toks}
+
+
+def strip_and_cap(vec: dict[str, int], common: set[str],
+                  own: frozenset | set = frozenset()) -> str:
+    """Drop corpus-common terms and the alias's own name tokens, keep
+    the top CTX_TOP_TERMS by (count desc, term asc); '' when nothing
+    distinctive remains."""
+    items = [(t, c) for t, c in vec.items()
+             if t not in common and t not in own]
     if not items:
         return ""
     items.sort(key=lambda tc: (-tc[1], tc[0]))

@@ -88,6 +88,25 @@ class KBIndex:
             idx.ne_of[kb_id] = frozenset(
                 normalize_name(x) for x in (ne or [])
             )
+        # df-filter the intro vectors: a term carried by many intros
+        # (generic corpus vocabulary) is no evidence FOR any one entity
+        # — leaving it in lets shared filler words tie or outweigh an
+        # entity's own distinctive terms in the doc-sim cosine (a
+        # measured mis-resolution of a curated-ambiguous alias). The
+        # same corpus-common discipline el.ctxvec applies to mention
+        # context vectors, applied to the KB side once at index time.
+        n_intro = sum(1 for v in idx.intro_vec.values() if v)
+        if n_intro >= 20:
+            dfreq: dict[str, int] = {}
+            for v in idx.intro_vec.values():
+                for term in v:
+                    dfreq[term] = dfreq.get(term, 0) + 1
+            thr = max(3, int(0.02 * n_intro))
+            common = {t for t, c in dfreq.items() if c > thr}
+            idx.intro_vec = {
+                k: {t: c for t, c in v.items() if t not in common}
+                for k, v in idx.intro_vec.items()
+            }
         return idx
 
     @classmethod

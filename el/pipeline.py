@@ -503,15 +503,17 @@ def _finalize_profile_part(tbl: pa.Table, common_ref) -> pa.Table:
 
     import ray
 
-    from .ctxvec import strip_and_cap
+    from .ctxvec import own_name_terms, strip_and_cap
     from .text import normalize_name
 
     if tbl.num_rows == 0:
         return tbl
     common = _maybe_get(common_ref)
-    vecs = [strip_and_cap(json.loads(x) if x else {}, common)
-            for x in tbl.column("ctx_raw").to_pylist()]
     sn = [normalize_name(x) for x in tbl.column("surface").to_pylist()]
+    an = tbl.column("alias_norm").to_pylist()
+    vecs = [strip_and_cap(json.loads(x) if x else {}, common,
+                          own_name_terms(a, s))
+            for x, a, s in zip(tbl.column("ctx_raw").to_pylist(), an, sn)]
     tbl = tbl.drop_columns(["ctx_raw"])
     return tbl.append_column(
         "ctx_vec", pa.array(vecs, pa.string())
@@ -657,10 +659,14 @@ def _finalize_profile_distributed(profile_ds_or_refs, num_partitions: int):
     ref = ray.put(common)
 
     def attach(t: pa.Table) -> pa.Table:
+        from .ctxvec import own_name_terms
+
         com = ray.get(ref)
-        vecs = [strip_and_cap(sum_sample(s), com)
-                for s in t.column("ctx_sample").to_pylist()]
         sn = [normalize_name(s) for s in t.column("surface").to_pylist()]
+        an = t.column("alias_norm").to_pylist()
+        vecs = [strip_and_cap(sum_sample(s), com, own_name_terms(a, s2))
+                for s, a, s2 in zip(t.column("ctx_sample").to_pylist(),
+                                    an, sn)]
         t = t.drop_columns(["ctx_sample"])
         return t.append_column("ctx_vec", pa.array(vecs, pa.string())) \
                 .append_column("surface_norm", pa.array(sn, pa.string()))

@@ -166,3 +166,26 @@ def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):
     # scored_pairs, answers)
     mans = glob.glob(os.path.join(ck, "stage-*", "manifest.json"))
     assert len(mans) == 5
+
+
+def test_e2e_quality_at_t2_scale(ray_session):
+    """The t1-only gate missed a real regression: at t2 the df filter
+    stripped every topical term, each alias's context vector collapsed
+    to its own name tokens, and the twin-entity veto split TYPO
+    VARIANTS of one entity (F1 0.988 < the 0.99 bar). Gate the larger
+    scale too — both the own-name exclusion (el/ctxvec.py) and the
+    intro-vector df filter (el/kb.py) are load-bearing only here."""
+    import pyarrow.parquet as pq
+
+    from el.fixtures import ensure_fixture
+    from el.metrics import b_cubed, pairwise_f1
+
+    fd = ensure_fixture("t2")
+    a = run_linkage(fd).to_pandas()
+    cluster_of = dict(zip(a["mention_id"], a["cluster_id"]))
+    gp = pq.read_table(f"{fd}/gold_pairs.parquet")
+    assert pairwise_f1(cluster_of, gp)["f1"] >= 0.99
+    gm = pq.read_table(f"{fd}/gold_mentions.parquet")
+    gold_of = dict(zip(gm["mention_id"].to_pylist(),
+                       gm["gold_kb_id"].to_pylist()))
+    assert b_cubed(cluster_of, gold_of)["f1"] >= 0.99
