@@ -435,6 +435,25 @@ def q_el_city_links(sf_dir: str):
     return answers.map_batches(only_cities, batch_format="pyarrow")
 
 
+def q_el_cluster_links(sf_dir: str):
+    """FULL-ORACLE core-pipeline surface: (mention_id, cluster_id,
+    kb_link) for EVERY mention. Same gold-replay oracle as
+    el_city_links, corpus-wide: KB-linked mentions carry gold_kb_id,
+    NIL mentions the engine's deterministic 'NIL:<min mention_id in
+    cluster>' label reconstructed over the gold partition. This puts
+    the end-to-end clustering + linking result under the driver's hash
+    check (el_answers stays rows-only because alias canonicalization
+    and confidence aren't SQL-replayable)."""
+    fd = ensure_fixture(sf_dir)
+
+    answers = _answers(fd)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["mention_id", "cluster_id", "kb_link"])
+
+    return answers.map_batches(slim, batch_format="pyarrow")
+
+
 def q_el_training_pairs(sf_dir: str):
     """Seeded 10:1 negative-downsampled pair training set
     (MentionPairTrainingData analog; seeded sampling — rows-only)."""
@@ -1572,6 +1591,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
         """,
+        "el_cluster_links": f"""
+            WITH g AS (
+                SELECT mention_id, gold_kb_id,
+                       min(mention_id) OVER (PARTITION BY gold_kb_id)
+                           AS nil_min
+                FROM {gm}
+            )
+            SELECT mention_id,
+                   CASE WHEN gold_kb_id LIKE 'NIL%' THEN nil_min
+                        ELSE gold_kb_id END AS cluster_id,
+                   CASE WHEN gold_kb_id LIKE 'NIL%'
+                        THEN 'NIL:' || nil_min
+                        ELSE gold_kb_id END AS kb_link
+            FROM g
+        """,
         "el_city_links": f"""
             WITH g AS (
                 SELECT mention_id, surface, gold_kb_id,
@@ -2321,6 +2355,7 @@ def queries():
         "el_training_pairs": q_el_training_pairs,
         "el_sports_links": q_el_sports_links,
         "el_city_links": q_el_city_links,
+        "el_cluster_links": q_el_cluster_links,
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "transcripts_passthrough": q_transcripts_passthrough,
