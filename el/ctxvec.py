@@ -81,8 +81,13 @@ def own_name_terms(alias_norm: str, surface_norm: str = "") -> set[str]:
     context features likewise exclude the mention string itself."""
     from .text import stem
 
-    toks = set(alias_norm.split()) | set(surface_norm.split())
-    return toks | {stem(t) for t in toks}
+    toks = set(alias_norm.split())
+    if surface_norm and surface_norm != alias_norm:
+        toks |= set(surface_norm.split())
+    # vector terms are always stemmed (el.text.content_tokens), so only
+    # the stemmed forms can collide; raw forms that stem to themselves
+    # are covered by the identity of stem()
+    return {stem(t) for t in toks}
 
 
 def strip_and_cap(vec: dict[str, int], common: set[str],
