@@ -129,3 +129,50 @@ def test_tool_calls_first_turn_has_empty_prev(ray_session):
         .sort_values("conv_id").reset_index(drop=True)
     c2 = out[out["conv_id"] == "c2"].iloc[0]
     assert (c2["prev_role"], c2["prev_text"]) == ("", "")
+
+
+def test_conv_dedup_property_block_invariant(ray_session):
+    """Property: fingerprints are invariant to how turns land in blocks
+    and to within-block row order; duplicated conversations always
+    collapse."""
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ops.dialogue import conv_dedup
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        n_convs=st.integers(min_value=1, max_value=6),
+        n_turns=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=10_000),
+        split=st.integers(min_value=1, max_value=10),
+    )
+    def prop(n_convs, n_turns, seed, split):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for c in range(n_convs):
+            for t in range(n_turns):
+                rows.append({"conv_id": f"c{c:02d}", "turn_idx": t,
+                             "role": "user" if t % 2 == 0 else "assistant",
+                             "text": f"w{rng.integers(0, 3)} t{t}"})
+        df = pd.DataFrame(rows)
+        dup = df[df["conv_id"] == "c00"].copy()
+        dup["conv_id"] = "zz-dup"
+        both = pd.concat([df, dup], ignore_index=True)
+        shuffled = both.sample(frac=1.0, random_state=seed) \
+            .reset_index(drop=True)
+        cut = max(1, len(shuffled) * split // 10)
+        ds = ray.data.from_pandas([shuffled.iloc[:cut],
+                                   shuffled.iloc[cut:]]) \
+            if cut < len(shuffled) else ray.data.from_pandas(shuffled)
+        out = conv_dedup(ds).to_pandas()
+        # zz-dup must collapse onto c00; every fp keeps its min conv_id
+        by_fp = dict(zip(out["fp"], out["keep_conv_id"]))
+        assert len(out) == out["fp"].nunique()
+        assert "zz-dup" not in set(out["keep_conv_id"])
+        assert len(by_fp) <= n_convs  # dup added no new fingerprint
+
+    prop()

@@ -343,3 +343,52 @@ def test_token_pack_spans_tile_docs(ray_session):
                 == g["tok_end"].iloc[:-1].to_numpy()).all()
         # every span except a doc's last is cut AT a seq boundary
         assert (g["seq_id"].diff().iloc[1:] == 1).all()
+
+
+def test_token_pack_property_vs_local(ray_session):
+    """Property: for random corpora, token_pack's spans equal a local
+    concat-and-cut simulation (tiling, seq ids, in-doc offsets)."""
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from el.ops.prep import token_pack
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=40),
+                        min_size=1, max_size=25),
+        seq_len=st.integers(min_value=1, max_value=16),
+    )
+    def prop(counts, seq_len):
+        df = pd.DataFrame({
+            "doc_id": range(len(counts)),
+            "text": ["w " * c for c in counts],
+        })
+        out = token_pack(ray.data.from_pandas(df), seq_len=seq_len) \
+            .to_pandas()
+        if out.empty:
+            # ray to_pandas drops columns on an all-empty dataset (the
+            # Dataset schema itself is typed); nothing to compare
+            assert sum(counts) == 0
+            return
+        out = out.sort_values(["doc_id", "seq_id"])
+        # local simulation
+        want = []
+        off = 0
+        for d, c in enumerate(counts):
+            for pos in range(c):
+                g = off + pos
+                want.append((d, g // seq_len, pos))
+            off += c
+        # collapse per-token rows to spans
+        spans = {}
+        for d, s, pos in want:
+            k = (d, s)
+            lo, hi = spans.get(k, (pos, pos))
+            spans[k] = (min(lo, pos), max(hi, pos))
+        got = {(r.doc_id, r.seq_id): (r.tok_start, r.tok_end - 1)
+               for r in out.itertuples()}
+        assert got == spans
+
+    prop()
