@@ -1149,6 +1149,104 @@ def q_segment_revenue(sf_dir: str):
                         batch_format="pandas")
 
 
+def q_orders_topk_revenue(sf_dir: str):
+    """TPC-H Q3-flavored 3-table join + top-k: BUILDING-segment
+    customers' orders placed before 1998-01-01, revenue from lineitems
+    shipped after it, top 10 by revenue.
+
+    Scale shape: the customer set is the one genuinely small side
+    (broadcast custkey set); orders and lineitem are both corpus-scale,
+    so they meet in a TAGGED-UNION hash exchange on the order key —
+    lineitem pre-aggregated per batch (combiner) so the exchange moves
+    one row per (batch, orderkey), not one per lineitem. Per-partition
+    top-10 then a tiny driver merge."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .shuffle import group_blocks
+
+    cutoff = pd.Timestamp("1998-01-01")
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    building = {k for k, s in zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_mktsegment").to_pylist())
+                if s == "BUILDING"}
+    bref = ray.put(building)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(bref)
+        df = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(bs)]
+        return pd.DataFrame({"okey": df["o_orderkey"].astype("int64"),
+                             "o_orderdate": df["o_orderdate"],
+                             "rev": 0.0, "is_order": 1})
+
+    def li_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        part = df.assign(rev=rev).groupby(
+            "l_orderkey", as_index=False)["rev"].sum()
+        return pd.DataFrame({"okey": part["l_orderkey"].astype("int64"),
+                             "o_orderdate": pd.Series(
+                                 [pd.NaT] * len(part),
+                                 dtype="datetime64[us]"),
+                             "rev": part["rev"], "is_order": 0})
+
+    tagged = orders.map_batches(order_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "revenue": pd.Series(dtype="float64")})
+        if len(df) == 0:
+            return empty
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        rev = l.groupby("okey", as_index=False)["rev"].sum()
+        j = o[["okey", "o_orderdate"]].merge(rev, on="okey")
+        if len(j) == 0:
+            return empty
+        j = j.sort_values(["rev", "o_orderdate", "okey"],
+                          ascending=[False, True, True]).head(10)
+        return pd.DataFrame({"o_orderkey": j["okey"].to_numpy(),
+                             "o_orderdate": j["o_orderdate"].to_numpy(),
+                             "revenue": _round_half_away(j["rev"], 4)})
+
+    heads = group_blocks(tagged, ["okey"], join_topk,
+                         batch_format="pandas")
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # per-partition heads are tiny (<= 10 rows each): one final merge
+    import pyarrow as _pa
+
+    parts = [ray.get(r) for r in heads.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return ray.data.from_arrow(_pa.table({
+            "o_orderkey": _pa.array([], _pa.int64()),
+            "o_orderdate": _pa.array([], _pa.timestamp("us")),
+            "revenue": _pa.array([], _pa.float64())}))
+    cat = _pa.concat_tables([p.select(parts[0].column_names)
+                             for p in parts])
+    return ray.data.from_arrow(final_topk(cat))
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored grouped aggregate with column pruning at the
     read and per-batch partial aggregation."""
@@ -2328,6 +2426,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        "orders_topk_revenue": f"""
+            SELECT o.o_orderkey,
+                   o.o_orderdate,
+                   {_roundsql(
+                       "sum(l.l_extendedprice * (1.0 - l.l_discount))", 4)}
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 10
+        """,
         "lineitem_pricing": f"""
             SELECT l_returnflag,
                    {_roundsql('sum(l_quantity)', 2)} AS sum_qty,
@@ -2400,4 +2514,5 @@ def queries():
         "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,
+        "orders_topk_revenue": q_orders_topk_revenue,
     }
