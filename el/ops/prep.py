@@ -528,3 +528,47 @@ def token_pack(docs_ds, *, seq_len: int = 128, token_re: str = TOKEN_RE):
     out = [emit_rem.remote(c, int(off), seq_len)
            for (c, _), off in zip(pairs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+# ------------------------------------------------------ source mixing
+def _hex8_threshold(rate: float) -> str:
+    """8-hex-digit lowercase threshold: a doc is kept iff the first 8
+    hex chars of md5(doc_id) compare BELOW it. Fixed-width lowercase
+    hex strings order exactly like their numeric values, so both sides
+    (pandas and SQL) compare STRINGS — no float or integer parsing
+    anywhere."""
+    n = int(rate * (16 ** 8))
+    return format(min(max(n, 0), 16 ** 8 - 1), "08x")
+
+
+def source_mix(docs_ds, rates: dict[str, float], *,
+               default_rate: float = 0.1):
+    """Weighted corpus mixing: keep each document with its source's
+    configured sampling rate, decided by hash rank (md5(doc_id), the
+    same seedless key as stratified_sample) — the mixing step that
+    up/down-weights sources when assembling a training corpus.
+
+    Fully streaming: one stateless vectorized scan, NO exchange (the
+    decision is per-row), embarrassingly parallel at 100 TB. Exact and
+    engine-independent: rate r keeps exactly the documents whose hash
+    prefix is below floor(r * 16^8), so DuckDB replays it with string
+    comparisons."""
+    thresholds = {s: _hex8_threshold(r) for s, r in rates.items()}
+    keep_all = {s for s, r in rates.items() if r >= 1.0}
+    default_thr = _hex8_threshold(default_rate)
+    default_all = default_rate >= 1.0
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype=str)})
+        key = _md5_key(df["doc_id"]).str[:8]
+        thr = df["source"].map(thresholds).fillna(default_thr)
+        keep = (key < thr) | df["source"].isin(keep_all)
+        if default_all:
+            keep |= ~df["source"].isin(thresholds)
+        out = df.loc[keep, ["doc_id", "source"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return docs_ds.map_batches(pick, batch_format="pandas")

@@ -716,6 +716,19 @@ def q_tool_calls(sf_dir: str):
     return tool_calls(tr)
 
 
+_SOURCE_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SOURCE_MIX_DEFAULT = 0.1
+
+
+def q_source_mix(sf_dir: str):
+    """Weighted corpus mixing: per-source sampling rates decided by
+    md5 hash rank — fully streaming, no exchange."""
+    from .ops.prep import source_mix
+
+    return source_mix(_read(sf_dir, "documents"), _SOURCE_MIX_RATES,
+                      default_rate=_SOURCE_MIX_DEFAULT)
+
+
 def _planted_dups(sf_dir: str):
     """documents plus near-duplicates planted deterministically
     (doc_id + 1_000_000, last two words dropped) — gives the near-dup
@@ -1328,6 +1341,31 @@ def _multimodal_sql() -> str:
     """
 
 
+def _source_mix_sql() -> str:
+    """Oracle for source_mix: the per-source hex thresholds are
+    generated by the SAME Python helper the engine uses, and compared
+    as fixed-width lowercase hex strings (exactly the engine's rule)."""
+    from .ops.prep import _hex8_threshold
+
+    whens = "\n".join(
+        f"WHEN '{s}' THEN {'TRUE' if r >= 1.0 else repr(_hex8_threshold(r)) + ' > h'}"
+        for s, r in sorted(_SOURCE_MIX_RATES.items()))
+    default = (f"'{_hex8_threshold(_SOURCE_MIX_DEFAULT)}' > h"
+               if _SOURCE_MIX_DEFAULT < 1.0 else "TRUE")
+    return f"""
+        WITH k AS (
+            SELECT doc_id, source,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        )
+        SELECT doc_id, source FROM k
+        WHERE CASE source
+              {whens}
+              ELSE {default}
+              END
+    """
+
+
 def _cities_sql() -> str:
     """Gazetteer city surfaces as a SQL IN-list (generated from the
     same Python module the engine uses)."""
@@ -1816,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
                    prev_role, prev_text
             FROM w WHERE tool != ''
         """,
+        "source_mix": _source_mix_sql(),
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -2488,6 +2527,7 @@ def queries():
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "source_mix": q_source_mix,
         "doc_top_terms": q_doc_top_terms,
         "repetition_score": q_repetition_score,
         "token_pack": q_token_pack,

@@ -392,3 +392,31 @@ def test_token_pack_property_vs_local(ray_session):
         assert got == spans
 
     prop()
+
+
+def test_source_mix_rates(ray_session):
+    import ray.data
+
+    from el.ops.prep import source_mix, _hex8_threshold
+
+    df = pd.DataFrame({
+        "doc_id": range(4000),
+        "source": ["a", "b", "c", "d"] * 1000,
+        "text": "x",
+    })
+    out = source_mix(ray.data.from_pandas(df),
+                     {"a": 1.0, "b": 0.5, "c": 0.0},
+                     default_rate=0.25).to_pandas()
+    counts = out.groupby("source").size().to_dict()
+    assert counts.get("a") == 1000          # rate 1.0 keeps all
+    assert "c" not in counts                # rate 0.0 keeps none
+    assert 380 <= counts.get("b", 0) <= 620  # ~0.5 of 1000
+    assert 170 <= counts.get("d", 0) <= 350  # default 0.25
+    # determinism: same input -> identical sample
+    out2 = source_mix(ray.data.from_pandas(df),
+                      {"a": 1.0, "b": 0.5, "c": 0.0},
+                      default_rate=0.25).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # threshold formatting is fixed-width lowercase hex
+    assert _hex8_threshold(0.5) == "80000000"
+    assert _hex8_threshold(1.0) == "ffffffff"
