@@ -9,9 +9,11 @@ ray.shutdown.
 - ``queries()``: one callable per implemented operator (SURVEY.md §2 +
   the training-data ops); each takes sf_dir.
 - ``oracle_sql()``: DuckDB-runnable equivalents (same column names) for
-  the SQL-expressible subset; the remainder get rows-only checks
-  (actor-pool scoring, union-find clustering, LSH/minhash/simhash
-  approximate ops, phonetic keys).
+  the SQL-expressible subset — including bit-exact replays of the
+  minhash/simhash/LSH ops and gold-replay oracles for the end-to-end
+  cluster/link result; the 5 remaining rows-only surfaces (el_answers,
+  el_human_readable, el_sports_links, el_benchmark_report, ann_ivf)
+  are pytest-gated instead.
 """
 
 from __future__ import annotations
