@@ -53,12 +53,15 @@ def conv_stats_block(df: pd.DataFrame) -> pd.DataFrame:
         return _empty()
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
     g = df.groupby("conv_id", sort=False)
+    cid = df["conv_id"]
     out = pd.DataFrame({
         "n_turns": g.size().astype("int64"),
-        "n_user": g["role"].agg(lambda r: int((r == "user").sum())),
-        "n_assistant": g["role"].agg(
-            lambda r: int((r == "assistant").sum())),
-        "n_tool": g["tool"].agg(lambda t: int((t != "").sum())),
+        "n_user": (df["role"] == "user").groupby(cid, sort=False)
+        .sum().astype("int64"),
+        "n_assistant": (df["role"] == "assistant")
+        .groupby(cid, sort=False).sum().astype("int64"),
+        "n_tool": (df["tool"] != "").groupby(cid, sort=False)
+        .sum().astype("int64"),
     })
     out["n_tokens"] = df.assign(
         nt=df["text"].str.count(TOKEN_RE)

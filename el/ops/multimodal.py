@@ -21,6 +21,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .textstats import round_half_away
+
 ASSETS = pa.schema(
     [
         ("asset_id", pa.int64()),
@@ -151,19 +153,15 @@ class FrameSampler:
                 d = hashlib.sha256(payload + b":" + str(i).encode()).digest()
                 ids.append(asset_id)
                 idxs.append(i)
-                feats.append([round_half_away6(b / 255.0) for b in d[:4]])
+                feats.append(
+                    [float(x) for x in
+                     round_half_away([b / 255.0 for b in d[:4]], 6)])
         f = np.array(feats, dtype=np.float64).reshape(-1, 4)
         cols = {"asset_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(idxs, pa.int64())}
         for j in range(4):
             cols[f"f{j}"] = pa.array(f[:, j], pa.float64())
         return pa.table(cols)
-
-
-def round_half_away6(x: float) -> float:
-    import math
-
-    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
 
 class ImageResizer:

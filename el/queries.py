@@ -687,7 +687,8 @@ def q_conv_dedup(sf_dir: str):
         m = _pc.match_substring_regex(cid, "01$")
         d = t.filter(m)
         dup = d.set_column(0, "conv_id", _pc.binary_join_element_wise(
-            pa.array(["dup-"] * d.num_rows), d.column("conv_id"), ""))
+            pa.array(["dup-"] * d.num_rows, pa.string()),
+            d.column("conv_id"), ""))
         return pa.concat_tables([t, dup])
 
     return conv_dedup(tr.map_batches(plant, batch_format="pyarrow"))
@@ -936,26 +937,9 @@ def q_multimodal_features(sf_dir: str):
     deterministic fake derives dims + a 16-dim feature vector from the
     payload sha256 — which DuckDB replays byte-for-byte, giving this
     surface a FULL SQL oracle."""
-    import ray.data
-
     from .ops.multimodal import featurize_assets
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    kinds = ["image", "audio", "video"]
-
-    def to_assets(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        return pa.table({
-            "asset_id": pa.array(ids, pa.int64()),
-            "kind": pa.array([kinds[i % 3] for i in ids], pa.string()),
-            "payload": pa.array(
-                [s.encode("utf-8") for s in t.column("text").to_pylist()],
-                pa.binary()),
-            "meta": pa.array(['{"codec":"utf8"}'] * len(ids), pa.string()),
-        })
-
-    assets = docs.map_batches(to_assets, batch_format="pyarrow")
-    feats = featurize_assets(assets)
+    feats = featurize_assets(_doc_assets(sf_dir))
 
     def flatten(t: pa.Table) -> pa.Table:
         # driver-friendly flat layout: first 4 feature dims as scalars
@@ -1230,11 +1214,15 @@ def q_orders_topk_revenue(sf_dir: str):
         j = o[["okey", "o_orderdate"]].merge(rev, on="okey")
         if len(j) == 0:
             return empty
-        j = j.sort_values(["rev", "o_orderdate", "okey"],
-                          ascending=[False, True, True]).head(10)
+        # round BEFORE the partition cut: the oracle ranks by rounded
+        # revenue, and a last-ulp float difference between rounded-tied
+        # rows must not decide who survives a partition's 10th place
+        j = j.assign(revenue=_round_half_away(j["rev"], 4)).sort_values(
+            ["revenue", "o_orderdate", "okey"],
+            ascending=[False, True, True]).head(10)
         return pd.DataFrame({"o_orderkey": j["okey"].to_numpy(),
                              "o_orderdate": j["o_orderdate"].to_numpy(),
-                             "revenue": _round_half_away(j["rev"], 4)})
+                             "revenue": j["revenue"].to_numpy()})
 
     heads = group_blocks(tagged, ["okey"], join_topk,
                          batch_format="pandas")
