@@ -166,3 +166,47 @@ def tool_calls(transcripts_ds):
                                         "text", "tool"])
     return group_blocks(ds, ["conv_id"], tool_calls_block,
                         batch_format="pandas")
+
+
+# ---------------------------------------------- conversation near-dup
+def conv_docs_block(df: pd.DataFrame, *, clone_suffix: str = "",
+                    clone_offset: int = 100_000_000) -> pd.DataFrame:
+    """Whole-conversation kernel: concatenate each conversation's turns
+    (turn_idx order, space-joined) into one document row keyed by the
+    integer tail of conv_id — the adapter that lets every document
+    near-dup operator (n-gram Jaccard, MinHash, SimHash) run unchanged
+    over conversations. When ``clone_suffix`` is set, conversations
+    whose conv_id ends with it ALSO emit a near-dup clone (id +
+    ``clone_offset``, final turn dropped) for planted-positive tests."""
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "text": pd.Series(dtype=str)})
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    joined = df.groupby("conv_id", sort=False)["text"].agg(" ".join)
+    ids = pd.Series(joined.index).str[-8:].astype("int64")
+    out = pd.DataFrame({"doc_id": ids.to_numpy(),
+                        "text": joined.to_numpy()})
+    if clone_suffix:
+        m = df["conv_id"].str.endswith(clone_suffix)
+        src = df[m]
+        last = src.groupby("conv_id", sort=False)["turn_idx"] \
+            .transform("max")
+        trimmed = src[src["turn_idx"] < last]
+        cj = trimmed.groupby("conv_id", sort=False)["text"].agg(" ".join)
+        if len(cj):
+            cids = (pd.Series(cj.index).str[-8:].astype("int64")
+                    + clone_offset)
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": cids.to_numpy(), "text": cj.to_numpy()})],
+                ignore_index=True)
+    return out
+
+
+def conv_docs(transcripts_ds, *, clone_suffix: str = ""):
+    """One conv_id exchange -> conversation-documents table."""
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "text"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        return conv_docs_block(df, clone_suffix=clone_suffix)
+
+    return group_blocks(ds, ["conv_id"], block, batch_format="pandas")

@@ -717,6 +717,27 @@ def q_tool_calls(sf_dir: str):
     return tool_calls(tr)
 
 
+def q_conv_ngram_dedup(sf_dir: str):
+    """Conversation-level NEAR-dup detection: each conversation's turns
+    concatenate into one document (keyed by the conv_id integer tail),
+    '01'-suffix conversations plant a near-dup clone (final turn
+    dropped, id + 1e8), then the EXACT n-gram Jaccard operator runs
+    unchanged over the conversation documents — the transcript analog
+    of ngram_jaccard with the same inverted-shingle-index shape."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.dedup import ngram_jaccard_pairs
+    from .ops.dialogue import conv_docs
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    docs = conv_docs(tr, clone_suffix="01")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
 _SOURCE_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 _SOURCE_MIX_DEFAULT = 0.1
 
@@ -1843,6 +1864,69 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE tool != ''
         """,
         "source_mix": _source_mix_sql(),
+        "conv_ngram_dedup": f"""
+            WITH convs AS (
+                SELECT CAST(right(conv_id, 8) AS BIGINT) AS doc_id,
+                       string_agg(text, ' ' ORDER BY turn_idx) AS text
+                FROM {tr} GROUP BY conv_id
+            ),
+            clone_src AS (
+                SELECT conv_id, turn_idx, text,
+                       max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+                FROM {tr} WHERE right(conv_id, 2) = '01'
+            ),
+            clones AS (
+                SELECT CAST(right(conv_id, 8) AS BIGINT) + 100000000
+                           AS doc_id,
+                       string_agg(text, ' ' ORDER BY turn_idx) AS text
+                FROM clone_src WHERE turn_idx < mx GROUP BY conv_id
+            ),
+            docs AS (
+                SELECT doc_id, text FROM convs
+                UNION ALL SELECT doc_id, text FROM clones
+            ),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM docs),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(tk) - 2),
+                               i -> tk[i+1] || ' ' || tk[i+2] || ' '
+                                    || tk[i+3])) AS s
+                    FROM toks WHERE len(tk) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(tk, ' ') AS s
+                    FROM toks
+                    WHERE len(tk) < 3 AND array_to_string(tk, ' ') != ''
+                )
+            ),
+            -- the engine truncates each shingle's posting list to its
+            -- 100 smallest doc_ids (deterministic hot-shingle cap);
+            -- replicate it for the co-occurrence side, sizes stay full
+            sh_cap AS (
+                SELECT doc_id, s FROM (
+                    SELECT doc_id, s,
+                           row_number() OVER (PARTITION BY s
+                                              ORDER BY doc_id) AS rn
+                    FROM sh
+                ) WHERE rn <= 100
+            ),
+            co AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS co
+                FROM sh_cap a
+                JOIN sh_cap b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id)
+            SELECT co.d1, co.d2,
+                   {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)}
+                       AS jaccard
+            FROM co
+            JOIN sizes s1 ON co.d1 = s1.doc_id
+            JOIN sizes s2 ON co.d2 = s2.doc_id
+            WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
+        """,
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -2502,6 +2586,7 @@ def queries():
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
         "conv_dedup": q_conv_dedup,
+        "conv_ngram_dedup": q_conv_ngram_dedup,
         "tool_calls": q_tool_calls,
         "embed_quantize": q_embed_quantize,
         "bpe_token_count": q_bpe_token_count,

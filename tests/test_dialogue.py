@@ -176,3 +176,31 @@ def test_conv_dedup_property_block_invariant(ray_session):
         assert len(by_fp) <= n_convs  # dup added no new fingerprint
 
     prop()
+
+
+def test_conv_docs_and_ngram_near_dup(ray_session):
+    import ray.data
+
+    from el.ops.dedup import ngram_jaccard_pairs
+    from el.ops.dialogue import conv_docs
+
+    rows = []
+    for t in range(6):
+        rows.append({"conv_id": "conv-00000301", "turn_idx": t,
+                     "role": "user", "text": f"alpha beta gamma t{t}"})
+    rows.append({"conv_id": "conv-00000302", "turn_idx": 0,
+                 "role": "user", "text": "totally different words here"})
+    df = pd.DataFrame(rows)
+    docs = conv_docs(ray.data.from_pandas(df), clone_suffix="01") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # conv ...301 ends with '01' -> emits itself + a clone at +1e8
+    assert docs["doc_id"].tolist() == [301, 302, 100000301]
+    full = docs.loc[0, "text"]
+    clone = docs.loc[2, "text"]
+    assert clone == " ".join(full.split()[: len(full.split()) - 4])
+    pairs = ngram_jaccard_pairs(
+        ray.data.from_pandas(docs[["doc_id", "text"]]), threshold=0.5
+    ).to_pandas()
+    got = set(zip(pairs["d1"], pairs["d2"]))
+    assert (301, 100000301) in got          # near-dup found
+    assert all(302 not in p for p in got)   # unrelated conv untouched
