@@ -171,7 +171,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
-    lo, hi = 8, 32
+    # arms are configurable: the default 8v32 is the headline number;
+    # EL_SCALING_CPUS="2,8" measures the same 4x ratio where the per-run
+    # fixed overhead is proportionally small (the workload-to-overhead
+    # ratio >=10 shape VERDICT r02 asked to prove by measurement)
+    lo, hi = (int(x) for x in
+              os.environ.get("EL_SCALING_CPUS", "8,32").split(","))
     # this sandbox shares its host with other tenants (load spikes of
     # 10+ cores appear mid-run); min-of-N per arm isolates OUR cost,
     # and INTERLEAVING the arms (lo,hi,lo,hi) spreads a spike across

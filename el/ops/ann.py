@@ -148,6 +148,28 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
     return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
 
 
+def _md5_hex(vec_ids) -> list[str]:
+    import hashlib
+
+    return [hashlib.md5(str(int(v)).encode()).hexdigest() for v in vec_ids]
+
+
+def ivf_fit_sample(df: pd.DataFrame, sample_n: int, n_clusters: int,
+                   seed: int) -> np.ndarray:
+    """Centroid fit shared VERBATIM by the engine (``ivf_topk``) and the
+    SQL-oracle builder (``el/queries.py:_ivf_centroid_values``) so both
+    sides use bit-identical float64 centroids: take the ``sample_n``
+    rows with the lowest md5(vec_id) hex rank (seedless, hash-ranked —
+    the ``stratified_sample`` pattern), order by vec_id, L2-normalize,
+    spherical k-means. Idempotent on an already-sampled frame."""
+    d = df[["vec_id", "embedding"]].copy()
+    d["smp_key"] = _md5_hex(d["vec_id"])
+    d = d.sort_values("smp_key").head(sample_n).sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in d["embedding"]])
+    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
+    return _kmeans_fit(Xn, n_clusters, seed)
+
+
 def _kmeans_fit(X: np.ndarray, n_clusters: int, seed: int,
                 iters: int = 8) -> np.ndarray:
     """Deterministic Lloyd iterations on normalized vectors (spherical
@@ -204,27 +226,41 @@ class _IvfScorer:
 
 
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
-             n_probe: int = 4, seed: int = 5, sample_mod: int = 4,
+             n_probe: int = 4, seed: int = 5, sample_n: int = 256,
              concurrency: int = 2):
     """Approximate top-k via an IVF coarse quantizer: spherical k-means
-    centroids fitted on a deterministic hash sample (vec_id %
-    sample_mod == 0), broadcast once; each batch scores only the
-    queries probing its rows' clusters. At cluster scale the same
-    assignment keys a partitioned layout so I/O (not just compute) is
-    pruned; here the scan-prune shape is the tested path."""
+    centroids fitted on a BOUNDED deterministic sample — the
+    ``sample_n`` rows with the lowest md5(vec_id) rank, found by a
+    per-batch local prune (each block ships at most ``sample_n`` slim
+    rows) followed by a sort+limit on the pruned set, so driver
+    materialization is O(sample_n) regardless of corpus size (the r02
+    ``take_all()`` on a 25% hash slice is gone). Centroids broadcast
+    once; each batch scores only the queries probing its rows'
+    clusters. At cluster scale the same assignment keys a partitioned
+    layout so I/O (not just compute) is pruned; here the scan-prune
+    shape is the tested path. Oracle: ``el/queries.py`` embeds the
+    identical centroids as SQL literals (``ivf_fit_sample`` is shared)
+    and replays assignment/probe/top-k in DuckDB."""
     import functools
 
     import ray
 
     Q = np.asarray(queries, dtype=np.float64)
-    sample = emb_ds.map_batches(
-        lambda df: df[df["vec_id"] % sample_mod == 0][["vec_id", "embedding"]],
-        batch_format="pandas",
-    ).take_all()
-    X = np.array([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in sorted(sample, key=lambda r: r["vec_id"])])
-    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
-    C = _kmeans_fit(Xn, n_clusters, seed)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["vec_id", "embedding"]].copy()
+        out["smp_key"] = _md5_hex(out["vec_id"])
+        return out.sort_values("smp_key").head(sample_n)
+
+    sample_rows = (emb_ds.map_batches(prune, batch_format="pandas")
+                   .sort("smp_key").limit(sample_n).take_all())
+    if not sample_rows:
+        raise ValueError("ivf_topk: embedding dataset is empty")
+    sdf = pd.DataFrame({
+        "vec_id": [r["vec_id"] for r in sample_rows],
+        "embedding": [r["embedding"] for r in sample_rows],
+    })
+    C = ivf_fit_sample(sdf, sample_n, n_clusters, seed)
     q_ref, c_ref = ray.put(Q), ray.put(C)
     local = emb_ds.map_batches(
         _IvfScorer,

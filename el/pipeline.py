@@ -2126,6 +2126,22 @@ def run_linkage(
         "answers", {"input": tr_path, "kb": kb_path}, build_answers))
 
 
+def _fresh_output_dir(path: str) -> None:
+    """Ray's write_parquet APPENDS uuid-named part files to an existing
+    directory, so re-running into a stale --output silently doubles the
+    result. Clear a previous run's output (all-parquet dir) before
+    writing; refuse to touch a directory holding anything else."""
+    import shutil
+
+    if os.path.isdir(path) and os.listdir(path):
+        if all(f.endswith(".parquet") for f in os.listdir(path)):
+            shutil.rmtree(path)
+        else:
+            raise SystemExit(
+                f"--output {path} exists and contains non-parquet files; "
+                "refusing to overwrite")
+
+
 def main(argv=None):
     import argparse
     import ray
@@ -2160,14 +2176,16 @@ def main(argv=None):
         )
         if args.human_readable:  # two consumers -> pin once
             answers = answers.materialize()
+        _fresh_output_dir(args.output)
         answers.write_parquet(args.output)
         if args.human_readable:
             from .kb import broadcast_kb
             from .outputs import human_readable
 
             kb_ref = broadcast_kb(os.path.join(args.input, "kb.parquet"))
-            human_readable(answers, kb_ref).write_parquet(
-                args.output.rstrip("/") + "_human_readable")
+            hr_out = args.output.rstrip("/") + "_human_readable"
+            _fresh_output_dir(hr_out)
+            human_readable(answers, kb_ref).write_parquet(hr_out)
     finally:
         ray.shutdown()
 

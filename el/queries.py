@@ -30,6 +30,10 @@ from .text import normalize_name
 
 # The driver's correctness pass runs at sf0.01 -> fixture scale t2.
 FIXTURE_SQL_DIR = "/tmp/el_fixtures/t2"
+# ... and its SQL views read the sf0.01 tables; data-dependent oracle
+# literals (the IVF centroids) are fitted on the same table
+# (overridable for local check_oracle runs at other scales).
+ORACLE_SF_DIR = os.environ.get("EL_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 STOPLIST_SQL = "('the','and','of','to','a','in','is','was','that','for')"
@@ -866,12 +870,25 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-quantized approximate top-10 (the scale path beside LSH);
-    recall vs brute force is pytest-gated; rows-only driver check."""
+    """IVF-quantized approximate top-10 (the scale path beside LSH).
+    Oracle-checked: the spherical-k-means centroids — fitted on a
+    bounded md5-ranked sample by ``ivf_fit_sample``, shared verbatim
+    with the SQL builder — are embedded as literals in the SQL, which
+    replays assignment / probe / top-k exactly. Recall vs brute force
+    is additionally pytest-gated."""
     from .ops.ann import ivf_topk
 
     Q = _query_matrix(sf_dir)
-    return ivf_topk(_read(sf_dir, "embeddings"), Q, k=10, n_probe=6)
+    out = ivf_topk(_read(sf_dir, "embeddings"), Q, k=10, n_probe=6)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_id"] = df["q_id"].astype("int64")
+        df["sim"] = _round_half_away(df["sim"], 5)
+        df["rank"] = df["rank"].astype("int64")
+        return df[["q_id", "vec_id", "sim", "rank"]]
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def q_embedding_dups(sf_dir: str):
@@ -1616,6 +1633,33 @@ def _lsh_planes_values(nbits: int = 12, dim: int = 64, seed: int = 5) -> str:
     )
 
 
+def _ivf_centroid_values(n_clusters: int = 16, seed: int = 5,
+                         sample_n: int = 256) -> str:
+    """The ivf_topk centroids as SQL VALUES rows (c_id, vector
+    literal). The fit itself is NOT SQL-expressible (8 Lloyd
+    iterations), so — exactly like ``_lsh_planes_values`` — the
+    deterministic constants are embedded and the SQL independently
+    replays the distributed part (assignment, probing, top-k).
+    ``ivf_fit_sample`` is the same function the engine calls, over the
+    same md5-ranked sample of the same table, so the literals are
+    bit-identical float64 (repr round-trips). Pinned to the driver's
+    sf0.01 embeddings table, like FIXTURE_SQL_DIR pins the el_*
+    oracles to fixture t2."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import ivf_fit_sample
+
+    df = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pandas()
+    C = ivf_fit_sample(df, sample_n, n_clusters, seed)
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in row))
+        for i, row in enumerate(C)
+    )
+
+
 def _minhash_perms_values() -> str:
     """The MinHasher's seeded universal-hash constants as SQL VALUES
     rows (p, a, b) — embedding them as literals lets DuckDB replay the
@@ -1683,7 +1727,15 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lang}"
         for lang, ms in sorted(LANG_MARKERS.items())
     )
-    return {
+    # data-dependent literals: the IVF centroid fit reads the oracle
+    # scale's embeddings table; if that table is absent in this
+    # environment, omit the entry (rows-only fallback) rather than
+    # breaking every other oracle
+    try:
+        ivf_cent = _ivf_centroid_values()
+    except (OSError, FileNotFoundError):
+        ivf_cent = None
+    sqls = {
         "el_mentions": f"""
             SELECT mention_id, conv_id, turn_idx, beg, "end", surface FROM {gm}
         """,
@@ -2418,6 +2470,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
             FROM r WHERE rank <= 10
         """,
+        "ann_ivf": f"""
+            WITH cent AS (SELECT * FROM (VALUES {ivf_cent})
+                          AS t(c_id, c)),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+            -- argmax over centroids of dot(x, c): scale-invariant in x,
+            -- so the raw embedding replays the engine's normalized
+            -- assignment; ties (exact float equality) break to the
+            -- lowest c_id on both sides (numpy argmax = first index)
+            scored AS (SELECT vec_id, c_id, list_dot_product(e, c) AS d
+                       FROM emb CROSS JOIN cent),
+            assign AS (
+                SELECT vec_id, c_id FROM (
+                    SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d DESC, c_id) AS rn
+                    FROM scored) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 3),
+            probes AS (
+                SELECT q_id, c_id FROM (
+                    SELECT q.q_id, s.c_id,
+                           row_number() OVER (PARTITION BY q.q_id
+                                              ORDER BY s.d DESC, s.c_id) AS rn
+                    FROM q JOIN scored s ON s.vec_id = q.q_id
+                ) WHERE rn <= 6
+            ),
+            cand AS (SELECT p.q_id, a.vec_id
+                     FROM probes p JOIN assign a ON a.c_id = p.c_id),
+            sims AS (
+                SELECT c.q_id, c.vec_id,
+                       list_cosine_similarity(q.qe, e.e) AS sim
+                FROM cand c
+                JOIN q ON q.q_id = c.q_id
+                JOIN emb e ON e.vec_id = c.vec_id
+            ),
+            r AS (SELECT q_id, vec_id, sim,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM sims)
+            SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
+            FROM r WHERE rank <= 10
+        """,
         "embedding_dups": f"""
             WITH planes AS (SELECT * FROM
                             (VALUES {_lsh_planes_values(10, 64, 5)})
@@ -2562,6 +2657,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
     }
+    if ivf_cent is None:
+        sqls.pop("ann_ivf")
+    return sqls
 
 
 def queries():
