@@ -67,8 +67,13 @@ def conv_stats_block(df: pd.DataFrame) -> pd.DataFrame:
         nt=df["text"].str.count(TOKEN_RE)
     ).groupby("conv_id", sort=False)["nt"].sum().astype("int64")
     span = g["ts"].agg(["min", "max"])
-    out["duration_s"] = ((span["max"] - span["min"])
-                         .dt.total_seconds().astype("int64"))
+    # integer seconds via the shared half-away rule (floor(x+0.5)) so
+    # sub-second timestamps agree with the SQL oracle's identical
+    # formula — astype(int64) truncates (1.9 -> 1) while a bare SQL
+    # CAST rounds (1.9 -> 2)
+    out["duration_s"] = np.floor(
+        (span["max"] - span["min"]).dt.total_seconds() + 0.5
+    ).astype("int64")
     # assistant response latency: ts minus the PREVIOUS turn's ts
     prev = df.groupby("conv_id", sort=False)["ts"].shift(1)
     lat = (df["ts"] - prev).dt.total_seconds()
@@ -80,8 +85,9 @@ def conv_stats_block(df: pd.DataFrame) -> pd.DataFrame:
         out["n_responses"] > 0,
         round_half_away(rg.mean().reindex(out.index, fill_value=0.0), 6),
         0.0)
-    out["max_latency_s"] = rg.max().reindex(out.index, fill_value=0) \
-        .astype("int64")
+    out["max_latency_s"] = np.floor(
+        rg.max().reindex(out.index, fill_value=0) + 0.5
+    ).astype("int64")
     return out.reset_index()[list(_OUT_SCHEMA)]
 
 
@@ -183,7 +189,22 @@ def conv_docs_block(df: pd.DataFrame, *, clone_suffix: str = "",
                              "text": pd.Series(dtype=str)})
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
     joined = df.groupby("conv_id", sort=False)["text"].agg(" ".join)
-    ids = pd.Series(joined.index).str[-8:].astype("int64")
+    tails = pd.Series(joined.index).str[-8:]
+    # the integer-tail derivation silently assumes the fixture's
+    # 'conv{seed}-{c:08d}' id format; fail LOUDLY on a format change
+    # (non-numeric tail / >=1e8 ids / clone-offset collisions) instead
+    # of corrupting Jaccard pairs with aliased doc_ids
+    if not tails.str.fullmatch(r"[0-9]{8}").all():
+        bad = pd.Series(joined.index)[~tails.str.fullmatch(r"[0-9]{8}")]
+        raise ValueError(
+            f"conv_docs: conv_id tail not an 8-digit index (e.g. "
+            f"{bad.iloc[0]!r}); the doc_id derivation assumes the "
+            "fixture's 'conv{seed}-{c:08d}' format")
+    ids = tails.astype("int64")
+    if ids.duplicated().any():
+        raise ValueError(
+            "conv_docs: duplicate doc_ids derived from conv_id tails "
+            "(distinct conv_ids sharing an 8-digit tail)")
     out = pd.DataFrame({"doc_id": ids.to_numpy(),
                         "text": joined.to_numpy()})
     if clone_suffix:

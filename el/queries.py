@@ -1218,23 +1218,34 @@ def q_orders_topk_revenue(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"])
 
-    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+    def order_side(df: pd.DataFrame):
         bs = ray.get(bref)
         df = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(bs)]
-        return pd.DataFrame({"okey": df["o_orderkey"].astype("int64"),
-                             "o_orderdate": df["o_orderdate"],
-                             "rev": 0.0, "is_order": 1})
+        n = len(df)
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "o_orderdate": pa.array(df["o_orderdate"],
+                                    pa.timestamp("us")),
+            "rev": pa.array([0.0] * n, pa.float64()),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
 
-    def li_side(df: pd.DataFrame) -> pd.DataFrame:
+    def li_side(df: pd.DataFrame):
         df = df[df["l_shipdate"] > cutoff]
         rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
         part = df.assign(rev=rev).groupby(
             "l_orderkey", as_index=False)["rev"].sum()
-        return pd.DataFrame({"okey": part["l_orderkey"].astype("int64"),
-                             "o_orderdate": pd.Series(
-                                 [pd.NaT] * len(part),
-                                 dtype="datetime64[us]"),
-                             "rev": part["rev"], "is_order": 0})
+        # emit a TYPED all-null o_orderdate (pa.nulls with an explicit
+        # timestamp type): an all-NaT pandas column round-trips to an
+        # Arrow null-typed column, which makes every lineitem block's
+        # schema differ from the order side's and trips Ray's
+        # union-schema warning (strict unification would reject it)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "o_orderdate": pa.nulls(len(part), pa.timestamp("us")),
+            "rev": pa.array(part["rev"], pa.float64()),
+            "is_order": pa.array([0] * len(part), pa.int64()),
+        })
 
     tagged = orders.map_batches(order_side, batch_format="pandas").union(
         li.map_batches(li_side, batch_format="pandas"))
@@ -1829,7 +1840,7 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS n_tool,
                        CAST(sum(len(regexp_extract_all(text,
                             '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
-                       CAST(date_diff('second', min(ts), max(ts))
+                       CAST(floor(epoch(max(ts) - min(ts)) + 0.5)
                             AS BIGINT) AS duration_s
                 FROM {tr} GROUP BY conv_id
             ),
@@ -1843,7 +1854,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT conv_id,
                        CAST(count(*) AS BIGINT) AS n_responses,
                        {_roundsql('avg(lat)', 6)} AS mean_latency_s,
-                       CAST(max(lat) AS BIGINT) AS max_latency_s
+                       CAST(floor(max(lat) + 0.5) AS BIGINT)
+                           AS max_latency_s
                 FROM lagged
                 WHERE role = 'assistant' AND lat IS NOT NULL
                 GROUP BY conv_id
