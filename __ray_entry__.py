@@ -10,10 +10,10 @@ ray.shutdown.
   the training-data ops); each takes sf_dir.
 - ``oracle_sql()``: DuckDB-runnable equivalents (same column names) for
   the SQL-expressible subset — including bit-exact replays of the
-  minhash/simhash/LSH ops and gold-replay oracles for the end-to-end
-  cluster/link result; the 5 remaining rows-only surfaces (el_answers,
-  el_human_readable, el_sports_links, el_benchmark_report, ann_ivf)
-  are pytest-gated instead.
+  minhash/simhash/LSH/IVF ops and gold-replay oracles for the
+  end-to-end answer surfaces (el_answers, el_human_readable,
+  el_sports_links, el_cluster_links, el_city_links,
+  el_benchmark_report) — every queries() entry now has an oracle.
 """
 
 from __future__ import annotations

@@ -132,22 +132,38 @@ class MinHasher:
             i = j
         return sigs
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+    def band_buckets_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) int64 bucket keys, fully vectorized: a
+        polynomial rolling hash over each band's signature rows (seeded
+        by the band index so bands never share buckets) finalized with
+        splitmix64 mixing. Candidate generation only needs
+        bucket-equality to COINCIDE with band-chunk equality — the SQL
+        oracle buckets on the raw band values (string_agg), so any
+        deterministic injective-up-to-2^-63-collisions key replays
+        identically; this replaces the r02 per-doc × per-band
+        hashlib.md5 loop (the last per-doc Python in the op)."""
+        n = sigs.shape[0]
+        chunks = sigs.reshape(n, self.bands, self.rows)
+        C = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.broadcast_to(
+            np.arange(1, self.bands + 1, dtype=np.uint64), (n, self.bands)
+        ).copy()
+        for r in range(self.rows):  # rows=4: four vectorized passes
+            acc = acc * C + chunks[:, :, r]
+        # splitmix64 finalization
+        z = (acc + C)
+        z ^= z >> np.uint64(30); z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27); z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        return (z & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = self.signatures_batch(list(df["text"]))
-        rows = []
-        for doc_id, sig in zip(df["doc_id"], sigs):
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                # stable digest (builtin hash() is per-process seeded);
-                # single bucket key = band tag + chunk digest
-                bh = int.from_bytes(
-                    hashlib.md5(bytes([band]) + chunk.tobytes()).digest()[:8],
-                    "little",
-                ) & 0x7FFFFFFFFFFFFFFF
-                rows.append((doc_id, bh))
-        return pd.DataFrame(rows, columns=["doc_id", "bucket"])
+        bk = self.band_buckets_batch(sigs)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), self.bands),
+            "bucket": bk.ravel(),
+        })
 
 
 from functools import lru_cache

@@ -92,10 +92,25 @@ def _answers(fd: str):
 
 
 def q_el_answers(sf_dir: str):
-    """Full pipeline output (non-SQL-expressible: actor scoring + union
-    find; rows-only driver check, quality gated in pytest)."""
+    """FULL-ORACLE answers surface: the pipeline's final row for EVERY
+    mention, projected to the gold-replayable columns (mention_id,
+    conv_id, turn_idx, surface, cluster_id, kb_link). The oracle
+    replays the expected answer set from gold_mentions exactly like
+    el_cluster_links (KB rows carry gold_kb_id verbatim, NIL rows the
+    deterministic 'NIL:<min mention_id in gold partition>' — exact
+    because the e2e B3 gate pins engine clusters == gold partitions).
+    The two non-replayable columns stay pytest-gated: alias
+    (canonicalization conformance tests) and confidence (calibration
+    unit tests + the e2e well-formedness gate); ``entry()`` still
+    returns all 8 columns. Reference answer-set semantics:
+    RunKBPEntityLinkerSystem.scala:160-192."""
     fd = ensure_fixture(sf_dir)
-    return _answers(fd)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["mention_id", "conv_id", "turn_idx", "surface",
+                         "cluster_id", "kb_link"])
+
+    return _answers(fd).map_batches(slim, batch_format="pyarrow")
 
 
 def q_el_exact_cluster(sf_dir: str):
@@ -381,8 +396,14 @@ def q_el_doc_entities(sf_dir: str):
 
 
 def q_el_human_readable(sf_dir: str):
-    """Answers joined with KB title/type via broadcast (S10 analog;
-    rows-only — depends on the non-SQL pipeline output)."""
+    """FULL-ORACLE human-readable surface (S10 analog,
+    FormattedOutputToHumanReadableOutputConverter.scala:11-27): answers
+    joined with KB title/type via the broadcast-KB actor pool,
+    projected to the gold-replayable columns. The oracle replays
+    kb_link from gold (el_cluster_links trick) and joins the fixture's
+    kb.parquet for title/type with the engine's NIL defaults
+    (title '', type 'NIL') — so the broadcast join itself is under the
+    driver's hash check, not just pytest."""
     fd = ensure_fixture(sf_dir)
 
     from .kb import broadcast_kb
@@ -390,28 +411,47 @@ def q_el_human_readable(sf_dir: str):
 
     answers = _answers(fd)
     kb_ref = broadcast_kb(os.path.join(fd, "kb.parquet"))
-    return human_readable(answers, kb_ref)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["mention_id", "conv_id", "turn_idx", "surface",
+                         "kb_link", "kb_title", "kb_type"])
+
+    return human_readable(answers, kb_ref).map_batches(
+        slim, batch_format="pyarrow")
 
 
 def q_el_sports_links(sf_dir: str):
-    """Sports-sense override surface (linkQuery steps 1 + 8,
-    RunKBPEntityLinkerSystem.scala:59-61, 131-147): the final link of
-    every mention whose surface is a gazetteer city — sports-context
-    ones must carry the team KB id (conf .7), the rest the location.
-    Rows-only driver check; the split is pytest-gated vs gold."""
+    """FULL-ORACLE sports-override surface (linkQuery steps 1 + 8,
+    RunKBPEntityLinkerSystem.scala:59-61, 131-147): every mention the
+    engine re-linked to a TEAM-typed KB entry — the rows where the
+    sports gate fired — with the step's fixed confidence 0.7. The
+    engine derives 'team-typed' from its own KB index (input data, not
+    gold); the oracle independently replays the expected set from
+    gold_mentions ⋈ kb ON wiki_type='team'. A spurious sports firing
+    adds an engine row, a missed one drops one — both hash-mismatch.
+    (The broader every-city-mention surface is el_city_links.)"""
     fd = ensure_fixture(sf_dir)
 
-    from .gazetteer import CITIES
+    import ray
+
+    from .kb import broadcast_kb
 
     answers = _answers(fd)
-    cities = pa.array(sorted(CITIES))
+    kb_ref = broadcast_kb(os.path.join(fd, "kb.parquet"))
 
-    def only_cities(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("surface"), value_set=cities)).select(
-            ["mention_id", "surface", "kb_link", "confidence"]
-        )
+    class OnlyTeams:
+        def __init__(self):
+            kb = ray.get(kb_ref)
+            self.team_ids = pa.array(sorted(
+                k for k, w in kb.wiki_type_of_id.items() if w == "team"))
 
-    return answers.map_batches(only_cities, batch_format="pyarrow")
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t.column("kb_link"), value_set=self.team_ids)
+            ).select(["mention_id", "surface", "kb_link", "confidence"])
+
+    return answers.map_batches(OnlyTeams, batch_format="pyarrow",
+                               concurrency=2, num_cpus=0.5)
 
 
 def q_el_city_links(sf_dir: str):
@@ -939,8 +979,13 @@ def q_el_benchmark_report(sf_dir: str):
     """End-to-end evaluation surface (Benchmarker.scala:94-148 analog):
     per-mention category counts (CORRECT / WRONG KB ID / EXP KB ID /
     EXP NIL / NIL OK), pairwise F1, B-cubed, and the over-clustering
-    counter, as one tidy (metric, value) table. Rows-only (depends on
-    the non-SQL pipeline output); the quality floors are pytest-gated."""
+    counter, as one tidy (metric, value) table. FULL-ORACLE via gold
+    replay: the e2e gate pins the engine's answers == gold on the
+    fixture, so the expected report is derivable from gold_mentions
+    alone (CORRECT = KB-mention count, NIL OK = NIL-mention count,
+    F1s = 1.0, over_clustering = 0) — any engine error changes a
+    category count or an F1 and hash-mismatches. Zero-count categories
+    are omitted on both sides (defaultdict semantics)."""
     fd = ensure_fixture(sf_dir)
     import pyarrow.parquet as pq
 
@@ -1733,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
     gp = f"read_parquet('{FIXTURE_SQL_DIR}/gold_pairs.parquet')"
     tr = f"read_parquet('{FIXTURE_SQL_DIR}/transcripts.parquet/*.parquet')"
+    kbt = f"read_parquet('{FIXTURE_SQL_DIR}/kb.parquet')"
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     lang_counts = ", ".join(
         f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lang}"
@@ -1798,6 +1844,63 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_passthrough": f"""
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
+        """,
+        "el_answers": f"""
+            WITH g AS (
+                SELECT mention_id, conv_id, turn_idx, surface, gold_kb_id,
+                       min(mention_id) OVER (PARTITION BY gold_kb_id)
+                           AS nil_min
+                FROM {gm}
+            )
+            SELECT mention_id, conv_id, turn_idx, surface,
+                   CASE WHEN gold_kb_id LIKE 'NIL%' THEN nil_min
+                        ELSE gold_kb_id END AS cluster_id,
+                   CASE WHEN gold_kb_id LIKE 'NIL%'
+                        THEN 'NIL:' || nil_min
+                        ELSE gold_kb_id END AS kb_link
+            FROM g
+        """,
+        "el_human_readable": f"""
+            WITH g AS (
+                SELECT mention_id, conv_id, turn_idx, surface, gold_kb_id,
+                       min(mention_id) OVER (PARTITION BY gold_kb_id)
+                           AS nil_min
+                FROM {gm}
+            ),
+            a AS (
+                SELECT mention_id, conv_id, turn_idx, surface,
+                       CASE WHEN gold_kb_id LIKE 'NIL%'
+                            THEN 'NIL:' || nil_min
+                            ELSE gold_kb_id END AS kb_link
+                FROM g
+            )
+            SELECT a.*,
+                   coalesce(k.title, '') AS kb_title,
+                   coalesce(k.type, 'NIL') AS kb_type
+            FROM a LEFT JOIN {kbt} k ON k.kb_id = a.kb_link
+        """,
+        "el_benchmark_report": f"""
+            WITH g AS (SELECT gold_kb_id NOT LIKE 'NIL%' AS in_kb
+                       FROM {gm}),
+            cat AS (
+                SELECT 'category:CORRECT' AS metric,
+                       CAST(count(*) FILTER (in_kb) AS DOUBLE) AS value
+                FROM g
+                UNION ALL
+                SELECT 'category:NIL OK',
+                       CAST(count(*) FILTER (NOT in_kb) AS DOUBLE)
+                FROM g
+            )
+            SELECT metric, value FROM cat WHERE value > 0
+            UNION ALL SELECT 'pairwise_f1', 1.0
+            UNION ALL SELECT 'b_cubed_f1', 1.0
+            UNION ALL SELECT 'over_clustering', 0.0
+        """,
+        "el_sports_links": f"""
+            SELECT g.mention_id, g.surface, g.gold_kb_id AS kb_link,
+                   0.7 AS confidence
+            FROM {gm} g JOIN {kbt} k
+              ON k.kb_id = g.gold_kb_id AND k.wiki_type = 'team'
         """,
         "el_cluster_links": f"""
             WITH g AS (

@@ -261,6 +261,29 @@ def test_universal_hash_matches_hugeint_emulation():
     check()
 
 
+def test_band_buckets_equality_structure():
+    """Bucket equality must COINCIDE with band-chunk equality — the
+    contract that keeps the vectorized polynomial/splitmix64 keys
+    interchangeable with the SQL oracle's string_agg bucketing (and
+    with the r02 per-doc md5 digests they replaced)."""
+    from el.ops.dedup import MinHasher
+
+    mh = MinHasher()
+    rng = np.random.Generator(np.random.PCG64(3))
+    sigs = rng.integers(0, 1 << 60, size=(40, mh.num_perm),
+                        dtype=np.uint64)
+    sigs[10] = sigs[3]                      # full duplicate
+    sigs[20, :mh.rows] = sigs[4, :mh.rows]  # band-0 collision only
+    bk = mh.band_buckets_batch(sigs)
+    assert bk.shape == (40, mh.bands) and bk.dtype == np.int64
+    assert (bk >= 0).all()
+    chunks = sigs.reshape(40, mh.bands, mh.rows)
+    for b in range(mh.bands):
+        for i, j in [(3, 10), (4, 20), (0, 1), (5, 6)]:
+            same_chunk = (chunks[i, b] == chunks[j, b]).all()
+            assert (bk[i, b] == bk[j, b]) == same_chunk, (i, j, b)
+
+
 def test_textstats_batches():
     from el.ops.textstats import (
         lang_id_batch,
