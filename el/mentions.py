@@ -43,7 +43,9 @@ def mention_id(conv_id: str, turn_idx: int, beg: int) -> str:
 
 
 def type_surface(surface: str) -> str:
-    """Context-free NER type (PER | ORG | GPE)."""
+    """Context-free NER type (PER | ORG | GPE). Scalar reference form;
+    the hot path uses :func:`type_surface_batch` (parity pytest-pinned
+    against this)."""
     if is_acronym(surface):
         return "ORG"
     if ", " in surface:
@@ -57,6 +59,59 @@ def type_surface(surface: str) -> str:
     if toks[-1].lower() in ORG_SUFFIXES:
         return "ORG"
     return "PER" if len(toks) == 2 else "ORG"
+
+
+# value-set arrays built once at import (broadcast with the fn closure)
+_CITIES_ARR = None
+_STATE_ABBR_ARR = None
+_STATE_FULL_ARR = None
+_ORGSUF_ARR = None
+
+
+def _type_value_sets():
+    global _CITIES_ARR, _STATE_ABBR_ARR, _STATE_FULL_ARR, _ORGSUF_ARR
+    if _CITIES_ARR is None:
+        _CITIES_ARR = pa.array(sorted(CITIES), pa.string())
+        _STATE_ABBR_ARR = pa.array(sorted(STATES), pa.string())
+        _STATE_FULL_ARR = pa.array(sorted(set(STATES.values())),
+                                   pa.string())
+        _ORGSUF_ARR = pa.array(sorted(ORG_SUFFIXES), pa.string())
+    return _CITIES_ARR, _STATE_ABBR_ARR, _STATE_FULL_ARR, _ORGSUF_ARR
+
+
+def type_surface_batch(surf_arr: pa.Array):
+    """Vectorized :func:`type_surface` over an Arrow string array ->
+    numpy str array. Bit-identical by construction (each scalar branch
+    becomes a mask; np.select keeps the same first-match-wins order;
+    surfaces are MENTION_RE matches, so tokens are ASCII and separators
+    exactly ' ' or ', ') and pytest-pinned against the scalar form."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cities, st_abbr, st_full, orgsuf = _type_value_sets()
+
+    def npb(b):  # boolean Arrow -> numpy, nulls as False
+        return pc.fill_null(b, False).to_numpy(zero_copy_only=False)
+
+    is_acr = npb(pc.match_substring_regex(surf_arr, r"^[A-Z]{2,}$"))
+    has_comma = npb(pc.match_substring(surf_arr, ", "))
+    tail = pc.struct_field(
+        pc.extract_regex(surf_arr, r", (?P<t>[^,]*)$"), "t")
+    is_state = npb(pc.or_kleene(
+        pc.is_in(pc.utf8_upper(tail), value_set=st_abbr),
+        pc.is_in(tail, value_set=st_full)))
+    n_sp = pc.count_substring(surf_arr, " ").to_numpy(
+        zero_copy_only=False)
+    is_city = npb(pc.is_in(surf_arr, value_set=cities))
+    last_tok = pc.struct_field(
+        pc.extract_regex(pc.utf8_lower(surf_arr), r"(?P<t>[^ ]+)$"), "t")
+    is_suf = npb(pc.is_in(last_tok, value_set=orgsuf))
+    return np.select(
+        [is_acr, has_comma & is_state, has_comma, n_sp == 0, is_suf,
+         n_sp == 1],
+        ["ORG", "GPE", "ORG",
+         np.where(is_city, "GPE", "PER"), "ORG", "PER"],
+        default="ORG")
 
 
 def extract_mentions_batch(batch: pa.Table) -> pa.Table:
@@ -124,18 +179,24 @@ def extract_mentions_batch(batch: pa.Table) -> pa.Table:
     if turn_t.type != pa.int32():
         turn_t = turn_t.cast(pa.int32())
     ctx_t = batch.column("text").take(idx).combine_chunks()
-    o_mid = [f"{c}:{ti:05d}:{b:05d}"
-             for c, ti, b in zip(conv_t.to_pylist(), turn_t.to_pylist(),
-                                 begs.tolist())]
-    o_type = [type_surface(s) for s in surfs]
+    # mention_id f"{conv}:{turn:05d}:{beg:05d}" via Arrow kernels
+    # (lpad replays the 05d zero-pad for the non-negative values these
+    # always are); ner_type via the vectorized type dispatch — no
+    # per-mention Python (this is the hottest stage at corpus scale)
+    pad5 = lambda a: pa.compute.utf8_lpad(  # noqa: E731
+        pa.compute.cast(a, pa.string()), 5, "0")
+    o_mid = pa.compute.binary_join_element_wise(
+        conv_t, pad5(turn_t), pad5(pa.array(begs)), ":")
+    surf_t = pa.array(surfs, pa.string())
+    o_type = type_surface_batch(surf_t)
     return pa.table(
         {
-            "mention_id": pa.array(o_mid, pa.string()),
+            "mention_id": o_mid,
             "conv_id": conv_t,
             "turn_idx": turn_t,
             "beg": pa.array(begs),
             "end": pa.array(rends),
-            "surface": pa.array(surfs, pa.string()),
+            "surface": surf_t,
             "ner_type": pa.array(o_type, pa.string()),
             "context": ctx_t,
         }

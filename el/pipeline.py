@@ -200,12 +200,15 @@ def _extract_canonicalize_fused(batch: pa.Table) -> pa.Table:
     if batch.num_rows:
         # contract check: conv-sorted input means each conversation is
         # ONE contiguous run per block — interleaved runs would be
-        # silently mis-resolved, so fail loudly instead
-        import numpy as np
-
-        arr = np.asarray(convs.to_pylist(), dtype=object)
-        runs = 1 + int(np.count_nonzero(arr[1:] != arr[:-1]))
-        if runs != len(set(arr)):
+        # silently mis-resolved, so fail loudly instead. Arrow-native
+        # (run starts = offset-by-one inequality, distinct via
+        # count_distinct): no per-turn Python materialization in the
+        # corpus-dominant stage.
+        flat = convs.combine_chunks()
+        runs = 1 + pc.sum(pc.cast(pc.not_equal(
+            flat.slice(1), flat.slice(0, len(flat) - 1)),
+            pa.int64())).as_py() if len(flat) > 1 else 1
+        if runs != pc.count_distinct(flat).as_py():
             raise ValueError(
                 "transcripts are not sorted by conv_id within a read "
                 "block; rerun with conv_partitioned=False (the conv_id "

@@ -227,18 +227,47 @@ def ctx_adjustment(ctx1_col, ctx2_col) -> "object":
     """Vector of z-adjustments from the per-alias context vectors: only
     pairs where BOTH sides kept a non-empty topic vector (a small
     fraction after the df filter) are touched — cosine contribution plus
-    the disjoint-topics veto."""
+    the disjoint-topics veto.
+
+    The JSON vectors are PER-ALIAS data arriving on per-PAIR rows, so
+    each distinct string is decoded (and its mass/norm computed) ONCE
+    per batch and the per-pair work is just the intersection dot
+    product — bit-identical to el.sim.cosine (same small-side swap,
+    same norm product order; parity pytest-pinned)."""
+    import json
+    import math
+
     import numpy as np
 
-    from .ctxvec import CTX_MIN_MASS, CTX_VETO_COS, ctx_cosine
+    from .ctxvec import CTX_MIN_MASS, CTX_VETO_COS
 
     n = len(ctx1_col)
     adj = np.zeros(n, dtype=np.float64)
+    cache: dict = {}
+
+    def dec(s):
+        r = cache.get(s)
+        if r is None:
+            v = json.loads(s)
+            r = (v, sum(v.values()),
+                 math.sqrt(sum(c * c for c in v.values())))
+            cache[s] = r
+        return r
+
     for i in range(n):
         j1, j2 = ctx1_col[i], ctx2_col[i]
         if not j1 or not j2:
             continue
-        cos, mass = ctx_cosine(j1, j2)
+        v1, m1, nn1 = dec(j1)
+        v2, m2, nn2 = dec(j2)
+        if not v1 or not v2:
+            cos, mass = 0.0, 0
+        else:
+            mass = min(m1, m2)
+            if len(v2) < len(v1):
+                v1, nn1, v2, nn2 = v2, nn2, v1, nn1
+            dot = sum(c * v2[t] for t, c in v1.items() if t in v2)
+            cos = 0.0 if dot == 0 else dot / (nn1 * nn2)
         adj[i] = W_CTX * (cos - 0.5)
         if mass >= CTX_MIN_MASS and cos < CTX_VETO_COS:
             adj[i] -= W_CTX_VETO

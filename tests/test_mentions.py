@@ -58,6 +58,25 @@ def test_type_surface():
     assert type_surface("Meridian Northern Fisheries Institute") == "ORG"
 
 
+def test_type_surface_batch_parity():
+    """Vectorized Arrow type dispatch == scalar reference on every
+    branch: acronyms, City-ST / City-Fullname / City-Org comma forms,
+    cities, persons, org suffixes, 3+ token orgs, hyphens/apostrophes."""
+    from el.mentions import type_surface_batch
+
+    surfaces = [
+        "UWCC", "TX", "Austin", "Dallas", "Smith", "Janet Smith",
+        "Global Timber Group", "Meridian Northern Fisheries Institute",
+        "Austin, Texas", "Austin, TX", "Austin, Global Timber",
+        "Boston, Harper", "O'Brien", "Smith-Jones", "St. Mary",
+        "A. B. Quinn", "Harper Quinn Reyes", "New York City Council",
+        "X", "Ab", "ABC", "AB", "Acme Council", "Acme, AB",
+    ]
+    got = list(type_surface_batch(pa.array(surfaces, pa.string())))
+    want = [type_surface(s) for s in surfaces]
+    assert got == want, list(zip(surfaces, got, want))
+
+
 def test_empty_batch():
     t = pa.table(
         {"conv_id": pa.array([], pa.string()),

@@ -122,6 +122,36 @@ def test_ctx_veto_splits_twins():
     assert s >= MERGE_CUTOFF
 
 
+def test_ctx_adjustment_matches_per_pair_reference():
+    """The distinct-decode cached form must be bit-identical to the
+    straightforward per-pair ctx_cosine reference on every branch:
+    empty strings, empty dicts, disjoint, overlapping, asymmetric
+    sizes (the small-side swap), repeated strings (the cache path)."""
+    import json
+
+    import numpy as np
+
+    from el.ctxvec import CTX_MIN_MASS, CTX_VETO_COS, ctx_cosine
+    from el.scorer import W_CTX, W_CTX_VETO, ctx_adjustment
+
+    va = json.dumps({"a": 3, "b": 2})
+    vb = json.dumps({"a": 1, "c": 5, "d": 1})
+    vc = json.dumps({"x": 9, "y": 9, "z": 9})
+    vd = json.dumps({})
+    c1 = ["", va, va, vb, vc, vd, va, vc, va]
+    c2 = [va, "", vb, va, va, va, vd, vc, va]
+    got = ctx_adjustment(c1, c2)
+    want = np.zeros(len(c1))
+    for i, (j1, j2) in enumerate(zip(c1, c2)):
+        if not j1 or not j2:
+            continue
+        cos, mass = ctx_cosine(j1, j2)
+        want[i] = W_CTX * (cos - 0.5)
+        if mass >= CTX_MIN_MASS and cos < CTX_VETO_COS:
+            want[i] -= W_CTX_VETO
+    assert got.tolist() == want.tolist()
+
+
 def test_ctx_sample_merge_associative():
     """The per-alias context sample must be independent of how mentions
     were split across partial blocks — the invariant that makes the
