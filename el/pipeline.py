@@ -1116,16 +1116,19 @@ def _finish_with_meta(t: pa.Table, map_ref, ctx_refs=None):
     return out, meta
 
 
-def _assemble_answers_tasks(mention_refs, map_ref, ctx_refs=None):
-    """Fast-plan answers assembly: the final attach runs as plain tasks
-    over the materialized mention blocks, and the sink ordering comes
-    from reordering BLOCKS by their (conv_id, turn_idx) ranges instead
-    of a sort exchange — valid because fused-plan blocks are internally
-    sorted with non-overlapping ranges (read blocks partition the
-    conv-sorted file). The range invariant is CHECKED; any violation
-    (e.g. the conv_id-exchange plan, whose blocks interleave) falls
-    back to Dataset.sort over the already-finished block refs, so
-    nothing is recomputed."""
+def _assemble_answers_refs(mention_refs, map_ref, ctx_refs=None) -> list:
+    """Fast-plan answers assembly core -> ORDERED block refs: the final
+    attach runs as plain tasks over the materialized mention blocks,
+    and the sink ordering comes from reordering BLOCKS by their
+    (conv_id, turn_idx) ranges instead of a sort exchange — valid
+    because fused-plan blocks are internally sorted with
+    non-overlapping ranges (read blocks partition the conv-sorted
+    file). The range invariant is CHECKED; any violation (e.g. the
+    conv_id-exchange plan, whose blocks interleave) falls back to
+    Dataset.sort over the already-finished block refs, so nothing is
+    recomputed. Returning refs (not a Dataset) lets the checkpoint
+    layer persist one part per block, which preserves this order
+    through a resume (write_parquet+read_parquet does not)."""
     import ray
     import ray.data
 
@@ -1153,14 +1156,23 @@ def _assemble_answers_tasks(mention_refs, map_ref, ctx_refs=None):
             "kb_link": pa.array([], pa.string()),
             "confidence": pa.array([], pa.float64()),
         })
-        return ray.data.from_arrow(empty)
-    ds = ray.data.from_arrow_refs(refs)
+        return [ray.put(empty)]
     if ordered:
-        return ds
+        return refs
     # loud fallback: unexpected under the fused plan — keep correctness
     print("[el.pipeline] block ranges overlap; falling back to sort "
           "for the sink ordering")
-    return arrowize(ds).sort(["conv_id", "turn_idx"])
+    ds = arrowize(ray.data.from_arrow_refs(refs)).sort(
+        ["conv_id", "turn_idx"])
+    return list(ds.materialize().to_arrow_refs())
+
+
+def _assemble_answers_tasks(mention_refs, map_ref, ctx_refs=None):
+    """Dataset-form wrapper over :func:`_assemble_answers_refs`."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(
+        _assemble_answers_refs(mention_refs, map_ref, ctx_refs))
 
 
 def _cluster_aliases_driver(profile_tbl: pa.Table, links_tbl: pa.Table,
@@ -1619,7 +1631,8 @@ def run_linkage(
         return dict(zip(resolved["mention_id"],
                         zip(resolved["alias"], resolved["alias_norm"])))
 
-    fast_fused = conv_partitioned and ckpt.root is None
+    fast_fused = conv_partitioned
+    profile_tbl_ckpt = None
     if fast_fused:
         # Plain-task fragment read+extract: Ray Data's parquet reader
         # creates ONE read task per file (SplitBlocks only splits the
@@ -1633,13 +1646,23 @@ def run_linkage(
         # materialized read, no Dataset machinery, and fragment blocks
         # stay intra-sorted (the boundary patch re-resolves
         # conversations straddling any cut, as it already did for
-        # re-block cuts).
-        frag_specs = _fragment_specs(tr_path, target_tasks=4 * cpus)
-        fx_rem = ray.remote(_read_extract_fragment)
-        frag_refs = [fx_rem.remote(path, lo, hi)
-                     for path, lo, hi in frag_specs]
-        _timed("aliased", lambda: ray.wait(
-            frag_refs, num_returns=len(frag_refs), fetch_local=False))
+        # re-block cuts). With a checkpoint dir the wave persists one
+        # parquet part PER BLOCK (in-task, parallel) so a resume
+        # relaunches read tasks instead of re-extracting — block
+        # identity (internal sort, non-overlapping conv ranges) is
+        # what the sort-free sink relies on, so blocks round-trip 1:1.
+        fm_spec = {"input": tr_path, "plan": "fast-fused"}
+
+        def build_frag_refs():
+            frag_specs = _fragment_specs(tr_path, target_tasks=4 * cpus)
+            fx_rem = ray.remote(_read_extract_fragment)
+            refs = [fx_rem.remote(path, lo, hi)
+                    for path, lo, hi in frag_specs]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            return refs
+
+        frag_refs = _timed("aliased", lambda: ckpt.stage_block_refs(
+            "fused_mentions", fm_spec, build_frag_refs))
         raw = ray.data.from_arrow_refs(frag_refs)
         # ONE merged wave over the blocks does the override scan,
         # per-conversation resolution AND the combiner (partial alias
@@ -1649,42 +1672,72 @@ def run_linkage(
         import numpy as np
 
         mention_refs = frag_refs
-        # 2 tasks/CPU gives the wave straggler slack (measured ~1s at
-        # bench32/32cpu vs 1 task/CPU); the 64 ceiling bounds the
-        # hot-alias duplicate factor in the combiner partials
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:  # noqa: BLE001 — before init
-            ncpu = 8
-        nb_cap = int(os.environ.get("EL_SCAN_BUNDLES_CAP",
-                                    str(min(64, max(32, 2 * ncpu)))))
-        nb_bundles = max(1, min(nb_cap, len(mention_refs)))
-        sp_rem = ray.remote(num_returns=3)(_scan_partials_task)
-        triples = [
-            sp_rem.remote(kb_ref, sports_classify,
-                          *(mention_refs[i] for i in b))
-            for b in np.array_split(np.arange(len(mention_refs)),
-                                    nb_bundles)
-            if len(b)
-        ]
-        def _finish_scan():
-            btbls = ray.get([b for _, b, _ in triples])
-            ctbls = ray.get([c for _, _, c in triples])
-            return _scan_partials_driver(btbls, ctbls, kb_index,
-                                         sports_classify)
+        # resumable meta stage: patch/override dicts + the contracted
+        # profile (all alias-scale) persist together after the profile
+        # merge; a valid manifest skips the scan wave AND the merge
+        meta_spec = {"input": tr_path, "kb": kb_path,
+                     "sports": sports_classify, "plan": "fast-fused"}
+        fast_meta = ckpt.load_tables("fast_profile", meta_spec)
+        if fast_meta is not None:
+            pt = fast_meta["patch"]
+            patch = dict(zip(
+                pt.column("mention_id").to_pylist(),
+                zip(pt.column("alias").to_pylist(),
+                    pt.column("alias_norm").to_pylist())))
+            ot = fast_meta["overrides"]
+            overrides = {
+                (an, cv): (kind, kb)
+                for an, cv, kind, kb in zip(
+                    ot.column("alias_norm").to_pylist(),
+                    ot.column("conv_id").to_pylist(),
+                    ot.column("kind").to_pylist(),
+                    ot.column("kb_id").to_pylist())
+            }
+            patch_ref, ov_ref = ray.put(patch), ray.put(overrides)
+            partial_refs = None
+            profile_tbl_ckpt = fast_meta["profile"]
+            aliased = raw.map_batches(
+                _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
+                batch_format="pyarrow",
+            )
+            n_mentions = raw.count()
+        else:
+            # 2 tasks/CPU gives the wave straggler slack (measured ~1s
+            # at bench32/32cpu vs 1 task/CPU); the 64 ceiling bounds
+            # the hot-alias duplicate factor in the combiner partials
+            try:
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:  # noqa: BLE001 — before init
+                ncpu = 8
+            nb_cap = int(os.environ.get("EL_SCAN_BUNDLES_CAP",
+                                        str(min(64, max(32, 2 * ncpu)))))
+            nb_bundles = max(1, min(nb_cap, len(mention_refs)))
+            sp_rem = ray.remote(num_returns=3)(_scan_partials_task)
+            triples = [
+                sp_rem.remote(kb_ref, sports_classify,
+                              *(mention_refs[i] for i in b))
+                for b in np.array_split(np.arange(len(mention_refs)),
+                                        nb_bundles)
+                if len(b)
+            ]
+            def _finish_scan():
+                btbls = ray.get([b for _, b, _ in triples])
+                ctbls = ray.get([c for _, _, c in triples])
+                return _scan_partials_driver(btbls, ctbls, kb_index,
+                                             sports_classify)
 
-        patch, overrides, bpart = _timed("scan", _finish_scan)
-        patch_ref = ray.put(patch)
-        ov_ref = ray.put(overrides)
-        partial_refs = [p for p, _, _ in triples]
-        if bpart is not None and bpart.num_rows:
-            partial_refs.append(ray.put(bpart))
-        # lazy patched view for any Dataset-form consumer
-        aliased = raw.map_batches(
-            _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
-            batch_format="pyarrow",
-        )
-        n_mentions = raw.count()
+            patch, overrides, bpart = _timed("scan", _finish_scan)
+            patch_ref = ray.put(patch)
+            ov_ref = ray.put(overrides)
+            partial_refs = [p for p, _, _ in triples]
+            if bpart is not None and bpart.num_rows:
+                partial_refs.append(ray.put(bpart))
+            # lazy patched view for any Dataset-form consumer
+            aliased = raw.map_batches(
+                _patch_and_group, fn_kwargs={"patch_ref": patch_ref},
+                batch_format="pyarrow",
+            )
+            n_mentions = raw.count()
     else:
         def build_aliased():
             src = ray.data.read_parquet(
@@ -1720,7 +1773,10 @@ def run_linkage(
     # to the driver, and reclaim the fast plan when the contraction is
     # strong. Only a corpus whose contracted profile itself exceeds the
     # guard pays the distributed fallback.
-    driver_path = n_mentions <= driver_cc_max_nodes
+    # a resumed fast_profile checkpoint implies a driver-path run (the
+    # stage is only saved on that path), so the guard is pre-decided
+    driver_path = (profile_tbl_ckpt is not None
+                   or n_mentions <= driver_cc_max_nodes)
     if fast_fused and not driver_path:
         nrows_rem = ray.remote(lambda t: t.num_rows)
         n_partial_rows = _timed("profile_probe", lambda: sum(ray.get(
@@ -1808,18 +1864,53 @@ def run_linkage(
             return ray.data.from_arrow(_merge_profiles_fast(collect(partials)))
 
         if fast_fused:
-            profile_tbl = _timed("alias_profile", build_profile_tasks)
+            if profile_tbl_ckpt is not None:
+                profile_tbl = profile_tbl_ckpt
+            else:
+                profile_tbl = _timed("alias_profile", build_profile_tasks)
+                # persist the alias-scale meta together (no-op without
+                # a checkpoint root): resume skips scan + merge
+                ckpt.save_tables("fast_profile", meta_spec, {
+                    "profile": profile_tbl,
+                    "patch": pa.table({
+                        "mention_id": pa.array(list(patch), pa.string()),
+                        "alias": pa.array(
+                            [v[0] for v in patch.values()], pa.string()),
+                        "alias_norm": pa.array(
+                            [v[1] for v in patch.values()], pa.string()),
+                    }),
+                    "overrides": pa.table({
+                        "alias_norm": pa.array(
+                            [k[0] for k in overrides], pa.string()),
+                        "conv_id": pa.array(
+                            [k[1] for k in overrides], pa.string()),
+                        "kind": pa.array(
+                            [v[0] for v in overrides.values()],
+                            pa.string()),
+                        "kb_id": pa.array(
+                            [v[1] for v in overrides.values()],
+                            pa.string()),
+                    }),
+                })
         else:
             profile = _timed("alias_profile", lambda: ckpt.stage(
                 "alias_profile", {"input": tr_path}, build_profile))
             profile_tbl = collect(profile)
+
+        # resumable link/edge tables (fast plan, alias-scale): a valid
+        # manifest skips BOTH the link fan-out and pair scoring
+        led_spec = {"input": tr_path, "kb": kb_path, "plan": "fast-fused"}
+        led = (ckpt.load_tables("fast_links_edges", led_spec)
+               if fast_fused else None)
 
         # link decision: task fan-out over group_key chunks, LAUNCHED
         # before pair scoring and collected after it — the two stages
         # depend only on the profile, so the link scan rides along with
         # the scoring wave instead of serializing in front of it
         link_refs = None
-        if ckpt.root is None:
+        if led is not None:
+            pass  # both tables resumed below
+        elif ckpt.root is None or fast_fused:
             link_chunks = _chunk_table(profile_tbl.select(["group_key"]),
                                        1024)
             link_rem = ray.remote(_link_batch)
@@ -1855,7 +1946,9 @@ def run_linkage(
                 pc.greater_equal(t.column("score"), MERGE_CUTOFF)
             ).select(["a1", "a2"])
 
-        if ckpt.root is None:
+        if led is not None:
+            links_tbl, edges_tbl = led["links"], led["edges"]
+        elif ckpt.root is None or fast_fused:
             # task-based scoring over SHARDS of blocking groups: pair
             # generation (triu + dedup), table build, scoring and
             # thresholding all run in-task; the driver does only
@@ -1894,6 +1987,9 @@ def run_linkage(
                 return pa.concat_tables([t.select(cols) for t in parts])
 
             links_tbl = _timed("links", links_collect)
+            if fast_fused:  # no-op without a checkpoint root
+                ckpt.save_tables("fast_links_edges", led_spec,
+                                 {"links": links_tbl, "edges": edges_tbl})
         else:
             scored = _timed("scored_pairs", lambda: ckpt.stage(
                 "scored_pairs", {"input": tr_path}, build_scored))
@@ -1908,7 +2004,26 @@ def run_linkage(
                 return _assemble_answers_tasks(mention_refs, map_ref,
                                                ctx_refs)
 
-            return _timed("answers", build_answers_fast)
+            if ckpt.root is None:
+                return _timed("answers", build_answers_fast)
+
+            # checkpoint the answers as ORDERED BLOCK REFS (one part
+            # per block): the Dataset write_parquet/read_parquet round
+            # trip does not preserve block order, and the fast plan's
+            # sink order is block-range-based, not re-sorted
+            def build_answer_refs():
+                alias_map = _cluster_aliases_driver(
+                    profile_tbl, links_tbl, edges_tbl)
+                map_ref = ray.put(alias_map)
+                return _assemble_answers_refs(mention_refs, map_ref,
+                                              ctx_refs)
+
+            return _timed("answers", lambda: ray.data.from_arrow_refs(
+                ckpt.stage_block_refs(
+                    "answers",
+                    {"input": tr_path, "kb": kb_path,
+                     "plan": "fast-fused"},
+                    build_answer_refs)))
 
         def build_answers():
             alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,

@@ -162,10 +162,33 @@ def test_checkpoint_resume_identical(ray_session, t1_fixture, tmp_path):
     a = out1.sort_values("mention_id").reset_index(drop=True)
     b = out2.sort_values("mention_id").reset_index(drop=True)
     assert a.equals(b)
-    # manifests exist with row counters (aliased, alias_profile, links,
-    # scored_pairs, answers)
+    # fast-plan manifests with row counters (fused_mentions blocks,
+    # fast_profile tables, fast_links_edges tables, answers dataset)
     mans = glob.glob(os.path.join(ck, "stage-*", "manifest.json"))
-    assert len(mans) == 5
+    assert len(mans) == 4
+    names = {os.path.basename(os.path.dirname(m)) for m in mans}
+    assert names == {"stage-fused_mentions", "stage-fast_profile",
+                     "stage-fast_links_edges", "stage-answers"}
+
+
+def test_checkpoint_resume_skips_recompute(ray_session, t1_fixture,
+                                           tmp_path):
+    """A full resume must SKIP the extract/scan/profile/scoring work
+    (manifest-valid stages resume; only read tasks run) and reproduce
+    the answers byte-for-byte — the fast plan no longer trades
+    checkpointing for the slower exchange plan."""
+    from el.checkpoint import CheckpointManager
+
+    ck = str(tmp_path / "ckpt")
+    out1 = run_linkage(t1_fixture, checkpoint_dir=ck).to_pandas()
+    timings: dict = {}
+    out2 = run_linkage(t1_fixture, checkpoint_dir=ck,
+                       timings=timings).to_pandas()
+    a = out1.sort_values("mention_id").reset_index(drop=True)
+    b = out2.sort_values("mention_id").reset_index(drop=True)
+    assert a.equals(b)
+    # no scan / profile-merge / pair-scoring timings on a full resume
+    assert "scan" not in timings and "scored_pairs" not in timings, timings
 
 
 def test_e2e_quality_at_t2_scale(ray_session):
