@@ -1,0 +1,71 @@
+"""X-val / threshold-search harness (MentionPairClassifier.scala:31-113,
+LinkClassifier.scala:36-86 analogs)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def t1_pairs(ray_session, t1_fixture):
+    from el.xval import labeled_pairs_with_surfaces
+
+    return labeled_pairs_with_surfaces(t1_fixture)
+
+
+def test_fit_logistic_separates_separable():
+    from el.xval import fit_logistic, predict_logistic
+
+    X = np.array([[0.0], [0.1], [0.2], [0.8], [0.9], [1.0]])
+    y = np.array([0.0, 0, 0, 1, 1, 1])
+    w = fit_logistic(X, y)
+    p = predict_logistic(X, w)
+    assert (p[:3] < 0.5).all() and (p[3:] > 0.5).all()
+
+
+def test_crossval_pair_pr_curve_shape(t1_pairs):
+    """Pooled 8-fold curve: interpolated precision is non-increasing,
+    recall spans (0, 1], the head of the ranking is clean (the string
+    features nail exact/near-exact name pairs), and the learned model
+    beats the positive base rate deep into the ranking."""
+    from el.xval import crossval_pair_pr
+
+    pr = crossval_pair_pr(t1_pairs, n_folds=8)
+    n_pos = int(t1_pairs["label"].sum())
+    assert len(pr) == n_pos
+    prec = pr["precision"].to_numpy()
+    assert (np.diff(prec) <= 1e-12).all()          # monotone (interp)
+    assert prec[0] == 1.0
+    assert pr["recall"].iloc[-1] == pytest.approx(1.0)
+    base_rate = n_pos / len(t1_pairs)
+    at_half = prec[int(0.5 * n_pos)]
+    assert at_half > 2 * base_rate, (at_half, base_rate)
+
+
+def test_crossval_deterministic(t1_pairs):
+    from el.xval import crossval_pair_pr
+
+    a = crossval_pair_pr(t1_pairs)
+    b = crossval_pair_pr(t1_pairs)
+    assert a.equals(b)
+
+
+def test_link_threshold_reproduces_decisions(ray_session, t1_fixture,
+                                             t1_answers):
+    """The 10x random-split search must land the suggested threshold in
+    the decision gap that LINK_THRESHOLD occupies: classifying every
+    fixture link example with the found threshold reproduces the
+    engine's step-2 decisions exactly (VERDICT r02 #7 done criterion).
+    The fixture's one ambiguous curated alias (two entities sharing a
+    0.99 alias) is a high-scoring NEGATIVE — the case the engine
+    resolves by doc-sim override, not the threshold — and splits that
+    draw it push their per-iteration cut above it."""
+    from el.linkdecide import LINK_THRESHOLD
+    from el.xval import find_link_threshold, labeled_link_examples
+
+    ex = labeled_link_examples(t1_fixture, answers=t1_answers)
+    assert len(ex) > 50 and 0 < ex["label"].sum() < len(ex)
+    th = find_link_threshold(ex)
+    assert len(th["thresholds"]) == 10
+    s = ex["score"].to_numpy()
+    agree = ((s > th["mean"]) == (s > LINK_THRESHOLD)).mean()
+    assert agree == 1.0, (th, float(agree))
