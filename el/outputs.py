@@ -26,6 +26,19 @@ def write_submission(answers_ds, out_dir: str, also_csv: bool = False):
     return out_dir
 
 
+def write_entity_strings(answers_ds, out_dir: str):
+    """EntityStringFinder analog (EntityStringFinder.scala:12-23: per
+    query, the doc, the raw name and the rule-identified best entity
+    string): per mention, the conversation, the raw surface and the
+    canonicalized alias — sorted, as a Parquet directory."""
+    from .shuffle import arrowize
+
+    sub = answers_ds.select_columns(
+        ["mention_id", "conv_id", "surface", "alias"])
+    arrowize(sub).sort("mention_id").write_parquet(out_dir)
+    return out_dir
+
+
 class _HumanReadable:
     def __init__(self, kb_ref):
         import ray

@@ -2274,6 +2274,10 @@ def main(argv=None):
     ap.add_argument("--from-scratch", action="store_true")
     ap.add_argument("--human-readable", action="store_true",
                     help="also write the answers x KB join next to --output")
+    ap.add_argument("--entity-strings", action="store_true",
+                    help="also write the per-mention canonicalization "
+                         "dump (surface -> best entity string; "
+                         "EntityStringFinder analog)")
     ap.add_argument("--no-sports-classify", action="store_true",
                     help="disable the sports-sense override (linkQuery "
                          "steps 1+8)")
@@ -2292,8 +2296,8 @@ def main(argv=None):
             sports_classify=not args.no_sports_classify,
             conv_partitioned=not args.conv_unordered,
         )
-        if args.human_readable:  # two consumers -> pin once
-            answers = answers.materialize()
+        if args.human_readable or args.entity_strings:
+            answers = answers.materialize()  # several consumers -> pin
         _fresh_output_dir(args.output)
         answers.write_parquet(args.output)
         if args.human_readable:
@@ -2304,6 +2308,12 @@ def main(argv=None):
             hr_out = args.output.rstrip("/") + "_human_readable"
             _fresh_output_dir(hr_out)
             human_readable(answers, kb_ref).write_parquet(hr_out)
+        if args.entity_strings:
+            from .outputs import write_entity_strings
+
+            es_out = args.output.rstrip("/") + "_entity_strings"
+            _fresh_output_dir(es_out)
+            write_entity_strings(answers, es_out)
     finally:
         ray.shutdown()
 

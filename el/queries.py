@@ -498,6 +498,74 @@ def q_el_cluster_links(sf_dir: str):
     return answers.map_batches(slim, batch_format="pyarrow")
 
 
+def q_el_pair_features(sf_dir: str):
+    """FULL feature-vector surface over the labeled gold pairs — the
+    LinkFeatureWriter analog (LinkFeatureWriter.scala:12-95: dump every
+    feature + score per judged pair for inspection): all 7 pair
+    features plus the logit score, computed by the production scorer
+    kernel (el/scorer.py score_pairs_batch). The oracle replays the
+    identical DuckDB feature SQL + the sigmoid with the module weight
+    constants embedded as literals."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from .scorer import compute_pair_features
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+
+    class Featurize:
+        def __init__(self):
+            self.surf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            m1 = t.column("m1_id").to_pylist()
+            m2 = t.column("m2_id").to_pylist()
+            batch = pa.table({
+                "alias1": pa.array([self.surf[a] for a in m1], pa.string()),
+                "alias2": pa.array([self.surf[b] for b in m2], pa.string()),
+                "surface1": pa.array([self.surf[a] for a in m1],
+                                     pa.string()),
+                "surface2": pa.array([self.surf[b] for b in m2],
+                                     pa.string()),
+            })
+            f = compute_pair_features(batch)
+            from .scorer import (BOOL_FLOOR, JW_PIVOT, W_COMMON, W_JW,
+                                 W_JWS, W_OVL)
+
+            jw = np.asarray(f["jw_alias"], dtype=np.float64)
+            jws = np.asarray(f["jw_surface"], dtype=np.float64)
+            ovl = np.asarray(f["tok_overlap"], dtype=np.float64)
+            floor = np.asarray(f["prefix2"]) | np.asarray(f["abbr"])
+            base = W_JW * (jw - JW_PIVOT)
+            base = np.where(floor, np.maximum(base, BOOL_FLOOR), base)
+            z = (base + W_JWS * (jws - jw) + W_OVL * (ovl - 0.5)
+                 - W_COMMON * np.asarray(f["common_surname"],
+                                         dtype=np.float64))
+            score = 1.0 / (1.0 + np.exp(-z))
+            out = {"m1_id": t.column("m1_id"), "m2_id": t.column("m2_id")}
+            for k in ("jw_alias", "jw_surface", "tok_overlap"):
+                out[k] = pa.array(_round_half_away(f[k], 5), pa.float64())
+            for k in ("prefix2", "contains", "abbr", "common_surname"):
+                out[k] = pa.array(np.asarray(f[k], dtype=bool))
+            out["score"] = pa.array(_round_half_away(score, 5),
+                                    pa.float64())
+            return pa.table(out)
+
+    return gp.map_batches(Featurize, batch_format="pyarrow",
+                          concurrency=2, num_cpus=0.5)
+
+
 def q_el_training_pairs(sf_dir: str):
     """Seeded 10:1 negative-downsampled pair training set
     (MentionPairTrainingData analog; seeded sampling — rows-only)."""
@@ -1716,6 +1784,82 @@ def _ivf_centroid_values(n_clusters: int = 16, seed: int = 5,
     )
 
 
+def _pair_features_sql() -> str:
+    """el_pair_features oracle: the scorer's own DuckDB feature SQL
+    (el/scorer.py _FEATURE_SQL — the ENGINE computes features with
+    these exact DuckDB expressions, so the oracle is the same kernel
+    run independently over the fixture tables) plus the logit/sigmoid
+    with the module weight constants embedded as literals, matching
+    the engine's numpy evaluation order term for term."""
+    from .scorer import (BOOL_FLOOR, COMMON_SURNAMES, JW_PIVOT, W_COMMON,
+                         W_JW, W_JWS, W_OVL)
+
+    norm = NORM_SQL.format(col="surface")
+    gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
+    gp = f"read_parquet('{FIXTURE_SQL_DIR}/gold_pairs.parquet')"
+    surnames = ", ".join(f"'{s}'" for s in sorted(COMMON_SURNAMES))
+    return f"""
+        WITH s AS (SELECT mention_id, {norm} AS nm FROM {gm}),
+        n AS (
+            SELECT p.m1_id, p.m2_id, s1.nm AS n1, s2.nm AS n2
+            FROM {gp} p
+            JOIN s s1 ON p.m1_id = s1.mention_id
+            JOIN s s2 ON p.m2_id = s2.mention_id
+        ),
+        t AS (SELECT *, string_split(n1, ' ') AS t1,
+                     string_split(n2, ' ') AS t2 FROM n),
+        f AS (
+            SELECT m1_id, m2_id,
+                jaro_winkler_similarity(n1, n2) AS jw_alias,
+                -- alias == surface in this surface, so the s1=n1
+                -- branch of the kernel's CASE always holds
+                jaro_winkler_similarity(n1, n2) AS jw_surface,
+                (n1 != n2 AND len(t1) >= 2 AND len(t2) >= 2
+                 AND (starts_with(n2, n1 || ' ')
+                      OR starts_with(n1, n2 || ' '))) AS prefix2,
+                (n1 != n2 AND
+                 (position(' ' || n1 || ' ' IN ' ' || n2 || ' ') > 0
+                  OR position(' ' || n2 || ' ' IN ' ' || n1 || ' ') > 0))
+                    AS contains,
+                ((len(t2) >= 2 AND replace(n1, ' ', '') =
+                    array_to_string(
+                        list_transform(t2, w -> substr(w, 1, 1)), ''))
+                 OR (len(t1) >= 2 AND replace(n2, ' ', '') =
+                    array_to_string(
+                        list_transform(t1, w -> substr(w, 1, 1)), '')))
+                    AS abbr,
+                CASE WHEN n1 = '' OR n2 = '' THEN 0.0
+                     ELSE len(list_intersect(list_distinct(t1),
+                                             list_distinct(t2)))
+                          / CAST(len(list_distinct(t1 || t2)) AS DOUBLE)
+                     END AS tok_overlap,
+                (t1[len(t1)] = t2[len(t2)]
+                 AND t1[len(t1)] IN ({surnames})) AS common_surname
+            FROM t
+        ),
+        z AS (
+            SELECT *,
+                CASE WHEN prefix2 OR abbr
+                     THEN greatest({W_JW!r} * (jw_alias - {JW_PIVOT!r}),
+                                   {BOOL_FLOOR!r})
+                     ELSE {W_JW!r} * (jw_alias - {JW_PIVOT!r}) END
+                + {W_JWS!r} * (jw_surface - jw_alias)
+                + {W_OVL!r} * (tok_overlap - 0.5)
+                - {W_COMMON!r} * (CASE WHEN common_surname
+                                       THEN 1.0 ELSE 0.0 END) AS zz
+            FROM f
+        )
+        SELECT m1_id, m2_id,
+               {_roundsql('jw_alias', 5)} AS jw_alias,
+               {_roundsql('jw_surface', 5)} AS jw_surface,
+               prefix2, contains, abbr,
+               {_roundsql('tok_overlap', 5)} AS tok_overlap,
+               common_surname,
+               {_roundsql('1.0 / (1.0 + exp(-zz))', 5)} AS score
+        FROM z
+    """
+
+
 def _minhash_perms_values() -> str:
     """The MinHasher's seeded universal-hash constants as SQL VALUES
     rows (p, a, b) — embedding them as literals lets DuckDB replay the
@@ -1817,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN s s1 ON p.m1_id = s1.mention_id
             JOIN s s2 ON p.m2_id = s2.mention_id
         """,
+        "el_pair_features": _pair_features_sql(),
         "el_jw_components": f"""
             WITH RECURSIVE s AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -2785,6 +2930,7 @@ def queries():
         "el_block_keys": q_el_block_keys,
         "el_block_keys_phonetic": q_el_block_keys_phonetic,
         "el_pair_jw": q_el_pair_jw,
+        "el_pair_features": q_el_pair_features,
         "el_jw_components": q_el_jw_components,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,

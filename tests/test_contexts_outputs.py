@@ -105,3 +105,22 @@ def test_human_readable_and_submission(ray_session, t1_fixture, tmp_path):
     sub = pq.read_table(out).to_pandas()
     assert list(sub.columns) == ["mention_id", "kb_link", "confidence"]
     assert sub.mention_id.is_monotonic_increasing
+
+
+def test_write_entity_strings(ray_session, t1_fixture, tmp_path):
+    """EntityStringFinder analog: per mention the raw surface and its
+    rule-identified best entity string (the canonicalized alias)."""
+    import pyarrow.parquet as pq
+
+    from el.outputs import write_entity_strings
+    from el.pipeline import run_linkage
+
+    answers = run_linkage(t1_fixture)
+    out = write_entity_strings(answers, str(tmp_path / "es"))
+    es = pq.read_table(out).to_pandas()
+    assert list(es.columns) == ["mention_id", "conv_id", "surface",
+                                "alias"]
+    assert es.mention_id.is_monotonic_increasing
+    assert (es.alias != "").all()
+    # canonicalization is doing work: some surfaces expand
+    assert (es.alias != es.surface).any()
