@@ -999,6 +999,29 @@ def q_ann_ivf(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+BM25_QUERIES = ["hash join merge table", "window sort order",
+                "batch row scan scan"]  # duplicate token: query-tf path
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 docs per literal query string — the lexical
+    retrieval companion to the ANN ops. Two streaming passes: a tiny
+    stats combiner (per-query-term df + corpus length; nothing
+    corpus-proportional leaves the workers) and a broadcast-idf scoring
+    pass with local top-k. Oracle replays tokenization, df/idf, the
+    Lucene BM25 form and ranking in DuckDB (same literal queries)."""
+    from .ops.search import bm25_topk
+
+    out = bm25_topk(_read(sf_dir, "documents"), BM25_QUERIES, k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = _round_half_away(df["score"], 5)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs over embeddings plus planted
     exact copies (vec_id + 1_000_000)."""
@@ -2773,6 +2796,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
             FROM r WHERE rank <= 10
         """,
+        "bm25_topk": f"""
+            WITH q(q_id, qtoks) AS (VALUES {", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(repr(t) for t in qs.lower().split()))
+                for i, qs in enumerate(BM25_QUERIES))}),
+            toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9]+')
+                                AS tk
+                     FROM documents),
+            stats AS (SELECT count(*) AS n,
+                             CAST(sum(len(tk)) AS DOUBLE) / count(*)
+                                 AS avgdl
+                      FROM toks),
+            terms AS (SELECT DISTINCT unnest(qtoks) AS term FROM q),
+            dfreq AS (
+                SELECT term, count(*) AS df
+                FROM terms, toks
+                WHERE len(list_filter(tk, x -> x = term)) > 0
+                GROUP BY term
+            ),
+            idf AS (
+                SELECT t.term,
+                       ln(1 + (s.n - coalesce(d.df, 0) + 0.5)
+                              / (coalesce(d.df, 0) + 0.5)) AS idf
+                FROM terms t LEFT JOIN dfreq d USING (term)
+                CROSS JOIN stats s
+            ),
+            qterm AS (SELECT q_id, unnest(qtoks) AS term FROM q),
+            -- one row per (query token occurrence, doc): duplicate
+            -- query tokens contribute once per occurrence (query tf)
+            contrib AS (
+                SELECT qt.q_id, t.doc_id,
+                       i.idf
+                       * (len(list_filter(t.tk, x -> x = qt.term))
+                          * (1.2 + 1.0))
+                       / (len(list_filter(t.tk, x -> x = qt.term))
+                          + 1.2 * (1.0 - 0.75
+                                   + 0.75 * (len(t.tk) / s.avgdl)))
+                           AS c
+                FROM qterm qt
+                JOIN idf i USING (term)
+                CROSS JOIN stats s
+                CROSS JOIN toks t
+            ),
+            sc AS (SELECT q_id, doc_id, sum(c) AS score
+                   FROM contrib GROUP BY 1, 2),
+            r AS (SELECT q_id, doc_id, score,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY score DESC, doc_id)
+                             AS rank
+                  FROM sc)
+            SELECT q_id, doc_id, {_roundsql('score', 5)} AS score, rank
+            FROM r WHERE rank <= 10
+        """,
         "embedding_dups": f"""
             WITH planes AS (SELECT * FROM
                             (VALUES {_lsh_planes_values(10, 64, 5)})
@@ -2974,6 +3051,7 @@ def queries():
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "bm25_topk": q_bm25_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,

@@ -261,6 +261,32 @@ def test_universal_hash_matches_hugeint_emulation():
     check()
 
 
+def test_bm25_topk_ranks_relevant_docs(ray_session):
+    """BM25 semantics: a doc saturated with the query terms outranks a
+    doc with one hit; shorter docs outrank longer ones at equal tf
+    (length normalization); irrelevant docs score 0 and rank last by
+    doc_id."""
+    import ray.data
+
+    from el.ops.search import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta alpha beta alpha",       # saturated, short
+            "alpha beta alpha beta alpha " + "filler " * 40,  # long
+            "alpha gamma delta epsilon zeta",    # one hit
+            "gamma delta epsilon zeta eta",      # no hits
+        ],
+    })
+    out = bm25_topk(ray.data.from_pandas(docs), ["alpha beta"],
+                    k=4).to_pandas().sort_values("rank")
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    assert out["score"].iloc[0] > out["score"].iloc[1] > \
+        out["score"].iloc[2] > 0.0
+    assert out["score"].iloc[3] == 0.0
+
+
 def test_band_buckets_equality_structure():
     """Bucket equality must COINCIDE with band-chunk equality — the
     contract that keeps the vectorized polynomial/splitmix64 keys
