@@ -225,6 +225,31 @@ class _IvfScorer:
         return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
 
 
+def fit_centroids_bounded(emb_ds, sample_n: int, n_clusters: int,
+                          seed: int) -> np.ndarray:
+    """Spherical-k-means centroids over a BOUNDED deterministic sample:
+    each block locally prunes to its ``sample_n`` lowest-md5(vec_id)
+    rows, a sort+limit picks the global lowest ``sample_n``, and
+    ``ivf_fit_sample`` (shared verbatim with the SQL-oracle builders)
+    fits on that frame — driver materialization is O(sample_n) at any
+    corpus size."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["vec_id", "embedding"]].copy()
+        out["smp_key"] = _md5_hex(out["vec_id"])
+        return out.sort_values("smp_key").head(sample_n)
+
+    sample_rows = (emb_ds.map_batches(prune, batch_format="pandas")
+                   .sort("smp_key").limit(sample_n).take_all())
+    if not sample_rows:
+        raise ValueError("fit_centroids_bounded: embedding dataset is empty")
+    sdf = pd.DataFrame({
+        "vec_id": [r["vec_id"] for r in sample_rows],
+        "embedding": [r["embedding"] for r in sample_rows],
+    })
+    return ivf_fit_sample(sdf, sample_n, n_clusters, seed)
+
+
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              n_probe: int = 4, seed: int = 5, sample_n: int = 256,
              concurrency: int = 2):
@@ -246,21 +271,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     import ray
 
     Q = np.asarray(queries, dtype=np.float64)
-
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["vec_id", "embedding"]].copy()
-        out["smp_key"] = _md5_hex(out["vec_id"])
-        return out.sort_values("smp_key").head(sample_n)
-
-    sample_rows = (emb_ds.map_batches(prune, batch_format="pandas")
-                   .sort("smp_key").limit(sample_n).take_all())
-    if not sample_rows:
-        raise ValueError("ivf_topk: embedding dataset is empty")
-    sdf = pd.DataFrame({
-        "vec_id": [r["vec_id"] for r in sample_rows],
-        "embedding": [r["embedding"] for r in sample_rows],
-    })
-    C = ivf_fit_sample(sdf, sample_n, n_clusters, seed)
+    C = fit_centroids_bounded(emb_ds, sample_n, n_clusters, seed)
     q_ref, c_ref = ray.put(Q), ray.put(C)
     local = emb_ds.map_batches(
         _IvfScorer,
@@ -273,6 +284,88 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     from ..shuffle import group_map_pandas
 
     return group_map_pandas(local, "q_id", functools.partial(_merge_topk, k=k))
+
+
+class _ClusterAssigner:
+    """Broadcast-centroid assignment stage: one float64 matmul per
+    batch; ties (exact float equality) break to the lowest cluster id
+    (numpy argmax = first index), matching the SQL oracle's
+    ``ORDER BY d DESC, c_id`` tiebreak."""
+
+    def __init__(self, c_ref):
+        import ray
+
+        self.C = ray.get(c_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = _to_matrix(df["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                         1e-30, None)
+        out = df[["vec_id", "embedding"]].copy()
+        out["cluster"] = np.argmax(Xn @ self.C.T, axis=1).astype(np.int64)
+        return out
+
+
+def semantic_dedup(emb_ds, threshold: float = 0.9, n_clusters: int = 16,
+                   seed: int = 5, sample_n: int = 256,
+                   chunk: int = 1024, concurrency: int = 4,
+                   centroids: np.ndarray | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark a
+    vector as a duplicate iff SOME LOWER-ID vector in the SAME cluster
+    has cosine >= ``threshold`` — the deterministic keep-lowest-id
+    greedy, independent of scan order, so the result is
+    SQL-replayable. Returns (vec_id, cluster, keep).
+
+    Scale shape: the centroid fit is a bounded O(sample_n) driver pass
+    (``fit_centroids_bounded``); assignment is one broadcast matmul per
+    batch; the within-cluster pass is a single hash exchange on
+    ``cluster`` with a CHUNKED pairwise matmul (memory O(chunk ·
+    cluster), compute the intrinsic O(cluster²) of SemDeDup — at 100 TB
+    you raise ``n_clusters`` ~ sqrt(N) so clusters stay small, you do
+    not cap results)."""
+    import ray
+
+    C = (centroids if centroids is not None
+         else fit_centroids_bounded(emb_ds, sample_n, n_clusters, seed))
+    c_ref = ray.put(C)
+    assigned = emb_ds.map_batches(
+        _ClusterAssigner,
+        fn_constructor_args=(c_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "keep": pd.Series([], dtype="bool")})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        X = _to_matrix(g["embedding"])
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                         1e-30, None)
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            S = Xn[s:e] @ Xn[:e].T  # rows s..e vs all cols <= e
+            hit = S >= threshold
+            # only strictly-earlier (lower vec_id) columns count
+            col = np.arange(e)
+            row = np.arange(s, e)
+            hit &= col[None, :] < row[:, None]
+            keep[s:e] = ~hit.any(axis=1)
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster": g["cluster"].to_numpy(),
+                             "keep": keep})
+
+    from ..shuffle import group_map_pandas
+
+    return group_map_pandas(assigned, "cluster", dedup_cluster)
 
 
 def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,

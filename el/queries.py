@@ -1043,6 +1043,38 @@ def q_embedding_dups(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over embeddings plus planted
+    PERTURBED clones (vec_id % 5 == 0 -> +1_000_000, every coordinate
+    +0.03 in float64 — cosine ~0.97 to the original, i.e. a semantic
+    near-dup that no exact/LSH-on-sign pass at tight thresholds would
+    catch). Keep-lowest-id within k-means cluster at cosine >= 0.9;
+    the fixture's natural within-cluster sims top out at ~0.51, so the
+    threshold sits in a ~[0.51, 0.97] gap on both float paths.
+    Centroids are fitted on the BASE table (pre-clone) so the oracle
+    reuses the ann_ivf literals builder verbatim."""
+    import numpy as np
+
+    from .ops.ann import fit_centroids_bounded, semantic_dedup
+
+    base = _read(sf_dir, "embeddings")
+    C = fit_centroids_bounded(base, 256, 16, 5)
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # float32 -> float64 is exact, matching the oracle's
+        # CAST(embedding AS DOUBLE[]) before the +0.03 perturbation
+        df["embedding"] = df["embedding"].map(
+            lambda e: np.asarray(e, dtype=np.float64))
+        c = df[df["vec_id"] % 5 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        c["embedding"] = c["embedding"].map(lambda e: e + 0.03)
+        return pd.concat([df, c], ignore_index=True)
+
+    emb = base.map_batches(clones, batch_format="pandas")
+    return semantic_dedup(emb, threshold=0.9, centroids=C)
+
+
 def q_embedding_dups_exact(sf_dir: str):
     """Exact (brute-force) embedding-cosine near-duplicate pairs over the
     same planted-clone input as ``embedding_dups`` — the oracle-checkable
@@ -2880,6 +2912,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN emb eb ON eb.vec_id = b.vec_id
             WHERE list_cosine_similarity(ea.e, eb.e) >= 0.9999
         """,
+        "semantic_dedup": f"""
+            WITH cent AS (SELECT * FROM (VALUES {ivf_cent})
+                          AS t(c_id, c)),
+            emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x + 0.03) AS e
+                FROM embeddings WHERE vec_id % 5 = 0
+            ),
+            -- argmax assignment is scale-invariant in e, ties to the
+            -- lowest c_id on both sides (numpy argmax = first index)
+            scored AS (SELECT vec_id, c_id, list_dot_product(e, c) AS d
+                       FROM emb CROSS JOIN cent),
+            assign AS (
+                SELECT vec_id, c_id FROM (
+                    SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d DESC, c_id) AS rn
+                    FROM scored) WHERE rn = 1
+            ),
+            -- keep-lowest-id greedy: dropped iff SOME lower-id row of
+            -- the same cluster is cosine >= 0.9 (independent of that
+            -- row's own keep status)
+            dup AS (
+                SELECT DISTINCT a2.vec_id
+                FROM assign a1
+                JOIN assign a2 ON a1.c_id = a2.c_id
+                              AND a1.vec_id < a2.vec_id
+                JOIN emb e1 ON e1.vec_id = a1.vec_id
+                JOIN emb e2 ON e2.vec_id = a2.vec_id
+                WHERE list_cosine_similarity(e1.e, e2.e) >= 0.9
+            )
+            SELECT a.vec_id, CAST(a.c_id AS BIGINT) AS cluster,
+                   (a.vec_id NOT IN (SELECT vec_id FROM dup)) AS keep
+            FROM assign a
+        """,
         "embedding_dups_exact": f"""
             WITH emb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -2996,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
     }
     if ivf_cent is None:
         sqls.pop("ann_ivf")
+        sqls.pop("semantic_dedup")
     return sqls
 
 
@@ -3053,6 +3125,7 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "bm25_topk": q_bm25_topk,
         "embedding_dups": q_embedding_dups,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_dups_exact": q_embedding_dups_exact,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,

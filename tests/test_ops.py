@@ -169,6 +169,42 @@ def test_ivf_topk_recall(ray_session, emb_ds):
     assert a1.equals(a2)
 
 
+def test_semantic_dedup(ray_session, emb_ds):
+    from el.ops.ann import semantic_dedup
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["embedding"] = df["embedding"].map(
+            lambda e: np.asarray(e, dtype=np.float64))
+        c = df[df["vec_id"] % 5 == 0].copy()
+        c["vec_id"] = c["vec_id"] + 1_000_000
+        c["embedding"] = c["embedding"].map(lambda e: e + 0.03)
+        return pd.concat([df, c], ignore_index=True)
+
+    planted = emb_ds.map_batches(clones, batch_format="pandas")
+    out = semantic_dedup(planted, threshold=0.9).to_pandas()
+    n_base = emb_ds.count()
+    n_clones = out.vec_id.ge(1_000_000).sum()
+    assert len(out) == n_base + n_clones
+    # every base row survives; dropped rows are exactly the clones
+    # whose original landed in the same k-means cluster
+    assert out[out.vec_id < 1_000_000].keep.all()
+    dropped = out[~out.keep]
+    assert (dropped.vec_id >= 1_000_000).all()
+    cl = dict(zip(out.vec_id, out.cluster))
+    for v in dropped.vec_id:
+        assert cl[v] == cl[v - 1_000_000]
+    same_cluster = sum(
+        1 for v in out.vec_id[out.vec_id >= 1_000_000]
+        if cl[v] == cl[v - 1_000_000])
+    assert len(dropped) == same_cluster > 0
+    # chunked pairwise pass is chunk-size invariant
+    tiny = semantic_dedup(planted, threshold=0.9, chunk=7).to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = tiny.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_embedding_dup_pairs(ray_session, emb_ds):
     from el.ops.ann import cosine_dup_pairs
 
