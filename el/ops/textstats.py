@@ -123,3 +123,95 @@ def bpe_token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
 def bpe_token_count(docs_ds):
     return docs_ds.map_batches(bpe_token_count_batch,
                                batch_format="pandas")
+
+
+# ------------------------------------------------- unigram LM quality
+class _UnigramScorer:
+    """Broadcast-model scoring stage: the (vocab-capped) unigram
+    log-prob table ships once per actor via ``ray.put``; each batch is
+    one findall + C-speed dict map + ``np.add.reduceat`` segment mean
+    — no per-token Python."""
+
+    def __init__(self, lp_ref, oov_lp: float):
+        import ray
+
+        self.lp = ray.get(lp_ref)  # dict token -> ln(cnt / T)
+        self.oov = oov_lp
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        out = df[["doc_id"]].copy()
+        out["n_tokens"] = lens
+        score = np.full(len(df), np.nan)
+        if lens.sum():
+            flat = pd.Series(np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]))
+            vals = flat.map(self.lp).fillna(self.oov).to_numpy(np.float64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nz = lens > 0
+            # reduceat over nonzero-doc starts: zero-length docs sit
+            # between identical offsets and contribute no segment
+            sums = np.add.reduceat(vals, starts[nz])
+            score[nz] = sums / lens[nz]
+        out["logprob_per_token"] = round_half_away(score, 5)
+        return out
+
+
+def unigram_logprob(docs_ds, vocab_cap: int = 65536, oov_count: float = 0.5,
+                    concurrency: int = 4):
+    """Unigram LM quality score (the CCNet/KenLM-style perplexity-proxy
+    filter signal): fit a corpus unigram model — per-batch token-count
+    combiner, ONE token-hash exchange, vocabulary capped at the top
+    ``vocab_cap`` tokens by (count desc, token asc) with out-of-vocab
+    tokens backing off to ``oov_count`` pseudo-counts — broadcast the
+    log-prob table once, then score every document with its mean token
+    log-prob in a second vectorized pass.
+
+    Scale shape: the merged count table is VOCAB-bounded, not
+    corpus-bounded; it is materialized once and consumed twice (total
+    mass via a streaming sum, top-V via per-partition heads -> tiny
+    merge — each token lives wholly in one partition, so the global
+    top-V is a subset of the partition top-Vs). Driver materialization
+    is O(vocab_cap). Returns (doc_id, n_tokens, logprob_per_token)."""
+    import math
+
+    import ray
+
+    from ..shuffle import group_blocks
+    from .prep import _token_counts_partial
+
+    partials = docs_ds.map_batches(_token_counts_partial,
+                                   batch_format="pandas")
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    merged = group_blocks(partials, ["token"], merge_counts,
+                          batch_format="pandas").materialize()
+    total = float(merged.sum("cnt"))
+
+    def top_v(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(vocab_cap)
+
+    vocab_rows = (merged.map_batches(top_v, batch_format="pandas")
+                  .repartition(1)
+                  .map_batches(top_v, batch_format="pandas",
+                               batch_size=None)
+                  .take_all())
+    lp = {r["token"]: math.log(r["cnt"] / total) for r in vocab_rows}
+    oov_lp = math.log(oov_count / total)
+    return docs_ds.map_batches(
+        _UnigramScorer,
+        fn_constructor_args=(ray.put(lp), oov_lp),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

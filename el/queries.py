@@ -672,6 +672,17 @@ def q_vocab_topk(sf_dir: str):
     return vocab_topk(_read(sf_dir, "documents"), k=100)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram LM quality score (perplexity proxy): corpus unigram model
+    fitted in one combiner + token exchange (vocab-capped, OOV backoff),
+    broadcast once, mean token log-prob per document in a second
+    vectorized pass. The 65536 cap never trips at fixture vocab size,
+    but the oracle replays it anyway (QUALIFY top-V)."""
+    from .ops.textstats import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents"))
+
+
 def _decon_corpus(sf_dir: str):
     """documents with a 10-token sentinel appended to benchmark docs
     (doc_id % 97 == 0) and to every 13th doc — guarantees known
@@ -2466,6 +2477,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, cnt FROM c
             QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100
         """,
+        "unigram_logprob": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({toks}) AS token FROM documents
+            ),
+            c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM c),
+            vocab AS (
+                SELECT token, cnt FROM c
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, token)
+                    <= 65536
+            ),
+            lp AS (
+                SELECT tok.doc_id,
+                       CASE WHEN v.cnt IS NULL
+                            THEN ln(0.5 / tot.t)
+                            ELSE ln(CAST(v.cnt AS DOUBLE) / tot.t)
+                       END AS l
+                FROM tok LEFT JOIN vocab v USING (token)
+                CROSS JOIN tot
+            ),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, avg(l) AS s
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   {_roundsql('a.s', 5)} AS logprob_per_token
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "decontaminate": f"""
             WITH p AS (
                 SELECT doc_id,
@@ -3106,6 +3144,7 @@ def queries():
         "pii_redact": q_pii_redact,
         "strip_markup": q_strip_markup,
         "vocab_topk": q_vocab_topk,
+        "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,

@@ -420,3 +420,32 @@ def test_source_mix_rates(ray_session):
     # threshold formatting is fixed-width lowercase hex
     assert _hex8_threshold(0.5) == "80000000"
     assert _hex8_threshold(1.0) == "ffffffff"
+
+
+def test_unigram_logprob_cap_and_oov(ray_session):
+    import math
+
+    import ray
+
+    from el.ops.textstats import unigram_logprob
+
+    # corpus: "a" x6, "b" x3, "c" x1 -> with vocab_cap=2 only a/b are
+    # in-vocab; "c" backs off to the 0.5 pseudo-count
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a b", "a a a b b", "c"],
+    })
+    out = (unigram_logprob(ray.data.from_pandas(df), vocab_cap=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    T = 10.0
+    la, lb, lc = math.log(6 / T), math.log(3 / T), math.log(0.5 / T)
+    want = [(3 * la + lb) / 4, (3 * la + 2 * lb) / 5, lc]
+    assert out.n_tokens.tolist() == [4, 5, 1]
+    for got, exp in zip(out.logprob_per_token, want):
+        assert got == pytest.approx(exp, abs=1e-5)
+    # empty doc -> NULL score, zero tokens
+    df2 = pd.DataFrame({"doc_id": [1, 2], "text": ["x y", "!!"]})
+    out2 = (unigram_logprob(ray.data.from_pandas(df2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2.n_tokens.tolist() == [2, 0]
+    assert pd.isna(out2.logprob_per_token.iloc[1])
