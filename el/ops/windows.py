@@ -327,3 +327,57 @@ def hopping_window_agg(events_ds):
 
     return group_blocks(partials, ["event_type", "window_start_us"],
                         merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------- funnel
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS, *,
+           num_partitions: int | None = None):
+    """Ordered funnel conversion per user: a user completes step k iff
+    events of types ``steps[0..k]`` occur at strictly increasing
+    (ts, event_id) positions in their timeline (same-tuple ties never
+    advance the funnel). One hash exchange on ``user_id``, then a
+    block-local VECTORIZED scan: one first-reach pass per funnel step
+    over the sorted partition (no per-user Python loop).
+
+    Same partitioning assumption as ``sessionize`` (a user's timeline
+    co-resides after the exchange; skew bounded by one user's
+    history). Out: one row per user —
+    (user_id, steps_completed, converted)."""
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "steps_completed": pd.Series(dtype="int64"),
+                "converted": pd.Series(dtype="bool")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid_codes, users = pd.factorize(df["user_id"], sort=True)
+        etype = df["event_type"].to_numpy()
+        n, n_users = len(df), len(users)
+        pos = np.arange(n)
+        big = n  # sentinel: step not reached
+        # start "before any event" (candidates are already user-matched)
+        reach = np.full(n_users, -1)
+        completed = np.zeros(n_users, dtype=np.int64)
+        for k, st in enumerate(steps):
+            cand_mask = (etype == st) & (pos > reach[uid_codes])
+            cand = pos[cand_mask]
+            uids_c = uid_codes[cand_mask]
+            uniq, first_idx = np.unique(uids_c, return_index=True)
+            new_reach = np.full(n_users, big)
+            new_reach[uniq] = cand[first_idx]
+            completed[uniq] = k + 1
+            reach = new_reach
+        return pd.DataFrame({
+            "user_id": np.asarray(users, dtype=np.int64),
+            "steps_completed": completed,
+            "converted": completed == len(steps)})
+
+    return group_blocks(
+        events_ds.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"]),
+        ["user_id"], block, batch_format="pandas",
+        num_partitions=num_partitions)

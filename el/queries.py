@@ -1257,6 +1257,22 @@ def q_hopping_window(sf_dir: str):
     return hopping_window_agg(_read(sf_dir, "events"))
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel conversion per user (view -> click -> purchase):
+    one hash exchange on user_id, vectorized first-reach scan per
+    funnel step. The oracle replays the strict (ts, event_id) tuple
+    ordering with per-step row_number windows + row-value
+    comparisons."""
+    import ray.data
+
+    from .ops.windows import funnel
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return funnel(ev)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows (streaming windowed-aggregate analog):
     30-minute inactivity gap per user; SQL oracle replays it with the
@@ -1474,6 +1490,151 @@ def q_orders_topk_revenue(sf_dir: str):
     cat = _pa.concat_tables([p.select(parts[0].column_names)
                              for p in parts])
     return ray.data.from_arrow(final_topk(cat))
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-flavored 6-table join: revenue per nation for ASIA
+    customers' 1996 orders whose lineitems were also supplied from the
+    customer's own nation.
+
+    Scale shape: region/nation/supplier are the genuinely small dims
+    (broadcast dicts); customer and orders are both corpus-scale at
+    TPC-H proportions, so they meet in tagged-union hash exchange #1
+    on custkey -> (orderkey, cust nation); lineitem joins supplier by
+    broadcast, pre-aggregates per (orderkey, supp nation) per batch,
+    and meets the order side in tagged-union hash exchange #2 on
+    orderkey, where cust_nation == supp_nation is a merge key. Revenue
+    is summed as EXACT integer (cents x discount units): no
+    float-order sensitivity between engine and oracle (int64 is ample
+    here; a 100-TB run would widen the accumulator to int128/decimal).
+    Output: (n_name, revenue) — 5 rows."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rkey = {k for k, n in zip(region.column("r_regionkey").to_pylist(),
+                              region.column("r_name").to_pylist())
+            if n == "ASIA"}
+    nat_name = {}
+    asia_nations = set()
+    for nk, nn, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_name").to_pylist(),
+                          nation.column("n_regionkey").to_pylist()):
+        nat_name[nk] = nn
+        if rk in rkey:
+            asia_nations.add(nk)
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nat = {k: n for k, n in
+                zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist())
+                if n in asia_nations}
+    asia_ref, supp_ref = ray.put(asia_nations), ray.put(supp_nat)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        asia = ray.get(asia_ref)
+        df = df[df["c_nationkey"].isin(asia)]
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "nat": pa.array(df["c_nationkey"].astype("int64")),
+            "is_cust": pa.array([1] * n, pa.int64()),
+        })
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "nat": pa.nulls(n, pa.int64()),
+            "is_cust": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged1 = cust.map_batches(cust_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        c = df[df["is_cust"] == 1]
+        o = df[df["is_cust"] == 0]
+        j = o[["ckey", "okey"]].merge(c[["ckey", "nat"]], on="ckey")
+        return pa.table({
+            "okey": pa.array(j["okey"].astype("int64")),
+            "nat": pa.array(j["nat"].astype("int64")),
+            "rev": pa.array([0] * len(j), pa.int64()),
+            "is_order": pa.array([1] * len(j), pa.int64()),
+        })
+
+    order_nat = group_blocks(tagged1, ["ckey"], join1,
+                             batch_format="pandas")
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        sn = ray.get(supp_ref)
+        nat = df["l_suppkey"].map(sn)
+        df = df.assign(nat=nat)[nat.notna()]
+        # exact integer revenue: cents x (100 - discount units); both
+        # factors are half-away roundings of 2dp-exact doubles, so the
+        # product and its sums carry no float-order sensitivity
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = (cents * (100 - disc)).astype("int64")
+        part = (df.assign(rev=rev)
+                .groupby(["l_orderkey", "nat"], as_index=False)["rev"]
+                .sum())
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "nat": pa.array(part["nat"].astype("int64")),
+            "rev": pa.array(part["rev"].astype("int64")),
+            "is_order": pa.array([0] * len(part), pa.int64()),
+        })
+
+    tagged2 = order_nat.union(li.map_batches(li_side,
+                                             batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        # cust_nation == supp_nation is part of the merge key
+        j = o[["okey", "nat"]].merge(l[["okey", "nat", "rev"]],
+                                     on=["okey", "nat"])
+        part = j.groupby("nat", as_index=False)["rev"].sum()
+        return pd.DataFrame({"nat": part["nat"].astype("int64"),
+                             "rev": part["rev"].astype("int64")})
+
+    heads = group_blocks(tagged2, ["okey"], join2, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_name": pd.Series(dtype=str),
+                                 "revenue": pd.Series(dtype="float64")})
+        agg = df.groupby("nat", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "n_name": agg["nat"].map(nat_name),
+            "revenue": _round_half_away(
+                agg["rev"].to_numpy() / 10000.0, 2),
+        })
+
+    # per-partition heads are <= 25 rows each: one tiny final merge
+    return heads.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
 
 
 def q_lineitem_pricing(sf_dir: str):
@@ -3023,6 +3184,50 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 4)} AS sum_value
             FROM w GROUP BY event_type, window_start_us
         """,
+        "event_funnel": f"""
+            WITH e AS (SELECT user_id, ts, event_id, event_type
+                       FROM events),
+            s1 AS (
+                SELECT user_id, ts, event_id FROM (
+                    SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM e WHERE event_type = 'view') WHERE rn = 1
+            ),
+            s2 AS (
+                SELECT user_id, ts, event_id FROM (
+                    SELECT e.user_id, e.ts, e.event_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                                              ORDER BY e.ts, e.event_id)
+                               AS rn
+                    FROM e JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'click'
+                      AND (e.ts, e.event_id) > (s1.ts, s1.event_id))
+                WHERE rn = 1
+            ),
+            s3 AS (
+                SELECT user_id, ts, event_id FROM (
+                    SELECT e.user_id, e.ts, e.event_id,
+                           row_number() OVER (PARTITION BY e.user_id
+                                              ORDER BY e.ts, e.event_id)
+                               AS rn
+                    FROM e JOIN s2 USING (user_id)
+                    WHERE e.event_type = 'purchase'
+                      AND (e.ts, e.event_id) > (s2.ts, s2.event_id))
+                WHERE rn = 1
+            ),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_completed,
+                   (s3.user_id IS NOT NULL) AS converted
+            FROM u
+            LEFT JOIN s1 ON s1.user_id = u.user_id
+            LEFT JOIN s2 ON s2.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
+        """,
         "sessionize": f"""
             WITH e AS (
                 SELECT user_id, ts, event_id, value,
@@ -3093,6 +3298,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
             LIMIT 10
+        """,
+        "tpch_q5": f"""
+            SELECT n.n_name,
+                   {_roundsql(
+                       "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) "
+                       "AS BIGINT) * (100 - CAST(floor(l.l_discount "
+                       "* 100 + 0.5) AS BIGINT))) / 10000.0", 2)}
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+                         AND s.s_nationkey = n.n_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "lineitem_pricing": f"""
             SELECT l_returnflag,
@@ -3172,9 +3396,11 @@ def queries():
         "events_hourly": q_events_hourly,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
+        "event_funnel": q_event_funnel,
         "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,
+        "tpch_q5": q_tpch_q5,
         "orders_topk_revenue": q_orders_topk_revenue,
     }

@@ -449,3 +449,37 @@ def test_unigram_logprob_cap_and_oov(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out2.n_tokens.tolist() == [2, 0]
     assert pd.isna(out2.logprob_per_token.iloc[1])
+
+
+def test_event_funnel_ordering_rules(ray_session):
+    import ray
+
+    from el.ops.windows import funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame([
+        # u1: full ordered funnel
+        (1, t0, 10, "view"), (1, t0 + s, 11, "click"),
+        (1, t0 + 2 * s, 12, "purchase"),
+        # u2: purchase BEFORE click -> stops at view+click? no:
+        # view(t0), purchase(t0+1), click(t0+2) -> no purchase after
+        # click -> 2 steps
+        (2, t0, 20, "view"), (2, t0 + s, 21, "purchase"),
+        (2, t0 + 2 * s, 22, "click"),
+        # u3: click only, never viewed -> 0 steps
+        (3, t0, 30, "click"), (3, t0 + s, 31, "purchase"),
+        # u4: same-ts tie — click shares ts with view but has a HIGHER
+        # event_id, so the tuple order admits it; purchase shares the
+        # click's ts with a LOWER id -> rejected
+        (4, t0, 40, "view"), (4, t0, 41, "click"),
+        (4, t0, 39, "purchase"),
+        # u5: repeat funnel entries — first reach counts
+        (5, t0, 50, "view"), (5, t0 + s, 51, "view"),
+        (5, t0 + 2 * s, 52, "click"), (5, t0 + 3 * s, 53, "purchase"),
+    ], columns=["user_id", "ts", "event_id", "event_type"])
+    out = (funnel(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out.user_id.tolist() == [1, 2, 3, 4, 5]
+    assert out.steps_completed.tolist() == [3, 2, 0, 2, 3]
+    assert out.converted.tolist() == [True, False, False, False, True]
