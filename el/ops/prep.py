@@ -572,3 +572,51 @@ def source_mix(docs_ds, rates: dict[str, float], *,
         return out.reset_index(drop=True)
 
     return docs_ds.map_batches(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------- RAG chunking
+def doc_chunk(docs_ds, size: int = 64, stride: int = 48):
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window prep stage): windows of ``size`` tokens every
+    ``stride`` tokens; a tail window is emitted only if it contributes
+    at least one token beyond the previous window (start == 0 or
+    start + size - stride < n). Stateless vectorized map_batches —
+    chunk starts are computed with repeat/arange arithmetic, only the
+    final string join is per-chunk. Out: (doc_id, chunk_idx, n_tokens,
+    chunk_text); token rule is the module-standard lowercased
+    ``TOKEN_RE``, so the DuckDB oracle replays chunking with
+    generate_series + list_slice."""
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+    overlap = size - stride
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "chunk_idx": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "chunk_text": pd.Series(dtype=str)})
+        if len(df) == 0:
+            return empty
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        # chunks per doc: start 0 (if n>0) + every k>=1 with
+        # k*stride + overlap < n
+        extra = np.ceil(np.maximum(n - overlap, 0) / stride).astype(
+            np.int64)
+        c = np.where(n > 0, np.maximum(extra, 1), 0)
+        if c.sum() == 0:
+            return empty
+        doc_pos = np.repeat(np.arange(len(df)), c)
+        k = np.arange(c.sum()) - np.repeat(np.cumsum(c) - c, c)
+        starts = k * stride
+        tok_lists = toks.to_numpy()
+        ids = df["doc_id"].to_numpy()
+        texts = [" ".join(tok_lists[d][s:s + size])
+                 for d, s in zip(doc_pos, starts)]
+        n_tok = np.minimum(starts + size, n[doc_pos]) - starts
+        return pd.DataFrame({"doc_id": ids[doc_pos].astype("int64"),
+                             "chunk_idx": k,
+                             "n_tokens": n_tok,
+                             "chunk_text": texts})
+
+    return docs_ds.map_batches(block, batch_format="pandas")

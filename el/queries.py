@@ -672,6 +672,15 @@ def q_vocab_topk(sf_dir: str):
     return vocab_topk(_read(sf_dir, "documents"), k=100)
 
 
+def q_doc_chunk(sf_dir: str):
+    """Overlapping token-window chunking (RAG / context-window prep):
+    64-token windows every 48 tokens, tail windows only when they add
+    tokens. Oracle replays with generate_series + list_slice."""
+    from .ops.prep import doc_chunk
+
+    return doc_chunk(_read(sf_dir, "documents"), size=64, stride=48)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram LM quality score (perplexity proxy): corpus unigram model
     fitted in one combiner + token exchange (vocab-capped, OOV backoff),
@@ -1255,6 +1264,22 @@ def q_hopping_window(sf_dir: str):
     from .ops.windows import hopping_window_agg
 
     return hopping_window_agg(_read(sf_dir, "events"))
+
+
+def q_kmv_distinct(sf_dir: str):
+    """Approximate distinct users per event_type via a KMV
+    (k-minimum-values) sketch, k=64: partials ship only each group's k
+    smallest md5 value-hashes, so the exchange is O(groups x k) at any
+    corpus size. The oracle replays the sketch EXACTLY (DuckDB's
+    md5_number_lower is the engine's hash), not just its expectation."""
+    import ray.data
+
+    from .ops.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
 def q_event_funnel(sf_dir: str):
@@ -2638,6 +2663,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, cnt FROM c
             QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 100
         """,
+        "doc_chunk": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            s AS (SELECT doc_id, tk, len(tk) AS n,
+                         unnest(generate_series(0, len(tk) - 1, 48))
+                             AS st
+                  FROM t WHERE len(tk) > 0),
+            c AS (SELECT doc_id, st, n,
+                         list_slice(tk, st + 1, least(st + 64, n)) AS ch
+                  FROM s WHERE st = 0 OR st + 16 < n)
+            SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+                   CAST(len(ch) AS BIGINT) AS n_tokens,
+                   array_to_string(ch, ' ') AS chunk_text
+            FROM c
+        """,
         "unigram_logprob": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({toks}) AS token FROM documents
@@ -3184,6 +3223,28 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 4)} AS sum_value
             FROM w GROUP BY event_type, window_start_us
         """,
+        "kmv_distinct": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT
+                           AS h
+                FROM events
+            ),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM h),
+            agg AS (SELECT event_type, count(*) AS m,
+                           min(CASE WHEN rn = 64 THEN h END) AS hk
+                    FROM r GROUP BY event_type)
+            SELECT event_type, CAST(64 AS BIGINT) AS k_used,
+                   {_roundsql(
+                       "CASE WHEN m < 64 THEN CAST(m AS DOUBLE) "
+                       "ELSE 63.0 / (CAST(hk AS DOUBLE) "
+                       "/ 18446744073709551616.0) END", 4)}
+                       AS est_distinct
+            FROM agg
+        """,
         "event_funnel": f"""
             WITH e AS (SELECT user_id, ts, event_id, event_type
                        FROM events),
@@ -3369,6 +3430,7 @@ def queries():
         "strip_markup": q_strip_markup,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
+        "doc_chunk": q_doc_chunk,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
@@ -3397,6 +3459,7 @@ def queries():
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "event_funnel": q_event_funnel,
+        "kmv_distinct": q_kmv_distinct,
         "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,

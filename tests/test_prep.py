@@ -483,3 +483,51 @@ def test_event_funnel_ordering_rules(ray_session):
     assert out.user_id.tolist() == [1, 2, 3, 4, 5]
     assert out.steps_completed.tolist() == [3, 2, 0, 2, 3]
     assert out.converted.tolist() == [True, False, False, False, True]
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(ray_session):
+    import ray
+
+    from el.ops.sketch import kmv_distinct
+
+    # big group: 5000 distinct values, k=64 -> KMV stderr ~ 1/sqrt(62)
+    # ~ 13%; assert within 4 sigma. small group: 10 < k -> exact.
+    df = pd.DataFrame({
+        "g": ["big"] * 8000 + ["small"] * 20,
+        "v": list(range(5000)) + list(range(3000))  # big: dup values too
+             + [f"s{i % 10}" for i in range(20)],
+    })
+    out = (kmv_distinct(ray.data.from_pandas(df), "g", "v", k=64)
+           .to_pandas().set_index("g"))
+    assert out.loc["small", "est_distinct"] == 10.0
+    est = out.loc["big", "est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.52  # 4 sigma at k=64
+    # block-structure invariance: same result from many small blocks
+    out2 = (kmv_distinct(ray.data.from_pandas(df).repartition(13),
+                         "g", "v", k=64).to_pandas().set_index("g"))
+    assert out2.loc["big", "est_distinct"] == est
+
+
+def test_doc_chunk_windows(ray_session):
+    import ray
+
+    from el.ops.prep import doc_chunk
+
+    words = " ".join(f"w{i}" for i in range(113))  # 113 tokens
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [words, "only three tokens", "!!!"],  # 3 toks, 0 toks
+    })
+    out = (doc_chunk(ray.data.from_pandas(df), size=64, stride=48)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk_idx.tolist() == [0, 1, 2]
+    assert d1.n_tokens.tolist() == [64, 64, 17]  # 96..112 inclusive
+    assert d1.chunk_text.iloc[1].split()[0] == "w48"
+    assert d1.chunk_text.iloc[2].split() == [f"w{i}" for i in
+                                             range(96, 113)]
+    # overlap: chunk 0 ends at w63, chunk 1 starts at w48
+    assert d1.chunk_text.iloc[0].split()[-1] == "w63"
+    assert out[out.doc_id == 2].n_tokens.tolist() == [3]
+    assert (out.doc_id != 3).all()  # token-less doc emits nothing
