@@ -303,6 +303,32 @@ def q_comention_counts(sf_dir: str):
     return comention_counts(gm)
 
 
+def q_comention_pagerank(sf_dir: str):
+    """Integer PageRank over the undirected co-mention graph (5
+    iterations, damping 85/100, ranks in 1e-12 units). Pregel-shaped:
+    adjacency exchanged once and reused, two plain-task exchanges per
+    iteration, node-scale rank table materialized between. Oracle =
+    five unrolled integer iterations in DuckDB (hash-exact because all
+    arithmetic is int64)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import pagerank_int
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df["s1"], df["s2"]], ignore_index=True),
+            "dst": pd.concat([df["s2"], df["s1"]], ignore_index=True)})
+
+    edges = comention_counts(gm).map_batches(both_dirs,
+                                             batch_format="pandas")
+    return pagerank_int(edges, iters=5)
+
+
 def q_transcripts_passthrough(sf_dir: str):
     """North-rule invariant surface: per-turn text equality under stable
     (conv_id, turn_idx) ordering after a map_batches round-trip."""
@@ -2036,6 +2062,39 @@ def _ivf_centroid_values(n_clusters: int = 16, seed: int = 5,
     )
 
 
+def _pagerank_sql() -> str:
+    """comention_pagerank oracle: rebuild the undirected co-mention
+    graph, then replay FIVE UNROLLED PageRank iterations in pure
+    integer arithmetic (ranks in 1e-12 units, floor divisions) — the
+    integer formulation is what makes an iterative algorithm
+    hash-exact between the engine's partial-sum order and DuckDB's."""
+    gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
+    head = f"""
+        WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+        p AS (SELECT DISTINCT a.surface AS s1, b.surface AS s2
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface),
+        e AS (SELECT s1 AS src, s2 AS dst FROM p
+              UNION ALL SELECT s2 AS src, s1 AS dst FROM p),
+        d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r
+               FROM d)"""
+    its = []
+    for i in range(1, 6):
+        its.append(f""",
+        r{i} AS (SELECT e.dst AS node,
+                        -- sum(BIGINT) widens to HUGEINT; cast back so
+                        -- the result column stays int64 like the engine
+                        CAST(150000000000 + 85 * sum(r.r // d.deg) // 100
+                             AS BIGINT) AS r
+                 FROM e JOIN d USING (src)
+                 JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst)""")
+    return (head + "".join(its)
+            + "\n        SELECT node, r AS rank_units FROM r5")
+
+
 def _pair_features_sql() -> str:
     """el_pair_features oracle: the scorer's own DuckDB feature SQL
     (el/scorer.py _FEATURE_SQL — the ENGINE computes features with
@@ -2491,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "comention_pagerank": _pagerank_sql(),
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -3414,6 +3474,7 @@ def queries():
         "el_cluster_links": q_el_cluster_links,
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
+        "comention_pagerank": q_comention_pagerank,
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
         "conv_dedup": q_conv_dedup,

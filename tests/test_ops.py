@@ -726,3 +726,30 @@ def test_embed_quantize_exact(ray_session):
     assert out.loc[0, "scale"] == 1.0
     # all-zero vector: scale 0, everything 0
     assert out.loc[1, ["scale", "q0", "qsum"]].tolist() == [0.0, 0, 0]
+
+
+def test_pagerank_int_star_graph(ray_session):
+    import ray
+
+    from el.ops.graph import SCALE, pagerank_int
+
+    # undirected star: hub h <-> a, b, c. deg(h)=3, deg(leaf)=1.
+    pairs = [("h", "a"), ("h", "b"), ("h", "c")]
+    df = pd.DataFrame(pairs + [(d, s) for s, d in pairs],
+                      columns=["src", "dst"])
+    out = (pagerank_int(ray.data.from_pandas(df), iters=5)
+           .to_pandas().set_index("node")["rank_units"])
+    # replay the integer recurrence locally
+    r = {v: SCALE for v in "habc"}
+    deg = {"h": 3, "a": 1, "b": 1, "c": 1}
+    adj_in = {"h": ["a", "b", "c"], "a": ["h"], "b": ["h"], "c": ["h"]}
+    for _ in range(5):
+        r = {v: 15 * SCALE // 100
+             + 85 * sum(r[u] // deg[u] for u in adj_in[v]) // 100
+             for v in r}
+    assert dict(out) == r
+    assert out["h"] > out["a"] == out["b"] == out["c"]
+    # block-structure invariance
+    out2 = (pagerank_int(ray.data.from_pandas(df).repartition(5), iters=5)
+            .to_pandas().set_index("node")["rank_units"])
+    assert dict(out2) == r
