@@ -381,3 +381,76 @@ def funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS, *,
                                   "event_type"]),
         ["user_id"], block, batch_format="pandas",
         num_partitions=num_partitions)
+
+
+# ------------------------------------------------------ interval join
+def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
+                  ts_col: str = "ts", start_col: str = "session_start",
+                  end_col: str = "session_end",
+                  keep_cols: tuple[str, ...] = ("session_no",),
+                  num_partitions: int | None = None):
+    """Range (interval-containment) join: each event row matches the
+    ``by``-key interval with ``start <= ts <= end``. Both sides meet in
+    ONE tagged-union hash exchange on ``by``; block-locally the match
+    is a C-speed ``pd.merge_asof`` (latest start <= ts per key) plus an
+    end-bound filter — valid because intervals are NON-OVERLAPPING per
+    key (the sessionization invariant; an overlapping-interval join
+    would need a sweep instead). Inner-join semantics: events outside
+    every interval are dropped.
+
+    Out: (by, event_id, ts, *keep_cols)."""
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by),
+                ts_col: t.column(ts_col).cast(pa.timestamp("us")),
+                "event_id": t.column("event_id"),
+                "is_event": pa.array([1] * t.num_rows, pa.int64())}
+        cols[start_col] = pa.nulls(t.num_rows, pa.timestamp("us"))
+        cols[end_col] = pa.nulls(t.num_rows, pa.timestamp("us"))
+        for k in keep_cols:
+            cols[k] = pa.nulls(t.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by),
+                ts_col: pa.nulls(t.num_rows, pa.timestamp("us")),
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "is_event": pa.array([0] * t.num_rows, pa.int64()),
+                start_col: t.column(start_col).cast(pa.timestamp("us")),
+                end_col: t.column(end_col).cast(pa.timestamp("us"))}
+        for k in keep_cols:
+            cols[k] = t.column(k).cast(pa.int64())
+        return pa.table(cols)
+
+    tagged = (events_ds.select_columns([by, ts_col, "event_id"])
+              .map_batches(tag_events, batch_format="pyarrow")
+              .union(intervals_ds.map_batches(tag_intervals,
+                                              batch_format="pyarrow")))
+
+    out_cols = [by, "event_id", ts_col, *keep_cols]
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            by: pd.Series(dtype="int64"),
+            "event_id": pd.Series(dtype="int64"),
+            ts_col: pd.Series(dtype="datetime64[us]"),
+            **{k: pd.Series(dtype="int64") for k in keep_cols}})
+        ev = df[df["is_event"] == 1]
+        iv = df[df["is_event"] == 0]
+        if len(ev) == 0 or len(iv) == 0:
+            return empty
+        ev = ev[[by, "event_id", ts_col]].sort_values(ts_col,
+                                                      kind="mergesort")
+        iv = iv[[by, start_col, end_col, *keep_cols]].sort_values(
+            start_col, kind="mergesort")
+        j = pd.merge_asof(ev, iv, left_on=ts_col, right_on=start_col,
+                          by=by, direction="backward")
+        j = j[j[ts_col] <= j[end_col]]
+        out = j[out_cols].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        for k in keep_cols:
+            out[k] = out[k].astype("int64")
+        return out.reset_index(drop=True)
+
+    return group_blocks(tagged, [by], block, batch_format="pandas",
+                        num_partitions=num_partitions)

@@ -1324,6 +1324,26 @@ def q_event_funnel(sf_dir: str):
     return funnel(ev)
 
 
+def q_interval_join(sf_dir: str):
+    """Range (interval-containment) join: every event matched into its
+    containing session window — one tagged-union exchange on user_id,
+    block-local merge_asof + end-bound filter (valid because session
+    intervals are non-overlapping per user). Oracle is the sessionize
+    window idiom + a BETWEEN join."""
+    import ray.data
+
+    from .ops.windows import interval_join, sessionize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    sess = sessionize(ev)
+    probe = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"])
+    return interval_join(probe, sess)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows (streaming windowed-aggregate analog):
     30-minute inactivity gap per user; SQL oracle replays it with the
@@ -3349,6 +3369,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s2 ON s2.user_id = u.user_id
             LEFT JOIN s3 ON s3.user_id = u.user_id
         """,
+        "interval_join": f"""
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(is_start) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM e
+            ), sess AS (
+                SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                       MIN(ts) AS session_start, MAX(ts) AS session_end
+                FROM s GROUP BY user_id, session_no
+            )
+            SELECT ev.user_id, ev.event_id, ev.ts, sess.session_no
+            FROM events ev
+            JOIN sess ON sess.user_id = ev.user_id
+                     AND ev.ts BETWEEN sess.session_start
+                                   AND sess.session_end
+        """,
         "sessionize": f"""
             WITH e AS (
                 SELECT user_id, ts, event_id, value,
@@ -3519,6 +3563,7 @@ def queries():
         "events_hourly": q_events_hourly,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "kmv_distinct": q_kmv_distinct,
         "sessionize_chunked": q_sessionize_chunked,

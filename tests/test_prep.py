@@ -531,3 +531,31 @@ def test_doc_chunk_windows(ray_session):
     assert d1.chunk_text.iloc[0].split()[-1] == "w63"
     assert out[out.doc_id == 2].n_tokens.tolist() == [3]
     assert (out.doc_id != 3).all()  # token-less doc emits nothing
+
+
+def test_interval_join_containment(ray_session):
+    import ray
+
+    from el.ops.windows import interval_join
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_id": [10, 11, 12, 20, 21],
+        "ts": [t, t + 2 * h, t + 10 * h, t, t + 5 * h],
+    })
+    iv = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "session_no": [1, 2, 1],
+        "session_start": [t, t + 9 * h, t],
+        "session_end": [t + 3 * h, t + 11 * h, t + 1 * h],
+    })
+    out = (interval_join(ray.data.from_pandas(ev),
+                         ray.data.from_pandas(iv))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # event 21 (t+5h, user 2) falls outside every interval -> dropped
+    assert out.event_id.tolist() == [10, 11, 12, 20]
+    assert out.session_no.tolist() == [1, 1, 2, 1]
+    # boundary inclusivity: event 10 at exact session_start matches
+    assert out[out.event_id == 10].session_no.iloc[0] == 1
