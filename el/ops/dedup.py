@@ -97,7 +97,7 @@ class MinHasher:
         ``minimum.reduceat`` — no per-shingle Python. Duplicate
         shingles within a doc are left in (min is idempotent).
         Memory-bounded by slicing at ~500k shingles per reduceat."""
-        from ..scorer import _duck
+        from ..scorer import md5_u64
 
         per_doc = [word_shingles(t, self.k) for t in texts]  # set order
         # is irrelevant: each shingle hashes independently and min() is
@@ -108,10 +108,7 @@ class MinHasher:
         sigs = np.full((n_docs, self.num_perm), _MERSENNE, dtype=np.uint64)
         if not flat:
             return sigs
-        tbl = pa.table({"s": pa.array(flat, pa.string())})
-        h_all = _duck().execute(
-            "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
-        h_all = next(iter(h_all.values())).astype(np.uint64)
+        h_all = md5_u64(flat)
         nonempty = np.flatnonzero(lens)
         ends = np.cumsum(lens[nonempty])
         starts = ends - lens[nonempty]
@@ -530,7 +527,7 @@ def simhash64_batch(texts) -> np.ndarray:
     token of every doc, bit votes as one (tokens, 64) matrix, per-doc
     sums via segmented ``add.reduceat``. Token multiplicity counts
     (duplicates stay in). Sliced at ~1M tokens to bound the matrix."""
-    from ..scorer import _duck
+    from ..scorer import md5_u64
 
     per_doc = [t.split() for t in texts]
     lens = np.array([len(p) for p in per_doc], dtype=np.int64)
@@ -538,10 +535,7 @@ def simhash64_batch(texts) -> np.ndarray:
     sigs = np.zeros(len(texts), dtype=np.uint64)
     if not flat:
         return sigs
-    tbl = pa.table({"s": pa.array(flat, pa.string())})
-    h_all = _duck().execute(
-        "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
-    h_all = next(iter(h_all.values())).astype(np.uint64)
+    h_all = md5_u64(flat)
     shifts = np.arange(64, dtype=np.uint64)
     nonempty = np.flatnonzero(lens)
     ends = np.cumsum(lens[nonempty])

@@ -2,12 +2,15 @@
 
 The Pregel-shaped member of the op set — the same per-iteration
 topology a 100-TB link/citation/co-mention graph needs: the edge list
-is exchanged ONCE (adjacency blocks with out-degrees, then
-materialized and reused), and each iteration is two plain-task hash
-exchanges — ranks meet adjacency on ``src`` (tagged union), partial
-contributions meet on ``dst`` — with the node-scale rank table
-materialized between iterations. No Dataset.join (its per-call
-actor-pool overhead is fatal in loops) and no driver-side node state.
+is exchanged ONCE into out-degree-annotated adjacency (plus one
+node-marker row per src, emitted INSIDE the key-collocated block
+function so the node table is exact even if Ray later splits output
+blocks), tagged once, materialized once; each iteration is two
+plain-task hash exchanges — ranks meet adjacency on ``src`` (tagged
+union), partial contributions plus a zero row per node meet on ``dst``
+— with the node-scale rank table materialized between iterations. No
+Dataset.join (its per-call actor-pool overhead is fatal in loops) and
+no driver-side node state.
 
 All arithmetic is INTEGER (ranks in 1e-12 units, floor divisions), so
 the result is bit-deterministic regardless of summation order and a
@@ -15,7 +18,9 @@ SQL oracle can replay the full iteration unrolled — the usual
 float-PageRank would make engine-vs-oracle equality a rounding
 lottery. With damping d = 85/100 and uniform teleport 0.15·SCALE, a
 node's rank is r(v) = 0.15·SCALE + 0.85·Σ_u→v floor(r(u)/deg(u)),
-floored at each step exactly alike on both sides.
+floored at each step exactly alike on both sides; a node with no
+in-edges holds rank 0.15·SCALE (the zero-contribution row keeps it,
+and its own out-contributions, alive through every iteration).
 """
 
 from __future__ import annotations
@@ -33,7 +38,9 @@ def pagerank_int(edges_ds, *, iters: int = 5, damp_num: int = 85,
                  damp_den: int = 100, num_partitions: int | None = None):
     """Integer PageRank over a DIRECTED edge list (src, dst) — pass
     both directions for an undirected graph. Every node must have at
-    least one out-edge (true for undirected graphs). Returns
+    least one OUT-edge (true for undirected graphs; a dangling dst
+    would need the usual dangling-mass redistribution, unsupported
+    here). Nodes without IN-edges are fully supported. Returns
     (node, rank_units) with rank in 1e-12 units (int64).
 
     int64 headroom: sum of all ranks stays ~N·SCALE, so the damped
@@ -43,30 +50,31 @@ def pagerank_int(edges_ds, *, iters: int = 5, damp_num: int = 85,
     base = (damp_den - damp_num) * SCALE // damp_den
 
     def add_deg(df: pd.DataFrame) -> pd.DataFrame:
+        """Per src-collocated block: out-degree per edge row, plus ONE
+        marker row per src (deg == 0) — the exact node table, computed
+        where the key's rows are guaranteed together."""
         if len(df) == 0:
             return pd.DataFrame({"src": pd.Series(dtype=str),
                                  "dst": pd.Series(dtype=str),
                                  "deg": pd.Series(dtype="int64")})
         deg = df.groupby("src")["dst"].transform("size")
-        return pd.DataFrame({"src": df["src"], "dst": df["dst"],
-                             "deg": deg.astype("int64")})
+        edges = pd.DataFrame({"src": df["src"], "dst": df["dst"],
+                              "deg": deg.astype("int64")})
+        marks = pd.DataFrame({"src": df["src"].drop_duplicates()})
+        marks["dst"] = None
+        marks["deg"] = np.int64(0)
+        return pd.concat([edges, marks], ignore_index=True)
 
-    # one edge exchange, reused every iteration
-    adj = group_blocks(edges_ds, ["src"], add_deg,
-                       batch_format="pandas",
-                       num_partitions=num_partitions).materialize()
-
-    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
-        src = df["src"].drop_duplicates()
-        return pd.DataFrame({"node": src,
-                             "r": np.full(len(src), SCALE,
-                                          dtype=np.int64)})
-
-    # adj blocks are src-partitioned, so per-block distinct is global
-    ranks = adj.map_batches(init_ranks, batch_format="pandas",
-                            batch_size=None).materialize()
+    # one edge exchange; consumed below to build the (materialized)
+    # tagged adjacency and the node-scale tables, then unreferenced
+    adj_all = group_blocks(edges_ds, ["src"], add_deg,
+                           batch_format="pandas",
+                           num_partitions=num_partitions).materialize()
 
     def tag_adj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t.column("deg"), 0))
         n = t.num_rows
         return pa.table({
             "src": t.column("src"),
@@ -75,6 +83,32 @@ def pagerank_int(edges_ds, *, iters: int = 5, damp_num: int = 85,
             "r": pa.nulls(n, pa.int64()),
             "is_rank": pa.array([0] * n, pa.int64()),
         })
+
+    def markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df.loc[df["deg"] == 0, "src"]})
+
+    # tagged ONCE and materialized: iterations re-exchange it but never
+    # re-tag it
+    tagged_adj = adj_all.map_batches(
+        tag_adj, batch_format="pyarrow").materialize()
+    nodes = adj_all.map_batches(markers,
+                                batch_format="pandas").materialize()
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "r": np.full(len(df), SCALE,
+                                          dtype=np.int64)})
+
+    def zero_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"dst": df["node"],
+                             "c": np.zeros(len(df), dtype=np.int64)})
+
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pandas").materialize()
+    # one zero-contribution row per node per iteration: keeps
+    # in-edge-less nodes (and their out-contributions) alive
+    zeros = nodes.map_batches(zero_contrib,
+                              batch_format="pandas").materialize()
 
     def tag_rank(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -113,14 +147,13 @@ def pagerank_int(edges_ds, *, iters: int = 5, damp_num: int = 85,
         r = base + damp_num * s["c"].to_numpy(np.int64) // damp_den
         return pd.DataFrame({"node": s["dst"], "r": r.astype(np.int64)})
 
-    tagged_adj = adj.map_batches(tag_adj, batch_format="pyarrow")
     for _ in range(iters):
         tagged = tagged_adj.union(
             ranks.map_batches(tag_rank, batch_format="pyarrow"))
         part = group_blocks(tagged, ["src"], contribs,
                             batch_format="pandas",
                             num_partitions=num_partitions)
-        ranks = group_blocks(part, ["dst"], new_ranks,
+        ranks = group_blocks(part.union(zeros), ["dst"], new_ranks,
                              batch_format="pandas",
                              num_partitions=num_partitions).materialize()
     return ranks.map_batches(

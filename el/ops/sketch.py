@@ -16,23 +16,16 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 TWO64 = 2.0 ** 64
 
 
 def _value_hashes(vals) -> np.ndarray:
-    """uint64 hash per value = last 8 md5 bytes of str(v), little-endian
-    — one vectorized DuckDB ``md5_number_lower`` pass per batch (the
-    ``MinHasher`` trick), no per-value Python hashing."""
-    from ..scorer import _duck
+    """uint64 hash per value = md5_u64(str(v)) — str() stays bit-equal
+    to the oracle's CAST(v AS VARCHAR) for integer ids."""
+    from ..scorer import md5_u64
 
-    if len(vals) == 0:
-        return np.zeros(0, dtype=np.uint64)
-    tbl = pa.table({"s": pa.array([str(v) for v in vals], pa.string())})
-    h = _duck().execute(
-        "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
-    return next(iter(h.values())).astype(np.uint64)
+    return md5_u64([str(v) for v in vals])
 
 
 def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64):

@@ -2098,19 +2098,25 @@ def _pagerank_sql() -> str:
               UNION ALL SELECT s2 AS src, s1 AS dst FROM p),
         d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
               FROM e GROUP BY src),
-        r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r
-               FROM d)"""
+        nodes AS (SELECT src AS node FROM d),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r
+               FROM nodes)"""
     its = []
     for i in range(1, 6):
         its.append(f""",
-        r{i} AS (SELECT e.dst AS node,
-                        -- sum(BIGINT) widens to HUGEINT; cast back so
-                        -- the result column stays int64 like the engine
-                        CAST(150000000000 + 85 * sum(r.r // d.deg) // 100
-                             AS BIGINT) AS r
+        c{i} AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
                  FROM e JOIN d USING (src)
                  JOIN r{i - 1} r ON r.node = e.src
-                 GROUP BY e.dst)""")
+                 GROUP BY e.dst),
+        -- LEFT JOIN over the node table: a node with no in-edges
+        -- keeps the teleport base (and its own out-contributions)
+        -- every iteration; sum(BIGINT) widens to HUGEINT, cast back
+        -- so the result column stays int64 like the engine
+        r{i} AS (SELECT n.node,
+                        CAST(150000000000
+                             + 85 * coalesce(c.s, 0) // 100
+                             AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN c{i} c USING (node))""")
     return (head + "".join(its)
             + "\n        SELECT node, r AS rank_units FROM r5")
 

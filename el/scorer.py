@@ -164,6 +164,23 @@ def _duck():
         return _DUCK_CON
 
 
+def md5_u64(strings) -> "np.ndarray":
+    """uint64 hash per string = last 8 md5 bytes, little-endian — ONE
+    vectorized DuckDB ``md5_number_lower`` pass, bit-equal to the SQL
+    oracles' ``md5_number_lower(x)`` (the single definition of the
+    engine/oracle hash contract; MinHash signatures, SimHash token
+    hashes and the KMV sketch all route through here)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    if len(strings) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    tbl = _pa.table({"s": _pa.array(list(strings), _pa.string())})  # noqa: F841
+    h = _duck().execute(
+        "SELECT md5_number_lower(s) FROM tbl").fetchnumpy()
+    return next(iter(h.values())).astype(np.uint64)
+
+
 def compute_pair_features(batch: pa.Table) -> dict:
     """Vectorized feature columns (numpy arrays) for a pair batch —
     DuckDB's jaro_winkler_similarity (bit-equal to el.sim.jaro_winkler,

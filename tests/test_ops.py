@@ -753,3 +753,27 @@ def test_pagerank_int_star_graph(ray_session):
     out2 = (pagerank_int(ray.data.from_pandas(df).repartition(5), iters=5)
             .to_pandas().set_index("node")["rank_units"])
     assert dict(out2) == r
+
+
+def test_pagerank_int_directed_source_node(ray_session):
+    """A node with out-edges but NO in-edges must survive every
+    iteration at the teleport base and keep contributing downstream
+    (s -> a, a <-> b)."""
+    import ray
+
+    from el.ops.graph import SCALE, pagerank_int
+
+    df = pd.DataFrame([("s", "a"), ("a", "b"), ("b", "a")],
+                      columns=["src", "dst"])
+    out = (pagerank_int(ray.data.from_pandas(df), iters=5)
+           .to_pandas().set_index("node")["rank_units"])
+    r = {"s": SCALE, "a": SCALE, "b": SCALE}
+    deg = {"s": 1, "a": 1, "b": 1}
+    adj_in = {"s": [], "a": ["s", "b"], "b": ["a"]}
+    for _ in range(5):
+        r = {v: 15 * SCALE // 100
+             + 85 * sum(r[u] // deg[u] for u in adj_in[v]) // 100
+             for v in r}
+    assert dict(out) == r
+    assert out["s"] == 15 * SCALE // 100  # teleport base, present
+    assert out["a"] > out["b"]  # a receives s's mass every round
