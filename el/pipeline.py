@@ -65,13 +65,32 @@ logger = logging.getLogger(__name__)
 DRIVER_CC_MAX_NODES = 5_000_000  # contracted-graph size guard
 
 
+_BCAST_CACHE: dict[bytes, object] = {}
+
+
 def _maybe_get(x):
     """ray.get that tolerates already-resolved values: plain-task call
     sites auto-dereference top-level ObjectRef args, map_batches
-    fn_kwargs don't — the shared per-block functions accept both."""
+    fn_kwargs don't — the shared per-block functions accept both.
+
+    Resolved values are CACHED per worker process: unlike Arrow tables
+    (zero-copy from the object store), a broadcast Python dict is
+    re-PICKLE-DESERIALIZED on every ray.get — measured 0.5-2.9 s per
+    answers-attach task at bench32 for the conv-scale overrides dict,
+    dominating the stage. With the cache each worker pays once."""
     import ray
 
-    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+    if not isinstance(x, ray.ObjectRef):
+        return x
+    key = x.binary()
+    try:
+        return _BCAST_CACHE[key]
+    except KeyError:
+        val = ray.get(x)
+        if len(_BCAST_CACHE) >= 8:  # bound a long-lived worker's cache
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = val
+        return val
 
 
 def _alias_profile_block(df):
@@ -1101,9 +1120,18 @@ def _finish_with_meta(t: pa.Table, map_ref, ctx_refs=None):
     plan never materializes a patched copy of the mention table)."""
     if t.num_rows == 0:
         return pa.table({}), None
+    dbg = os.environ.get("EL_DEBUG_ANSWERS")
+    if dbg:
+        import time as _t
+        _t0 = _t.time()
     if ctx_refs is not None:
         t = _patch_and_group(t, patch_ref=ctx_refs[0], ov_ref=ctx_refs[1])
+    if dbg:
+        _t1 = _t.time()
     out = _finish_batch(t, map_ref)
+    if dbg:
+        print(f"[finish] rows={t.num_rows} patch_s={_t1 - _t0:.3f} "
+              f"finish_s={_t.time() - _t1:.3f}", flush=True)
     if out.num_rows == 0:
         meta = None
     else:
@@ -1132,6 +1160,13 @@ def _assemble_answers_refs(mention_refs, map_ref, ctx_refs=None) -> list:
     import ray
     import ray.data
 
+    if os.environ.get("EL_DEBUG_ANSWERS"):
+        import time as _t
+        _d0 = _t.time()
+        amap = ray.get(map_ref)
+        print(f"[answers] blocks={len(mention_refs)} "
+              f"amap_rows={amap.num_rows} "
+              f"amap_get_s={_t.time() - _d0:.3f}", flush=True)
     fin_rem = ray.remote(num_returns=2)(_finish_with_meta)
     out = [fin_rem.remote(r, map_ref, ctx_refs)
            for r in mention_refs]
@@ -1727,6 +1762,9 @@ def run_linkage(
                                              sports_classify)
 
             patch, overrides, bpart = _timed("scan", _finish_scan)
+            if os.environ.get("EL_DEBUG_ANSWERS"):
+                print(f"[bcast] patch={len(patch)} "
+                      f"overrides={len(overrides)}", flush=True)
             patch_ref = ray.put(patch)
             ov_ref = ray.put(overrides)
             partial_refs = [p for p, _, _ in triples]
@@ -1998,11 +2036,15 @@ def run_linkage(
 
         if fast_fused:
             def build_answers_fast():
-                alias_map = _cluster_aliases_driver(profile_tbl, links_tbl,
-                                                    edges_tbl)
+                alias_map = _timed(
+                    "answers_cluster",
+                    lambda: _cluster_aliases_driver(profile_tbl,
+                                                    links_tbl, edges_tbl))
                 map_ref = ray.put(alias_map)
-                return _assemble_answers_tasks(mention_refs, map_ref,
-                                               ctx_refs)
+                return _timed(
+                    "answers_attach",
+                    lambda: _assemble_answers_tasks(mention_refs, map_ref,
+                                                    ctx_refs))
 
             if ckpt.root is None:
                 return _timed("answers", build_answers_fast)
