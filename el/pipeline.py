@@ -285,14 +285,54 @@ def _patch_and_group(t: pa.Table, patch_ref=None,
     return t
 
 
-def _attach_group_keys(t: pa.Table, ov: dict) -> pa.Table:
+_OV_SEP = "\x1f"  # joins (alias_norm, conv_id) into one lookup key;
+# absent from normalized aliases and conv ids by construction
+
+
+def _ov_table(ov: dict) -> pa.Table:
+    """Broadcast form of the override-choice dict — a zero-copy Arrow
+    table (ovkey = alias+SEP+conv, group_key precomputed): a broadcast
+    Python dict re-pickle-deserializes on EVERY worker and the decode
+    grows with the choice count (O(s) per worker at 122k entries),
+    whereas Arrow fetches zero-copy at any size."""
+    from .overrides import group_key_of
+
+    keys, aliases, gks = [], [], []
+    for (a, c), (kind, kb) in ov.items():
+        keys.append(a + _OV_SEP + c)
+        aliases.append(a)
+        gks.append(group_key_of(a, kind, kb))
+    return pa.table({"ovkey": pa.array(keys, pa.string()),
+                     "alias_norm": pa.array(aliases, pa.string()),
+                     "group_key": pa.array(gks, pa.string())})
+
+
+def _attach_group_keys(t: pa.Table, ov) -> pa.Table:
     """Append the contraction group_key column: alias_norm, overridden
-    per (alias_norm, conv_id) by the choice dict. Vectorized — only
-    mentions of an overridden alias pay the per-row dict probe."""
+    per (alias_norm, conv_id) by the choices — ``ov`` is either the
+    driver-side dict or the broadcast Arrow table (``_ov_table``).
+    Vectorized; only mentions of an overridden alias pay the probe,
+    and the Arrow path is pure kernels (is_in/index_in/take)."""
     from .overrides import group_key_of
 
     alias_arr = t.column("alias_norm").combine_chunks()
     gk_arr = alias_arr
+    if isinstance(ov, pa.Table):
+        if ov.num_rows:
+            cand = pc.unique(ov.column("alias_norm").combine_chunks())
+            mask = pc.is_in(alias_arr, value_set=cand)
+            if pc.sum(mask).as_py():
+                idx = pc.indices_nonzero(mask)
+                a_hit = alias_arr.take(idx)
+                c_hit = t.column("conv_id").combine_chunks().take(idx)
+                hk = pc.binary_join_element_wise(a_hit, c_hit, _OV_SEP)
+                pos = pc.index_in(
+                    hk, value_set=ov.column("ovkey").combine_chunks())
+                rep = pc.coalesce(
+                    ov.column("group_key").combine_chunks().take(pos),
+                    a_hit)
+                gk_arr = pc.replace_with_mask(alias_arr, mask, rep)
+        return t.append_column("group_key", gk_arr)
     if ov:
         cand = pa.array(sorted({a for a, _ in ov}), pa.string())
         mask = pc.is_in(alias_arr, value_set=cand)
@@ -1728,7 +1768,8 @@ def run_linkage(
                     ot.column("kind").to_pylist(),
                     ot.column("kb_id").to_pylist())
             }
-            patch_ref, ov_ref = ray.put(patch), ray.put(overrides)
+            patch_ref = ray.put(patch)
+            ov_ref = ray.put(_ov_table(overrides))
             partial_refs = None
             profile_tbl_ckpt = fast_meta["profile"]
             aliased = raw.map_batches(
@@ -1766,7 +1807,7 @@ def run_linkage(
                 print(f"[bcast] patch={len(patch)} "
                       f"overrides={len(overrides)}", flush=True)
             patch_ref = ray.put(patch)
-            ov_ref = ray.put(overrides)
+            ov_ref = ray.put(_ov_table(overrides))
             partial_refs = [p for p, _, _ in triples]
             if bpart is not None and bpart.num_rows:
                 partial_refs.append(ray.put(bpart))
@@ -1851,7 +1892,7 @@ def run_linkage(
             overrides = _timed("overrides", lambda: find_context_overrides(
                 aliased, kb_ref, sports=sports_classify,
                 num_partitions=num_partitions))
-            ov_ref = ray.put(overrides)
+            ov_ref = ray.put(_ov_table(overrides))
             grouped = aliased.map_batches(
                 _patch_and_group, fn_kwargs={"ov_ref": ov_ref},
                 batch_format="pyarrow",
