@@ -212,3 +212,33 @@ def test_e2e_quality_at_t2_scale(ray_session):
     gold_of = dict(zip(gm["mention_id"].to_pylist(),
                        gm["gold_kb_id"].to_pylist()))
     assert b_cubed(cluster_of, gold_of)["f1"] >= 0.99
+
+
+def test_attach_group_keys_table_matches_dict(ray_session):
+    """The Arrow broadcast path (_ov_table) must reproduce the dict
+    path exactly, including misses inside the candidate-alias mask
+    ((alias in cand) but (alias, conv) not overridden -> plain alias)."""
+    import pyarrow as pa
+
+    from el.pipeline import _attach_group_keys, _ov_table
+
+    ov = {("acme corp", "c1"): ("amb", "E7"),
+          ("acme corp", "c3"): ("amb", "E9"),
+          ("rivertown", "c2"): ("city", "E2")}
+    t = pa.table({
+        "alias_norm": pa.array(["acme corp", "acme corp", "rivertown",
+                                "acme corp", "plain co", "rivertown"]),
+        "conv_id": pa.array(["c1", "c2", "c2", "c3", "c1", "c9"]),
+    })
+    a = _attach_group_keys(t, ov).column("group_key").to_pylist()
+    b = _attach_group_keys(t, _ov_table(ov)).column("group_key") \
+        .to_pylist()
+    assert a == b
+    # miss-inside-mask: acme@c2 and rivertown@c9 stay plain aliases
+    assert a[1] == "acme corp" and a[5] == "rivertown"
+    assert a[0] != "acme corp" and "E7" in a[0]
+    # empty choices: both forms pass alias through
+    assert (_attach_group_keys(t, {}).column("group_key").to_pylist()
+            == _attach_group_keys(t, _ov_table({}))
+            .column("group_key").to_pylist()
+            == t.column("alias_norm").to_pylist())
