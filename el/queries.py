@@ -1372,6 +1372,110 @@ def q_sessionize_chunked(sf_dir: str):
     return sessionize_chunked(ev)
 
 
+def q_latest_event_state(sf_dir: str):
+    """Snapshot compaction (CDC keep-latest / upsert semantics): one
+    row per (user_id, event_type) — the latest by strict (ts,
+    event_id) tuple order. Per-batch combiner keeps each key's local
+    max, so the exchange moves one row per (batch, key); a tiny
+    per-key merge finishes. Oracle: row_number() = 1 descending."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["ts", "event_id"]).groupby(
+            ["user_id", "event_type"], as_index=False).tail(1)
+        return df.reset_index(drop=True)
+
+    partials = ev.map_batches(local_latest, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = local_latest(df)
+        if len(out) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype=str),
+                "event_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "value": pd.Series(dtype="float64")})
+        out["value"] = _round_half_away(out["value"], 4)
+        return out[["user_id", "event_type", "event_id", "ts", "value"]]
+
+    return group_blocks(partials, ["user_id", "event_type"], finish,
+                        batch_format="pandas")
+
+
+def q_orders_no_recent_lineitem(sf_dir: str):
+    """Anti-join: 1997 orders none of whose lineitems shipped within 90
+    days of the order date (slow-fulfillment audit). The lineitem side
+    pre-aggregates per batch to one (orderkey, min_lag) row, the two
+    sides meet in one tagged-union hash exchange, and the block fn
+    keeps orders whose matching lineitem set is empty-or-late — the
+    NOT EXISTS shape without a driver-side set."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "o_orderdate": pa.array(df["o_orderdate"],
+                                    pa.timestamp("us")),
+            "min_ship": pa.nulls(len(df), pa.timestamp("us")),
+            "is_order": pa.array([1] * len(df), pa.int64()),
+        })
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        part = df.groupby("l_orderkey", as_index=False)["l_shipdate"] \
+                 .min()
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "o_orderdate": pa.nulls(len(part), pa.timestamp("us")),
+            "min_ship": pa.array(part["l_shipdate"], pa.timestamp("us")),
+            "is_order": pa.array([0] * len(part), pa.int64()),
+        })
+
+    tagged = orders.map_batches(order_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def keep_unfulfilled(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]")})
+        o = df[df["is_order"] == 1]
+        if len(o) == 0:
+            return empty
+        l = (df[df["is_order"] == 0]
+             .groupby("okey", as_index=False)["min_ship"].min())
+        j = o[["okey", "o_orderdate"]].merge(l, on="okey", how="left")
+        cut = j["o_orderdate"] + pd.Timedelta(days=90)
+        anti = j["min_ship"].isna() | (j["min_ship"] > cut)
+        out = j.loc[anti, ["okey", "o_orderdate"]]
+        return pd.DataFrame({
+            "o_orderkey": out["okey"].astype("int64"),
+            "o_orderdate": out["o_orderdate"],
+        }).reset_index(drop=True)
+
+    return group_blocks(tagged, ["okey"], keep_unfulfilled,
+                        batch_format="pandas")
+
+
 def q_click_attribution(sf_dir: str):
     """As-of join (temporal attribution): every click picks the latest
     preceding view by the same user (backward inclusive, LEFT) —
@@ -3309,6 +3413,26 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 4)} AS sum_value
             FROM w GROUP BY event_type, window_start_us
         """,
+        "latest_event_state": f"""
+            SELECT user_id, event_type, event_id, ts,
+                   {_roundsql('value', 4)} AS value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "orders_no_recent_lineitem": f"""
+            SELECT o.o_orderkey, o.o_orderdate
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate <= o.o_orderdate
+                                        + INTERVAL 90 DAY)
+        """,
         "kmv_distinct": f"""
             WITH h AS (
                 SELECT DISTINCT event_type,
@@ -3572,6 +3696,8 @@ def queries():
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "kmv_distinct": q_kmv_distinct,
+        "latest_event_state": q_latest_event_state,
+        "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
         "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,
         "segment_revenue": q_segment_revenue,
