@@ -559,3 +559,80 @@ def test_interval_join_containment(ray_session):
     assert out.session_no.tolist() == [1, 1, 2, 1]
     # boundary inclusivity: event 10 at exact session_start matches
     assert out[out.event_id == 10].session_no.iloc[0] == 1
+
+
+def test_event_funnel_matches_bruteforce_random(ray_session):
+    """300 random user streams vs a direct per-user simulation of the
+    strict-(ts,event_id)-order first-reach recurrence."""
+    import numpy as np
+    import ray
+
+    from el.ops.windows import FUNNEL_STEPS, funnel
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 3000
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, n),
+        "event_id": rng.permutation(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 500, n), unit="s"),
+        "event_type": types[rng.integers(0, len(types), n)],
+    })
+    out = (funnel(ray.data.from_pandas(df).repartition(7))
+           .to_pandas().set_index("user_id")["steps_completed"])
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        evs = list(zip(g["event_type"], g["ts"], g["event_id"]))
+        reach, done = None, 0
+        for step in FUNNEL_STEPS:
+            nxt = None
+            for et, ts, eid in evs:
+                if et == step and (reach is None or (ts, eid) > reach):
+                    nxt = (ts, eid)
+                    break
+            if nxt is None:
+                break
+            reach, done = nxt, done + 1
+        assert out[uid] == done, (uid, out[uid], done)
+
+
+def test_interval_join_matches_bruteforce_random(ray_session):
+    """Random non-overlapping intervals per user + random events vs a
+    direct containment scan (inner-join, at most one match)."""
+    import numpy as np
+    import ray
+
+    from el.ops.windows import interval_join
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = pd.Timestamp("2024-01-01")
+    iv_rows, ev_rows = [], []
+    eid = 0
+    for uid in range(60):
+        t = 0
+        for sno in range(1, int(rng.integers(1, 5)) + 1):
+            start = t + int(rng.integers(0, 50))
+            end = start + int(rng.integers(0, 100))
+            iv_rows.append((uid, sno, base + pd.Timedelta(seconds=start),
+                            base + pd.Timedelta(seconds=end)))
+            t = end + 1 + int(rng.integers(0, 30))
+        for _ in range(int(rng.integers(0, 20))):
+            ev_rows.append((uid, eid,
+                            base + pd.Timedelta(
+                                seconds=int(rng.integers(0, t + 50)))))
+            eid += 1
+    iv = pd.DataFrame(iv_rows, columns=["user_id", "session_no",
+                                        "session_start", "session_end"])
+    ev = pd.DataFrame(ev_rows, columns=["user_id", "event_id", "ts"])
+    out = (interval_join(ray.data.from_pandas(ev).repartition(5),
+                         ray.data.from_pandas(iv).repartition(3))
+           .to_pandas())
+    got = dict(zip(out.event_id, out.session_no))
+    want = {}
+    for r in ev.itertuples():
+        for s in iv[iv.user_id == r.user_id].itertuples():
+            if s.session_start <= r.ts <= s.session_end:
+                want[r.event_id] = s.session_no
+                break
+    assert got == want
