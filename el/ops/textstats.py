@@ -194,7 +194,9 @@ def unigram_logprob(docs_ds, vocab_cap: int = 65536, oov_count: float = 0.5,
 
     merged = group_blocks(partials, ["token"], merge_counts,
                           batch_format="pandas").materialize()
-    total = float(merged.sum("cnt"))
+    # Dataset.sum returns None on an empty corpus; the scoring pass
+    # still runs (over nothing), so any finite placeholder works
+    total = float(merged.sum("cnt") or 1.0)
 
     def top_v(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["cnt", "token"],

@@ -636,3 +636,33 @@ def test_interval_join_matches_bruteforce_random(ray_session):
                 want[r.event_id] = s.session_no
                 break
     assert got == want
+
+
+def test_new_ops_empty_input(ray_session):
+    """Every round-3 operator must handle an empty (but typed) input
+    without crashing and yield zero rows."""
+    import ray
+
+    from el.ops.prep import doc_chunk
+    from el.ops.sketch import kmv_distinct
+    from el.ops.textstats import unigram_logprob
+    from el.ops.windows import funnel, interval_join
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "text": pd.Series(dtype=str)}))
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "event_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "event_type": pd.Series(dtype=str)}))
+    iv = ray.data.from_pandas(pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "session_no": pd.Series(dtype="int64"),
+        "session_start": pd.Series(dtype="datetime64[us]"),
+        "session_end": pd.Series(dtype="datetime64[us]")}))
+    assert doc_chunk(docs).count() == 0
+    assert unigram_logprob(docs).count() == 0
+    assert kmv_distinct(ev, "event_type", "user_id").count() == 0
+    assert funnel(ev).count() == 0
+    assert interval_join(ev, iv).count() == 0
