@@ -307,6 +307,25 @@ def _ov_table(ov: dict) -> pa.Table:
                      "group_key": pa.array(gks, pa.string())})
 
 
+def _ov_table_from_choices(ot: pa.Table) -> pa.Table:
+    """Vectorized ``_ov_table`` from a choice TABLE (alias_norm,
+    conv_id, kind, kb_id) — pure Arrow kernels, no per-choice Python
+    (the checkpoint-resume path feeds the broadcast straight from the
+    persisted choices)."""
+    from .overrides import SEP
+
+    alias = ot.column("alias_norm").combine_chunks().cast(pa.string())
+    conv = ot.column("conv_id").combine_chunks().cast(pa.string())
+    tag = pc.binary_join_element_wise(
+        ot.column("kind").combine_chunks().cast(pa.string()),
+        ot.column("kb_id").combine_chunks().cast(pa.string()), ":")
+    return pa.table({
+        "ovkey": pc.binary_join_element_wise(alias, conv, _OV_SEP),
+        "alias_norm": alias,
+        "group_key": pc.binary_join_element_wise(alias, tag, SEP),
+    })
+
+
 def _attach_group_keys(t: pa.Table, ov) -> pa.Table:
     """Append the contraction group_key column: alias_norm, overridden
     per (alias_norm, conv_id) by the choices — ``ov`` is either the
@@ -1759,17 +1778,9 @@ def run_linkage(
                 pt.column("mention_id").to_pylist(),
                 zip(pt.column("alias").to_pylist(),
                     pt.column("alias_norm").to_pylist())))
-            ot = fast_meta["overrides"]
-            overrides = {
-                (an, cv): (kind, kb)
-                for an, cv, kind, kb in zip(
-                    ot.column("alias_norm").to_pylist(),
-                    ot.column("conv_id").to_pylist(),
-                    ot.column("kind").to_pylist(),
-                    ot.column("kb_id").to_pylist())
-            }
             patch_ref = ray.put(patch)
-            ov_ref = ray.put(_ov_table(overrides))
+            ov_ref = ray.put(_ov_table_from_choices(
+                fast_meta["overrides"]))
             partial_refs = None
             profile_tbl_ckpt = fast_meta["profile"]
             aliased = raw.map_batches(

@@ -242,3 +242,17 @@ def test_attach_group_keys_table_matches_dict(ray_session):
             == _attach_group_keys(t, _ov_table({}))
             .column("group_key").to_pylist()
             == t.column("alias_norm").to_pylist())
+    # the vectorized from-choice-table builder (checkpoint-resume
+    # path) matches the dict-built broadcast row for row
+    from el.pipeline import _ov_table_from_choices
+
+    ot = pa.table({
+        "alias_norm": pa.array([a for a, _ in ov]),
+        "conv_id": pa.array([c for _, c in ov]),
+        "kind": pa.array([k for k, _ in ov.values()]),
+        "kb_id": pa.array([e for _, e in ov.values()]),
+    })
+    t1 = _ov_table(ov)
+    t2 = _ov_table_from_choices(ot)
+    assert (sorted(tuple(r.values()) for r in t1.to_pylist())
+            == sorted(tuple(r.values()) for r in t2.to_pylist()))
