@@ -59,3 +59,96 @@ def comention_counts(mentions_ds, num_partitions: int | None = None):
 
     return group_blocks(pairs, ["s1"], count_pairs, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def pmi_pairs(mentions_ds, num_partitions: int | None = None):
+    """Pointwise mutual information per co-mention pair (collocation
+    mining): PMI(a,b) = ln(c_ab * N / (c_a * c_b)) over conversation
+    counts. Three exchanges total — the two inside
+    :func:`comention_counts` plus one surface-count combiner — with the
+    per-surface counts broadcast as a zero-copy Arrow table (surface-
+    bounded) and looked up via index_in per batch; N is a scalar
+    aggregate. Out: (s1, s2, n_convs, pmi[5dp])."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .textstats import round_half_away
+
+    m = mentions_ds.select_columns(["conv_id", "surface"])
+
+    def conv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    distinct = group_blocks(m.map_batches(conv_partial,
+                                          batch_format="pandas"),
+                            ["conv_id", "surface"], conv_partial,
+                            batch_format="pandas",
+                            num_partitions=num_partitions).materialize()
+
+    def conv_heads(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id"]].drop_duplicates()
+
+    # exact distinct-conversation count, fully distributed: one conv_id
+    # exchange emitting one row per conversation, then a streaming count
+    n_convs_total = float(
+        group_blocks(distinct.map_batches(conv_heads,
+                                          batch_format="pandas"),
+                     ["conv_id"], conv_heads, batch_format="pandas",
+                     num_partitions=num_partitions).count())
+    import ray
+
+    def surf_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("surface", as_index=False).size().rename(
+            columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    cs = group_blocks(distinct, ["surface"], surf_counts,
+                      batch_format="pandas",
+                      num_partitions=num_partitions).materialize()
+    cs_tbl = pa.concat_tables([ray.get(r) for r in cs.to_arrow_refs()
+                               if ray.get(r).num_rows]) \
+        if cs.count() else pa.table({"surface": pa.array([], pa.string()),
+                                     "c": pa.array([], pa.int64())})
+    cs_ref = ray.put(cs_tbl)
+
+    pairs = comention_counts(distinct, num_partitions=num_partitions)
+
+    class _Pmi:
+        def __init__(self, cs_ref, n_total: float):
+            import ray as _r
+
+            t = _r.get(cs_ref)
+            self.surf = t.column("surface").combine_chunks()
+            self.c = t.column("c").combine_chunks()
+            self.n = n_total
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_rows == 0:
+                return pa.table({"s1": pa.array([], pa.string()),
+                                 "s2": pa.array([], pa.string()),
+                                 "n_convs": pa.array([], pa.int64()),
+                                 "pmi": pa.array([], pa.float64())})
+            ca = self.c.take(pc.index_in(
+                t.column("s1").combine_chunks(), value_set=self.surf)) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            cb = self.c.take(pc.index_in(
+                t.column("s2").combine_chunks(), value_set=self.surf)) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            cab = t.column("n_convs").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            # operand order mirrors the SQL: (c_ab * N) / (c_a * c_b)
+            pmi = np.log(cab * self.n / (ca * cb))
+            return pa.table({
+                "s1": t.column("s1"),
+                "s2": t.column("s2"),
+                "n_convs": t.column("n_convs").cast(pa.int64()),
+                "pmi": pa.array(round_half_away(pmi, 5), pa.float64()),
+            })
+
+    return pairs.map_batches(_Pmi, fn_constructor_args=(cs_ref,
+                                                        n_convs_total),
+                             batch_format="pyarrow", concurrency=2,
+                             num_cpus=0.5)

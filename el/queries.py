@@ -329,6 +329,21 @@ def q_comention_pagerank(sf_dir: str):
     return pagerank_int(edges, iters=5)
 
 
+def q_comention_pmi(sf_dir: str):
+    """Pointwise mutual information per co-mention pair (collocation
+    mining over the conversation corpus): ln(c_ab * N / (c_a * c_b)).
+    Surface counts broadcast as a zero-copy Arrow table; operand order
+    mirrored exactly by the SQL so the 5dp rounding agrees."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import pmi_pairs
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+    return pmi_pairs(gm)
+
+
 def q_transcripts_passthrough(sf_dir: str):
     """North-rule invariant surface: per-turn text equality under stable
     (conv_id, turn_idx) ordering after a map_batches round-trip."""
@@ -2681,6 +2696,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
         "comention_pagerank": _pagerank_sql(),
+        "comention_pmi": f"""
+            WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+            n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS nn
+                  FROM m),
+            cs AS (SELECT surface, CAST(count(*) AS BIGINT) AS c
+                   FROM m GROUP BY surface),
+            cp AS (SELECT a.surface AS s1, b.surface AS s2,
+                          count(*) AS n_convs
+                   FROM m a JOIN m b
+                     ON a.conv_id = b.conv_id AND a.surface < b.surface
+                   GROUP BY 1, 2)
+            SELECT cp.s1, cp.s2, CAST(cp.n_convs AS BIGINT) AS n_convs,
+                   {_roundsql(
+                       'ln(cp.n_convs * n.nn / (ca.c * cb.c))', 5)}
+                       AS pmi
+            FROM cp
+            JOIN cs ca ON ca.surface = cp.s1
+            JOIN cs cb ON cb.surface = cp.s2
+            CROSS JOIN n
+        """,
         "comention_counts": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm})
             SELECT a.surface AS s1, b.surface AS s2,
@@ -3649,6 +3684,7 @@ def queries():
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "comention_pagerank": q_comention_pagerank,
+        "comention_pmi": q_comention_pmi,
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
         "conv_dedup": q_conv_dedup,

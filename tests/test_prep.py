@@ -666,3 +666,27 @@ def test_new_ops_empty_input(ray_session):
     assert kmv_distinct(ev, "event_type", "user_id").count() == 0
     assert funnel(ev).count() == 0
     assert interval_join(ev, iv).count() == 0
+
+
+def test_pmi_pairs_known_values(ray_session):
+    import math
+
+    import ray
+
+    from el.ops.cooccur import pmi_pairs
+
+    # 4 convs: a+b together twice, a alone once, c+b once
+    rows = [("c1", "a"), ("c1", "b"), ("c2", "a"), ("c2", "b"),
+            ("c3", "a"), ("c4", "c"), ("c4", "b"),
+            ("c1", "a")]  # duplicate mention collapses
+    df = pd.DataFrame(rows, columns=["conv_id", "surface"])
+    out = (pmi_pairs(ray.data.from_pandas(df)).to_pandas()
+           .set_index(["s1", "s2"]))
+    # N=4, c_a=3, c_b=3, c_ab=2 -> PMI = ln(2*4/9)
+    assert out.loc[("a", "b"), "n_convs"] == 2
+    assert out.loc[("a", "b"), "pmi"] == pytest.approx(
+        math.log(8 / 9), abs=1e-5)
+    # c_b=3, c_c=1, c_bc=1 -> ln(4/3)
+    assert out.loc[("b", "c"), "pmi"] == pytest.approx(
+        math.log(4 / 3), abs=1e-5)
+    assert len(out) == 2
