@@ -68,7 +68,10 @@ def pmi_pairs(mentions_ds, num_partitions: int | None = None):
     :func:`comention_counts` plus one surface-count combiner — with the
     per-surface counts broadcast as a zero-copy Arrow table (surface-
     bounded) and looked up via index_in per batch; N is a scalar
-    aggregate. Out: (s1, s2, n_convs, pmi[5dp])."""
+    aggregate. Inherits :func:`comention_counts`' 1000-distinct-
+    surfaces-per-conversation pair cap (loudly logged there; like that
+    operator's oracle, the SQL models no cap — exactness holds for
+    corpora below it). Out: (s1, s2, n_convs, pmi[5dp])."""
     import numpy as np
     import pyarrow as pa
 
@@ -106,10 +109,11 @@ def pmi_pairs(mentions_ds, num_partitions: int | None = None):
     cs = group_blocks(distinct, ["surface"], surf_counts,
                       batch_format="pandas",
                       num_partitions=num_partitions).materialize()
-    cs_tbl = pa.concat_tables([ray.get(r) for r in cs.to_arrow_refs()
-                               if ray.get(r).num_rows]) \
-        if cs.count() else pa.table({"surface": pa.array([], pa.string()),
-                                     "c": pa.array([], pa.int64())})
+    cs_parts = [t for t in ray.get(list(cs.to_arrow_refs()))
+                if t.num_rows]
+    cs_tbl = (pa.concat_tables(cs_parts) if cs_parts
+              else pa.table({"surface": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())}))
     cs_ref = ray.put(cs_tbl)
 
     pairs = comention_counts(distinct, num_partitions=num_partitions)
@@ -150,5 +154,5 @@ def pmi_pairs(mentions_ds, num_partitions: int | None = None):
 
     return pairs.map_batches(_Pmi, fn_constructor_args=(cs_ref,
                                                         n_convs_total),
-                             batch_format="pyarrow", concurrency=2,
+                             batch_format="pyarrow", concurrency=4,
                              num_cpus=0.5)

@@ -73,24 +73,30 @@ def _maybe_get(x):
     sites auto-dereference top-level ObjectRef args, map_batches
     fn_kwargs don't — the shared per-block functions accept both.
 
-    Resolved values are CACHED per worker process: unlike Arrow tables
-    (zero-copy from the object store), a broadcast Python dict is
-    re-PICKLE-DESERIALIZED on every ray.get — measured 0.5-2.9 s per
-    answers-attach task at bench32 for the conv-scale overrides dict,
-    dominating the stage. With the cache each worker pays once."""
+    Resolved PYTHON-OBJECT values are CACHED per worker process:
+    unlike Arrow tables / numpy arrays (zero-copy from the object
+    store — never cached here, so no plasma buffer is pinned past the
+    task), a broadcast Python dict is re-PICKLE-DESERIALIZED on every
+    ray.get — measured 0.5-2.9 s per answers-attach task at bench32
+    for the 122k-entry overrides dict, dominating the stage. LRU
+    evict-one keeps a long-lived worker's cache bounded without
+    dropping hot entries mid-run."""
+    import numpy as np
     import ray
 
     if not isinstance(x, ray.ObjectRef):
         return x
     key = x.binary()
-    try:
+    if key in _BCAST_CACHE:
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)  # refresh LRU order
         return _BCAST_CACHE[key]
-    except KeyError:
-        val = ray.get(x)
-        if len(_BCAST_CACHE) >= 8:  # bound a long-lived worker's cache
-            _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = val
-        return val
+    val = ray.get(x)
+    if isinstance(val, (pa.Table, pa.ChunkedArray, np.ndarray)):
+        return val  # zero-copy fetch: caching would only pin plasma
+    while len(_BCAST_CACHE) >= 8:
+        _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+    _BCAST_CACHE[key] = val
+    return val
 
 
 def _alias_profile_block(df):

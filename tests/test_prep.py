@@ -629,6 +629,7 @@ def test_interval_join_matches_bruteforce_random(ray_session):
                          ray.data.from_pandas(iv).repartition(3))
            .to_pandas())
     got = dict(zip(out.event_id, out.session_no))
+    assert len(got) == len(out)  # no duplicate-match rows
     want = {}
     for r in ev.itertuples():
         for s in iv[iv.user_id == r.user_id].itertuples():
