@@ -68,3 +68,17 @@ def human_readable(answers_ds, kb_ref, concurrency: int = 2):
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+def write_answers_jsonl(answers_ds, out_dir: str):
+    """Streaming JSONL sink for the full answer rows (the
+    interchange-format sibling of :func:`write_submission`): sorted by
+    (conv_id, turn_idx) then written one JSON object per line, one
+    file per block — downstream line-oriented consumers (dataset
+    loaders, spot-check tooling) read it without a Parquet stack.
+    Timestamp-free schema, so the lines are plain scalars."""
+    from .shuffle import arrowize
+
+    ds = arrowize(answers_ds).sort(["conv_id", "turn_idx"])
+    ds.write_json(out_dir)
+    return out_dir

@@ -124,3 +124,30 @@ def test_write_entity_strings(ray_session, t1_fixture, tmp_path):
     assert (es.alias != "").all()
     # canonicalization is doing work: some surfaces expand
     assert (es.alias != es.surface).any()
+
+
+def test_write_answers_jsonl_roundtrip(ray_session, tmp_path):
+    import json
+    import glob
+
+    import ray
+
+    from el.outputs import write_answers_jsonl
+
+    df = pd.DataFrame({
+        "mention_id": ["m2", "m1", "m3"],
+        "conv_id": ["c2", "c1", "c1"],
+        "turn_idx": [0, 1, 0],
+        "kb_link": ["E1", "NIL:m1", "E2"],
+        "confidence": [0.9, 0.6, 0.8],
+    })
+    out = str(tmp_path / "ans_jsonl")
+    write_answers_jsonl(ray.data.from_pandas(df), out)
+    rows = []
+    for f in sorted(glob.glob(out + "/*.json")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        ("c1", 0), ("c1", 1), ("c2", 0)]
+    assert rows[0]["kb_link"] == "E2"
+    assert rows[2]["confidence"] == 0.9
