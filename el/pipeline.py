@@ -2378,6 +2378,9 @@ def main(argv=None):
                     help="also write the per-mention canonicalization "
                          "dump (surface -> best entity string; "
                          "EntityStringFinder analog)")
+    ap.add_argument("--jsonl", action="store_true",
+                    help="also write the full answer rows as sorted "
+                         "JSONL next to --output")
     ap.add_argument("--no-sports-classify", action="store_true",
                     help="disable the sports-sense override (linkQuery "
                          "steps 1+8)")
@@ -2396,7 +2399,7 @@ def main(argv=None):
             sports_classify=not args.no_sports_classify,
             conv_partitioned=not args.conv_unordered,
         )
-        if args.human_readable or args.entity_strings:
+        if args.human_readable or args.entity_strings or args.jsonl:
             answers = answers.materialize()  # several consumers -> pin
         _fresh_output_dir(args.output)
         answers.write_parquet(args.output)
@@ -2414,6 +2417,12 @@ def main(argv=None):
             es_out = args.output.rstrip("/") + "_entity_strings"
             _fresh_output_dir(es_out)
             write_entity_strings(answers, es_out)
+        if args.jsonl:
+            from .outputs import write_answers_jsonl
+
+            jl_out = args.output.rstrip("/") + "_jsonl"
+            _fresh_output_dir(jl_out)
+            write_answers_jsonl(answers, jl_out)
     finally:
         ray.shutdown()
 
