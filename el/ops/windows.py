@@ -454,3 +454,73 @@ def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
 
     return group_blocks(tagged, [by], block, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+# --------------------------------------------------- cohort retention
+def cohort_retention(events_ds, offsets: tuple[int, ...] = (0, 1, 7), *,
+                     num_partitions: int | None = None):
+    """Cohort retention: users are cohorted by their first-seen day;
+    for each cohort and ``offset`` k, count users active on day
+    cohort+k. Two exchanges: per-batch distinct (user, day) partials
+    meet on ``user_id`` (a user's full day-set co-resides, so cohort =
+    local min), emitting at most one (cohort, k, user) row per offset;
+    then a count combiner meets on (cohort_day, day_offset). Out:
+    (cohort_day, day_offset, users) — zero-count cells omitted."""
+    offs = sorted(set(int(k) for k in offsets))
+
+    def days_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "day": pd.Series(dtype="datetime64[us]")})
+        out = df[["user_id"]].copy()
+        out["day"] = df["ts"].dt.floor("D")
+        return out.drop_duplicates()
+
+    partials = events_ds.select_columns(["user_id", "ts"]).map_batches(
+        days_partial, batch_format="pandas")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_day": pd.Series(dtype="datetime64[us]"),
+            "day_offset": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df.drop_duplicates()
+        cohort = df.groupby("user_id")["day"].transform("min")
+        k = (df["day"] - cohort).dt.days.astype("int64")
+        m = k.isin(offs)
+        return pd.DataFrame({
+            "cohort_day": cohort[m].to_numpy(),
+            "day_offset": k[m].to_numpy(),
+            "user_id": df.loc[m, "user_id"].to_numpy()})
+
+    rows = group_blocks(partials, ["user_id"], per_user,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)
+
+    # each (cohort, k, user) row is unique by construction, so counts
+    # are plain sizes: combiner then one small exchange
+    def part_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_day", "day_offset"],
+                         as_index=False).size().rename(
+            columns={"size": "users"})
+        out["users"] = out["users"].astype("int64")
+        return out
+
+    def merge_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series(dtype="datetime64[us]"),
+                "day_offset": pd.Series(dtype="int64"),
+                "users": pd.Series(dtype="int64")})
+        out = df.groupby(["cohort_day", "day_offset"],
+                         as_index=False)["users"].sum()
+        out["users"] = out["users"].astype("int64")
+        return out
+
+    return group_blocks(rows.map_batches(part_cnt,
+                                         batch_format="pandas"),
+                        ["cohort_day", "day_offset"], merge_cnt,
+                        batch_format="pandas")

@@ -1307,6 +1307,20 @@ def q_hopping_window(sf_dir: str):
     return hopping_window_agg(_read(sf_dir, "events"))
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention (day-0/1/7 active users per first-seen-day
+    cohort): distinct-day partials -> user exchange (cohort = local
+    min) -> count combiner + tiny exchange."""
+    import ray.data
+
+    from .ops.windows import cohort_retention
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def q_kmv_distinct(sf_dir: str):
     """Approximate distinct users per event_type via a KMV
     (k-minimum-values) sketch, k=64: partials ship only each group's k
@@ -3448,6 +3462,20 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('sum(value)', 4)} AS sum_value
             FROM w GROUP BY event_type, window_start_us
         """,
+        "cohort_retention": f"""
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts))
+                              AS cohort
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                  FROM events)
+            SELECT f.cohort AS cohort_day,
+                   CAST(date_diff('day', f.cohort, a.d) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+            FROM f JOIN a USING (user_id)
+            WHERE date_diff('day', f.cohort, a.d) IN (0, 1, 7)
+            GROUP BY 1, 2
+        """,
         "latest_event_state": f"""
             SELECT user_id, event_type, event_id, ts,
                    {_roundsql('value', 4)} AS value
@@ -3733,6 +3761,7 @@ def queries():
         "event_funnel": q_event_funnel,
         "kmv_distinct": q_kmv_distinct,
         "latest_event_state": q_latest_event_state,
+        "cohort_retention": q_cohort_retention,
         "orders_no_recent_lineitem": q_orders_no_recent_lineitem,
         "sessionize_chunked": q_sessionize_chunked,
         "click_attribution": q_click_attribution,

@@ -691,3 +691,30 @@ def test_pmi_pairs_known_values(ray_session):
     assert out.loc[("b", "c"), "pmi"] == pytest.approx(
         math.log(4 / 3), abs=1e-5)
     assert len(out) == 2
+
+
+def test_cohort_retention_known_values(ray_session):
+    import ray
+
+    from el.ops.windows import cohort_retention
+
+    d = lambda s: pd.Timestamp(s)  # noqa: E731
+    rows = [
+        # u1: cohort Jan-1, active day 0, 1, 7
+        (1, d("2024-01-01 08:00")), (1, d("2024-01-02 09:00")),
+        (1, d("2024-01-08 10:00")),
+        # u2: cohort Jan-1, active day 0 and 3 (3 not an offset)
+        (2, d("2024-01-01 23:59")), (2, d("2024-01-04 00:00")),
+        # u3: cohort Jan-2, day 0 only (two events same day dedupe)
+        (3, d("2024-01-02 05:00")), (3, d("2024-01-02 18:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = (cohort_retention(ray.data.from_pandas(df).repartition(3))
+           .to_pandas().set_index(["cohort_day", "day_offset"])["users"]
+           .sort_index())
+    assert out.to_dict() == {
+        (d("2024-01-01"), 0): 2,
+        (d("2024-01-01"), 1): 1,
+        (d("2024-01-01"), 7): 1,
+        (d("2024-01-02"), 0): 1,
+    }
