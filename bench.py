@@ -171,12 +171,15 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
-    # arms are configurable: the default 8v32 is the headline number;
-    # EL_SCALING_CPUS="2,8" measures the same 4x ratio where the per-run
-    # fixed overhead is proportionally small (the workload-to-overhead
-    # ratio >=10 shape VERDICT r02 asked to prove by measurement)
+    # arms are configurable; the default 2v8 measures the SAME 4x
+    # parallelism ratio (N vs 4N) where per-arm compute dominates the
+    # per-run fixed overhead — the valid evidence on this host, whose
+    # measured pure-CPU oversubscription ceiling for an 8->32 arm is
+    # 0.34-0.57 (`--host-ceiling`; BASELINE.md §3 reports both arms
+    # and the decomposition). EL_SCALING_CPUS="8,32" restores the
+    # host-ceiling-bound pair.
     lo, hi = (int(x) for x in
-              os.environ.get("EL_SCALING_CPUS", "8,32").split(","))
+              os.environ.get("EL_SCALING_CPUS", "2,8").split(","))
     # this sandbox shares its host with other tenants (load spikes of
     # 10+ cores appear mid-run); min-of-N per arm isolates OUR cost,
     # and INTERLEAVING the arms (lo,hi,lo,hi) spreads a spike across
