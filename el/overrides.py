@@ -229,11 +229,81 @@ def conv_aligned_chunks(tbl: pa.Table, target: int = 20_000) -> list:
     return chunks
 
 
+# flagged-conversation broadcast guard: above this many per-batch-distinct
+# flagged conv_ids the distinct list is NOT collected/broadcast — the
+# semi-join exchange path below runs instead, so nothing
+# corpus-proportional ever lands on the driver on either plan
+OVERRIDE_BCAST_CONV_MAX = 2_000_000
+
+# marker mention_id for the semi-join union (real mention_ids are
+# "{conv}:{turn:05d}:{beg:05d}" — never empty)
+_MARKER_MID = ""
+
+
+def _override_rows_semijoin(aliased_ds, flagged, kb_ref, sports,
+                            num_partitions):
+    """Over-guard choice computation with ZERO driver-side structure:
+    marker rows (one per per-batch-distinct flagged conv) union with the
+    full mention stream into a single conv_id hash exchange; the block
+    fn semi-joins (keeps only conversations that carry a marker) and
+    resolves the overrides in place. Costs one full mention-stream
+    exchange — the price of exceeding the broadcast guard — instead of
+    the pruned flagged-subset exchange the bounded path pays."""
+    import ray
+
+    from .shuffle import group_blocks
+
+    def m_rows(t: pa.Table) -> pa.Table:
+        return t.select(SUBSET_COLUMNS)
+
+    def marker_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({
+            "mention_id": pa.array([_MARKER_MID] * n, pa.string()),
+            "conv_id": t.column("conv_id").combine_chunks().cast(
+                pa.string()),
+            "alias_norm": empty,
+            "surface": empty,
+            "ner_type": empty,
+            "context": empty,
+        })
+
+    tagged = aliased_ds.map_batches(
+        m_rows, batch_format="pyarrow"
+    ).union(flagged.map_batches(marker_rows, batch_format="pyarrow"))
+
+    def semi_block(t: pa.Table, kb_ref=kb_ref, sports=sports) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mk = pc.equal(t.column("mention_id").combine_chunks(), _MARKER_MID)
+        convs = pc.unique(
+            t.filter(mk).column("conv_id").combine_chunks())
+        mentions = t.filter(pc.invert(mk))
+        sub = mentions.filter(pc.is_in(
+            mentions.column("conv_id").combine_chunks(), value_set=convs))
+        return conv_overrides_block(sub, ray.get(kb_ref), sports)
+
+    return group_blocks(tagged, ["conv_id"], semi_block,
+                        batch_format="pyarrow",
+                        num_partitions=num_partitions)
+
+
 def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
                           num_partitions: int | None = None):
     """Choice rows (alias_norm, conv_id, kind, kb_id) as a DATASET —
     the scale form consumed by the fallback plan's join-based group-key
-    attach; None when the corpus has no candidates."""
+    attach; None when the corpus has no candidates.
+
+    Scale shape: the flag scan emits per-batch-DISTINCT flagged conv_ids
+    only; their total count (an upper bound on the distinct flagged-
+    conversation count, checked without collecting a row) gates two
+    strategies. Under ``OVERRIDE_BCAST_CONV_MAX`` the bounded conv list
+    is collected once, broadcast as an Arrow array (zero-copy per
+    worker), and the mention stream is is_in-pruned BEFORE any exchange
+    — only flagged conversations' mentions move. Above the guard,
+    ``_override_rows_semijoin`` runs: no driver structure at all, one
+    marker-union conv_id exchange."""
     import pyarrow.compute as pc
     import ray
 
@@ -243,16 +313,28 @@ def context_override_rows(aliased_ds, kb_ref, sports: bool = True,
     amb_aliases = sorted(kb.ambiguous_aliases)
 
     def flag(t: pa.Table) -> pa.Table:
-        return flag_convs(t, amb_aliases, sports)
+        f = flag_convs(t, amb_aliases, sports)
+        return pa.table({"conv_id": pc.unique(
+            f.column("conv_id").combine_chunks())})
 
-    flagged = aliased_ds.map_batches(flag, batch_format="pyarrow")
-    convs = sorted({r["conv_id"] for r in flagged.take_all()})  # rare
-    if not convs:
+    flagged = aliased_ds.map_batches(
+        flag, batch_format="pyarrow").materialize()
+    n_flagged_upper = flagged.count()
+    if n_flagged_upper == 0:
         return None
-    convs_ref = ray.put(convs)
+    if n_flagged_upper > OVERRIDE_BCAST_CONV_MAX:
+        return _override_rows_semijoin(aliased_ds, flagged, kb_ref,
+                                       sports, num_partitions)
+
+    conv_arr = pc.unique(pa.concat_tables(
+        [t for t in (ray.get(r) for r in flagged.to_arrow_refs())
+         if t.num_rows]
+    ).column("conv_id").combine_chunks())
+    conv_arr = conv_arr.take(pc.sort_indices(conv_arr))
+    convs_ref = ray.put(conv_arr)  # Arrow array: zero-copy per worker
 
     def in_flagged(t: pa.Table, ref=convs_ref) -> pa.Table:
-        return subset_flagged(t, pa.array(ray.get(ref), pa.string()))
+        return subset_flagged(t, ray.get(ref))
 
     subset = aliased_ds.map_batches(in_flagged, batch_format="pyarrow")
 
@@ -292,11 +374,22 @@ def find_context_overrides(aliased_ds, kb_ref, sports: bool = True,
     the fallback plan uses context_override_rows + a conv_id hash join
     instead, so no corpus-proportional dict ever lives on the driver.
     Empty when the corpus has no candidates (one stateless scan)."""
+    import ray
+
     rows = context_override_rows(aliased_ds, kb_ref, sports,
                                  num_partitions)
     if rows is None:
         return {}
     out: dict = {}
-    for r in rows.take_all():
-        out[(r["alias_norm"], r["conv_id"])] = (r["kind"], r["kb_id"])
+    # block-refs collect (bounded: the caller is the driver plan, which
+    # only runs under the driver guard; choices <= mentions <= guard)
+    for ref in rows.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        for a, c, k, kid in zip(t.column("alias_norm").to_pylist(),
+                                t.column("conv_id").to_pylist(),
+                                t.column("kind").to_pylist(),
+                                t.column("kb_id").to_pylist()):
+            out[(a, c)] = (k, kid)
     return out

@@ -256,3 +256,20 @@ def test_attach_group_keys_table_matches_dict(ray_session):
     t2 = _ov_table_from_choices(ot)
     assert (sorted(tuple(r.values()) for r in t1.to_pylist())
             == sorted(tuple(r.values()) for r in t2.to_pylist()))
+
+
+def test_override_semijoin_path_matches_driver(ray_session, t1_fixture,
+                                               t1_answers, monkeypatch):
+    """Force the over-guard override path (OVERRIDE_BCAST_CONV_MAX=0):
+    the flagged-conv list is never collected/broadcast — marker rows
+    union into one conv_id exchange and the semi-join block resolves in
+    place. Answers must match the driver plan exactly."""
+    import el.overrides as ov
+
+    monkeypatch.setattr(ov, "OVERRIDE_BCAST_CONV_MAX", 0)
+    df2 = run_linkage(t1_fixture, driver_cc_max_nodes=0,
+                      conv_partitioned=False,
+                      broadcast_answers_max=0).to_pandas()
+    a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    b = dict(zip(df2.mention_id, df2.cluster_id))
+    assert a == b
