@@ -22,6 +22,58 @@ def _to_matrix(col) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _matrix_from_arrow(col) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float>/fixed_size_list Arrow
+    column. Fast path: when every list has the same length and the
+    value buffer has no nulls (the parquet embedding layout), the flat
+    buffer is viewed zero-copy and reshaped — the only copy is the
+    float32 -> float64 widening the scorers already require. Ragged or
+    null-bearing columns fall back to the per-row copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray tensor-extension column (upstream op emitted ndarray
+        # cells): its to_numpy is already the stacked (n, d) view
+        try:
+            m = np.asarray(arr.to_numpy(zero_copy_only=False))
+            if m.ndim == 2:
+                return m.astype(np.float64, copy=False)
+        except (pa.ArrowInvalid, ValueError, TypeError):
+            pass
+        arr = arr.storage
+    try:
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(arr)
+        mm = pc.min_max(lens)
+        d = mm["min"].as_py()
+        if d is None or d != mm["max"].as_py() or d == 0:
+            raise ValueError("ragged")
+        flat = arr.flatten().to_numpy(zero_copy_only=True)
+        return flat.reshape(n, d).astype(np.float64, copy=False)
+    except (pa.ArrowInvalid, ValueError, AttributeError):
+        return np.array([np.asarray(v, dtype=np.float64)
+                         for v in arr.to_pylist()])
+
+
+_EMPTY_LOCAL = {"q_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64")}
+
+
+def _local_topk_frame(qs: list, ids: list, sims: list) -> pd.DataFrame:
+    """Typed assembly of per-query local top-k picks — empty batches
+    emit the same (int64, int64, float64) schema as full ones, so the
+    merge exchange never sees a schema-drifting block."""
+    if not qs:
+        return pd.DataFrame(dict(_EMPTY_LOCAL))
+    return pd.DataFrame({"q_id": np.concatenate(qs),
+                         "vec_id": np.concatenate(ids).astype(np.int64),
+                         "sim": np.concatenate(sims).astype(np.float64)})
+
+
 class _BruteScorer:
     def __init__(self, q_ref, top_m: int):
         import ray
@@ -30,19 +82,22 @@ class _BruteScorer:
         self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
         self.top_m = top_m
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        X = _to_matrix(df["embedding"])
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(dict(_EMPTY_LOCAL))
+        X = _matrix_from_arrow(t.column("embedding"))
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
         sims = self.Qn @ Xn.T  # (nq, batch)
-        vec_ids = df["vec_id"].to_numpy()
-        rows = []
+        vec_ids = t.column("vec_id").to_numpy()
         m = min(self.top_m, sims.shape[1])
+        qs, ids, sv = [], [], []
         for qi in range(sims.shape[0]):
             # local top-m, ties broken by vec_id ascending
             order = np.lexsort((vec_ids, -sims[qi]))[:m]
-            for j in order:
-                rows.append((qi, int(vec_ids[j]), float(sims[qi, j])))
-        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+            qs.append(np.full(len(order), qi, dtype=np.int64))
+            ids.append(vec_ids[order])
+            sv.append(sims[qi, order])
+        return _local_topk_frame(qs, ids, sv)
 
 
 def _topk_group(k: int):
@@ -65,7 +120,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
     local = emb_ds.map_batches(
         _BruteScorer,
         fn_constructor_args=(q_ref, k),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
         num_cpus=0.5,
@@ -89,6 +144,26 @@ def _signatures(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
+_POP16: np.ndarray | None = None
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table (numpy 1.x
+    has no ``bitwise_count``) — replaces the per-(row, query) Python
+    ``bin(...).count('1')`` loop."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.uint8)
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    out = (_POP16[(x & m)].astype(np.int64)
+           + _POP16[(x >> np.uint64(16)) & m]
+           + _POP16[(x >> np.uint64(32)) & m]
+           + _POP16[(x >> np.uint64(48)) & m])
+    return out
+
+
 class _LshScorer:
     """Scores a batch only against queries whose bucket signature is
     within ``probe`` Hamming bits of the row's signature."""
@@ -103,25 +178,26 @@ class _LshScorer:
         self.top_m = top_m
         self.probe = probe
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        X = _to_matrix(df["embedding"])
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(dict(_EMPTY_LOCAL))
+        X = _matrix_from_arrow(t.column("embedding"))
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
         xsig = _signatures(Xn, self.planes)
-        vec_ids = df["vec_id"].to_numpy()
-        rows = []
+        vec_ids = t.column("vec_id").to_numpy()
+        ham = _popcount64(xsig[None, :] ^ self.qsig[:, None])  # (nq, n)
+        qs, ids_o, sv = [], [], []
         for qi in range(len(self.Q)):
-            ham = np.array(
-                [bin(int(s) ^ int(self.qsig[qi])).count("1") for s in xsig]
-            )
-            mask = ham <= self.probe
+            mask = ham[qi] <= self.probe
             if not mask.any():
                 continue
             sims = Xn[mask] @ self.Qn[qi]
             ids = vec_ids[mask]
             order = np.lexsort((ids, -sims))[: self.top_m]
-            for j in order:
-                rows.append((qi, int(ids[j]), float(sims[j])))
-        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+            qs.append(np.full(len(order), qi, dtype=np.int64))
+            ids_o.append(ids[order])
+            sv.append(sims[order])
+        return _local_topk_frame(qs, ids_o, sv)
 
 
 def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
@@ -138,7 +214,7 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 12,
     local = emb_ds.map_batches(
         _LshScorer,
         fn_constructor_args=(q_ref, p_ref, k, probe),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
         num_cpus=0.5,
@@ -207,12 +283,14 @@ class _IvfScorer:
         self.probes = np.argsort(-sims, axis=1)[:, :n_probe]  # (nq, p)
         self.top_m = top_m
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        X = _to_matrix(df["embedding"])
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(dict(_EMPTY_LOCAL))
+        X = _matrix_from_arrow(t.column("embedding"))
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
         assign = np.argmax(Xn @ self.C.T, axis=1)
-        vec_ids = df["vec_id"].to_numpy()
-        rows = []
+        vec_ids = t.column("vec_id").to_numpy()
+        qs, ids_o, sv = [], [], []
         for qi in range(len(self.Q)):
             mask = np.isin(assign, self.probes[qi])
             if not mask.any():
@@ -220,9 +298,10 @@ class _IvfScorer:
             sims = Xn[mask] @ self.Qn[qi]
             ids = vec_ids[mask]
             order = np.lexsort((ids, -sims))[: self.top_m]
-            for j in order:
-                rows.append((qi, int(ids[j]), float(sims[j])))
-        return pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+            qs.append(np.full(len(order), qi, dtype=np.int64))
+            ids_o.append(ids[order])
+            sv.append(sims[order])
+        return _local_topk_frame(qs, ids_o, sv)
 
 
 def fit_centroids_bounded(emb_ds, sample_n: int, n_clusters: int,
@@ -276,7 +355,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     local = emb_ds.map_batches(
         _IvfScorer,
         fn_constructor_args=(q_ref, c_ref, k, n_probe),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
         num_cpus=0.5,
@@ -297,13 +376,17 @@ class _ClusterAssigner:
 
         self.C = ray.get(c_ref)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        X = _to_matrix(df["embedding"])
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = t.select(["vec_id", "embedding"]).replace_schema_metadata(None)
+        if t.num_rows == 0:
+            return out.append_column("cluster", pa.array([], pa.int64()))
+        X = _matrix_from_arrow(t.column("embedding"))
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
                          1e-30, None)
-        out = df[["vec_id", "embedding"]].copy()
-        out["cluster"] = np.argmax(Xn @ self.C.T, axis=1).astype(np.int64)
-        return out
+        assign = np.argmax(Xn @ self.C.T, axis=1).astype(np.int64)
+        # zero-copy passthrough of the embedding column (no pandas
+        # round-trip, no tensor-extension re-format)
+        return out.append_column("cluster", pa.array(assign))
 
 
 def semantic_dedup(emb_ds, threshold: float = 0.9, n_clusters: int = 16,
@@ -332,7 +415,7 @@ def semantic_dedup(emb_ds, threshold: float = 0.9, n_clusters: int = 16,
     assigned = emb_ds.map_batches(
         _ClusterAssigner,
         fn_constructor_args=(c_ref,),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
         num_cpus=0.5,

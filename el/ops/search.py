@@ -78,8 +78,22 @@ def bm25_topk(docs_ds, queries: list[str], k: int = 10,
             row[f"df_{j}"] = np.int64(has[j])
         return pd.DataFrame([row])
 
-    parts = docs_ds.map_batches(stats_partial,
-                                batch_format="pandas").to_pandas()
+    def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return pd.DataFrame([df.sum(axis=0).astype(np.int64)])
+
+    # tree fold: one partial row per batch -> a small exchange -> one
+    # summed row per fold partition, so the driver fold reads
+    # O(partitions) rows, not O(batches) (exact: integer partial sums
+    # are associative — same doubles on both sides as before)
+    from ..shuffle import default_partitions
+
+    parts = (docs_ds.map_batches(stats_partial, batch_format="pandas")
+             .repartition(default_partitions())
+             .map_batches(fold_block, batch_format="pandas",
+                          batch_size=None)
+             .to_pandas())
     n_docs = int(parts["n_docs"].sum())
     if n_docs == 0:
         return ray.data.from_pandas(pd.DataFrame({
