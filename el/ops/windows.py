@@ -398,28 +398,52 @@ def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
     would need a sweep instead). Inner-join semantics: events outside
     every interval are dropped.
 
-    Out: (by, event_id, ts, *keep_cols)."""
+    Out: (by, event_id, ts, *keep_cols). Key / id / keep-col dtypes are
+    DERIVED from the two input schemas (the ``by`` key unifies to the
+    events side's type), so string keys and non-int64 payload columns
+    produce consistently-typed blocks — including on partitions holding
+    only one side."""
+    def _arrow_type(t):
+        # Dataset.schema() yields Arrow types for Arrow blocks but
+        # numpy dtypes for pandas blocks; normalize (object -> string,
+        # the pandas string representation)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    ev_schema = events_ds.schema()
+    iv_schema = intervals_ds.schema()
+    ev_types = {n: _arrow_type(t)
+                for n, t in zip(ev_schema.names, ev_schema.types)}
+    iv_types = {n: _arrow_type(t)
+                for n, t in zip(iv_schema.names, iv_schema.types)}
+    by_t = ev_types[by]
+    eid_t = ev_types["event_id"]
+    keep_t = {k: iv_types[k] for k in keep_cols}
 
     def tag_events(t: pa.Table) -> pa.Table:
-        cols = {by: t.column(by),
+        cols = {by: t.column(by).cast(by_t),
                 ts_col: t.column(ts_col).cast(pa.timestamp("us")),
                 "event_id": t.column("event_id"),
                 "is_event": pa.array([1] * t.num_rows, pa.int64())}
         cols[start_col] = pa.nulls(t.num_rows, pa.timestamp("us"))
         cols[end_col] = pa.nulls(t.num_rows, pa.timestamp("us"))
         for k in keep_cols:
-            cols[k] = pa.nulls(t.num_rows, pa.int64())
+            cols[k] = pa.nulls(t.num_rows, keep_t[k])
         return pa.table(cols)
 
     def tag_intervals(t: pa.Table) -> pa.Table:
-        cols = {by: t.column(by),
+        cols = {by: t.column(by).cast(by_t),
                 ts_col: pa.nulls(t.num_rows, pa.timestamp("us")),
-                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "event_id": pa.nulls(t.num_rows, eid_t),
                 "is_event": pa.array([0] * t.num_rows, pa.int64()),
                 start_col: t.column(start_col).cast(pa.timestamp("us")),
                 end_col: t.column(end_col).cast(pa.timestamp("us"))}
         for k in keep_cols:
-            cols[k] = t.column(k).cast(pa.int64())
+            cols[k] = t.column(k)
         return pa.table(cols)
 
     tagged = (events_ds.select_columns([by, ts_col, "event_id"])
@@ -428,13 +452,12 @@ def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
                                               batch_format="pyarrow")))
 
     out_cols = [by, "event_id", ts_col, *keep_cols]
+    empty_schema = pa.schema(
+        [(by, by_t), ("event_id", eid_t), (ts_col, pa.timestamp("us"))]
+        + [(k, keep_t[k]) for k in keep_cols])
 
     def block(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            by: pd.Series(dtype="int64"),
-            "event_id": pd.Series(dtype="int64"),
-            ts_col: pd.Series(dtype="datetime64[us]"),
-            **{k: pd.Series(dtype="int64") for k in keep_cols}})
+        empty = empty_schema.empty_table().to_pandas()
         ev = df[df["is_event"] == 1]
         iv = df[df["is_event"] == 0]
         if len(ev) == 0 or len(iv) == 0:
@@ -447,9 +470,9 @@ def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
                           by=by, direction="backward")
         j = j[j[ts_col] <= j[end_col]]
         out = j[out_cols].copy()
-        out["event_id"] = out["event_id"].astype("int64")
-        for k in keep_cols:
-            out[k] = out[k].astype("int64")
+        want = empty.dtypes
+        for k in ["event_id", *keep_cols]:
+            out[k] = out[k].astype(want[k])
         return out.reset_index(drop=True)
 
     return group_blocks(tagged, [by], block, batch_format="pandas",

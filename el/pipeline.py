@@ -80,7 +80,14 @@ def _maybe_get(x):
     ray.get — measured 0.5-2.9 s per answers-attach task at bench32
     for the 122k-entry overrides dict, dominating the stage. LRU
     evict-one keeps a long-lived worker's cache bounded without
-    dropping hot entries mid-run."""
+    dropping hot entries mid-run.
+
+    READ-ONLY CONTRACT: the cache hands the SAME deserialized object
+    to every task on the worker (that sharing is the whole point).
+    Consumers must never mutate a value obtained through here — an
+    in-place edit would silently corrupt concurrent and subsequent
+    tasks on the worker. All current consumers (boundary-patch dict,
+    overrides dict, KB index) are lookup-only."""
     import numpy as np
     import ray
 
@@ -317,11 +324,28 @@ def _ov_table_from_choices(ot: pa.Table) -> pa.Table:
     """Vectorized ``_ov_table`` from a choice TABLE (alias_norm,
     conv_id, kind, kb_id) — pure Arrow kernels, no per-choice Python
     (the checkpoint-resume path feeds the broadcast straight from the
-    persisted choices)."""
+    persisted choices). Duplicate (alias_norm, conv_id) keys — possible
+    only if the persisted choices table carries doubled rows — resolve
+    to the LAST row, matching the fresh path's dict-insertion
+    semantics (``find_context_overrides`` overwrites on re-insert)."""
+    import numpy as np
+
     from .overrides import SEP
 
     alias = ot.column("alias_norm").combine_chunks().cast(pa.string())
     conv = ot.column("conv_id").combine_chunks().cast(pa.string())
+    key = pc.binary_join_element_wise(alias, conv, _OV_SEP)
+    uniq = pc.unique(key)
+    if len(uniq) < len(key):
+        # last occurrence per key: index_in against the reversed keys
+        n = len(key)
+        rev = pa.array(np.arange(n - 1, -1, -1, dtype=np.int64))
+        pos_rev = pc.index_in(uniq, value_set=key.take(rev))
+        last = pc.subtract(pa.scalar(n - 1, pa.int64()),
+                           pos_rev.cast(pa.int64()))
+        ot = ot.take(last)
+        alias = ot.column("alias_norm").combine_chunks().cast(pa.string())
+        conv = ot.column("conv_id").combine_chunks().cast(pa.string())
     tag = pc.binary_join_element_wise(
         ot.column("kind").combine_chunks().cast(pa.string()),
         ot.column("kb_id").combine_chunks().cast(pa.string()), ":")

@@ -1799,7 +1799,16 @@ def q_tpch_q5(sf_dir: str):
         # product and its sums carry no float-order sensitivity
         cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
         disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
-        rev = (cents * (100 - disc)).astype("int64")
+        rev_f = cents * (100 - disc)
+        # float64 products are integer-exact below 2^53; past that the
+        # cents representation itself would be lossy — fail loudly
+        # rather than silently rounding (the documented int64 envelope;
+        # a 100-TB run widens to int128/decimal)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q5: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        rev = rev_f.astype("int64")
         part = (df.assign(rev=rev)
                 .groupby(["l_orderkey", "nat"], as_index=False)["rev"]
                 .sum())
@@ -1820,6 +1829,13 @@ def q_tpch_q5(sf_dir: str):
         j = o[["okey", "nat"]].merge(l[["okey", "nat", "rev"]],
                                      on=["okey", "nat"])
         part = j.groupby("nat", as_index=False)["rev"].sum()
+        # loud int64-envelope guard on the per-group partials (the sum
+        # above wraps silently in numpy past 2^63): headroom of 2^62
+        # still leaves room for the final cross-partition merge
+        if len(part) and part["rev"].abs().max() >= 2**62:
+            raise OverflowError(
+                "tpch_q5: per-nation partial revenue past the int64 "
+                "headroom (2^62); widen the accumulator to decimal")
         return pd.DataFrame({"nat": part["nat"].astype("int64"),
                              "rev": part["rev"].astype("int64")})
 

@@ -256,6 +256,19 @@ def test_attach_group_keys_table_matches_dict(ray_session):
     t2 = _ov_table_from_choices(ot)
     assert (sorted(tuple(r.values()) for r in t1.to_pylist())
             == sorted(tuple(r.values()) for r in t2.to_pylist()))
+    # duplicate (alias, conv) keys in a persisted choices table resolve
+    # to the LAST row — the fresh path's dict-insertion semantics
+    dup = pa.table({
+        "alias_norm": pa.array(["acme corp", "rivertown", "acme corp"]),
+        "conv_id": pa.array(["c1", "c2", "c1"]),
+        "kind": pa.array(["amb", "city", "amb"]),
+        "kb_id": pa.array(["E7", "E2", "E99"]),
+    })
+    t3 = _ov_table_from_choices(dup)
+    assert t3.num_rows == 2
+    gk = dict(zip(t3.column("alias_norm").to_pylist(),
+                  t3.column("group_key").to_pylist()))
+    assert "E99" in gk["acme corp"]  # last wins, matching dict overwrite
 
 
 def test_override_semijoin_path_matches_driver(ray_session, t1_fixture,

@@ -561,6 +561,36 @@ def test_interval_join_containment(ray_session):
     assert out[out.event_id == 10].session_no.iloc[0] == 1
 
 
+def test_interval_join_string_key_and_keep_dtype(ray_session):
+    """Generic dtypes: a STRING by-key and a string keep-col must come
+    through typed — including on partitions holding only one side
+    (the empty-frame schema is derived, not hardcoded int64)."""
+    import ray
+
+    from el.ops.windows import interval_join
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    ev = pd.DataFrame({
+        "site": ["a", "a", "b", "zz-no-interval"],
+        "event_id": [10, 11, 20, 30],
+        "ts": [t, t + 2 * h, t + 1 * h, t],
+    })
+    iv = pd.DataFrame({
+        "site": ["a", "b"],
+        "label": ["first", "other"],
+        "session_start": [t, t],
+        "session_end": [t + 3 * h, t + 3 * h],
+    })
+    out = (interval_join(ray.data.from_pandas(ev),
+                         ray.data.from_pandas(iv), by="site",
+                         keep_cols=("label",), num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out.event_id.tolist() == [10, 11, 20]
+    assert out.label.tolist() == ["first", "first", "other"]
+    assert out.site.dtype == object and out.label.dtype == object
+
+
 def test_event_funnel_matches_bruteforce_random(ray_session):
     """300 random user streams vs a direct per-user simulation of the
     strict-(ts,event_id)-order first-reach recurrence."""
