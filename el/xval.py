@@ -234,6 +234,202 @@ def find_link_threshold(examples, iters: int = 10, test_frac: float = 0.1,
             "mean": float(np.mean(thresholds))}
 
 
+# ------------------------------------------------------- sports refit
+def sports_instances(fixture_dir: str) -> "object":
+    """Labeled sports-sense instances (SportsSenseTrainingData analog)
+    from the fixture gold: one row per sports-CANDIDATE gold mention —
+    gazetteer-location surface with non-PER type
+    (SportsSenseLabeller.scala:38-49) — with label = the gold entity is
+    team-typed. Context = the mention's own turn text (the unit the
+    production marker gate sees); the conversation-level feature inputs
+    (location variance, org/loc ratio —
+    SportsSenseFeatures.scala:128-201) come from the conversation's
+    gold mentions. Driver-side: the labeled set is gold-annotation
+    scale by construction, not a corpus pass."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .sports import (SPORTS_MARKERS, is_sports_candidate,
+                         location_variance, org_location_ratio)
+    from .text import tokenize
+
+    gm = pq.read_table(os.path.join(fixture_dir, "gold_mentions.parquet"),
+                       columns=["mention_id", "conv_id", "turn_idx",
+                                "surface", "gold_kb_id",
+                                "gold_type"]).to_pandas()
+    tr = pq.read_table(os.path.join(fixture_dir, "transcripts.parquet"),
+                       columns=["conv_id", "turn_idx",
+                                "text"]).to_pandas()
+    kb = pq.read_table(os.path.join(fixture_dir, "kb.parquet"),
+                       columns=["kb_id", "wiki_type"]).to_pandas()
+    team_ids = set(kb.loc[kb["wiki_type"] == "team", "kb_id"])
+
+    cand_mask = [is_sports_candidate(s, t)
+                 for s, t in zip(gm["surface"], gm["gold_type"])]
+    cand = gm[pd.Series(cand_mask, index=gm.index)].copy()
+    cand = cand.merge(tr, on=["conv_id", "turn_idx"], how="left")
+    cand["text"] = cand["text"].fillna("")
+
+    # conversation-level aggregates over ALL gold mentions
+    locs = (gm[gm["gold_type"] == "GPE"].groupby("conv_id")["surface"]
+            .agg(list))
+    orgs = (gm[gm["gold_type"] == "ORG"].groupby("conv_id")["surface"]
+            .agg(list))
+
+    toks = [tokenize(t) for t in cand["text"]]
+    marker_ratio = [
+        (sum(1 for w in ts if w in SPORTS_MARKERS) / len(ts)) if ts else 0.0
+        for ts in toks
+    ]
+    loc_var = [location_variance(locs.get(c, []))
+               for c in cand["conv_id"]]
+    olr = [org_location_ratio(orgs.get(c, []), locs.get(c, []))
+           for c in cand["conv_id"]]
+    return pd.DataFrame({
+        "mention_id": cand["mention_id"].to_numpy(),
+        "conv_id": cand["conv_id"].to_numpy(),
+        "surface": cand["surface"].to_numpy(),
+        "tokens": toks,
+        "marker_ratio": marker_ratio,
+        "loc_variance": loc_var,
+        "org_loc_ratio": olr,
+        "label": cand["gold_kb_id"].isin(team_ids).to_numpy(),
+    }).sort_values("mention_id").reset_index(drop=True)
+
+
+class TokenNB:
+    """Laplace-smoothed multinomial naive Bayes over context tokens —
+    the breeze ``NaiveBayes`` analog whose class-true score feeds the
+    sports LR as a feature (SportsClassifier.scala:84-96). Fit is a
+    pure count pass; score returns P(sports | tokens) via the two-class
+    log-odds (unknown tokens fall back to the smoothing mass)."""
+
+    def __init__(self, token_lists, labels, alpha: float = 1.0):
+        pos: dict[str, int] = {}
+        neg: dict[str, int] = {}
+        n_pos = n_neg = 0
+        t_pos = t_neg = 0
+        for ts, y in zip(token_lists, labels):
+            if y:
+                n_pos += 1
+                for w in ts:
+                    pos[w] = pos.get(w, 0) + 1
+                t_pos += len(ts)
+            else:
+                n_neg += 1
+                for w in ts:
+                    neg[w] = neg.get(w, 0) + 1
+                t_neg += len(ts)
+        self.vocab = sorted(set(pos) | set(neg))
+        v = len(self.vocab) + 1  # +1: one shared unknown-token bucket
+        self.alpha = alpha
+        self._lp = {w: np.log((pos.get(w, 0) + alpha)
+                              / (t_pos + alpha * v)) for w in self.vocab}
+        self._ln = {w: np.log((neg.get(w, 0) + alpha)
+                              / (t_neg + alpha * v)) for w in self.vocab}
+        self._lp_unk = np.log(alpha / (t_pos + alpha * v))
+        self._ln_unk = np.log(alpha / (t_neg + alpha * v))
+        tot = max(1, n_pos + n_neg)
+        self._prior = (np.log((n_pos + alpha) / (tot + 2 * alpha))
+                       - np.log((n_neg + alpha) / (tot + 2 * alpha)))
+
+    def score(self, tokens) -> float:
+        logit = self._prior
+        for w in tokens:
+            logit += self._lp.get(w, self._lp_unk) \
+                - self._ln.get(w, self._ln_unk)
+        return float(1.0 / (1.0 + np.exp(-logit)))
+
+
+_SPORTS_FEATURES = ["marker_ratio", "loc_variance", "org_loc_ratio",
+                    "nb_score"]
+
+
+def sports_refit_report(inst, seed: int = 0) -> dict:
+    """80/20 refit + eval of the sports classifier — the
+    ``SportsClassifier.testClassifier`` harness
+    (SportsClassifier.scala:60-139): deterministic md5-rank shuffle
+    (the ``Random.shuffle`` analog, seeded and order-free), test =
+    first ceil(20%), train = the remaining 80%, NB fit on the LAST 50%
+    (the reference's overlapping nbModel split), then an LR over
+    [marker_ratio, loc_variance, org_loc_ratio, nb_score]. Returns
+    test accuracy, the interpolated P/R rows the reference prints, the
+    LR intercept, a best-F suggested threshold (midpoint into the
+    decision gap, the find_link_threshold convention), and the refit
+    model's agreement with the production marker-ratio gate
+    (el.sports.sports_sense) on the test split."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    from .sports import sports_sense
+
+    rank = np.argsort([
+        _h.md5(f"{seed}:{m}".encode()).hexdigest()
+        for m in inst["mention_id"]
+    ], kind="stable")
+    inst = inst.iloc[rank].reset_index(drop=True)
+    n = len(inst)
+    n_test = int(np.ceil(n * 0.2))
+    test = inst.iloc[:n_test]
+    train = inst.iloc[n_test:]
+    nb_data = inst.iloc[int(np.ceil(n * 0.5)):]
+
+    nb = TokenNB(list(nb_data["tokens"]), list(nb_data["label"]))
+    inst = inst.assign(nb_score=[nb.score(t) for t in inst["tokens"]])
+    test = inst.iloc[:n_test]
+    train = inst.iloc[n_test:]
+
+    def xmat(df):
+        return np.column_stack([df[c].to_numpy(dtype=np.float64)
+                                for c in _SPORTS_FEATURES])
+
+    w = fit_logistic(xmat(train), train["label"].to_numpy(np.float64))
+    p = predict_logistic(xmat(test), w)
+    y = test["label"].to_numpy(dtype=bool)
+    acc = float(((p >= 0.5) == y).mean()) if n_test else 0.0
+
+    order = np.lexsort((test["mention_id"].to_numpy(), -p))
+    ranked = y[order]
+    prec = _interp_precision(ranked)
+    n_pos = int(ranked.sum())
+    pr = pd.DataFrame({
+        "recall": (np.arange(1, n_pos + 1) / n_pos) if n_pos else [],
+        "precision": prec,
+        "score": p[order][ranked] if n_pos else [],
+    })
+
+    # best-F cut over the ranked test scores -> midpoint threshold
+    if n_test and n_pos:
+        sp = p[order]
+        correct = np.cumsum(ranked)
+        total = np.arange(1, n_test + 1)
+        rec = correct / n_pos
+        prc = correct / total
+        denom = np.where(rec + prc == 0, 1.0, rec + prc)
+        f = 2 * rec * prc / denom
+        k = int(np.argmax(f))
+        below = sp[k + 1] if k + 1 < n_test else max(0.0, sp[k] - 0.1)
+        suggested = float((sp[k] + below) / 2.0)
+    else:
+        suggested = 0.5
+
+    gate = np.array([sports_sense(t) for t in test["tokens"]], dtype=bool)
+    agree = float(((p >= 0.5) == gate).mean()) if n_test else 0.0
+    return {
+        "n": n, "n_train": len(train), "n_test": n_test,
+        "accuracy": acc,
+        "intercept": float(w[-1]),
+        "weights": {c: float(v) for c, v in
+                    zip(_SPORTS_FEATURES, w[:-1])},
+        "pr": pr,
+        "suggested_threshold": suggested,
+        "gate_agreement": agree,
+    }
+
+
 def main(argv=None):
     """CLI: P/R curve + suggested link threshold over a fixture dir."""
     import argparse
@@ -257,6 +453,10 @@ def main(argv=None):
         th = find_link_threshold(labeled_link_examples(fd))
         print(f"suggested link threshold: {th['mean']:.4f} "
               f"(per-iter: {['%.3f' % t for t in th['thresholds']]})")
+        rep = sports_refit_report(sports_instances(fd))
+        print(f"sports refit: n={rep['n']} acc={rep['accuracy']:.3f} "
+              f"thr={rep['suggested_threshold']:.3f} "
+              f"gate_agreement={rep['gate_agreement']:.3f}")
     finally:
         ray.shutdown()
 

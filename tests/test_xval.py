@@ -69,3 +69,40 @@ def test_link_threshold_reproduces_decisions(ray_session, t1_fixture,
     s = ex["score"].to_numpy()
     agree = ((s > th["mean"]) == (s > LINK_THRESHOLD)).mean()
     assert agree == 1.0, (th, float(agree))
+
+
+def test_sports_refit_report(t1_fixture):
+    """The 80/20 sports refit harness (SportsClassifier.scala:60-139
+    analog): instances carry both labels, the refit LR reproduces the
+    gold sports labels on the held-out 20%, agrees with the production
+    marker-ratio gate, and the report is deterministic."""
+    from el.xval import sports_instances, sports_refit_report
+
+    inst = sports_instances(t1_fixture)
+    assert len(inst) >= 10
+    assert 0 < inst["label"].sum() < len(inst)
+    rep = sports_refit_report(inst)
+    assert rep["n_test"] >= 1
+    assert rep["n_train"] + rep["n_test"] == rep["n"] == len(inst)
+    assert rep["accuracy"] == 1.0
+    assert rep["gate_agreement"] == 1.0
+    assert 0.0 < rep["suggested_threshold"] < 1.0
+    prec = rep["pr"]["precision"].to_numpy()
+    assert (np.diff(prec) <= 1e-12).all()  # interpolated = monotone
+    rep2 = sports_refit_report(sports_instances(t1_fixture))
+    assert rep["accuracy"] == rep2["accuracy"]
+    assert rep["suggested_threshold"] == rep2["suggested_threshold"]
+    assert rep["pr"].equals(rep2["pr"])
+
+
+def test_sports_nb_feature_separates():
+    """TokenNB: marker-bearing token lists score toward 1, plain toward
+    0; unknown tokens fall back to the smoothing mass without error."""
+    from el.xval import TokenNB
+
+    pos = [["team", "coach", "season"], ["playoff", "stadium", "team"]]
+    neg = [["alpha", "beta", "gamma"], ["delta", "beta", "epsilon"]]
+    nb = TokenNB(pos + neg, [True, True, False, False])
+    assert nb.score(["team", "coach"]) > 0.8
+    assert nb.score(["alpha", "beta"]) < 0.2
+    assert 0.0 <= nb.score(["never-seen-token"]) <= 1.0
