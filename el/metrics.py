@@ -119,19 +119,58 @@ def nil_statistics(kb_link_of: dict[str, str]) -> dict:
     }
 
 
+def category_of(sys_link: str, gold: str) -> str:
+    """Single-mention benchmark category (Benchmarker.scala:94-128):
+    CORRECT / WRONG KB ID when both sides link; EXP KB ID when the
+    system said NIL but gold had a KB entry; EXP NIL when the system
+    linked a gold-NIL query; NIL OK on NIL agreement."""
+    sys_nil = not sys_link.startswith("E")
+    gold_nil = not gold.startswith("E")
+    if not sys_nil and not gold_nil:
+        return "CORRECT" if sys_link == gold else "WRONG KB ID"
+    if sys_nil and not gold_nil:
+        return "EXP KB ID"
+    if not sys_nil and gold_nil:
+        return "EXP NIL"
+    return "NIL OK"  # cluster ids judged by B3, not here
+
+
 def category_report(kb_link_of: dict[str, str], gold_of: dict[str, str]) -> dict:
     """Per-query category counts (Benchmarker.scala:94-128)."""
     counts = defaultdict(int)
     for m, gold in gold_of.items():
-        sys = kb_link_of.get(m, "")
-        sys_nil = not sys.startswith("E")
-        gold_nil = not gold.startswith("E")
-        if not sys_nil and not gold_nil:
-            counts["CORRECT" if sys == gold else "WRONG KB ID"] += 1
-        elif sys_nil and not gold_nil:
-            counts["EXP KB ID"] += 1  # system said NIL, gold had a KB entry
-        elif not sys_nil and gold_nil:
-            counts["EXP NIL"] += 1  # system linked, gold was NIL
-        else:
-            counts["NIL OK"] += 1  # NIL agreement (cluster ids judged by B3)
+        counts[category_of(kb_link_of.get(m, ""), gold)] += 1
     return dict(counts)
+
+
+def sliced_category_report(kb_link_of: dict[str, str],
+                           gold_of: dict[str, str],
+                           slice_of: dict[str, str]) -> dict:
+    """Category counts per SLICE value — the Benchmarker's per-genre /
+    per-web analysis axis (the reference gold carries genre and web
+    columns next to each query id; Benchmarker.scala's output is
+    grepped per slice). Keys ``{slice}:{category}``; zero cells
+    omitted (defaultdict semantics, like :func:`category_report`)."""
+    counts = defaultdict(int)
+    for m, gold in gold_of.items():
+        s = slice_of.get(m, "")
+        counts[f"{s}:{category_of(kb_link_of.get(m, ''), gold)}"] += 1
+    return dict(counts)
+
+
+def shared_ne_crosstab(items) -> dict:
+    """ExpNilStatistics.scala:8-59 analog: per KB-linked answer
+    category, how many answers' linked entity shares a named entity
+    with the query conversation. ``items``: iterable of
+    (category, shares_ne: bool) — assembled by the caller, which owns
+    the KB named-entity index and the per-conversation name sets
+    (only "interesting" answers, link title != query name, are fed
+    in, matching the reference's filter). Returns
+    {category: {"total": n, "shared": k}}."""
+    out: dict[str, dict[str, int]] = {}
+    for cat, shares in items:
+        d = out.setdefault(cat, {"total": 0, "shared": 0})
+        d["total"] += 1
+        if shares:
+            d["shared"] += 1
+    return out

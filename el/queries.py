@@ -1159,22 +1159,41 @@ def q_embedding_dups_exact(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _genre_of(conv_id: str) -> str:
+    """Deterministic genre of a conversation — the docType analog
+    (LinkFeatures.scala:83-86 derives newswire-vs-web from the doc-id
+    prefix; the TAC gold carries a genre column): NW on even
+    conversation counters, WB on odd. SQL-replayable from the id."""
+    return "NW" if int(conv_id.rsplit("-", 1)[1]) % 2 == 0 else "WB"
+
+
+def _web_of(conv_id: str) -> str:
+    """Web flag analog of the gold's ``web`` column (independent of
+    genre: counter mod 4 in the upper half)."""
+    return "w1" if int(conv_id.rsplit("-", 1)[1]) % 4 >= 2 else "w0"
+
+
 def q_el_benchmark_report(sf_dir: str):
     """End-to-end evaluation surface (Benchmarker.scala:94-148 analog):
     per-mention category counts (CORRECT / WRONG KB ID / EXP KB ID /
-    EXP NIL / NIL OK), pairwise F1, B-cubed, and the over-clustering
-    counter, as one tidy (metric, value) table. FULL-ORACLE via gold
-    replay: the e2e gate pins the engine's answers == gold on the
-    fixture, so the expected report is derivable from gold_mentions
-    alone (CORRECT = KB-mention count, NIL OK = NIL-mention count,
-    F1s = 1.0, over_clustering = 0) — any engine error changes a
-    category count or an F1 and hash-mismatches. Zero-count categories
-    are omitted on both sides (defaultdict semantics)."""
+    EXP NIL / NIL OK), the same counts sliced per GENRE and per WEB
+    flag (the reference gold's genre/web analysis axis — genre derives
+    from the doc id, LinkFeatures.scala:83-86), the shared-named-entity
+    cross-tab per KB-linked category (ExpNilStatistics.scala:8-59),
+    pairwise F1, B-cubed, and the over-clustering counter, as one tidy
+    (metric, value) table. FULL-ORACLE via gold replay: the e2e gate
+    pins the engine's answers == gold on the fixture, so the expected
+    report is derivable from gold_mentions + kb alone — any engine
+    error shifts a category/slice/ne-share count or an F1 and
+    hash-mismatches. Zero-count rows are omitted on both sides
+    (defaultdict semantics)."""
     fd = ensure_fixture(sf_dir)
     import pyarrow.parquet as pq
 
-    from .metrics import (b_cubed, category_report, over_clustering,
-                          pairwise_f1)
+    from .metrics import (b_cubed, category_of, category_report,
+                          over_clustering, pairwise_f1, shared_ne_crosstab,
+                          sliced_category_report)
+    from .text import normalize_name
 
     answers = _answers(fd).to_pandas()
     gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"))
@@ -1186,6 +1205,47 @@ def q_el_benchmark_report(sf_dir: str):
     rows: list[tuple[str, float]] = []
     for k, v in sorted(category_report(kb_link_of, gold_of).items()):
         rows.append((f"category:{k}", float(v)))
+
+    # --- genre / web slices (system categories vs gold, per slice)
+    conv_of = dict(zip(answers.mention_id, answers.conv_id))
+    genre_slice = {m: f"genre:{_genre_of(c)}" for m, c in conv_of.items()}
+    web_slice = {m: f"web:{_web_of(c)}" for m, c in conv_of.items()}
+    for sl in (genre_slice, web_slice):
+        for k, v in sorted(sliced_category_report(kb_link_of, gold_of,
+                                                  sl).items()):
+            rows.append((k, float(v)))
+
+    # --- shared-NE cross-tab over the system's KB-linked answers
+    # (ExpNilStatistics: of the "interesting" answers — link title !=
+    # query name — how many share a named entity with the query doc)
+    kbt = pq.read_table(os.path.join(fd, "kb.parquet"),
+                        columns=["kb_id", "title", "named_entities"])
+    ntitle_of = {k: normalize_name(t)
+                 for k, t in zip(kbt.column("kb_id").to_pylist(),
+                                 kbt.column("title").to_pylist())}
+    nes_of = {k: frozenset(normalize_name(x) for x in nes)
+              for k, nes in zip(kbt.column("kb_id").to_pylist(),
+                                kbt.column("named_entities").to_pylist())}
+    nsurf_of = {m: normalize_name(s)
+                for m, s in zip(answers.mention_id, answers.surface)}
+    conv_names: dict[str, set[str]] = {}
+    for m, c in conv_of.items():
+        conv_names.setdefault(c, set()).add(nsurf_of[m])
+    items = []
+    for m, link in kb_link_of.items():
+        if not link.startswith("E"):
+            continue
+        nsurf = nsurf_of[m]
+        if ntitle_of.get(link, "") == nsurf:
+            continue  # uninteresting: link title IS the query name
+        others = conv_names[conv_of[m]] - {nsurf}
+        shares = bool(others & nes_of.get(link, frozenset()))
+        items.append((category_of(link, gold_of.get(m, "")), shares))
+    for cat, d in sorted(shared_ne_crosstab(items).items()):
+        for field in ("total", "shared"):
+            if d[field] > 0:
+                rows.append((f"ne_share:{cat}:{field}", float(d[field])))
+
     pf = pairwise_f1(cluster_of, gp)
     b3 = b_cubed(cluster_of, gold_of)
     rows.append(("pairwise_f1", _round_half_away([pf["f1"]], 6)[0]))
@@ -2511,8 +2571,12 @@ def oracle_sql() -> dict[str, str]:
             FROM a LEFT JOIN {kbt} k ON k.kb_id = a.kb_link
         """,
         "el_benchmark_report": f"""
-            WITH g AS (SELECT gold_kb_id NOT LIKE 'NIL%' AS in_kb
-                       FROM {gm}),
+            WITH g AS (
+                SELECT mention_id, conv_id, surface, {norm} AS nsurf,
+                       gold_kb_id, gold_kb_id NOT LIKE 'NIL%' AS in_kb,
+                       CAST(split_part(conv_id, '-', 2) AS INT) AS cc
+                FROM {gm}
+            ),
             cat AS (
                 SELECT 'category:CORRECT' AS metric,
                        CAST(count(*) FILTER (in_kb) AS DOUBLE) AS value
@@ -2521,8 +2585,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'category:NIL OK',
                        CAST(count(*) FILTER (NOT in_kb) AS DOUBLE)
                 FROM g
+            ),
+            slc AS (
+                SELECT 'genre:'
+                       || CASE WHEN cc % 2 = 0 THEN 'NW' ELSE 'WB' END
+                       || ':'
+                       || CASE WHEN in_kb THEN 'CORRECT' ELSE 'NIL OK' END
+                           AS metric,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM g GROUP BY 1
+                UNION ALL
+                SELECT 'web:'
+                       || CASE WHEN cc % 4 >= 2 THEN 'w1' ELSE 'w0' END
+                       || ':'
+                       || CASE WHEN in_kb THEN 'CORRECT' ELSE 'NIL OK' END,
+                       CAST(count(*) AS DOUBLE)
+                FROM g GROUP BY 1
+            ),
+            kbn AS (
+                SELECT kb_id,
+                       trim(regexp_replace(lower(title),
+                            '[^a-z0-9]+', ' ', 'g')) AS ntitle,
+                       list_transform(named_entities,
+                           x -> trim(regexp_replace(lower(x),
+                                '[^a-z0-9]+', ' ', 'g'))) AS nes
+                FROM {kbt}
+            ),
+            interesting AS (
+                SELECT g.mention_id, g.conv_id, g.nsurf, k.nes
+                FROM g JOIN kbn k ON k.kb_id = g.gold_kb_id
+                WHERE g.in_kb AND k.ntitle != g.nsurf
+            ),
+            sh AS (
+                SELECT i.mention_id,
+                       EXISTS (SELECT 1 FROM g o
+                               WHERE o.conv_id = i.conv_id
+                                 AND o.nsurf != i.nsurf
+                                 AND list_contains(i.nes, o.nsurf))
+                           AS shares
+                FROM interesting i
+            ),
+            ne AS (
+                SELECT 'ne_share:CORRECT:total' AS metric,
+                       CAST(count(*) AS DOUBLE) AS value FROM sh
+                UNION ALL
+                SELECT 'ne_share:CORRECT:shared',
+                       CAST(count(*) FILTER (shares) AS DOUBLE) FROM sh
             )
             SELECT metric, value FROM cat WHERE value > 0
+            UNION ALL SELECT metric, value FROM slc WHERE value > 0
+            UNION ALL SELECT metric, value FROM ne WHERE value > 0
             UNION ALL SELECT 'pairwise_f1', 1.0
             UNION ALL SELECT 'b_cubed_f1', 1.0
             UNION ALL SELECT 'over_clustering', 0.0

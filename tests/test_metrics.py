@@ -43,3 +43,37 @@ def test_category_report():
     sys = {"a": "E1", "b": "E2", "c": "NIL:x", "d": "E9"}
     rep = category_report(sys, gold)
     assert rep == {"CORRECT": 1, "WRONG KB ID": 1, "NIL OK": 1, "EXP NIL": 1}
+
+
+def test_sliced_category_report():
+    from el.metrics import sliced_category_report
+
+    gold = {"a": "E1", "b": "E1", "c": "NIL1", "d": "NIL2"}
+    sys = {"a": "E1", "b": "E2", "c": "NIL:x", "d": "E9"}
+    sl = {"a": "genre:NW", "b": "genre:WB", "c": "genre:NW",
+          "d": "genre:WB"}
+    rep = sliced_category_report(sys, gold, sl)
+    assert rep == {"genre:NW:CORRECT": 1, "genre:WB:WRONG KB ID": 1,
+                   "genre:NW:NIL OK": 1, "genre:WB:EXP NIL": 1}
+
+
+def test_shared_ne_crosstab():
+    from el.metrics import shared_ne_crosstab
+
+    items = [("CORRECT", True), ("CORRECT", False), ("CORRECT", True),
+             ("EXP NIL", False), ("WRONG KB ID", True)]
+    ct = shared_ne_crosstab(items)
+    assert ct["CORRECT"] == {"total": 3, "shared": 2}
+    assert ct["EXP NIL"] == {"total": 1, "shared": 0}
+    assert ct["WRONG KB ID"] == {"total": 1, "shared": 1}
+    assert shared_ne_crosstab([]) == {}
+
+
+def test_category_of_matches_report():
+    from el.metrics import category_of
+
+    gold = {"a": "E1", "b": "E1", "c": "NIL1", "d": "NIL2", "e": "E3"}
+    sys = {"a": "E1", "b": "E2", "c": "NIL:x", "d": "E9", "e": "NIL:y"}
+    from collections import Counter
+    per_row = Counter(category_of(sys[m], g) for m, g in gold.items())
+    assert dict(per_row) == category_report(sys, gold)
