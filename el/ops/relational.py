@@ -1,0 +1,116 @@
+"""Relational reshape operators: pivot, per-group running totals, and
+rollup-style multi-level aggregates — the wide-table shapes a
+training-data pipeline reaches for when flattening event streams into
+per-entity feature rows.
+
+Scale shapes (all one exchange, combiner-first):
+
+- :func:`pivot_counts` — SQL PIVOT with a DECLARED category list (the
+  IN-list contract: a pivot's output schema must be declared up front,
+  not discovered — discovery would itself be a distinct pass). Per-batch
+  crosstab partials (one tiny row per key per batch) meet in a single
+  key hash exchange; undeclared category values count toward no column
+  (dropped, like SQL PIVOT's IN list).
+- :func:`running_total` — windowed cumulative sum per key: one hash
+  exchange on the key co-locates each key's rows, then a block-local
+  lexsort + offset-corrected cumsum (pure numpy, no per-row Python).
+  Output has the SAME row count as the input — it streams out, never
+  collecting. The 100-TB caveat is a single hot key whose rows exceed
+  one block; that needs a two-pass carry (token_pack's distributed
+  prefix-sum pattern, el/ops/prep.py) and is documented, not silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..shuffle import group_blocks
+
+
+def pivot_counts(ds, key: str, col: str, categories: tuple[str, ...],
+                 *, num_partitions: int | None = None):
+    """One row per ``key``, one ``n_<category>`` int64 count column per
+    declared category value of ``col``.
+
+    Combiner: per-batch (key x category) counts — bounded by distinct
+    keys per batch, not rows. Merge: one hash exchange on ``key``,
+    block-local sum."""
+    cats = list(categories)
+    ncols = [f"n_{c}" for c in cats]
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({key: pd.Series(dtype="int64"),
+                             **{n: pd.Series(dtype="int64")
+                                for n in ncols}})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty()
+        flags = {n: (df[col].to_numpy() == c).astype("int64")
+                 for n, c in zip(ncols, cats)}
+        return (df[[key]].assign(**flags)
+                .groupby(key, as_index=False)[ncols].sum())
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty()
+        out = df.groupby(key, as_index=False)[ncols].sum()
+        for n in ncols:
+            out[n] = out[n].astype("int64")
+        return out
+
+    return group_blocks(partials, [key], merge, batch_format="pandas",
+                        num_partitions=num_partitions)
+
+
+def running_total(ds, key: str = "user_id",
+                  order: tuple[str, str] = ("ts", "event_id"),
+                  val: str = "value", out_col: str = "running_value",
+                  int_scale: int | None = 100, *,
+                  num_partitions: int | None = None):
+    """Per-key cumulative sum of ``val`` in strict ``order`` — the
+    ``SUM() OVER (PARTITION BY key ORDER BY ...)`` window. One hash
+    exchange on ``key``; block-local lexsort + one cumsum with
+    per-key offsets subtracted (vectorized; no per-row Python).
+
+    ``int_scale``: fixed-decimal data (the default, 2dp -> 100) is
+    accumulated as EXACT scaled int64, making the result independent
+    of addition order — a SQL engine's segment-tree window sum then
+    replays it bit-for-bit. ``None`` falls back to float64 cumsum
+    (sequential order; only comparable to engines that also sum
+    sequentially).
+
+    Assumes one key's rows fit in a block (the group_blocks
+    co-location contract); a pathological single hot key needs the
+    two-pass carry of el/ops/prep.py's token_pack instead."""
+    o1, o2 = order
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                o2: pd.Series(dtype="int64"),
+                o1: pd.Series(dtype="datetime64[us]"),
+                out_col: pd.Series(dtype="float64")})
+        df = df.sort_values([key, o1, o2], kind="mergesort")
+        k = df[key].to_numpy()
+        v = df[val].to_numpy(dtype="float64")
+        if int_scale is not None:
+            v = np.floor(v * int_scale + 0.5).astype("int64")
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - np.repeat(base, counts)
+        if int_scale is not None:
+            run = run.astype("float64") / int_scale
+        out = df[[key, o2, o1]].copy()
+        out[out_col] = run
+        return out.reset_index(drop=True)
+
+    return group_blocks(ds, [key], block, batch_format="pandas",
+                        num_partitions=num_partitions)

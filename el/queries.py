@@ -1359,6 +1359,107 @@ def q_events_hourly(sf_dir: str):
                         batch_format="pandas")
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT events into one per-user row with an n_<event_type> count
+    column per DECLARED type (the SQL PIVOT IN-list contract — the
+    output schema is declared, not discovered). Per-batch crosstab
+    partials -> one user_id exchange -> sum merge."""
+    import ray.data
+
+    from .ops.relational import pivot_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+
+
+def q_events_running_total(sf_dir: str):
+    """Windowed running total: per-user cumulative value sum in strict
+    (ts, event_id) order — SUM() OVER (PARTITION BY user ORDER BY ...)
+    — same row count as the input, streaming out. One user_id
+    exchange, block-local lexsort + offset-corrected cumsum; the sum
+    runs in EXACT integer cents (2dp data), so the oracle's
+    segment-tree window aggregate replays it independent of addition
+    order."""
+    import ray.data
+
+    from .ops.relational import running_total
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"])
+    return running_total(ev)
+
+
+def q_rollup_pricing(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus) revenue + line counts at all
+    three levels in ONE corpus pass: finest-level integer-cents
+    partials per batch (bounded by flag x status cardinality, not
+    rows), one tiny final merge where the flag subtotals and the grand
+    total DERIVE from the finest partials — no second pass, no second
+    exchange. Rolled-up dimensions carry the 'ALL' sentinel (the data
+    domain is single letters, so the sentinel is unambiguous) instead
+    of SQL's NULLs. Revenue is exact integer cents x discount units
+    (the tpch_q5 convention), so the float appears only at the final
+    /10000 + round."""
+    import ray.data
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series(dtype=str),
+                "l_linestatus": pd.Series(dtype=str),
+                "n": pd.Series(dtype="int64"),
+                "rev": pd.Series(dtype="int64")})
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = (cents * (100 - disc)).astype("int64")
+        return (df[["l_returnflag", "l_linestatus"]]
+                .assign(n=1, rev=rev)
+                .groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False)
+                .agg(n=("n", "sum"), rev=("rev", "sum")))
+
+    partials = li.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series(dtype=str),
+                "l_linestatus": pd.Series(dtype=str),
+                "n": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64")})
+        fine = df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(n=("n", "sum"),
+                                              rev=("rev", "sum"))
+        mid = fine.groupby("l_returnflag", as_index=False).agg(
+            n=("n", "sum"), rev=("rev", "sum"))
+        mid["l_linestatus"] = "ALL"
+        top = pd.DataFrame({"l_returnflag": ["ALL"],
+                            "l_linestatus": ["ALL"],
+                            "n": [fine["n"].sum()],
+                            "rev": [fine["rev"].sum()]})
+        out = pd.concat([fine, mid, top], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["revenue"] = _round_half_away(
+            out["rev"].to_numpy() / 10000.0, 2)
+        return out[["l_returnflag", "l_linestatus", "n", "revenue"]]
+
+    # finest partials are <= |flags x statuses| rows per batch: one
+    # tiny merge task holds all of them at any corpus size
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
 def q_hopping_window(sf_dir: str):
     """Hopping-window aggregate (1h window / 15min hop) per event_type:
     combiner explode -> one (event_type, window) exchange."""
@@ -3812,6 +3913,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id, ts,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / 100.0
+                       AS running_value
+            FROM events
+        """,
+        "rollup_pricing": """
+            WITH base AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev
+                FROM lineitem
+            )
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   floor(sum(rev) / 10000.0 * 100 + 0.5) / 100
+                       AS revenue
+            FROM base GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
     }
     if ivf_cent is None:
         sqls.pop("ann_ivf")
@@ -3883,6 +4022,9 @@ def queries():
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
         "events_hourly": q_events_hourly,
+        "events_pivot": q_events_pivot,
+        "events_running_total": q_events_running_total,
+        "rollup_pricing": q_rollup_pricing,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,

@@ -748,3 +748,65 @@ def test_cohort_retention_known_values(ray_session):
         (d("2024-01-01"), 7): 1,
         (d("2024-01-02"), 0): 1,
     }
+
+
+def test_pivot_counts_random(ray_session):
+    """Random events vs a local pandas crosstab; undeclared categories
+    count toward no column."""
+    import numpy as np
+    import ray
+
+    from el.ops.relational import pivot_counts
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    cats = ("a", "b", "c")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, size=2000),
+        "event_type": rng.choice(list(cats) + ["zz-undeclared"],
+                                 size=2000),
+    })
+    out = (pivot_counts(ray.data.from_pandas(df), "user_id",
+                        "event_type", cats, num_partitions=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    ref = (df.assign(**{f"n_{c}": (df.event_type == c).astype("int64")
+                        for c in cats})
+           .groupby("user_id", as_index=False)[[f"n_{c}" for c in cats]]
+           .sum().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # undeclared rows contribute to no declared column
+    assert out[[f"n_{c}" for c in cats]].to_numpy().sum() \
+        == int((df.event_type != "zz-undeclared").sum())
+
+
+def test_running_total_matches_groupby_cumsum(ray_session):
+    """Random per-user streams vs pandas groupby cumsum in the same
+    strict (ts, event_id) order; integer-cents accumulation is exact
+    for 2dp data."""
+    import numpy as np
+    import ray
+
+    from el.ops.relational import running_total
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n = 3000
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, size=n),
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": t0 + pd.to_timedelta(rng.integers(0, 10_000, size=n),
+                                   unit="s"),
+        "value": np.round(rng.uniform(0, 100, size=n), 2),
+    })
+    out = (running_total(ray.data.from_pandas(df), num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"],
+                         kind="mergesort").copy()
+    cents = np.floor(ref["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ref["running_value"] = (
+        pd.Series(cents).groupby(ref["user_id"].to_numpy()).cumsum()
+        .to_numpy() / 100.0)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n
+    np.testing.assert_allclose(out["running_value"].to_numpy(),
+                               ref["running_value"].to_numpy(),
+                               rtol=0, atol=0)
