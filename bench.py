@@ -221,10 +221,14 @@ def run_scaling() -> dict:
 
 def run_weak_scaling() -> dict:
     """WEAK-scaling proxy: the same per-CPU workload at two cluster
-    sizes — bench8 (9.6M turns) on 8 CPUs vs bench32 (38.4M turns, 4x)
-    on 32 CPUs, fresh processes. This is the closest sandbox analog to
+    sizes — bench8 (9.6M turns) vs bench32 (38.4M turns, 4x) on a 4x
+    CPU ratio, fresh processes. This is the closest sandbox analog to
     how a real 100-TB deployment grows (add nodes WITH data, not nodes
-    against a fixed corpus); ideal efficiency is wall-time parity."""
+    against a fixed corpus); ideal efficiency is wall-time parity.
+    EL_WEAK_CPUS picks the arms (default "8,32"; "2,8" measures the
+    same 4x ratio below this host's 8->32 pure-CPU oversubscription
+    ceiling — see --host-ceiling — the same convention as --scaling's
+    default arms)."""
     from el.fixtures import ensure_fixture
 
     def one(ncpu: int, scale: str) -> dict:
@@ -236,13 +240,15 @@ def run_weak_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    lo, hi = (int(x) for x in
+              os.environ.get("EL_WEAK_CPUS", "8,32").split(","))
     ensure_fixture("bench8")
     ensure_fixture("bench32")
     trials = int(os.environ.get("EL_SCALING_TRIALS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(trials):  # interleaved (see run_scaling)
-        runs_lo.append(one(8, "bench8"))
-        runs_hi.append(one(32, "bench32"))
+        runs_lo.append(one(lo, "bench8"))
+        runs_hi.append(one(hi, "bench32"))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     return {
@@ -250,7 +256,7 @@ def run_weak_scaling() -> dict:
         # ideal = 1.0 (equal wall time for 4x data on 4x CPUs)
         "value": round(r_lo["value"] / r_hi["value"], 3),
         "unit": "ratio",
-        "cpus_lo": 8, "cpus_hi": 32,
+        "cpus_lo": lo, "cpus_hi": hi,
         "n_turns_lo": r_lo["n_turns"], "n_turns_hi": r_hi["n_turns"],
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
