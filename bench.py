@@ -24,6 +24,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _install_empty_schema_filter() -> None:
+    """Silence Ray's schema-drift warning ONLY for the empty-partition
+    artifact: a 0-row map output loses its schema inside Ray's
+    MapOperator (observed through ray 2.49) even when the fn returns a
+    typed empty table, so any tiny-key hash exchange (3-key lineitem
+    merge, ann per-query merge) logs one spurious '... new schema: .'
+    line per empty partition. REAL drift — a non-empty differing
+    schema — still logs."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            msg = rec.getMessage()
+            return not ("different schema" in msg
+                        and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
 # "full" runs EL + ops queries; "el" runs only the EL pipeline (used by
 # --scaling, which measures it on a compute-dominant fixture scale)
 BENCH_MODE = os.environ.get("BENCH_MODE", "full")
@@ -40,6 +61,7 @@ def run_bench() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _install_empty_schema_filter()
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
