@@ -211,6 +211,60 @@ def stratified_sample(docs_ds, *, stratum: str = "lang",
     return group_blocks(slim, [stratum], pick, batch_format="pandas")
 
 
+def weighted_sample(docs_ds, *, k: int = 200):
+    """Weight-proportional sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass reservoir): each document draws a
+    deterministic uniform u from md5(doc_id) and gets priority
+    ln(u)/w — the global top-k priorities are a sample where inclusion
+    probability is proportional to the weight w (here the token
+    count: longer docs weigh more, the training-mix sampling shape).
+    Zero-token documents are excluded (w = 0 has no valid priority).
+
+    Determinism/replayability: u = ((md5_u64 >> 11) + 1) / 2^53 — a
+    53-bit hash, so u is an EXACT double and the only float ops are
+    one libm ln and one divide, identical in numpy and DuckDB.
+
+    Scale shape: per-batch local top-k (O(k) rows leave each batch)
+    -> one tiny single-partition merge — the orders_topk pattern; no
+    exchange touches corpus-scale data."""
+    from ..scorer import md5_u64
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "priority": pd.Series(dtype="float64")})
+        if len(df) == 0:
+            return empty
+        w = df["text"].str.count(TOKEN_RE).astype("int64").to_numpy()
+        keep = w > 0
+        if not keep.any():
+            return empty
+        ids = df["doc_id"].to_numpy()[keep]
+        w = w[keep]
+        h = md5_u64([str(i) for i in ids])
+        u = ((h >> np.uint64(11)).astype("float64") + 1.0) / 2.0**53
+        pri = np.log(u) / w
+        out = pd.DataFrame({"doc_id": ids, "n_tokens": w,
+                            "priority": pri})
+        out = out.sort_values(["priority", "doc_id"],
+                              ascending=[False, True]).head(k)
+        return out.reset_index(drop=True)
+
+    heads = docs_ds.map_batches(local, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import round_half_away
+
+        df = df.sort_values(["priority", "doc_id"],
+                            ascending=[False, True]).head(k)
+        df = df.copy()
+        df["priority"] = round_half_away(df["priority"].to_numpy(), 10)
+        return df.reset_index(drop=True)
+
+    return heads.repartition(1).map_batches(merge, batch_format="pandas",
+                                            batch_size=None)
+
+
 # ----------------------------------------------------- group quantiles
 def group_quantiles(docs_ds, *, group: str = "lang",
                     qs: tuple = (0.5, 0.9)):

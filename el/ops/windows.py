@@ -479,6 +479,77 @@ def interval_join(events_ds, intervals_ds, *, by: str = "user_id",
                         num_partitions=num_partitions)
 
 
+def hopping_distinct(events_ds, *, num_partitions: int | None = None):
+    """EXACT distinct users per (event_type, 1h-window-sliding-15min)
+    — the two-exchange distributed COUNT(DISTINCT) shape: each event
+    explodes into its 4 covering windows and dedupes (type, window,
+    user) inside the batch; exchange 1 hashes the full TRIPLE so every
+    copy of a (type, window, user) co-resides and collapses to one
+    count-partial row per (type, window) per partition; exchange 2
+    sums the tiny partials. The exchange-1 volume is the corpus's
+    distinct-triple count (inherent to exact distinct — a cheaper
+    answer at 100 TB is the KMV sketch, el/ops/sketch.py).
+
+    Out: (event_type, window_start_us, n_users)."""
+    from ..shuffle import group_blocks
+
+    k = WINDOW_US // HOP_US
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=str),
+                "window_start_us": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64")})
+        tu = df["ts"].values.astype("datetime64[us]").astype("int64")
+        base = (tu // HOP_US) * HOP_US
+        out = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), k),
+            "window_start_us": (np.repeat(base, k)
+                                - np.tile(np.arange(k, dtype=np.int64)
+                                          * HOP_US, len(df))),
+            "user_id": np.repeat(df["user_id"].to_numpy(), k),
+        })
+        return out.drop_duplicates()
+
+    triples = events_ds.select_columns(
+        ["event_type", "user_id", "ts"]).map_batches(
+        explode, batch_format="pandas")
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=str),
+                "window_start_us": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")})
+        out = (df.drop_duplicates()
+               .groupby(["event_type", "window_start_us"],
+                        as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    partials = group_blocks(
+        triples, ["event_type", "window_start_us", "user_id"],
+        count_partial, batch_format="pandas",
+        num_partitions=num_partitions)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=str),
+                "window_start_us": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")})
+        out = df.groupby(["event_type", "window_start_us"],
+                         as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return group_blocks(partials, ["event_type", "window_start_us"],
+                        total, batch_format="pandas",
+                        num_partitions=num_partitions)
+
+
 # --------------------------------------------------- cohort retention
 def cohort_retention(events_ds, offsets: tuple[int, ...] = (0, 1, 7), *,
                      num_partitions: int | None = None):

@@ -1468,6 +1468,31 @@ def q_hopping_window(sf_dir: str):
     return hopping_window_agg(_read(sf_dir, "events"))
 
 
+def q_hopping_distinct(sf_dir: str):
+    """Exact distinct users per (event_type, 1h/15min hopping window):
+    the two-exchange distributed COUNT(DISTINCT) — triple-hash
+    co-location collapses duplicates, count-partials meet in a tiny
+    second exchange."""
+    import ray.data
+
+    from .ops.windows import hopping_distinct
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"])
+    return hopping_distinct(ev)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional document sample (Efraimidis-Spirakis A-ES
+    reservoir, weight = token count): deterministic md5-derived
+    uniforms, priority ln(u)/w, global top-200 by priority via local
+    top-k + one tiny merge."""
+    from .ops.prep import weighted_sample
+
+    return weighted_sample(_read(sf_dir, "documents"), k=200)
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention (day-0/1/7 active users per first-seen-day
     cohort): distinct-day partials -> user exchange (cohort = local
@@ -3913,6 +3938,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,
+        "hopping_distinct": """
+            WITH e AS (
+                SELECT event_type, user_id, epoch_us(ts) AS tu
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, user_id,
+                       (tu // 900000000 - k) * 900000000
+                           AS window_start_us
+                FROM e, unnest([0, 1, 2, 3]) AS u(k)
+            )
+            SELECT event_type, window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w GROUP BY event_type, window_start_us
+        """,
+        "weighted_sample": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                            AS BIGINT) AS n_tokens,
+                       md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, n_tokens,
+                       ln((CAST(h >> 11 AS DOUBLE) + 1.0)
+                          / 9007199254740992.0) / n_tokens AS pri
+                FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens,
+                   {_roundsql('pri', 10)} AS priority
+            FROM p ORDER BY pri DESC, doc_id LIMIT 200
+        """,
         "events_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
@@ -4022,6 +4080,8 @@ def queries():
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
         "events_hourly": q_events_hourly,
+        "hopping_distinct": q_hopping_distinct,
+        "weighted_sample": q_weighted_sample,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "rollup_pricing": q_rollup_pricing,

@@ -810,3 +810,69 @@ def test_running_total_matches_groupby_cumsum(ray_session):
     np.testing.assert_allclose(out["running_value"].to_numpy(),
                                ref["running_value"].to_numpy(),
                                rtol=0, atol=0)
+
+
+def test_hopping_distinct_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray
+
+    from el.ops.windows import HOP_US, WINDOW_US, hopping_distinct
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 6 * 3600, size=n), unit="s"),
+        "event_type": rng.choice(["view", "click"], size=n),
+        "user_id": rng.integers(0, 30, size=n),
+        "value": np.zeros(n),
+    })
+    out = (hopping_distinct(ray.data.from_pandas(df), num_partitions=4)
+           .to_pandas()
+           .sort_values(["event_type", "window_start_us"])
+           .reset_index(drop=True))
+    # brute force: explode every event into its covering windows
+    k = WINDOW_US // HOP_US
+    tu = df["ts"].values.astype("datetime64[us]").astype("int64")
+    base = (tu // HOP_US) * HOP_US
+    ex = pd.DataFrame({
+        "event_type": np.repeat(df["event_type"].to_numpy(), k),
+        "window_start_us": (np.repeat(base, k)
+                            - np.tile(np.arange(k, dtype=np.int64)
+                                      * HOP_US, n)),
+        "user_id": np.repeat(df["user_id"].to_numpy(), k),
+    })
+    ref = (ex.groupby(["event_type", "window_start_us"])["user_id"]
+           .nunique().reset_index(name="n_users")
+           .sort_values(["event_type", "window_start_us"])
+           .reset_index(drop=True))
+    ref["n_users"] = ref["n_users"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_weighted_sample_priorities_and_exclusions(ray_session):
+    import numpy as np
+    import ray
+
+    from el.ops.prep import weighted_sample
+    from el.scorer import md5_u64
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype="int64"),
+        "text": (["word " * (i + 1) for i in range(49)] + ["..."]),
+    })  # doc 49 has zero tokens -> excluded
+    out = weighted_sample(ray.data.from_pandas(df), k=10).to_pandas()
+    assert len(out) == 10
+    assert 49 not in set(out.doc_id)
+    # exact replay of the A-ES priority locally
+    h = md5_u64([str(i) for i in range(49)])
+    u = ((h >> np.uint64(11)).astype("float64") + 1.0) / 2.0**53
+    w = np.arange(1, 50, dtype="float64")
+    pri = np.log(u) / w
+    top = np.argsort(-pri, kind="stable")[:10]
+    assert set(out.doc_id) == set(top)
+    # priorities descend, and the sample is deterministic across runs
+    assert (np.diff(out.priority.to_numpy()) <= 0).all()
+    out2 = weighted_sample(ray.data.from_pandas(df), k=10).to_pandas()
+    assert out.equals(out2)
