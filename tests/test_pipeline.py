@@ -286,3 +286,22 @@ def test_override_semijoin_path_matches_driver(ray_session, t1_fixture,
     a = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
     b = dict(zip(df2.mention_id, df2.cluster_id))
     assert a == b
+
+
+def test_linkage_path_has_no_driver_collect():
+    """Regression guard for VERDICT r03 finding 1: no take_all() (or
+    full-dataset to_pandas) may appear in any module reachable from
+    run_linkage — the only permitted driver materializations are the
+    guarded block-ref collects. Bounded take_all sites live only in
+    documented oracle/vocab-cap contexts (el/ops/ann.py sample fit,
+    el/ops/textstats.py vocab top-k)."""
+    import os
+
+    import el
+
+    root = os.path.dirname(el.__file__)
+    for mod in ["pipeline", "overrides", "cluster", "alias", "mentions",
+                "linkdecide", "blocking", "scorer", "contexts", "kb",
+                "checkpoint", "outputs"]:
+        src = open(os.path.join(root, f"{mod}.py")).read()
+        assert "take_all" not in src, f"take_all reappeared in el/{mod}.py"
