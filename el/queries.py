@@ -1395,6 +1395,36 @@ def q_events_running_total(sf_dir: str):
     return running_total(ev)
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-event-type z-score normalization of event values — the ML
+    feature-scaling pass: integer-cents moments (one tiny group
+    exchange), broadcast stats, streamed row transform (row count
+    preserved)."""
+    import ray.data
+
+    from .ops.relational import zscore_normalize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+    return zscore_normalize(ev)
+
+
+def q_events_topk_users(sf_dir: str):
+    """Top-3 users per event_type by total value (exact integer
+    cents): partial sums -> one (type, user) exchange -> per-partition
+    per-type local top-k -> tiny merge. No partition holds a whole
+    type's raw rows."""
+    import ray.data
+
+    from .ops.relational import group_topk
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"])
+    return group_topk(ev, k=3)
+
+
 def q_rollup_pricing(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus) revenue + line counts at all
     three levels in ONE corpus pass: finest-level integer-cents
@@ -3994,6 +4024,46 @@ def oracle_sql() -> dict[str, str]:
                        AS running_value
             FROM events
         """,
+        "events_zscore": f"""
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       sum(c) AS s1, sum(c * c) AS s2
+                FROM c GROUP BY event_type
+            ),
+            s AS (
+                SELECT event_type, s1 / n AS mean_c,
+                       sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std_c
+                FROM m
+            )
+            SELECT c.event_id, c.event_type,
+                   {_roundsql("CASE WHEN s.std_c > 0 "
+                              "THEN (c.c - s.mean_c) / s.std_c "
+                              "ELSE 0.0 END", 6)} AS z
+            FROM c JOIN s USING (event_type)
+        """,
+        "events_topk_users": f"""
+            WITH t AS (
+                SELECT event_type, user_id,
+                       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS cents
+                FROM events GROUP BY event_type, user_id
+            ),
+            r AS (
+                SELECT event_type, user_id, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents DESC, user_id)
+                           AS rk
+                FROM t
+            )
+            SELECT event_type, user_id, CAST(rk AS BIGINT) AS rk,
+                   {_roundsql('cents / 100.0', 2)} AS total_value
+            FROM r WHERE rk <= 3
+        """,
         "rollup_pricing": """
             WITH base AS (
                 SELECT l_returnflag, l_linestatus,
@@ -4084,6 +4154,8 @@ def queries():
         "weighted_sample": q_weighted_sample,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
+        "events_zscore": q_events_zscore,
+        "events_topk_users": q_events_topk_users,
         "rollup_pricing": q_rollup_pricing,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,

@@ -876,3 +876,64 @@ def test_weighted_sample_priorities_and_exclusions(ray_session):
     assert (np.diff(out.priority.to_numpy()) <= 0).all()
     out2 = weighted_sample(ray.data.from_pandas(df), k=10).to_pandas()
     assert out.equals(out2)
+
+
+def test_zscore_normalize_matches_local(ray_session):
+    import numpy as np
+    import ray
+
+    from el.ops.relational import zscore_normalize
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "event_type": rng.choice(["a", "b", "flat"], size=n),
+        "value": np.round(rng.uniform(0, 50, size=n), 2),
+    })
+    df.loc[df.event_type == "flat", "value"] = 7.0  # zero variance
+    out = (zscore_normalize(ray.data.from_pandas(df))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(out) == n
+    c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+    ref = np.zeros(n)
+    for g in ("a", "b"):
+        m = (df.event_type == g).to_numpy()
+        mean_c = c[m].sum() / m.sum()
+        std_c = np.sqrt((c[m] * c[m]).sum() / m.sum() - mean_c * mean_c)
+        ref[m] = (c[m] - mean_c) / std_c
+    ref = np.floor(ref * 1e6 + 0.5) / 1e6
+    np.testing.assert_allclose(out["z"].to_numpy(), ref, rtol=0,
+                               atol=1e-12)
+    assert (out.loc[out.event_type == "flat", "z"] == 0.0).all()
+
+
+def test_group_topk_exact_totals_and_ties(ray_session):
+    import numpy as np
+    import ray
+
+    from el.ops.relational import group_topk
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    n = 3000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], size=n),
+        "user_id": rng.integers(0, 25, size=n),
+        "value": np.round(rng.uniform(0, 10, size=n), 2),
+    })
+    out = group_topk(ray.data.from_pandas(df), k=3).to_pandas()
+    c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+    tot = (df.assign(cents=c)
+           .groupby(["event_type", "user_id"], as_index=False)["cents"]
+           .sum())
+    for g in ("x", "y"):
+        sub = tot[tot.event_type == g].sort_values(
+            ["cents", "user_id"], ascending=[False, True])
+        want = sub.head(3)
+        got = out[out.event_type == g].sort_values("rk")
+        assert got.user_id.tolist() == want.user_id.tolist()
+        np.testing.assert_allclose(
+            got.total_value.to_numpy(),
+            np.floor(want.cents.to_numpy() / 100.0 * 100 + 0.5) / 100,
+            rtol=0, atol=0)
+        assert got.rk.tolist() == [1, 2, 3]
