@@ -1,0 +1,371 @@
+"""Classic entity-resolution blocking / evaluation operators.
+
+Four standard record-linkage primitives the reference implies but never
+names (its blocking is the candidate-finder composition,
+RunKBPEntityLinkerSystem.scala:45-49; its pair filter is
+MentionPairTrainingData.scala:57-70; its eval is Benchmarker.scala):
+
+- sorted_neighborhood: Hernandez-Stolfo sorted-neighborhood blocking —
+  sort mentions by a key, emit candidate pairs within a sliding window.
+  Distributed shape: ONE sort (the defining exchange), then a
+  distributed prefix-sum count wave (one int per block on the driver)
+  and block-local vectorized pair emission with an O(window) boundary
+  patch from the following blocks — the token_pack prefix-sum idiom
+  (el/ops/prep.py:558), no extra shuffle.
+- metablocking_pairs: graph meta-blocking (Papadakis et al.) — prune
+  candidate pairs by Common-Blocks (CBS) weighting: keep pairs that
+  co-occur in >= min_cbs blocking keys. One key exchange for pair
+  generation + one pair exchange for the CBS count.
+- blocking_quality: the standard blocking-scheme eval triple — pairs
+  completeness (recall of true matching pairs), reduction ratio
+  (1 - |candidates| / C(n,2)) and pairs quality (precision) of the
+  n:/p: blocking scheme against gold entity labels. Two exchanges
+  (pair dedup, per-entity sizes); the driver sees one row.
+- fellegi_sunter: Fellegi-Sunter match/unmatch weights — per-feature
+  agreement probabilities m = P(agree|match), u = P(agree|non-match)
+  with add-one smoothing and weight = log2(m/u), estimated from the
+  labeled candidate-pair set. Per-batch vectorized agreement partials
+  -> one tiny feature exchange (5 keys); the driver sees 5 rows.
+
+Scale notes (10^12 turns): sorted_neighborhood moves each row through
+exactly one sort; within-key pair generation in metablocking_pairs /
+blocking_quality is quadratic per block — production callers go through
+el/blocking.py's salted/capped generator (MAX_ALIASES_PER_BLOCK); these
+eval surfaces document the cap rather than silently dropping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..shuffle import group_blocks
+
+_ROUND6 = 10 ** 6
+
+
+def _round6(x: np.ndarray | float) -> np.ndarray | float:
+    return np.floor(np.asarray(x, dtype=np.float64) * _ROUND6 + 0.5) / _ROUND6
+
+
+def _norm_series(s: pd.Series) -> pd.Series:
+    """Vectorized normalize_name (el/text.py:95): lowercase, non-alnum
+    runs -> single space, trim. Must stay bit-identical to NORM_SQL
+    (el/queries.py:38)."""
+    return (s.str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip())
+
+
+# ------------------------------------------------- sorted neighborhood
+def _snb_count(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _snb_head(w: int, *tbls: pa.Table) -> pa.Table:
+    """First w rows of the concatenation of the following blocks."""
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return pa.table({"mention_id": pa.array([], pa.string())})
+    cat = pa.concat_tables([t.select(["mention_id"]) for t in tbls])
+    return cat.slice(0, w)
+
+
+def _snb_pairs(window: int, block: pa.Table, head: pa.Table) -> pa.Table:
+    """Pairs (i, j), 0 < j - i < window, owned by i's block; j may
+    spill into the boundary head. Pure numpy slicing per distance."""
+    ids = block.column("mention_id").to_pandas().to_numpy(dtype=object)
+    ext = np.concatenate(
+        [ids, head.column("mention_id").to_pandas().to_numpy(dtype=object)])
+    n = len(ids)
+    m1, m2, dist = [], [], []
+    for d in range(1, window):
+        k = min(n, len(ext) - d)
+        if k <= 0:
+            continue
+        m1.append(ids[:k])
+        m2.append(ext[d:d + k])
+        dist.append(np.full(k, d, dtype=np.int64))
+    if not m1:
+        return pa.table({"m1_id": pa.array([], pa.string()),
+                         "m2_id": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.int64())})
+    return pa.table({
+        "m1_id": pa.array(np.concatenate(m1), pa.string()),
+        "m2_id": pa.array(np.concatenate(m2), pa.string()),
+        "dist": pa.array(np.concatenate(dist), pa.int64()),
+    })
+
+
+def sorted_neighborhood(mentions_ds, *, window: int = 4):
+    """Sorted-neighborhood candidate pairs over (norm(surface),
+    mention_id) order: every pair of mentions within ``window``
+    positions of each other, with their rank distance.
+
+    Out: (m1_id, m2_id, dist) — m1 earlier in the sort order,
+    1 <= dist < window. Mentions with empty normalized surface are
+    excluded (they carry no blocking signal)."""
+    import ray
+    import ray.data
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"mention_id": df["mention_id"].astype(str),
+                            "norm": _norm_series(df["surface"].astype(str))})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    ds = (mentions_ds.map_batches(keyed, batch_format="pandas")
+          .sort(["norm", "mention_id"]))
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(_snb_pairs(window, _snb_head(0), _snb_head(0)))
+    count_rem = ray.remote(_snb_count)
+    counts = ray.get([count_rem.remote(r) for r in refs])
+    head_rem = ray.remote(_snb_head)
+    pair_rem = ray.remote(_snb_pairs)
+    outs = []
+    for b, r in enumerate(refs):
+        # following blocks contributing to this block's boundary head
+        need, feed = window - 1, []
+        for nb in range(b + 1, len(refs)):
+            if need <= 0:
+                break
+            feed.append(refs[nb])
+            need -= counts[nb]
+        head = head_rem.remote(window - 1, *feed) if feed \
+            else head_rem.remote(window - 1)
+        outs.append(pair_rem.remote(window, r, head))
+    return ray.data.from_arrow_refs(outs)
+
+
+# ------------------------------------------------------- meta-blocking
+def _sql_block_keys(df: pd.DataFrame, extra: list[str] | None = None
+                    ) -> pd.DataFrame:
+    """(mention, key) rows for the SQL-replayable scheme: n:<norm> +
+    p:<first-token prefix 6> (el_block_keys semantics,
+    el/queries.py:148). ``extra`` names pass-through columns."""
+    extra = extra or []
+    norm = _norm_series(df["surface"].astype(str))
+    first = norm.str.split(" ").str[0].fillna("")
+    base = pd.DataFrame({"mention_id": df["mention_id"].astype(str),
+                         "norm": norm})
+    for c in extra:
+        base[c] = df[c].astype(str)
+    n_rows = base[base["norm"] != ""].copy()
+    n_rows["block_key"] = "n:" + n_rows["norm"]
+    p_rows = base[first.str.len() >= 3].copy()
+    p_rows["block_key"] = "p:" + first[first.str.len() >= 3].str[:6]
+    out = pd.concat([n_rows, p_rows], ignore_index=True)
+    return out[["mention_id", "block_key", *extra]]
+
+
+def _block_pairs_frame(df: pd.DataFrame, carry: list[str] | None = None,
+                       cap: int = 10_000) -> pd.DataFrame:
+    """Within-key pair generation over one co-located block (may hold
+    many keys): distinct mentions per key, triangular index pairs.
+    ``cap`` bounds the per-key quadratic (production pair-gen salts at
+    MAX_ALIASES_PER_BLOCK, el/blocking.py:41; here we fail loudly
+    instead of dropping so the eval never under-reports)."""
+    carry = carry or []
+    cols = {"m1_id": [], "m2_id": [],
+            **{f"{c}1": [] for c in carry}, **{f"{c}2": [] for c in carry}}
+    if len(df) == 0:
+        return pd.DataFrame({k: pd.Series(dtype=str) for k in cols})
+    for _, g in df.groupby("block_key", sort=False):
+        g = g.drop_duplicates("mention_id").sort_values("mention_id")
+        n = len(g)
+        if n < 2:
+            continue
+        if n > cap:
+            raise ValueError(
+                f"block {g['block_key'].iloc[0]!r} holds {n} mentions "
+                f"(> cap {cap}); route through the salted generator")
+        i, j = np.triu_indices(n, k=1)
+        ids = g["mention_id"].to_numpy(dtype=object)
+        cols["m1_id"].append(ids[i])
+        cols["m2_id"].append(ids[j])
+        for c in carry:
+            vals = g[c].to_numpy(dtype=object)
+            cols[f"{c}1"].append(vals[i])
+            cols[f"{c}2"].append(vals[j])
+    if not cols["m1_id"]:
+        return pd.DataFrame({k: pd.Series(dtype=str) for k in cols})
+    return pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+
+def metablocking_pairs(mentions_ds, *, min_cbs: int = 2):
+    """CBS-weighted meta-blocking: candidate pairs sharing >= min_cbs
+    blocking keys of the n:/p: scheme. Out: (m1_id, m2_id, cbs)."""
+    keys = mentions_ds.map_batches(_sql_block_keys, batch_format="pandas")
+    pairs = group_blocks(keys, ["block_key"], _block_pairs_frame,
+                         batch_format="pandas")
+
+    def cbs_count(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m1_id": pd.Series(dtype=str),
+                                 "m2_id": pd.Series(dtype=str),
+                                 "cbs": pd.Series(dtype="int64")})
+        out = (df.groupby(["m1_id", "m2_id"], sort=False)
+               .size().rename("cbs").reset_index())
+        return out[out["cbs"] >= min_cbs].reset_index(drop=True)
+
+    return group_blocks(pairs, ["m1_id", "m2_id"], cbs_count,
+                        batch_format="pandas")
+
+
+# ---------------------------------------------------- blocking quality
+def blocking_quality(mentions_ds):
+    """Blocking-scheme evaluation against gold entity labels: one row
+    (n_mentions, candidate_pairs, matching_pairs, tp_pairs,
+    pairs_completeness, reduction_ratio, pairs_quality), floats rounded
+    half-away at 6.
+
+    candidate = distinct within-key pairs of the n:/p: scheme; matching
+    = all same-entity pairs (sum over entities of C(size, 2)); tp =
+    candidates whose gold ids agree. The gold label travels WITH the
+    key rows, so the match flag is computed inside the pair generator —
+    no mention-table join afterwards."""
+    import ray
+
+    n_mentions = mentions_ds.count()
+
+    keys = mentions_ds.map_batches(
+        lambda df: _sql_block_keys(df, extra=["gold_kb_id"]),
+        batch_format="pandas")
+    pairs = group_blocks(
+        keys, ["block_key"],
+        lambda df: _block_pairs_frame(df, carry=["gold_kb_id"]),
+        batch_format="pandas")
+
+    def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cand": pd.Series(dtype="int64"),
+                                 "tp": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["m1_id", "m2_id"])
+        return pd.DataFrame({
+            "cand": [np.int64(len(d))],
+            "tp": [np.int64((d["gold_kb_id1"] == d["gold_kb_id2"]).sum())],
+        })
+
+    cand_parts = group_blocks(pairs, ["m1_id", "m2_id"], dedup_count,
+                              batch_format="pandas").to_pandas()
+    cand = int(cand_parts["cand"].sum())
+    tp = int(cand_parts["tp"].sum())
+
+    def entity_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"mp": pd.Series(dtype="int64")})
+        c = df.groupby("gold_kb_id", sort=False).size().to_numpy()
+        return pd.DataFrame({"mp": [np.int64((c * (c - 1) // 2).sum())]})
+
+    ent = mentions_ds.map_batches(
+        lambda df: df[["mention_id", "gold_kb_id"]], batch_format="pandas")
+    mp_parts = group_blocks(ent, ["gold_kb_id"], entity_pairs,
+                            batch_format="pandas").to_pandas()
+    matching = int(mp_parts["mp"].sum())
+
+    total = n_mentions * (n_mentions - 1) // 2
+    pc = _round6(tp / matching) if matching else 0.0
+    rr = _round6(1.0 - cand / total) if total else 0.0
+    pq = _round6(tp / cand) if cand else 0.0
+    return pd.DataFrame({
+        "n_mentions": pd.Series([n_mentions], dtype="int64"),
+        "candidate_pairs": pd.Series([cand], dtype="int64"),
+        "matching_pairs": pd.Series([matching], dtype="int64"),
+        "tp_pairs": pd.Series([tp], dtype="int64"),
+        "pairs_completeness": [float(pc)],
+        "reduction_ratio": [float(rr)],
+        "pairs_quality": [float(pq)],
+    })
+
+
+# ---------------------------------------------------- Fellegi-Sunter
+FS_FEATURES = ("exact", "first_token", "jw92", "last_token", "token_count")
+
+
+class _FSPartials:
+    """Actor-pool batch fn over labeled pairs: per-feature agreement
+    partial counts (5 rows out per batch). Surfaces resolve through a
+    broadcast mention->surface map (zero-copy ray.get per actor,
+    q_el_pair_jw pattern); JW uses the engine kernel rounded at 5 —
+    bit-identical to DuckDB's jaro_winkler_similarity (el_pair_jw)."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        self.norm = normalize_name
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sim import jaro_winkler
+
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        lab = np.asarray(t.column("same_entity").to_pylist(), dtype=bool)
+        n1 = [self.norm(self.surf[a]) for a in m1]
+        n2 = [self.norm(self.surf[b]) for b in m2]
+        t1 = [s.split(" ") for s in n1]
+        t2 = [s.split(" ") for s in n2]
+        jw = np.floor(np.array([jaro_winkler(a, b)
+                                for a, b in zip(n1, n2)]) * 1e5 + 0.5) / 1e5
+        agree = {
+            "exact": np.array([a == b for a, b in zip(n1, n2)]),
+            "first_token": np.array([a[0] == b[0]
+                                     for a, b in zip(t1, t2)]),
+            "jw92": jw >= 0.92,
+            "last_token": np.array([a[-1] == b[-1]
+                                    for a, b in zip(t1, t2)]),
+            "token_count": np.array([len(a) == len(b)
+                                     for a, b in zip(t1, t2)]),
+        }
+        nm, nn = int(lab.sum()), int((~lab).sum())
+        return pa.table({
+            "feature": pa.array(list(FS_FEATURES), pa.string()),
+            "agree_match": pa.array(
+                [int((agree[f] & lab).sum()) for f in FS_FEATURES],
+                pa.int64()),
+            "agree_nonmatch": pa.array(
+                [int((agree[f] & ~lab).sum()) for f in FS_FEATURES],
+                pa.int64()),
+            "n_match": pa.array([nm] * len(FS_FEATURES), pa.int64()),
+            "n_nonmatch": pa.array([nn] * len(FS_FEATURES), pa.int64()),
+        })
+
+
+def fellegi_sunter(pairs_ds, surf_ref):
+    """Fellegi-Sunter weights from the labeled candidate-pair set:
+    per feature, m = (agree|match + 1) / (matches + 2), u likewise over
+    non-matches (add-one smoothing), weight = log2(m / u) — m/u/weight
+    computed from the 6-rounded probabilities so the oracle replays
+    log2 of the SAME doubles. Out: one row per feature.
+
+    ``pairs_ds``: (m1_id, m2_id, same_entity); ``surf_ref``: ray.put
+    broadcast of {mention_id: surface}."""
+    parts = pairs_ds.map_batches(_FSPartials, fn_constructor_args=(surf_ref,),
+                                 batch_format="pyarrow", concurrency=2,
+                                 num_cpus=0.5)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["feature", "n_match", "n_nonmatch", "agree_match",
+                "agree_nonmatch", "m_prob", "u_prob", "weight"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                dtype=(str if c == "feature" else
+                       "float64" if c in ("m_prob", "u_prob", "weight")
+                       else "int64")) for c in cols})
+        g = df.groupby("feature", sort=True).sum(numeric_only=True)
+        m = _round6((g["agree_match"] + 1) / (g["n_match"] + 2))
+        u = _round6((g["agree_nonmatch"] + 1) / (g["n_nonmatch"] + 2))
+        w = _round6(np.log2(m / u))
+        return pd.DataFrame({
+            "feature": g.index.astype(str),
+            "n_match": g["n_match"].astype("int64"),
+            "n_nonmatch": g["n_nonmatch"].astype("int64"),
+            "agree_match": g["agree_match"].astype("int64"),
+            "agree_nonmatch": g["agree_nonmatch"].astype("int64"),
+            "m_prob": m, "u_prob": u, "weight": w,
+        }).reset_index(drop=True)
+
+    return group_blocks(parts, ["feature"], fold, batch_format="pandas",
+                        num_partitions=4)

@@ -290,6 +290,75 @@ def q_el_jw_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_el_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) over the gold
+    mention set: candidate pairs within a window-4 sliding window of
+    the (normalized surface, mention_id) sort order. One sort + a
+    prefix-sum count wave + block-local pair emission (el/ops/er.py)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import sorted_neighborhood
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+    return sorted_neighborhood(gm, window=4)
+
+
+def q_el_metablocking(sf_dir: str):
+    """CBS meta-blocking: candidate pairs sharing >= 2 keys of the
+    n:/p: blocking scheme (graph meta-blocking pair pruning)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import metablocking_pairs
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+    return metablocking_pairs(gm, min_cbs=2)
+
+
+def q_el_blocking_quality(sf_dir: str):
+    """Blocking-scheme eval vs gold entities: pairs completeness,
+    reduction ratio, pairs quality of the n:/p: scheme (one row)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import blocking_quality
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"],
+    )
+    return blocking_quality(gm)
+
+
+def q_el_fs_weights(sf_dir: str):
+    """Fellegi-Sunter per-feature match weights estimated from the
+    labeled candidate-pair fixture (add-one smoothed m/u, log2 ratio)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import fellegi_sunter
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(
+        os.path.join(fd, "gold_pairs.parquet"),
+        columns=["m1_id", "m2_id", "same_entity"],
+    )
+    return fellegi_sunter(gp, ref)
+
+
 def q_comention_counts(sf_dir: str):
     """Conversation-level co-mention counts (extraction-vector join
     analog, J9): oracle is a distinct self-join + group count."""
@@ -2688,6 +2757,128 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.component, m.mention_id) AS component
             FROM {gm} m LEFT JOIN canon c ON c.node = m.mention_id
         """,
+        "el_sorted_neighborhood": f"""
+            WITH s AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            r AS (
+                SELECT mention_id,
+                       row_number() OVER (ORDER BY norm, mention_id) AS rn
+                FROM s
+            )
+            SELECT a.mention_id AS m1_id, b.mention_id AS m2_id,
+                   b.rn - a.rn AS dist
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 4
+        """,
+        "el_metablocking": f"""
+            WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            k AS (
+                SELECT mention_id, 'n:' || norm AS bk
+                FROM m WHERE norm != ''
+                UNION ALL
+                SELECT mention_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6) AS bk
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+            )
+            SELECT a.mention_id AS m1_id, b.mention_id AS m2_id,
+                   count(*) AS cbs
+            FROM k a JOIN k b ON a.bk = b.bk
+                     AND a.mention_id < b.mention_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "el_blocking_quality": f"""
+            WITH m AS (
+                SELECT mention_id, gold_kb_id, {norm} AS norm FROM {gm}
+            ),
+            k AS (
+                SELECT mention_id, gold_kb_id, 'n:' || norm AS bk
+                FROM m WHERE norm != ''
+                UNION ALL
+                SELECT mention_id, gold_kb_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6) AS bk
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+            ),
+            cand AS (
+                SELECT DISTINCT a.mention_id AS m1, b.mention_id AS m2,
+                       a.gold_kb_id AS g1, b.gold_kb_id AS g2
+                FROM k a JOIN k b ON a.bk = b.bk
+                         AND a.mention_id < b.mention_id
+            ),
+            c AS (
+                SELECT CAST(count(*) AS BIGINT) AS cand,
+                       CAST(count(*) FILTER (g1 = g2) AS BIGINT) AS tp
+                FROM cand
+            ),
+            mm AS (
+                SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS matching
+                FROM (SELECT count(*) AS cnt FROM {gm}
+                      GROUP BY gold_kb_id)
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {gm})
+            SELECT nn.n AS n_mentions, c.cand AS candidate_pairs,
+                   mm.matching AS matching_pairs, c.tp AS tp_pairs,
+                   {_roundsql('CAST(c.tp AS DOUBLE) / mm.matching', 6)}
+                       AS pairs_completeness,
+                   {_roundsql('1.0 - CAST(c.cand AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2)', 6)}
+                       AS reduction_ratio,
+                   {_roundsql('CAST(c.tp AS DOUBLE) / c.cand', 6)}
+                       AS pairs_quality
+            FROM c, mm, nn
+        """,
+        "el_fs_weights": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            p AS (
+                SELECT gp.same_entity, s1.norm AS n1, s2.norm AS n2
+                FROM {gp} gp
+                JOIN s s1 ON gp.m1_id = s1.mention_id
+                JOIN s s2 ON gp.m2_id = s2.mention_id
+            ),
+            f AS (
+                SELECT 'exact' AS feature, (n1 = n2) AS agree,
+                       same_entity FROM p
+                UNION ALL
+                SELECT 'first_token',
+                       split_part(n1, ' ', 1) = split_part(n2, ' ', 1),
+                       same_entity FROM p
+                UNION ALL
+                SELECT 'jw92',
+                       {_roundsql('jaro_winkler_similarity(n1, n2)', 5)} >= 0.92,
+                       same_entity FROM p
+                UNION ALL
+                SELECT 'last_token',
+                       str_split(n1, ' ')[-1] = str_split(n2, ' ')[-1],
+                       same_entity FROM p
+                UNION ALL
+                SELECT 'token_count',
+                       len(str_split(n1, ' ')) = len(str_split(n2, ' ')),
+                       same_entity FROM p
+            ),
+            agg AS (
+                SELECT feature,
+                       CAST(count(*) FILTER (same_entity) AS BIGINT)
+                           AS n_match,
+                       CAST(count(*) FILTER (NOT same_entity) AS BIGINT)
+                           AS n_nonmatch,
+                       CAST(count(*) FILTER (agree AND same_entity) AS BIGINT)
+                           AS agree_match,
+                       CAST(count(*) FILTER (agree AND NOT same_entity)
+                            AS BIGINT) AS agree_nonmatch
+                FROM f GROUP BY feature
+            ),
+            probs AS (
+                SELECT *,
+                       {_roundsql('(agree_match + 1.0) / (n_match + 2)', 6)}
+                           AS m_prob,
+                       {_roundsql('(agree_nonmatch + 1.0) / (n_nonmatch + 2)', 6)}
+                           AS u_prob
+                FROM agg
+            )
+            SELECT feature, n_match, n_nonmatch, agree_match,
+                   agree_nonmatch, m_prob, u_prob,
+                   {_roundsql('log2(m_prob / u_prob)', 6)} AS weight
+            FROM probs
+        """,
         "transcripts_passthrough": f"""
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
@@ -4096,6 +4287,10 @@ def queries():
         "el_pair_jw": q_el_pair_jw,
         "el_pair_features": q_el_pair_features,
         "el_jw_components": q_el_jw_components,
+        "el_sorted_neighborhood": q_el_sorted_neighborhood,
+        "el_metablocking": q_el_metablocking,
+        "el_blocking_quality": q_el_blocking_quality,
+        "el_fs_weights": q_el_fs_weights,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,

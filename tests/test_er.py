@@ -1,0 +1,157 @@
+"""Unit tests for the classic ER blocking/eval operators (el/ops/er.py):
+brute-force equivalence on small random inputs + invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from el.ops.er import (
+    _norm_series,
+    _sql_block_keys,
+    blocking_quality,
+    fellegi_sunter,
+    metablocking_pairs,
+    sorted_neighborhood,
+)
+from el.text import normalize_name
+
+RNG = np.random.default_rng(7)
+SURFACES = ["Janet Smith", "janet  smith", "J. Smith", "Janet Vance",
+            "Bob Iger", "BOB IGER", "Acme Corp.", "Acme Corporation",
+            "Li", "Li Wei", "Wei Li", "  ", "x-1 beta"]
+
+
+def _mentions(n=60):
+    return pd.DataFrame({
+        "mention_id": [f"m{i:04d}" for i in range(n)],
+        "surface": [SURFACES[i] for i in RNG.integers(0, len(SURFACES), n)],
+        "gold_kb_id": [f"E{i}" for i in RNG.integers(0, 6, n)],
+    })
+
+
+def test_norm_series_matches_normalize_name():
+    s = pd.Series(SURFACES + ["--", "A&B  C!"])
+    assert list(_norm_series(s)) == [normalize_name(x) for x in s]
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    import ray.data
+
+    df = _mentions(60)
+    w = 4
+    out = sorted_neighborhood(
+        ray.data.from_pandas(df), window=w).to_pandas()
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""].sort_values(
+        ["norm", "mention_id"]).reset_index(drop=True)
+    want = set()
+    for i in range(len(ref)):
+        for j in range(i + 1, min(i + w, len(ref))):
+            want.add((ref["mention_id"][i], ref["mention_id"][j], j - i))
+    got = set(zip(out["m1_id"], out["m2_id"], out["dist"]))
+    assert got == want and len(out) == len(want)
+
+
+def test_sorted_neighborhood_boundary_spill(ray_session):
+    """Tiny blocks force the boundary head to span >1 following block."""
+    import ray.data
+
+    df = _mentions(24)
+    ds = ray.data.from_pandas(df).repartition(12)  # ~2 rows per block
+    out = sorted_neighborhood(ds, window=4).to_pandas()
+    base = sorted_neighborhood(
+        ray.data.from_pandas(df), window=4).to_pandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))  # noqa: E731
+    assert key(out) == key(base)
+
+
+def test_metablocking_matches_bruteforce(ray_session):
+    import ray.data
+
+    df = _mentions(60)
+    out = metablocking_pairs(ray.data.from_pandas(df)).to_pandas()
+
+    keys = _sql_block_keys(df)
+    merged = keys.merge(keys, on="block_key")
+    merged = merged[merged["mention_id_x"] < merged["mention_id_y"]]
+    cbs = merged.groupby(["mention_id_x", "mention_id_y"]).size()
+    want = {(a, b, c) for (a, b), c in cbs.items() if c >= 2}
+    got = set(zip(out["m1_id"], out["m2_id"], out["cbs"]))
+    assert got == want
+
+
+def test_blocking_quality_bruteforce(ray_session):
+    import ray.data
+
+    df = _mentions(80)
+    out = blocking_quality(ray.data.from_pandas(df))
+    assert len(out) == 1
+    row = out.iloc[0]
+
+    keys = _sql_block_keys(df, extra=["gold_kb_id"])
+    merged = keys.merge(keys, on="block_key")
+    merged = merged[merged["mention_id_x"] < merged["mention_id_y"]]
+    cand = merged.drop_duplicates(["mention_id_x", "mention_id_y"])
+    tp = int((cand["gold_kb_id_x"] == cand["gold_kb_id_y"]).sum())
+    sizes = df.groupby("gold_kb_id").size().to_numpy()
+    matching = int((sizes * (sizes - 1) // 2).sum())
+    n = len(df)
+    assert row["n_mentions"] == n
+    assert row["candidate_pairs"] == len(cand)
+    assert row["matching_pairs"] == matching
+    assert row["tp_pairs"] == tp
+    assert row["pairs_completeness"] == pytest.approx(tp / matching, abs=1e-6)
+    assert row["reduction_ratio"] == pytest.approx(
+        1 - len(cand) / (n * (n - 1) / 2), abs=1e-6)
+    assert row["pairs_quality"] == pytest.approx(tp / len(cand), abs=1e-6)
+
+
+def test_fellegi_sunter_counts_and_weights(ray_session):
+    import ray
+    import ray.data
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    # labeled pairs: every pair of the first 20 mentions
+    rows = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            a, b = df["mention_id"][i], df["mention_id"][j]
+            rows.append((a, b, df["gold_kb_id"][i] == df["gold_kb_id"][j]))
+    pairs = pd.DataFrame(rows, columns=["m1_id", "m2_id", "same_entity"])
+
+    out = fellegi_sunter(ray.data.from_pandas(pairs),
+                         ray.put(surf)).to_pandas()
+    assert sorted(out["feature"]) == ["exact", "first_token", "jw92",
+                                      "last_token", "token_count"]
+    nm = int(pairs["same_entity"].sum())
+    nn = len(pairs) - nm
+    assert (out["n_match"] == nm).all() and (out["n_nonmatch"] == nn).all()
+
+    # exact-feature agreement recomputed brute force
+    n1 = pairs["m1_id"].map(lambda m: normalize_name(surf[m]))
+    n2 = pairs["m2_id"].map(lambda m: normalize_name(surf[m]))
+    agree = (n1 == n2)
+    r = out.set_index("feature").loc["exact"]
+    assert r["agree_match"] == int((agree & pairs["same_entity"]).sum())
+    assert r["agree_nonmatch"] == int((agree & ~pairs["same_entity"]).sum())
+    m = (r["agree_match"] + 1) / (nm + 2)
+    u = (r["agree_nonmatch"] + 1) / (nn + 2)
+    assert r["m_prob"] == pytest.approx(m, abs=1e-6)
+    assert r["u_prob"] == pytest.approx(u, abs=1e-6)
+    assert r["weight"] == pytest.approx(
+        np.log2(r["m_prob"] / r["u_prob"]), abs=1e-6)
+
+
+def test_block_pairs_cap_fails_loudly(ray_session):
+    import ray.data
+
+    from el.ops.er import _block_pairs_frame
+
+    df = pd.DataFrame({
+        "mention_id": [f"m{i}" for i in range(12)],
+        "block_key": ["n:hot"] * 12,
+    })
+    with pytest.raises(ValueError, match="cap"):
+        _block_pairs_frame(df, cap=10)
