@@ -279,6 +279,112 @@ def blocking_quality(mentions_ds):
     })
 
 
+# --------------------------------------------- hybrid token similarity
+class _TokenSims:
+    """Actor-pool scorer: token-set similarities per labeled pair —
+    Jaccard / Dice / overlap coefficient over DISTINCT tokens, plus
+    Monge-Elkan (mean over s1's tokens, in order and with duplicates,
+    of the max Jaro-Winkler against s2's tokens; inner JW rounded at 5
+    so the SQL comprehension replays the same doubles). All outputs
+    rounded half-away at 6."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        from ..sim import jaro_winkler
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        self.norm = normalize_name
+        self.jw = jaro_winkler
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        jac, dice, ov, me = [], [], [], []
+        for a, b in zip(m1, m2):
+            t1 = self.norm(self.surf[a]).split(" ")
+            t2 = self.norm(self.surf[b]).split(" ")
+            u1, u2 = set(t1), set(t2)
+            inter = len(u1 & u2)
+            union = len(u1 | u2)
+            jac.append(inter / union if union else 0.0)
+            dice.append(2 * inter / (len(u1) + len(u2)))
+            ov.append(inter / min(len(u1), len(u2)))
+            maxima = [
+                max(np.floor(self.jw(x, y) * 1e5 + 0.5) / 1e5 for y in t2)
+                for x in t1
+            ]
+            me.append(float(np.mean(maxima)))
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "jaccard": pa.array(_round6(jac), pa.float64()),
+            "dice": pa.array(_round6(dice), pa.float64()),
+            "overlap": pa.array(_round6(ov), pa.float64()),
+            "monge_elkan": pa.array(_round6(me), pa.float64()),
+        })
+
+
+def token_pair_sims(pairs_ds, surf_ref):
+    """Hybrid token-level similarities for candidate pairs (the
+    string-similarity menu beyond whole-string JW/Levenshtein):
+    out (m1_id, m2_id, jaccard, dice, overlap, monge_elkan)."""
+    return pairs_ds.map_batches(_TokenSims, fn_constructor_args=(surf_ref,),
+                                batch_format="pyarrow", concurrency=2,
+                                num_cpus=0.5)
+
+
+# ------------------------------------------------ incremental assign
+def incremental_assign(mentions_ds, *, split_hex: str = "8"):
+    """Incremental entity resolution: mentions whose md5(conv_id) first
+    hex digit is below ``split_hex`` form the EXISTING base corpus
+    (exact-alias clusters, representative = min mention_id); the rest
+    arrive as the NEW batch and are assigned to an existing cluster when
+    their normalized surface matches a base alias, else to a fresh NIL
+    cluster (min mention_id per new alias). Out, for the new batch
+    only: (mention_id, cluster_id, is_new).
+
+    Shape: ONE hash exchange on the alias norm (tagged base/delta rows
+    meet in the same block) — no broadcast of the base cluster map, so
+    the base side can be arbitrarily large. Mentions with empty norm
+    carry no alias signal and are excluded. Mirrors clusterNils'
+    exact-alias grouping (RunKBPEntityLinkerSystem.scala:162-170)
+    applied across a base/delta split — the CDC shape of ER."""
+    import hashlib
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "norm": _norm_series(df["surface"].astype(str)),
+            "is_base": df["conv_id"].astype(str).map(
+                lambda c: hashlib.md5(c.encode()).hexdigest()[0] < split_hex),
+        })
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    tagged = mentions_ds.map_batches(tag, batch_format="pandas")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mention_id": str, "cluster_id": str, "is_new": bool}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        base_min = (df[df["is_base"]].groupby("norm")["mention_id"].min())
+        delta = df[~df["is_base"]]
+        if len(delta) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        new_min = delta.groupby("norm")["mention_id"].min()
+        existing = delta["norm"].map(base_min)
+        return pd.DataFrame({
+            "mention_id": delta["mention_id"].to_numpy(),
+            "cluster_id": existing.fillna(
+                delta["norm"].map(new_min)).to_numpy(),
+            "is_new": existing.isna().to_numpy(),
+        })
+
+    return group_blocks(tagged, ["norm"], assign, batch_format="pandas")
+
+
 # ---------------------------------------------------- Fellegi-Sunter
 FS_FEATURES = ("exact", "first_token", "jw92", "last_token", "token_count")
 

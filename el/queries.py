@@ -359,6 +359,45 @@ def q_el_fs_weights(sf_dir: str):
     return fellegi_sunter(gp, ref)
 
 
+def q_el_token_sims(sf_dir: str):
+    """Hybrid token-set similarities (Jaccard/Dice/overlap/Monge-Elkan)
+    over the labeled candidate pairs — the string-similarity menu
+    beyond whole-string JW (el/ops/er.py::token_pair_sims)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import token_pair_sims
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(
+        os.path.join(fd, "gold_pairs.parquet"),
+        columns=["m1_id", "m2_id"],
+    )
+    return token_pair_sims(gp, ref)
+
+
+def q_el_incremental_assign(sf_dir: str):
+    """Incremental ER: assign the 'new' half of the corpus (md5 conv
+    split) to existing exact-alias clusters or fresh NILs — one tagged
+    hash exchange, no base-map broadcast (el/ops/er.py)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import incremental_assign
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "conv_id", "surface"],
+    )
+    return incremental_assign(gm, split_hex="8")
+
+
 def q_comention_counts(sf_dir: str):
     """Conversation-level co-mention counts (extraction-vector join
     analog, J9): oracle is a distinct self-join + group count."""
@@ -2879,6 +2918,55 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('log2(m_prob / u_prob)', 6)} AS weight
             FROM probs
         """,
+        "el_token_sims": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            p AS (
+                SELECT gp.m1_id, gp.m2_id,
+                       str_split(s1.norm, ' ') AS t1,
+                       str_split(s2.norm, ' ') AS t2
+                FROM {gp} gp
+                JOIN s s1 ON gp.m1_id = s1.mention_id
+                JOIN s s2 ON gp.m2_id = s2.mention_id
+            ),
+            u AS (
+                SELECT m1_id, m2_id, t1, t2,
+                       list_distinct(t1) AS u1, list_distinct(t2) AS u2,
+                       len(list_intersect(list_distinct(t1),
+                                          list_distinct(t2))) AS inter
+                FROM p
+            )
+            SELECT m1_id, m2_id,
+                   {_roundsql("CASE WHEN len(list_distinct(list_concat(u1, u2))) = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / len(list_distinct(list_concat(u1, u2))) END", 6)} AS jaccard,
+                   {_roundsql('2.0 * inter / (len(u1) + len(u2))', 6)} AS dice,
+                   {_roundsql('CAST(inter AS DOUBLE) / least(len(u1), len(u2))', 6)} AS overlap,
+                   {_roundsql("list_avg([list_max([floor(jaro_winkler_similarity(a, b) * 1e5 + 0.5) / 1e5 FOR b IN t2]) FOR a IN t1])", 6)} AS monge_elkan
+            FROM u
+        """,
+        "el_incremental_assign": f"""
+            WITH m AS (
+                SELECT mention_id, conv_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            t AS (
+                SELECT *, substr(md5(conv_id), 1, 1) < '8' AS is_base
+                FROM m
+            ),
+            b AS (
+                SELECT norm, min(mention_id) AS base_cluster
+                FROM t WHERE is_base GROUP BY norm
+            ),
+            d AS (SELECT * FROM t WHERE NOT is_base),
+            dn AS (
+                SELECT norm, min(mention_id) AS new_cluster
+                FROM d GROUP BY norm
+            )
+            SELECT d.mention_id,
+                   COALESCE(b.base_cluster, dn.new_cluster) AS cluster_id,
+                   b.base_cluster IS NULL AS is_new
+            FROM d
+            LEFT JOIN b ON d.norm = b.norm
+            JOIN dn ON d.norm = dn.norm
+        """,
         "transcripts_passthrough": f"""
             SELECT conv_id, turn_idx, role, text, tool FROM {tr}
             ORDER BY conv_id, turn_idx
@@ -4291,6 +4379,8 @@ def queries():
         "el_metablocking": q_el_metablocking,
         "el_blocking_quality": q_el_blocking_quality,
         "el_fs_weights": q_el_fs_weights,
+        "el_token_sims": q_el_token_sims,
+        "el_incremental_assign": q_el_incremental_assign,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,

@@ -144,6 +144,68 @@ def test_fellegi_sunter_counts_and_weights(ray_session):
         np.log2(r["m_prob"] / r["u_prob"]), abs=1e-6)
 
 
+def test_token_pair_sims_known_values(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import token_pair_sims
+    from el.sim import jaro_winkler
+
+    surf = {"a": "Janet Smith", "b": "Smith, Janet", "c": "Bob Iger",
+            "d": "Janet Smith Smith"}
+    pairs = pd.DataFrame({"m1_id": ["a", "a", "a"],
+                          "m2_id": ["b", "c", "d"]})
+    out = token_pair_sims(ray.data.from_pandas(pairs),
+                          ray.put(surf)).to_pandas().set_index("m2_id")
+    # a vs b: same token set in different order
+    assert out.loc["b", "jaccard"] == 1.0
+    assert out.loc["b", "dice"] == 1.0
+    assert out.loc["b", "overlap"] == 1.0
+    assert out.loc["b", "monge_elkan"] == 1.0
+    # a vs c: disjoint
+    assert out.loc["c", "jaccard"] == 0.0
+    me = np.mean([max(np.floor(jaro_winkler(x, y) * 1e5 + 0.5) / 1e5
+                      for y in ["bob", "iger"])
+                  for x in ["janet", "smith"]])
+    assert out.loc["c", "monge_elkan"] == pytest.approx(me, abs=1e-6)
+    # a vs d: duplicate token on one side — distinct sets equal
+    assert out.loc["d", "jaccard"] == 1.0
+    assert out.loc["d", "dice"] == 1.0
+
+
+def test_incremental_assign_semantics(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from el.ops.er import incremental_assign
+
+    df = _mentions(80)
+    df["conv_id"] = [f"conv{i % 17}" for i in range(len(df))]
+    out = incremental_assign(
+        ray.data.from_pandas(df), split_hex="8").to_pandas()
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    is_base = ref["conv_id"].map(
+        lambda c: hashlib.md5(c.encode()).hexdigest()[0] < "8")
+    base = ref[is_base]
+    delta = ref[~is_base]
+    base_min = base.groupby("norm")["mention_id"].min()
+    new_min = delta.groupby("norm")["mention_id"].min()
+    assert len(out) == len(delta)
+    got = out.set_index("mention_id")
+    for _, r in delta.iterrows():
+        exp = base_min.get(r["norm"])
+        if exp is None:
+            assert got.loc[r["mention_id"], "cluster_id"] == \
+                new_min[r["norm"]]
+            assert bool(got.loc[r["mention_id"], "is_new"])
+        else:
+            assert got.loc[r["mention_id"], "cluster_id"] == exp
+            assert not bool(got.loc[r["mention_id"], "is_new"])
+
+
 def test_block_pairs_cap_fails_loudly(ray_session):
     import ray.data
 
