@@ -279,6 +279,70 @@ def blocking_quality(mentions_ds):
     })
 
 
+# ------------------------------------------------- blocking skew report
+def block_skew(mentions_ds, *, k: int = 20):
+    """Hot-key diagnostics for the n:/p: blocking scheme: the ``k``
+    blocks contributing the most candidate pairs, with each block's
+    mention count, pair count C(c, 2) and share of the scheme's total
+    pair volume (rounded half-away at 6). The operator behind the
+    salting decision (el/blocking.py:41): its output IS the list of
+    keys that need salt at scale.
+
+    Shape: per-batch partial key counts (combiner) -> one key exchange
+    -> per-partition local top-k -> tiny global sort+limit; the total
+    pair volume is a scalar aggregate over the per-key table. Ties at
+    the cut break by block_key ascending — fully deterministic."""
+    import ray.data  # noqa: F401
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = _sql_block_keys(df)
+        if len(keys) == 0:
+            return pd.DataFrame({"block_key": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        return (keys.groupby("block_key", sort=False).size()
+                .rename("c").reset_index())
+
+    parts = mentions_ds.map_batches(partial, batch_format="pandas")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"block_key": str, "n_mentions": "int64",
+                "pair_count": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        g = df.groupby("block_key", sort=False)["c"].sum()
+        out = pd.DataFrame({"block_key": g.index.astype(str),
+                            "n_mentions": g.to_numpy(dtype="int64")})
+        c = out["n_mentions"].to_numpy()
+        out["pair_count"] = (c * (c - 1) // 2).astype("int64")
+        # local top-k combiner: only k rows per partition reach the sort
+        return (out.sort_values(["pair_count", "block_key"],
+                                ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    keyed = group_blocks(parts, ["block_key"], per_key,
+                         batch_format="pandas")
+    # total pair volume needs every key, not just local top-k: recompute
+    # from the partials with a second tiny fold (sum of C(c,2) partials
+    # per partition -> driver sums one row per partition)
+    def total_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype="int64")})
+        c = (df.groupby("block_key", sort=False)["c"].sum()
+             .to_numpy(dtype="int64"))
+        return pd.DataFrame({"t": [np.int64((c * (c - 1) // 2).sum())]})
+
+    total_parts = group_blocks(parts, ["block_key"], total_fold,
+                               batch_format="pandas").to_pandas()
+    total = int(total_parts["t"].sum())
+
+    top = (keyed.sort(["pair_count", "block_key"],
+                      descending=[True, False]).limit(k).to_pandas())
+    top["pair_share"] = _round6(top["pair_count"].to_numpy() / total) \
+        if total else 0.0
+    return top
+
+
 # --------------------------------------------- hybrid token similarity
 class _TokenSims:
     """Actor-pool scorer: token-set similarities per labeled pair —

@@ -398,6 +398,21 @@ def q_el_incremental_assign(sf_dir: str):
     return incremental_assign(gm, split_hex="8")
 
 
+def q_el_block_skew(sf_dir: str):
+    """Hot blocking keys by candidate-pair volume — the skew report
+    that drives the salting threshold (el/ops/er.py::block_skew)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import block_skew
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"],
+    )
+    return block_skew(gm, k=20)
+
+
 def q_comention_counts(sf_dir: str):
     """Conversation-level co-mention counts (extraction-vector join
     analog, J9): oracle is a distinct self-join + group count."""
@@ -2918,6 +2933,32 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('log2(m_prob / u_prob)', 6)} AS weight
             FROM probs
         """,
+        "el_block_skew": f"""
+            WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            k AS (
+                SELECT mention_id, 'n:' || norm AS bk
+                FROM m WHERE norm != ''
+                UNION ALL
+                SELECT mention_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6) AS bk
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+            ),
+            c AS (
+                SELECT bk AS block_key,
+                       CAST(count(*) AS BIGINT) AS n_mentions,
+                       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                           AS pair_count
+                FROM k GROUP BY bk
+            ),
+            tot AS (
+                SELECT CAST(sum(pair_count) AS BIGINT) AS t FROM c
+            )
+            SELECT block_key, n_mentions, pair_count,
+                   {_roundsql('CAST(pair_count AS DOUBLE) / tot.t', 6)}
+                       AS pair_share
+            FROM c, tot
+            ORDER BY pair_count DESC, block_key LIMIT 20
+        """,
         "el_token_sims": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             p AS (
@@ -4381,6 +4422,7 @@ def queries():
         "el_fs_weights": q_el_fs_weights,
         "el_token_sims": q_el_token_sims,
         "el_incremental_assign": q_el_incremental_assign,
+        "el_block_skew": q_el_block_skew,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,

@@ -206,6 +206,29 @@ def test_incremental_assign_semantics(ray_session):
             assert not bool(got.loc[r["mention_id"], "is_new"])
 
 
+def test_block_skew_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import block_skew
+
+    df = _mentions(100)
+    out = block_skew(ray.data.from_pandas(df), k=5)
+
+    keys = _sql_block_keys(df)
+    c = keys.groupby("block_key").size()
+    pc = (c * (c - 1) // 2)
+    total = int(pc.sum())
+    ref = (pd.DataFrame({"block_key": c.index, "n_mentions": c.to_numpy(),
+                         "pair_count": pc.to_numpy()})
+           .sort_values(["pair_count", "block_key"],
+                        ascending=[False, True]).head(5)
+           .reset_index(drop=True))
+    assert list(out["block_key"]) == list(ref["block_key"])
+    assert list(out["pair_count"]) == list(ref["pair_count"])
+    assert out["pair_share"].iloc[0] == pytest.approx(
+        ref["pair_count"].iloc[0] / total, abs=1e-6)
+
+
 def test_block_pairs_cap_fails_loudly(ray_session):
     import ray.data
 
