@@ -453,6 +453,25 @@ def incremental_assign(mentions_ds, *, split_hex: str = "8"):
 FS_FEATURES = ("exact", "first_token", "jw92", "last_token", "token_count")
 
 
+def _agreement_flags(m1, m2, surf, norm_fn, jw_fn) -> dict[str, np.ndarray]:
+    """Per-pair boolean agreement vectors for the 5 FS features (all
+    SQL-replayable; JW rounded at 5 to match DuckDB bit-for-bit)."""
+    n1 = [norm_fn(surf[a]) for a in m1]
+    n2 = [norm_fn(surf[b]) for b in m2]
+    t1 = [s.split(" ") for s in n1]
+    t2 = [s.split(" ") for s in n2]
+    jw = np.floor(np.array([jw_fn(a, b)
+                            for a, b in zip(n1, n2)]) * 1e5 + 0.5) / 1e5
+    return {
+        "exact": np.array([a == b for a, b in zip(n1, n2)]),
+        "first_token": np.array([a[0] == b[0] for a, b in zip(t1, t2)]),
+        "jw92": jw >= 0.92,
+        "last_token": np.array([a[-1] == b[-1] for a, b in zip(t1, t2)]),
+        "token_count": np.array([len(a) == len(b)
+                                 for a, b in zip(t1, t2)]),
+    }
+
+
 class _FSPartials:
     """Actor-pool batch fn over labeled pairs: per-feature agreement
     partial counts (5 rows out per batch). Surfaces resolve through a
@@ -473,22 +492,7 @@ class _FSPartials:
         m1 = t.column("m1_id").to_pylist()
         m2 = t.column("m2_id").to_pylist()
         lab = np.asarray(t.column("same_entity").to_pylist(), dtype=bool)
-        n1 = [self.norm(self.surf[a]) for a in m1]
-        n2 = [self.norm(self.surf[b]) for b in m2]
-        t1 = [s.split(" ") for s in n1]
-        t2 = [s.split(" ") for s in n2]
-        jw = np.floor(np.array([jaro_winkler(a, b)
-                                for a, b in zip(n1, n2)]) * 1e5 + 0.5) / 1e5
-        agree = {
-            "exact": np.array([a == b for a, b in zip(n1, n2)]),
-            "first_token": np.array([a[0] == b[0]
-                                     for a, b in zip(t1, t2)]),
-            "jw92": jw >= 0.92,
-            "last_token": np.array([a[-1] == b[-1]
-                                    for a, b in zip(t1, t2)]),
-            "token_count": np.array([len(a) == len(b)
-                                     for a, b in zip(t1, t2)]),
-        }
+        agree = _agreement_flags(m1, m2, self.surf, self.norm, jaro_winkler)
         nm, nn = int(lab.sum()), int((~lab).sum())
         return pa.table({
             "feature": pa.array(list(FS_FEATURES), pa.string()),
@@ -539,3 +543,135 @@ def fellegi_sunter(pairs_ds, surf_ref):
 
     return group_blocks(parts, ["feature"], fold, batch_format="pandas",
                         num_partitions=4)
+
+
+# ------------------------------------------- unsupervised EM (Splink)
+EM_INIT_LAMBDA = 0.5
+EM_INIT_M = 0.9
+EM_INIT_U = 0.1
+EM_GRID = 10 ** 9  # gamma quantization grid: integer sums -> bit-exact
+
+
+class _AgreeFlags:
+    """Actor-pool batch fn: pair ids -> the 5 boolean agreement columns
+    (computed once, materialized, then re-scanned per EM iteration)."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        self.norm = normalize_name
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sim import jaro_winkler
+
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        agree = _agreement_flags(m1, m2, self.surf, self.norm, jaro_winkler)
+        return pa.table({f"a_{f}": pa.array(agree[f])
+                         for f in FS_FEATURES})
+
+
+def _em_partials(t: pa.Table, params: dict) -> pa.Table:
+    """One E-step over a block: quantized-gamma integer partial sums.
+
+    gamma is computed in IEEE double from the previous iteration's
+    6-rounded parameters (identical literals on the SQL side, so the
+    doubles match bit-for-bit), then quantized to the 1e9 integer grid;
+    every cross-block reduction is over int64 — no float sum order
+    anywhere."""
+    n = t.num_rows
+    if n == 0:
+        cols = {"n": [], "s": []}
+        cols.update({f"sa_{f}": [] for f in FS_FEATURES})
+        cols.update({f"na_{f}": [] for f in FS_FEATURES})
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+    lam = params["lam"]
+    w = np.full(n, lam, dtype=np.float64)
+    v = np.full(n, 1.0 - lam, dtype=np.float64)
+    flags = {}
+    for f in FS_FEATURES:
+        a = np.asarray(t.column(f"a_{f}").to_pylist(), dtype=bool)
+        flags[f] = a
+        m_i, u_i = params["m"][f], params["u"][f]
+        w *= np.where(a, m_i, 1.0 - m_i)
+        v *= np.where(a, u_i, 1.0 - u_i)
+    gamma = w / (w + v)
+    g = np.floor(gamma * EM_GRID + 0.5).astype(np.int64)
+    out = {"n": [np.int64(n)], "s": [np.int64(g.sum())]}
+    for f in FS_FEATURES:
+        out[f"sa_{f}"] = [np.int64(g[flags[f]].sum())]
+        out[f"na_{f}"] = [np.int64(flags[f].sum())]
+    return pa.table({k: pa.array(val, pa.int64())
+                     for k, val in out.items()})
+
+
+def fs_em(pairs_ds, surf_ref, *, iters: int = 3):
+    """UNSUPERVISED Fellegi-Sunter parameter estimation by EM (the
+    Splink/fastLink core loop) over UNLABELED candidate pairs: estimate
+    lambda = P(match) and per-feature m/u agreement probabilities from
+    the agreement patterns alone. Fixed ``iters`` E/M rounds from fixed
+    literals (lambda 0.5, m 0.9, u 0.1).
+
+    Bit-exactness (the integer-PageRank trick, el/ops/graph.py): each
+    pair's responsibility gamma is an IEEE-double expression of the
+    previous iteration's 6-ROUNDED parameters, quantized onto a 1e9
+    integer grid before any cross-pair reduction — all sums are int64
+    (exact at <= 9.2e18: 1e9 x up to ~9e9 pairs), all derived
+    parameters are ratios of exactly-representable ints (< 2^53)
+    rounded half-away at 6. The SQL oracle replays the SAME unrolled
+    iterations (el/queries.py::_fs_em_sql).
+
+    Shape per iteration: one streamed scan of the materialized
+    agreement table (5 bool cols, computed once by an actor pool) ->
+    one int64 row per block -> single-partition fold; the driver holds
+    13 integers. Out: one row per feature (feature, m_prob, u_prob,
+    lam) — lam repeated, like n_match in fellegi_sunter."""
+    flags = pairs_ds.map_batches(
+        _AgreeFlags, fn_constructor_args=(surf_ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5).materialize()
+
+    params = {"lam": EM_INIT_LAMBDA,
+              "m": {f: EM_INIT_M for f in FS_FEATURES},
+              "u": {f: EM_INIT_U for f in FS_FEATURES}}
+    for _ in range(iters):
+        p = dict(params)  # bind current values for the closure
+        parts = flags.map_batches(
+            lambda t, _p=p: _em_partials(t, _p),
+            batch_format="pyarrow", batch_size=None)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype="int64")
+                     for c in ["n", "s",
+                               *[f"sa_{f}" for f in FS_FEATURES],
+                               *[f"na_{f}" for f in FS_FEATURES]]})
+            return df.sum(numeric_only=True).astype("int64").to_frame().T
+
+        tot = group_blocks(
+            parts.map_batches(
+                lambda t: t.append_column("k", pa.array([0] * t.num_rows,
+                                                        pa.int64())),
+                batch_format="pyarrow", batch_size=None),
+            ["k"], lambda df: fold(df.drop(columns=["k"])),
+            batch_format="pandas", num_partitions=1).to_pandas().iloc[0]
+        n, s = int(tot["n"]), int(tot["s"])
+        denom_u = n * EM_GRID - s
+        params = {
+            "lam": float(_round6(s / (n * EM_GRID))) if n else 0.0,
+            "m": {f: float(_round6(int(tot[f"sa_{f}"]) / s)) if s else 0.0
+                  for f in FS_FEATURES},
+            "u": {f: float(_round6(
+                (int(tot[f"na_{f}"]) * EM_GRID - int(tot[f"sa_{f}"]))
+                / denom_u)) if denom_u else 0.0
+                for f in FS_FEATURES},
+        }
+    return pd.DataFrame({
+        "feature": list(FS_FEATURES),
+        "m_prob": [params["m"][f] for f in FS_FEATURES],
+        "u_prob": [params["u"][f] for f in FS_FEATURES],
+        "lam": [params["lam"]] * len(FS_FEATURES),
+    })

@@ -413,6 +413,112 @@ def q_el_block_skew(sf_dir: str):
     return block_skew(gm, k=20)
 
 
+def q_el_fs_em(sf_dir: str):
+    """UNSUPERVISED Fellegi-Sunter EM (the Splink core loop) over the
+    unlabeled candidate pairs — 3 fixed iterations, bit-exact via
+    integer-grid gammas (el/ops/er.py::fs_em); the oracle replays the
+    same iterations unrolled (_fs_em_sql)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import fs_em
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(
+        os.path.join(fd, "gold_pairs.parquet"),
+        columns=["m1_id", "m2_id"],
+    )
+    return fs_em(gp, ref, iters=3)
+
+
+def _fs_em_sql(gm: str, gp: str, norm: str, iters: int = 3) -> str:
+    """Textually unroll the EM iterations (pure string construction —
+    no data-dependent literals). Mirrors fs_em: left-associated
+    likelihood products, gamma quantized to the 1e9 integer grid,
+    BIGINT partial sums, parameters re-rounded at 6 per iteration."""
+    from .ops.er import EM_GRID, EM_INIT_LAMBDA, EM_INIT_M, EM_INIT_U, \
+        FS_FEATURES
+
+    grid = f"{float(EM_GRID):.1f}"
+    feats = list(FS_FEATURES)
+    agree_exprs = {
+        "exact": "(n1 = n2)",
+        "first_token": "split_part(n1, ' ', 1) = split_part(n2, ' ', 1)",
+        "jw92": ("floor(jaro_winkler_similarity(n1, n2) * 1e5 + 0.5) / 1e5"
+                 " >= 0.92"),
+        "last_token": "str_split(n1, ' ')[-1] = str_split(n2, ' ')[-1]",
+        "token_count": "len(str_split(n1, ' ')) = len(str_split(n2, ' '))",
+    }
+    a_cols = ",\n                       ".join(
+        f"{agree_exprs[f]} AS a_{f}" for f in feats)
+    i0 = ", ".join(
+        [f"{EM_INIT_LAMBDA} AS lam"]
+        + [f"{EM_INIT_M} AS m_{f}" for f in feats]
+        + [f"{EM_INIT_U} AS u_{f}" for f in feats])
+    ctes = [
+        f"s AS (SELECT mention_id, {norm} AS norm FROM {gm})",
+        f"""p0 AS (
+                SELECT s1.norm AS n1, s2.norm AS n2
+                FROM {gp} gp
+                JOIN s s1 ON gp.m1_id = s1.mention_id
+                JOIN s s2 ON gp.m2_id = s2.mention_id
+            )""",
+        f"""p AS (
+                SELECT {a_cols}
+                FROM p0
+            )""",
+        f"i0 AS (SELECT {i0})",
+    ]
+    for it in range(1, iters + 1):
+        pv = f"i{it - 1}"
+        w = f"{pv}.lam"
+        v = f"(1 - {pv}.lam)"
+        for f in feats:
+            w = (f"({w} * CASE WHEN a_{f} THEN {pv}.m_{f} "
+                 f"ELSE 1 - {pv}.m_{f} END)")
+            v = (f"({v} * CASE WHEN a_{f} THEN {pv}.u_{f} "
+                 f"ELSE 1 - {pv}.u_{f} END)")
+        ctes.append(
+            f"""e{it} AS (
+                SELECT p.*,
+                       CAST(floor({w} / ({w} + {v}) * {grid} + 0.5)
+                            AS BIGINT) AS g
+                FROM p, {pv}
+            )""")
+        sums = ", ".join(
+            ["CAST(count(*) AS BIGINT) AS n", "sum(g) AS sg"]
+            + [f"sum(CASE WHEN a_{f} THEN g ELSE 0 END) AS sa_{f}"
+               for f in feats]
+            + [f"CAST(count(*) FILTER (a_{f}) AS BIGINT) AS na_{f}"
+               for f in feats])
+        ctes.append(f"s{it} AS (SELECT {sums} FROM e{it})")
+        params = [
+            _roundsql(f"CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * {grid})",
+                      6) + " AS lam"]
+        for f in feats:
+            params.append(
+                _roundsql(f"CAST(sa_{f} AS DOUBLE) / CAST(sg AS DOUBLE)", 6)
+                + f" AS m_{f}")
+            params.append(
+                _roundsql(
+                    f"(CAST(na_{f} AS DOUBLE) * {grid} - "
+                    f"CAST(sa_{f} AS DOUBLE)) / "
+                    f"(CAST(n AS DOUBLE) * {grid} - CAST(sg AS DOUBLE))", 6)
+                + f" AS u_{f}")
+        ctes.append(f"i{it} AS (SELECT {', '.join(params)} FROM s{it})")
+    last = f"i{iters}"
+    selects = "\n            UNION ALL\n            ".join(
+        f"SELECT '{f}' AS feature, m_{f} AS m_prob, u_{f} AS u_prob, lam "
+        f"FROM {last}" for f in feats)
+    return "WITH " + ",\n            ".join(ctes) + "\n            " + selects
+
+
 def q_comention_counts(sf_dir: str):
     """Conversation-level co-mention counts (extraction-vector join
     analog, J9): oracle is a distinct self-join + group count."""
@@ -2933,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('log2(m_prob / u_prob)', 6)} AS weight
             FROM probs
         """,
+        "el_fs_em": _fs_em_sql(gm, gp, norm, iters=3),
         "el_block_skew": f"""
             WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             k AS (
@@ -4423,6 +4530,7 @@ def queries():
         "el_token_sims": q_el_token_sims,
         "el_incremental_assign": q_el_incremental_assign,
         "el_block_skew": q_el_block_skew,
+        "el_fs_em": q_el_fs_em,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,

@@ -229,6 +229,53 @@ def test_block_skew_bruteforce(ray_session):
         ref["pair_count"].iloc[0] / total, abs=1e-6)
 
 
+def test_fs_em_matches_bruteforce_and_separates(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import (EM_GRID, EM_INIT_LAMBDA, EM_INIT_M, EM_INIT_U,
+                           FS_FEATURES, _agreement_flags, fs_em)
+    from el.sim import jaro_winkler
+    from el.text import normalize_name
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    rows = [(df["mention_id"][i], df["mention_id"][j])
+            for i in range(30) for j in range(i + 1, 30)]
+    pairs = pd.DataFrame(rows, columns=["m1_id", "m2_id"])
+
+    out = fs_em(ray.data.from_pandas(pairs), ray.put(surf), iters=3)
+    out = out.set_index("feature")
+
+    # brute-force replica of the quantized EM
+    agree = _agreement_flags(pairs["m1_id"], pairs["m2_id"], surf,
+                             normalize_name, jaro_winkler)
+    lam = EM_INIT_LAMBDA
+    m = {f: EM_INIT_M for f in FS_FEATURES}
+    u = {f: EM_INIT_U for f in FS_FEATURES}
+    r6 = lambda x: np.floor(np.asarray(x) * 1e6 + 0.5) / 1e6  # noqa: E731
+    n = len(pairs)
+    for _ in range(3):
+        w = np.full(n, lam)
+        v = np.full(n, 1.0 - lam)
+        for f in FS_FEATURES:
+            w *= np.where(agree[f], m[f], 1 - m[f])
+            v *= np.where(agree[f], u[f], 1 - u[f])
+        g = np.floor(w / (w + v) * EM_GRID + 0.5).astype(np.int64)
+        s = int(g.sum())
+        lam = float(r6(s / (n * EM_GRID)))
+        m = {f: float(r6(int(g[agree[f]].sum()) / s)) for f in FS_FEATURES}
+        u = {f: float(r6((int(agree[f].sum()) * EM_GRID
+                          - int(g[agree[f]].sum()))
+                         / (n * EM_GRID - s))) for f in FS_FEATURES}
+    for f in FS_FEATURES:
+        assert out.loc[f, "m_prob"] == m[f]
+        assert out.loc[f, "u_prob"] == u[f]
+        assert out.loc[f, "lam"] == lam
+    # the exact-match feature must be discriminative on this data
+    assert out.loc["exact", "m_prob"] > out.loc["exact", "u_prob"]
+
+
 def test_block_pairs_cap_fails_loudly(ray_session):
     import ray.data
 
