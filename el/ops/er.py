@@ -675,3 +675,57 @@ def fs_em(pairs_ds, surf_ref, *, iters: int = 3):
         "u_prob": [params["u"][f] for f in FS_FEATURES],
         "lam": [params["lam"]] * len(FS_FEATURES),
     })
+
+
+class _EMScores:
+    """Batch fn: agreement flags + final EM params -> per-pair match
+    probability (gamma on the 1e9 grid, re-expressed at 9 decimals)."""
+
+    def __init__(self, params: dict):
+        self.params = params
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        p = self.params
+        w = np.full(n, p["lam"], dtype=np.float64)
+        v = np.full(n, 1.0 - p["lam"], dtype=np.float64)
+        for f in FS_FEATURES:
+            a = np.asarray(t.column(f"a_{f}").to_pylist(), dtype=bool)
+            w *= np.where(a, p["m"][f], 1.0 - p["m"][f])
+            v *= np.where(a, p["u"][f], 1.0 - p["u"][f])
+        gamma = np.floor(w / (w + v) * EM_GRID + 0.5) / EM_GRID
+        return pa.table({
+            "m1_id": t.column("m1_id"),
+            "m2_id": t.column("m2_id"),
+            "match_prob": pa.array(gamma, pa.float64()),
+        })
+
+
+def fs_em_scores(pairs_ds, surf_ref, *, iters: int = 3):
+    """Per-pair match probabilities under the UNSUPERVISED EM-estimated
+    Fellegi-Sunter model (fs_em): the pair-level output a Splink-style
+    linker hands downstream. Two phases: fs_em's bounded parameter
+    estimation (driver holds 13 ints), then ONE streamed scoring scan
+    re-deriving the agreement flags and emitting gamma quantized on the
+    1e9 grid. Out: (m1_id, m2_id, match_prob)."""
+    est = fs_em(pairs_ds, surf_ref, iters=iters)
+    params = {
+        "lam": float(est["lam"].iloc[0]),
+        "m": dict(zip(est["feature"], est["m_prob"])),
+        "u": dict(zip(est["feature"], est["u_prob"])),
+    }
+
+    def flags_and_ids(surf_ref_inner):
+        class _F(_AgreeFlags):
+            def __call__(self, t: pa.Table) -> pa.Table:
+                out = super().__call__(t)
+                return out.add_column(0, "m1_id", t.column("m1_id")) \
+                          .add_column(1, "m2_id", t.column("m2_id"))
+        return _F
+
+    flagged = pairs_ds.map_batches(
+        flags_and_ids(surf_ref), fn_constructor_args=(surf_ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return flagged.map_batches(_EMScores, fn_constructor_args=(params,),
+                               batch_format="pyarrow", concurrency=2,
+                               num_cpus=0.5)

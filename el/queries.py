@@ -437,11 +437,14 @@ def q_el_fs_em(sf_dir: str):
     return fs_em(gp, ref, iters=3)
 
 
-def _fs_em_sql(gm: str, gp: str, norm: str, iters: int = 3) -> str:
+def _fs_em_sql(gm: str, gp: str, norm: str, iters: int = 3,
+               emit: str = "params") -> str:
     """Textually unroll the EM iterations (pure string construction —
     no data-dependent literals). Mirrors fs_em: left-associated
     likelihood products, gamma quantized to the 1e9 integer grid,
-    BIGINT partial sums, parameters re-rounded at 6 per iteration."""
+    BIGINT partial sums, parameters re-rounded at 6 per iteration.
+    ``emit``: 'params' -> one row per feature; 'scores' -> per-pair
+    grid-quantized match probability under the final parameters."""
     from .ops.er import EM_GRID, EM_INIT_LAMBDA, EM_INIT_M, EM_INIT_U, \
         FS_FEATURES
 
@@ -464,13 +467,13 @@ def _fs_em_sql(gm: str, gp: str, norm: str, iters: int = 3) -> str:
     ctes = [
         f"s AS (SELECT mention_id, {norm} AS norm FROM {gm})",
         f"""p0 AS (
-                SELECT s1.norm AS n1, s2.norm AS n2
+                SELECT gp.m1_id, gp.m2_id, s1.norm AS n1, s2.norm AS n2
                 FROM {gp} gp
                 JOIN s s1 ON gp.m1_id = s1.mention_id
                 JOIN s s2 ON gp.m2_id = s2.mention_id
             )""",
         f"""p AS (
-                SELECT {a_cols}
+                SELECT m1_id, m2_id, {a_cols}
                 FROM p0
             )""",
         f"i0 AS (SELECT {i0})",
@@ -513,10 +516,44 @@ def _fs_em_sql(gm: str, gp: str, norm: str, iters: int = 3) -> str:
                 + f" AS u_{f}")
         ctes.append(f"i{it} AS (SELECT {', '.join(params)} FROM s{it})")
     last = f"i{iters}"
-    selects = "\n            UNION ALL\n            ".join(
-        f"SELECT '{f}' AS feature, m_{f} AS m_prob, u_{f} AS u_prob, lam "
-        f"FROM {last}" for f in feats)
+    if emit == "scores":
+        w = f"{last}.lam"
+        v = f"(1 - {last}.lam)"
+        for f in feats:
+            w = (f"({w} * CASE WHEN a_{f} THEN {last}.m_{f} "
+                 f"ELSE 1 - {last}.m_{f} END)")
+            v = (f"({v} * CASE WHEN a_{f} THEN {last}.u_{f} "
+                 f"ELSE 1 - {last}.u_{f} END)")
+        selects = (f"SELECT m1_id, m2_id, "
+                   f"floor({w} / ({w} + {v}) * {grid} + 0.5) / {grid} "
+                   f"AS match_prob FROM p, {last}")
+    else:
+        selects = "\n            UNION ALL\n            ".join(
+            f"SELECT '{f}' AS feature, m_{f} AS m_prob, u_{f} AS u_prob, "
+            f"lam FROM {last}" for f in feats)
     return "WITH " + ",\n            ".join(ctes) + "\n            " + selects
+
+
+def q_el_em_scores(sf_dir: str):
+    """Per-pair match probability under the unsupervised EM model —
+    the Splink-style pair-level output (el/ops/er.py::fs_em_scores)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import fs_em_scores
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(
+        os.path.join(fd, "gold_pairs.parquet"),
+        columns=["m1_id", "m2_id"],
+    )
+    return fs_em_scores(gp, ref, iters=3)
 
 
 def q_comention_counts(sf_dir: str):
@@ -3040,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
             FROM probs
         """,
         "el_fs_em": _fs_em_sql(gm, gp, norm, iters=3),
+        "el_em_scores": _fs_em_sql(gm, gp, norm, iters=3, emit="scores"),
         "el_block_skew": f"""
             WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             k AS (
@@ -4531,6 +4569,7 @@ def queries():
         "el_incremental_assign": q_el_incremental_assign,
         "el_block_skew": q_el_block_skew,
         "el_fs_em": q_el_fs_em,
+        "el_em_scores": q_el_em_scores,
         "el_contexts": q_el_contexts,
         "el_coref_contexts": q_el_coref_contexts,
         "el_doc_entities": q_el_doc_entities,

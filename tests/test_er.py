@@ -276,6 +276,41 @@ def test_fs_em_matches_bruteforce_and_separates(ray_session):
     assert out.loc["exact", "m_prob"] > out.loc["exact", "u_prob"]
 
 
+def test_fs_em_scores_consistent_with_params(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import (EM_GRID, FS_FEATURES, _agreement_flags, fs_em,
+                           fs_em_scores)
+    from el.sim import jaro_winkler
+    from el.text import normalize_name
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    rows = [(df["mention_id"][i], df["mention_id"][j])
+            for i in range(30) for j in range(i + 1, 30)]
+    pairs = pd.DataFrame(rows, columns=["m1_id", "m2_id"])
+
+    est = fs_em(ray.data.from_pandas(pairs), ray.put(surf), iters=3)
+    out = fs_em_scores(ray.data.from_pandas(pairs), ray.put(surf),
+                       iters=3).to_pandas()
+    assert len(out) == len(pairs)
+    assert out["match_prob"].between(0, 1).all()
+
+    # recompute one pair's gamma from the estimated params
+    p = {"lam": est["lam"].iloc[0],
+         "m": dict(zip(est["feature"], est["m_prob"])),
+         "u": dict(zip(est["feature"], est["u_prob"]))}
+    r = out.iloc[0]
+    a = _agreement_flags([r["m1_id"]], [r["m2_id"]], surf,
+                         normalize_name, jaro_winkler)
+    w, v = p["lam"], 1 - p["lam"]
+    for f in FS_FEATURES:
+        w *= p["m"][f] if a[f][0] else 1 - p["m"][f]
+        v *= p["u"][f] if a[f][0] else 1 - p["u"][f]
+    assert r["match_prob"] == np.floor(w / (w + v) * EM_GRID + 0.5) / EM_GRID
+
+
 def test_block_pairs_cap_fails_loudly(ray_session):
     import ray.data
 
