@@ -729,3 +729,152 @@ def fs_em_scores(pairs_ds, surf_ref, *, iters: int = 3):
     return flagged.map_batches(_EMScores, fn_constructor_args=(params,),
                                batch_format="pyarrow", concurrency=2,
                                num_cpus=0.5)
+
+
+# --------------------------------------------------- mutual best match
+class _JwDirected:
+    """Actor-pool scorer: JW per labeled pair (rounded at 5 like
+    el_pair_jw), emitted as BOTH directed rows (src->dst and dst->src)
+    so one src hash exchange finds each record's best counterpart."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        from ..sim import jaro_winkler
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        self.norm = normalize_name
+        self.jw = jaro_winkler
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        jw = [np.floor(self.jw(self.norm(self.surf[a]),
+                               self.norm(self.surf[b])) * 1e5 + 0.5) / 1e5
+              for a, b in zip(m1, m2)]
+        return pa.table({
+            "src": pa.array(m1 + m2, pa.string()),
+            "dst": pa.array(m2 + m1, pa.string()),
+            "jw": pa.array(jw + jw, pa.float64()),
+        })
+
+
+def mutual_best(pairs_ds, surf_ref):
+    """Symmetric best match — the classic one-to-one matching step
+    (each record pairs with its single best counterpart, kept only
+    when the choice is MUTUAL; the greedy-free deterministic core of
+    one-to-one record linkage). Shape: score once, explode to directed
+    rows, ONE src hash exchange for the per-record argmax (ties break
+    to the lexicographically smaller dst), then ONE unordered-pair-key
+    exchange where the two directions of a mutual pair meet. Every
+    exchange moves O(pairs) then O(records) rows — no driver state.
+    Out: (m1_id, m2_id, jw) with m1_id < m2_id."""
+    directed = pairs_ds.map_batches(
+        _JwDirected, fn_constructor_args=(surf_ref,),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype=str),
+                                 "dst": pd.Series(dtype=str),
+                                 "jw": pd.Series(dtype="float64")})
+        df = df.sort_values(["src", "jw", "dst"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("src", as_index=False).first()
+
+    bests = group_blocks(directed, ["src"], best, batch_format="pandas")
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m1_id": pd.Series(dtype=str),
+                                 "m2_id": pd.Series(dtype=str),
+                                 "jw": pd.Series(dtype="float64")})
+        s = df["src"].to_numpy(dtype=object)
+        d = df["dst"].to_numpy(dtype=object)
+        return pd.DataFrame({"m1_id": np.minimum(s, d),
+                             "m2_id": np.maximum(s, d),
+                             "jw": df["jw"].to_numpy()})
+
+    keyed = bests.map_batches(pair_key, batch_format="pandas")
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m1_id": pd.Series(dtype=str),
+                                 "m2_id": pd.Series(dtype=str),
+                                 "jw": pd.Series(dtype="float64")})
+        g = df.groupby(["m1_id", "m2_id"], as_index=False).agg(
+            n=("jw", "size"), jw=("jw", "min"))
+        # exactly one best row per src exists, so a mutual pair
+        # contributes exactly two rows to its unordered key
+        return g.loc[g["n"] == 2, ["m1_id", "m2_id", "jw"]] \
+                .reset_index(drop=True)
+
+    return group_blocks(keyed, ["m1_id"], mutual, batch_format="pandas")
+
+
+# --------------------------------------------------------- survivorship
+def golden_record(mentions_ds):
+    """Survivorship: one canonical ('golden') record per exact-alias
+    cluster — the master-data step after matching. Canonical surface =
+    the longest raw surface in the cluster (tie: smallest mention_id);
+    plus member and distinct-conversation counts. Shape: a per-batch
+    (norm, conv_id) combiner collapses repeat mentions BEFORE the
+    exchange (the profile-combiner idiom), then ONE alias hash exchange
+    finalizes — exchange volume is O(distinct (alias, conv)), not
+    O(mentions). Out: (cluster_id, canonical_mention,
+    canonical_surface, n_members, n_convs)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"norm": str, "conv_id": str, "n": "int64",
+                "best_mention": str, "best_surface": str,
+                "min_mention": str}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        out = pd.DataFrame({
+            "norm": _norm_series(df["surface"].astype(str)),
+            "conv_id": df["conv_id"].astype(str),
+            "mention_id": df["mention_id"].astype(str),
+            "surface": df["surface"].astype(str),
+        })
+        out = out[out["norm"] != ""]
+        if len(out) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        out["slen"] = out["surface"].str.len()
+        out = out.sort_values(["norm", "conv_id", "slen", "mention_id"],
+                              ascending=[True, True, False, True],
+                              kind="stable")
+        g = out.groupby(["norm", "conv_id"], as_index=False).agg(
+            n=("mention_id", "size"),
+            best_mention=("mention_id", "first"),
+            best_surface=("surface", "first"),
+            min_mention=("mention_id", "min"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = mentions_ds.map_batches(combine, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cluster_id": str, "canonical_mention": str,
+                "canonical_surface": str, "n_members": "int64",
+                "n_convs": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        df = df.assign(slen=df["best_surface"].str.len())
+        df = df.sort_values(["norm", "slen", "best_mention"],
+                            ascending=[True, False, True], kind="stable")
+        g = df.groupby("norm", as_index=False).agg(
+            n_members=("n", "sum"),
+            n_convs=("conv_id", "nunique"),
+            canonical_mention=("best_mention", "first"),
+            canonical_surface=("best_surface", "first"),
+            cluster_id=("min_mention", "min"))
+        g["n_members"] = g["n_members"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g[["cluster_id", "canonical_mention", "canonical_surface",
+                  "n_members", "n_convs"]]
+
+    return group_blocks(partials, ["norm"], finalize,
+                        batch_format="pandas")

@@ -159,3 +159,179 @@ def pagerank_int(edges_ds, *, iters: int = 5, damp_num: int = 85,
     return ranks.map_batches(
         lambda df: df.rename(columns={"r": "rank_units"}),
         batch_format="pandas")
+
+
+def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
+                    num_partitions: int | None = None):
+    """Per-node triangle counts over an UNDIRECTED edge list
+    (s1, s2) — each unordered edge appearing exactly once — the
+    clustering-coefficient / community-density primitive.
+
+    Degree-ordered orientation (the Chiba-Nishizeki / MapReduce
+    triangle-counting shape): every edge is directed from the endpoint
+    with the smaller (degree, node) rank to the larger, which bounds
+    TOTAL wedge volume at O(m^1.5) regardless of hot nodes — a
+    star-shaped celebrity node generates no wedges because its edges
+    all point INTO it. Stages: (1) one node exchange for exact degrees,
+    broadcast as a zero-copy Arrow table (node-vocabulary-bounded, the
+    pmi_pairs precedent; swap for a tagged degree-attach exchange when
+    the vocabulary outgrows the object store); (2) per-batch orient via
+    index_in rank lookups; (3) one src exchange emits each
+    out-neighborhood's rank-ordered pairs as wedge rows (capped at
+    ``max_wedge_degree`` out-neighbors per src with a logged drop — the
+    orientation makes the cap unreachable for real degree
+    distributions); (4) wedges and oriented edges (tagged) meet in one
+    (a, b) exchange — a wedge row whose (a, b) key also carries an edge
+    row closes a triangle; (5) per-batch partial counts per corner then
+    one node exchange. Every triangle is found exactly once (from its
+    lowest-rank corner). Out: (surface, n_triangles) for nodes in >= 1
+    triangle."""
+    import ray
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "d": pd.Series(dtype="int64")})
+        n = pd.concat([df["s1"], df["s2"]], ignore_index=True)
+        out = n.to_frame("node").groupby("node", as_index=False).size() \
+            .rename(columns={"size": "d"})
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "d": pd.Series(dtype="int64")})
+        out = df.groupby("node", as_index=False)["d"].sum()
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    edges = edges_ds.materialize()
+    degs = group_blocks(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], deg_sum, batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+    parts = [t for t in ray.get(list(degs.to_arrow_refs()))
+             if t.num_rows]
+    deg_tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"node": pa.array([], pa.string()),
+                              "d": pa.array([], pa.int64())}))
+    deg_ref = ray.put(deg_tbl)
+
+    class _Orient:
+        def __init__(self, ref):
+            t = ray.get(ref)
+            self.node = t.column("node").combine_chunks()
+            self.d = t.column("d").combine_chunks()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string()),
+                                 "ddeg": pa.array([], pa.int64())})
+            s1 = t.column("s1").combine_chunks().cast(pa.string())
+            s2 = t.column("s2").combine_chunks().cast(pa.string())
+            d1 = self.d.take(pc.index_in(s1, value_set=self.node)) \
+                .to_numpy(zero_copy_only=False)
+            d2 = self.d.take(pc.index_in(s2, value_set=self.node)) \
+                .to_numpy(zero_copy_only=False)
+            a1 = s1.to_numpy(zero_copy_only=False)
+            a2 = s2.to_numpy(zero_copy_only=False)
+            fwd = (d1 < d2) | ((d1 == d2) & (a1 < a2))
+            return pa.table({
+                "src": pa.array(np.where(fwd, a1, a2), pa.string()),
+                "dst": pa.array(np.where(fwd, a2, a1), pa.string()),
+                "ddeg": pa.array(np.where(fwd, d2, d1).astype(np.int64),
+                                 pa.int64()),
+            })
+
+    oriented = edges.map_batches(
+        _Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
+        concurrency=2, num_cpus=0.5).materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        empty = pd.DataFrame({"a": pd.Series(dtype=str),
+                              "b": pd.Series(dtype=str),
+                              "apex": pd.Series(dtype=str)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["src", "ddeg", "dst"], kind="stable") \
+            .reset_index(drop=True)
+        src = df["src"].to_numpy(dtype=object)
+        dst = df["dst"].to_numpy(dtype=object)
+        bounds = np.flatnonzero(src[1:] != src[:-1]) + 1
+        starts = np.concatenate(([0], bounds, [len(src)]))
+        aa, bb, ap = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k > max_wedge_degree:
+                logging.getLogger(__name__).warning(
+                    "triangle_counts: src %s has %d oriented "
+                    "out-neighbors; capped at %d", src[s], k,
+                    max_wedge_degree)
+                e = s + max_wedge_degree
+                k = max_wedge_degree
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            nb = dst[s:e]
+            aa.append(nb[iu])
+            bb.append(nb[ju])
+            ap.append(np.full(len(iu), src[s], dtype=object))
+        if not aa:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(aa),
+                             "b": np.concatenate(bb),
+                             "apex": np.concatenate(ap)})
+
+    wedge_rows = group_blocks(oriented, ["src"], wedges,
+                              batch_format="pandas",
+                              num_partitions=num_partitions)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": df["src"].astype(str),
+                             "b": df["dst"].astype(str),
+                             "apex": pd.Series([None] * len(df),
+                                               dtype=object)})
+
+    tagged = wedge_rows.union(
+        oriented.map_batches(edge_rows, batch_format="pandas"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series(dtype=str),
+                              "c": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        is_edge = df["apex"].isna()
+        ek = df.loc[is_edge, ["a", "b"]].drop_duplicates()
+        if len(ek) == 0:
+            return empty
+        hit = df[~is_edge].merge(ek, on=["a", "b"])
+        if len(hit) == 0:
+            return empty
+        n = pd.concat([hit["a"], hit["b"], hit["apex"]],
+                      ignore_index=True)
+        out = n.to_frame("node").groupby("node", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    part = group_blocks(tagged, ["a", "b"], close,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"surface": pd.Series(dtype=str),
+                                 "n_triangles": pd.Series(dtype="int64")})
+        out = df.groupby("node", as_index=False)["c"].sum() \
+            .rename(columns={"node": "surface", "c": "n_triangles"})
+        out["n_triangles"] = out["n_triangles"].astype("int64")
+        return out
+
+    return group_blocks(part, ["node"], total, batch_format="pandas",
+                        num_partitions=num_partitions)

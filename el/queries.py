@@ -4406,6 +4406,100 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
             LIMIT 10
         """,
+        "el_mutual_best": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            sc AS (
+                SELECT p.m1_id, p.m2_id,
+                       {_roundsql('jaro_winkler_similarity(s1.norm, s2.norm)', 5)}
+                           AS jw
+                FROM {gp} p
+                JOIN s s1 ON p.m1_id = s1.mention_id
+                JOIN s s2 ON p.m2_id = s2.mention_id
+            ),
+            d AS (
+                SELECT m1_id AS src, m2_id AS dst, jw FROM sc
+                UNION ALL
+                SELECT m2_id, m1_id, jw FROM sc
+            ),
+            r AS (
+                SELECT src, dst, jw,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY jw DESC, dst
+                       ) AS rn
+                FROM d
+            ),
+            b AS (SELECT src, dst, jw FROM r WHERE rn = 1)
+            SELECT x.src AS m1_id, x.dst AS m2_id, x.jw AS jw
+            FROM b x JOIN b y ON x.src = y.dst AND x.dst = y.src
+            WHERE x.src < x.dst
+        """,
+        "el_golden_record": f"""
+            WITH f AS (
+                SELECT mention_id, conv_id, surface, {norm} AS norm
+                FROM {gm} WHERE {norm} != ''
+            ),
+            r AS (
+                SELECT norm, mention_id, surface,
+                       row_number() OVER (
+                           PARTITION BY norm
+                           ORDER BY length(surface) DESC, mention_id
+                       ) AS rn
+                FROM f
+            ),
+            a AS (
+                SELECT norm, min(mention_id) AS cluster_id,
+                       CAST(count(*) AS BIGINT) AS n_members,
+                       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                FROM f GROUP BY norm
+            )
+            SELECT a.cluster_id, r.mention_id AS canonical_mention,
+                   r.surface AS canonical_surface, a.n_members, a.n_convs
+            FROM a JOIN r ON r.norm = a.norm AND r.rn = 1
+        """,
+        "comention_triangles": f"""
+            WITH md AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+            e AS (
+                SELECT DISTINCT a.surface AS s1, b.surface AS s2
+                FROM md a
+                JOIN md b ON a.conv_id = b.conv_id
+                         AND a.surface < b.surface
+            ),
+            tri AS (
+                SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+                FROM e e1
+                JOIN e e2 ON e2.s1 = e1.s2
+                JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+            ),
+            n AS (
+                SELECT x AS s FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT s AS surface, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM n GROUP BY s
+        """,
+        "tpch_q3": f"""
+            WITH j AS (
+                SELECT l.l_orderkey,
+                       sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                         AS BIGINT))) AS rev,
+                       o.o_orderdate, o.o_orderpriority
+                FROM customer c
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-04-25'
+                  AND l.l_shipdate > TIMESTAMP '1998-04-25'
+                GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            SELECT l_orderkey, {_roundsql('rev / 10000.0', 2)} AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM j
+            ORDER BY rev DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
         "tpch_q5": f"""
             SELECT n.n_name,
                    {_roundsql(
@@ -4644,5 +4738,209 @@ def queries():
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,
         "tpch_q5": q_tpch_q5,
+        "tpch_q3": q_tpch_q3,
         "orders_topk_revenue": q_orders_topk_revenue,
+        "el_mutual_best": q_el_mutual_best,
+        "el_golden_record": q_el_golden_record,
+        "comention_triangles": q_comention_triangles,
     }
+
+
+def q_el_mutual_best(sf_dir: str):
+    """Symmetric best match — deterministic one-to-one pairing over the
+    labeled candidate pairs: keep (a, b) only when b is a's JW-argmax
+    AND a is b's (el/ops/er.py::mutual_best; two hash exchanges)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import mutual_best
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return mutual_best(gp, ref)
+
+
+def q_el_golden_record(sf_dir: str):
+    """Survivorship: canonical record per exact-alias cluster (longest
+    surface, tie -> min mention_id) + member / distinct-conversation
+    counts (el/ops/er.py::golden_record; per-batch (alias, conv)
+    combiner then ONE alias exchange)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import golden_record
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "conv_id", "surface"])
+    return golden_record(gm)
+
+
+def q_comention_triangles(sf_dir: str):
+    """Per-node triangle counts over the undirected co-mention graph —
+    degree-ordered orientation so total wedge volume is O(m^1.5)
+    (el/ops/graph.py::triangle_counts). Inherits comention_counts'
+    1000-distinct-surfaces-per-conversation cap (logged there; the SQL
+    oracle models no cap — exact below it)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import triangle_counts
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+    edges = comention_counts(gm).map_batches(
+        lambda t: t.select(["s1", "s2"]), batch_format="pyarrow")
+    return triangle_counts(edges)
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-flavored shipping priority: top-10 still-shipping
+    orders by outstanding revenue for one customer segment.
+
+    Scale shape (the q5 discipline): customer and orders meet in
+    tagged-union hash exchange #1 on custkey (no broadcast of either
+    corpus-scale side); lineitem is date-filtered and pre-aggregated
+    per (orderkey) per batch, then meets the order side in tagged-union
+    hash exchange #2 on orderkey — each orderkey is complete in its
+    block, so the global top-10 is a per-block top-10 plus one tiny
+    merge. Revenue is exact integer cents x discount units (the
+    tpch_q5 convention, same overflow guards). Output: (l_orderkey,
+    revenue, o_orderdate, o_orderpriority) — 10 rows."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    cut = pd.Timestamp("1998-04-25")
+    seg = "BUILDING"
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_mktsegment"] == seg]
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "oprio": pa.nulls(n, pa.string()),
+            "is_cust": pa.array([1] * n, pa.int64()),
+        })
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["o_orderdate"] < cut]
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "odate": pa.array(df["o_orderdate"]),
+            "oprio": pa.array(df["o_orderpriority"].astype(str),
+                              pa.string()),
+            "is_cust": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged1 = cust.map_batches(cust_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        c = df[df["is_cust"] == 1]
+        o = df[df["is_cust"] == 0]
+        j = o[["ckey", "okey", "odate", "oprio"]].merge(
+            c[["ckey"]], on="ckey")
+        n = len(j)
+        return pa.table({
+            "okey": pa.array(j["okey"].astype("int64")),
+            "odate": pa.array(j["odate"]),
+            "oprio": pa.array(j["oprio"].astype(str), pa.string()),
+            "rev": pa.array([0] * n, pa.int64()),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
+
+    order_rows = group_blocks(tagged1, ["ckey"], join1,
+                              batch_format="pandas")
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_shipdate"] > cut]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev_f = cents * (100 - disc)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q3: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        part = (df.assign(rev=rev_f.astype("int64"))
+                .groupby("l_orderkey", as_index=False)["rev"].sum())
+        n = len(part)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "oprio": pa.nulls(n, pa.string()),
+            "rev": pa.array(part["rev"].astype("int64")),
+            "is_order": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged2 = order_rows.union(li.map_batches(li_side,
+                                              batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"okey": "int64", "rev": "int64",
+                "odate": "datetime64[us]", "oprio": str}
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        j = o[["okey", "odate", "oprio"]].merge(
+            l[["okey", "rev"]], on="okey")
+        if len(j) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        g = j.groupby(["okey", "odate", "oprio"], as_index=False)["rev"] \
+            .sum()
+        if g["rev"].abs().max() >= 2**62:
+            raise OverflowError(
+                "tpch_q3: per-order partial revenue past the int64 "
+                "headroom (2^62); widen the accumulator to decimal")
+        g["rev"] = g["rev"].astype("int64")
+        # each orderkey is COMPLETE in this block: local top-10 is safe
+        g = g.sort_values(["rev", "odate", "okey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(10)
+        return g[["okey", "rev", "odate", "oprio"]]
+
+    heads = group_blocks(tagged2, ["okey"], join2, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype=str)})
+        df = df.sort_values(["rev", "odate", "okey"],
+                            ascending=[False, True, True],
+                            kind="stable").head(10)
+        return pd.DataFrame({
+            "l_orderkey": df["okey"].astype("int64").to_numpy(),
+            "revenue": _round_half_away(
+                df["rev"].to_numpy() / 10000.0, 2),
+            "o_orderdate": df["odate"].to_numpy(),
+            "o_orderpriority": df["oprio"].to_numpy()})
+
+    return heads.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

@@ -322,3 +322,98 @@ def test_block_pairs_cap_fails_loudly(ray_session):
     })
     with pytest.raises(ValueError, match="cap"):
         _block_pairs_frame(df, cap=10)
+
+
+def test_mutual_best_small_graph(ray_session):
+    """Hand-checked mutual-best semantics: b is a's argmax and vice
+    versa; one-sided bests drop; ties break to the smaller dst."""
+    import ray
+    import ray.data
+
+    from el.ops.er import mutual_best
+    from el.sim import jaro_winkler
+    from el.text import normalize_name
+
+    surf = {"a": "Janet Smith", "b": "Janet  Smith", "c": "Janet Vance",
+            "d": "Bob Iger", "e": "bob iger"}
+    pairs = pd.DataFrame({
+        "m1_id": ["a", "a", "b", "d"],
+        "m2_id": ["b", "c", "c", "e"],
+    })
+    out = mutual_best(ray.data.from_pandas(pairs),
+                      ray.put(surf)).to_pandas()
+
+    # brute force
+    import collections
+    jw = {}
+    for r in pairs.itertuples(index=False):
+        v = np.floor(jaro_winkler(normalize_name(surf[r.m1_id]),
+                                  normalize_name(surf[r.m2_id]))
+                     * 1e5 + 0.5) / 1e5
+        jw[(r.m1_id, r.m2_id)] = v
+        jw[(r.m2_id, r.m1_id)] = v
+    best = {}
+    by_src = collections.defaultdict(list)
+    for (s, d), v in jw.items():
+        by_src[s].append((-v, d))
+    for s, lst in by_src.items():
+        best[s] = sorted(lst)[0][1]
+    want = {(min(s, d), max(s, d), jw[(s, d)])
+            for s, d in best.items() if best.get(d) == s}
+    got = set(zip(out["m1_id"], out["m2_id"], out["jw"]))
+    assert got == want
+    # a<->b (identical norms) must be mutual; the one-sided a-c is not
+    assert ("a", "b") in {(x, y) for x, y, _ in got}
+    assert all(x < y for x, y, _ in got)
+
+
+def test_mutual_best_partition_invariance(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import mutual_best
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    ids = df["mention_id"].tolist()
+    pairs = pd.DataFrame({
+        "m1_id": [ids[i] for i in range(0, 30)],
+        "m2_id": [ids[i + 5] for i in range(0, 30)],
+    })
+    pairs = pairs[pairs["m1_id"] != pairs["m2_id"]]
+    a = mutual_best(ray.data.from_pandas(pairs),
+                    ray.put(surf)).to_pandas()
+    b = mutual_best(ray.data.from_pandas(pairs).repartition(7),
+                    ray.put(surf)).to_pandas()
+    key = ["m1_id", "m2_id", "jw"]
+    assert (a.sort_values(key).reset_index(drop=True)[key]
+            .equals(b.sort_values(key).reset_index(drop=True)[key]))
+
+
+def test_golden_record_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import golden_record
+
+    df = _mentions(80)
+    df["conv_id"] = [f"c{i % 9}" for i in range(len(df))]
+    out = golden_record(ray.data.from_pandas(df).repartition(6)) \
+        .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    rows = []
+    for nrm, g in ref.groupby("norm"):
+        g = g.assign(slen=g["surface"].str.len()).sort_values(
+            ["slen", "mention_id"], ascending=[False, True])
+        rows.append({
+            "cluster_id": g["mention_id"].min(),
+            "canonical_mention": g["mention_id"].iloc[0],
+            "canonical_surface": g["surface"].iloc[0],
+            "n_members": len(g),
+            "n_convs": g["conv_id"].nunique(),
+        })
+    want = pd.DataFrame(rows).sort_values("cluster_id") \
+        .reset_index(drop=True)
+    assert out[want.columns.tolist()].equals(want.astype(
+        {"n_members": "int64", "n_convs": "int64"}))

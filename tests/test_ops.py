@@ -777,3 +777,56 @@ def test_pagerank_int_directed_source_node(ray_session):
     assert dict(out) == r
     assert out["s"] == 15 * SCALE // 100  # teleport base, present
     assert out["a"] > out["b"]  # a receives s's mass every round
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """K4 minus one edge has exactly two triangles sharing an edge."""
+    import ray.data
+
+    from el.ops.graph import triangle_counts
+
+    # nodes a,b,c,d; edges: all pairs except (c,d)
+    edges = pd.DataFrame({
+        "s1": ["a", "a", "a", "b", "b"],
+        "s2": ["b", "c", "d", "c", "d"],
+    })
+    out = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
+    got = dict(zip(out["surface"], out["n_triangles"]))
+    # triangles: (a,b,c) and (a,b,d)
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_counts_partition_invariance_and_star(ray_session):
+    import ray.data
+
+    from el.ops.graph import triangle_counts
+
+    # star graph: no triangles at all
+    star = pd.DataFrame({"s1": ["hub"] * 6,
+                         "s2": [f"x{i}" for i in range(6)]})
+    assert triangle_counts(
+        ray.data.from_pandas(star)).to_pandas().empty
+
+    rng = np.random.default_rng(3)
+    rows = {(f"n{a}", f"n{b}") for a, b in
+            rng.integers(0, 12, (60, 2)) if a < b}
+    edges = pd.DataFrame(sorted(rows), columns=["s1", "s2"])
+    a = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
+    b = triangle_counts(
+        ray.data.from_pandas(edges).repartition(5)).to_pandas()
+    key = ["surface", "n_triangles"]
+    assert (a.sort_values("surface").reset_index(drop=True)[key]
+            .equals(b.sort_values("surface").reset_index(drop=True)[key]))
+
+    # brute-force check
+    import itertools
+    adj = {frozenset(e) for e in edges.itertuples(index=False)}
+    nodes = sorted({n for e in adj for n in e})
+    cnt = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (frozenset((x, y)) in adj and frozenset((y, z)) in adj
+                and frozenset((x, z)) in adj):
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    got = dict(zip(a["surface"], a["n_triangles"]))
+    assert got == cnt
