@@ -878,3 +878,74 @@ def golden_record(mentions_ds):
 
     return group_blocks(partials, ["norm"], finalize,
                         batch_format="pandas")
+
+
+# ----------------------------------------------------- edit distance
+def _levenshtein(a: str, b: str) -> int:
+    """Classic two-row DP; numpy row updates keep the inner loop
+    vectorized over ``b``."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(bn) + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    for i, ch in enumerate(a):
+        cur[0] = i + 1
+        cost = (bn != ord(ch)).astype(np.int64)
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=cur[1:])
+        # the deletion chain cur[j] = min(cur[j], cur[j-1]+1) is an
+        # inherently sequential prefix-min recurrence
+        for j in range(1, len(cur)):
+            if cur[j] > cur[j - 1] + 1:
+                cur[j] = cur[j - 1] + 1
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+class _EditSims:
+    """Actor-pool scorer: Levenshtein distance + normalized similarity
+    (1 - lev / max(len)) on normalized surfaces per labeled pair;
+    distances memoized per distinct normalized pair per worker."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        self.norm = normalize_name
+        self.memo: dict[tuple[str, str], int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        lev, sim = [], []
+        for a, b in zip(m1, m2):
+            na, nb = self.norm(self.surf[a]), self.norm(self.surf[b])
+            key = (na, nb) if na <= nb else (nb, na)
+            d = self.memo.get(key)
+            if d is None:
+                d = _levenshtein(*key)
+                self.memo[key] = d
+            lev.append(d)
+            mx = max(len(na), len(nb))
+            sim.append(1.0 - d / mx if mx else 1.0)
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "lev": pa.array(lev, pa.int64()),
+            "lev_sim": pa.array(_round6(sim), pa.float64()),
+        })
+
+
+def edit_pair_sims(pairs_ds, surf_ref):
+    """Levenshtein distance / normalized similarity for candidate
+    pairs — the edit-distance member of the similarity menu
+    (DuckDB's levenshtein() replays it exactly).
+    Out: (m1_id, m2_id, lev, lev_sim)."""
+    return pairs_ds.map_batches(_EditSims, fn_constructor_args=(surf_ref,),
+                                batch_format="pyarrow", concurrency=2,
+                                num_cpus=0.5)

@@ -335,3 +335,62 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
 
     return group_blocks(part, ["node"], total, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def clustering_coefficients(edges_ds, *, num_partitions: int | None = None,
+                            **tri_kwargs):
+    """Local clustering coefficient per node over an undirected edge
+    list (each unordered edge once): coef = 2T / (d(d-1)) for nodes
+    with degree >= 2, T from :func:`triangle_counts`. One extra tagged
+    node exchange joins the degree rows with the triangle counts — no
+    driver state beyond triangle_counts' own vocab-bounded degree
+    broadcast. Out: (surface, degree, n_triangles, coef[6dp])."""
+    edges = edges_ds.materialize()
+    tri = triangle_counts(edges, num_partitions=num_partitions,
+                          **tri_kwargs)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "v": pd.Series(dtype="int64"),
+                                 "is_deg": pd.Series(dtype="int64")})
+        n = pd.concat([df["s1"], df["s2"]], ignore_index=True)
+        out = n.to_frame("node").groupby("node", as_index=False).size() \
+            .rename(columns={"size": "v"})
+        out["v"] = out["v"].astype("int64")
+        out["is_deg"] = np.int64(1)
+        return out
+
+    def tri_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["surface"].astype(str),
+                             "v": df["n_triangles"].astype("int64"),
+                             "is_deg": np.zeros(len(df), dtype=np.int64)})
+
+    tagged = edges.map_batches(deg_partial, batch_format="pandas").union(
+        tri.map_batches(tri_rows, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"surface": str, "degree": "int64",
+                "n_triangles": "int64", "coef": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        deg = df.loc[df["is_deg"] == 1].groupby("node")["v"].sum()
+        tri_s = df.loc[df["is_deg"] == 0].groupby("node")["v"].sum()
+        g = deg.to_frame("degree").join(
+            tri_s.rename("n_triangles")).fillna(0).reset_index()
+        g = g[g["degree"] >= 2]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d)
+                                 for c, d in cols.items()})
+        d = g["degree"].to_numpy(np.float64)
+        t = g["n_triangles"].to_numpy(np.float64)
+        coef = 2.0 * t / (d * (d - 1.0))
+        return pd.DataFrame({
+            "surface": g["node"].astype(str).to_numpy(),
+            "degree": g["degree"].astype("int64").to_numpy(),
+            "n_triangles": g["n_triangles"].astype("int64").to_numpy(),
+            "coef": np.floor(coef * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(tagged, ["node"], finish, batch_format="pandas",
+                        num_partitions=num_partitions)

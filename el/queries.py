@@ -4456,6 +4456,52 @@ def oracle_sql() -> dict[str, str]:
                    r.surface AS canonical_surface, a.n_members, a.n_convs
             FROM a JOIN r ON r.norm = a.norm AND r.rn = 1
         """,
+        "el_pair_edit": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
+            SELECT p.m1_id, p.m2_id,
+                   CAST(levenshtein(s1.norm, s2.norm) AS BIGINT) AS lev,
+                   {_roundsql("CASE WHEN greatest(length(s1.norm), length(s2.norm)) = 0 THEN 1.0 ELSE 1.0 - CAST(levenshtein(s1.norm, s2.norm) AS DOUBLE) / greatest(length(s1.norm), length(s2.norm)) END", 6)}
+                       AS lev_sim
+            FROM {gp} p
+            JOIN s s1 ON p.m1_id = s1.mention_id
+            JOIN s s2 ON p.m2_id = s2.mention_id
+        """,
+        "comention_clustering": f"""
+            WITH md AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+            e AS (
+                SELECT DISTINCT a.surface AS s1, b.surface AS s2
+                FROM md a
+                JOIN md b ON a.conv_id = b.conv_id
+                         AND a.surface < b.surface
+            ),
+            tri AS (
+                SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+                FROM e e1
+                JOIN e e2 ON e2.s1 = e1.s2
+                JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+            ),
+            corners AS (
+                SELECT x AS s FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            t AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM corners GROUP BY s
+            ),
+            und AS (SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e),
+            d AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS degree
+                FROM und GROUP BY n
+            )
+            SELECT d.n AS surface, d.degree,
+                   CAST(COALESCE(t.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   {_roundsql("2.0 * COALESCE(t.n_triangles, 0) / (d.degree * (d.degree - 1))", 6)}
+                       AS coef
+            FROM d LEFT JOIN t ON t.s = d.n
+            WHERE d.degree >= 2
+        """,
         "comention_triangles": f"""
             WITH md AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             e AS (
@@ -4743,6 +4789,8 @@ def queries():
         "el_mutual_best": q_el_mutual_best,
         "el_golden_record": q_el_golden_record,
         "comention_triangles": q_comention_triangles,
+        "el_pair_edit": q_el_pair_edit,
+        "comention_clustering": q_comention_clustering,
     }
 
 
@@ -4944,3 +4992,43 @@ def q_tpch_q3(sf_dir: str):
 
     return heads.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def q_el_pair_edit(sf_dir: str):
+    """Levenshtein distance + normalized similarity per labeled
+    candidate pair (el/ops/er.py::edit_pair_sims; DuckDB levenshtein()
+    replays the DP exactly)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import edit_pair_sims
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return edit_pair_sims(gp, ref)
+
+
+def q_comention_clustering(sf_dir: str):
+    """Local clustering coefficient per co-mention-graph node
+    (el/ops/graph.py::clustering_coefficients): 2T/(d(d-1)) for
+    degree >= 2, triangles via degree-ordered orientation. Inherits
+    comention_counts' per-conversation cap (logged; oracle models no
+    cap — exact below it)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import clustering_coefficients
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+    edges = comention_counts(gm).map_batches(
+        lambda t: t.select(["s1", "s2"]), batch_format="pyarrow")
+    return clustering_coefficients(edges)

@@ -417,3 +417,34 @@ def test_golden_record_bruteforce(ray_session):
         .reset_index(drop=True)
     assert out[want.columns.tolist()].equals(want.astype(
         {"n_members": "int64", "n_convs": "int64"}))
+
+
+def test_edit_pair_sims_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+    import ray.data
+
+    from el.ops.er import edit_pair_sims
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    ids = df["mention_id"].tolist()
+    pairs = pd.DataFrame({"m1_id": ids[:30], "m2_id": ids[5:35]})
+    pairs = pairs[pairs["m1_id"] != pairs["m2_id"]]
+    out = edit_pair_sims(ray.data.from_pandas(pairs),
+                         ray.put(surf)).to_pandas()
+    m = df.assign(norm=_norm_series(df["surface"]))[
+        ["mention_id", "norm"]]
+    want = duckdb.sql("""
+        SELECT p.m1_id, p.m2_id,
+               CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev
+        FROM pairs p
+        JOIN m a ON a.mention_id = p.m1_id
+        JOIN m b ON b.mention_id = p.m2_id
+    """).df()
+    key = ["m1_id", "m2_id"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["lev"].tolist() == want["lev"].tolist()
+    # lev_sim bounds + exact-dup rows are 1.0
+    assert ((got["lev_sim"] >= 0) & (got["lev_sim"] <= 1)).all()

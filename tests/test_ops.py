@@ -830,3 +830,22 @@ def test_triangle_counts_partition_invariance_and_star(ray_session):
                 cnt[n] = cnt.get(n, 0) + 1
     got = dict(zip(a["surface"], a["n_triangles"]))
     assert got == cnt
+
+
+def test_clustering_coefficients_known_graph(ray_session):
+    import ray.data
+
+    from el.ops.graph import clustering_coefficients
+
+    # K4 minus edge (c,d): coef(a)=2*2/(3*2)=0.666667, b same,
+    # c: d=2, T=1 -> 1.0; d same
+    edges = pd.DataFrame({
+        "s1": ["a", "a", "a", "b", "b"],
+        "s2": ["b", "c", "d", "c", "d"],
+    })
+    out = clustering_coefficients(
+        ray.data.from_pandas(edges)).to_pandas()
+    got = {r.surface: (r.degree, r.n_triangles, r.coef)
+           for r in out.itertuples(index=False)}
+    assert got == {"a": (3, 2, 0.666667), "b": (3, 2, 0.666667),
+                   "c": (2, 1, 1.0), "d": (2, 1, 1.0)}
