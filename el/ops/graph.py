@@ -292,14 +292,15 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
                               batch_format="pandas",
                               num_partitions=num_partitions)
 
-    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"a": df["src"].astype(str),
-                             "b": df["dst"].astype(str),
-                             "apex": pd.Series([None] * len(df),
-                                               dtype=object)})
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("src").combine_chunks().cast(pa.string()),
+            "b": t.column("dst").combine_chunks().cast(pa.string()),
+            "apex": pa.nulls(t.num_rows, pa.string()),
+        })
 
     tagged = wedge_rows.union(
-        oriented.map_batches(edge_rows, batch_format="pandas"))
+        oriented.map_batches(edge_rows, batch_format="pyarrow"))
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"node": pd.Series(dtype=str),

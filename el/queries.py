@@ -4546,6 +4546,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rev DESC, o_orderdate, l_orderkey
             LIMIT 10
         """,
+        "tpch_q18": f"""
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                           AS qu
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                       > 30000
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   {_roundsql('o.o_totalprice', 2)} AS o_totalprice,
+                   {_roundsql('b.qu / 100.0', 2)} AS sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                         DESC,
+                     o.o_orderdate, o.o_orderkey
+            LIMIT 100
+        """,
+        "events_debounce": """
+            WITH x AS (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS pts
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM x
+            WHERE pts IS NULL
+               OR epoch_us(ts) - epoch_us(pts) >= 3600000000
+        """,
         "tpch_q5": f"""
             SELECT n.n_name,
                    {_roundsql(
@@ -4791,6 +4825,8 @@ def queries():
         "comention_triangles": q_comention_triangles,
         "el_pair_edit": q_el_pair_edit,
         "comention_clustering": q_comention_clustering,
+        "tpch_q18": q_tpch_q18,
+        "events_debounce": q_events_debounce,
     }
 
 
@@ -5032,3 +5068,179 @@ def q_comention_clustering(sf_dir: str):
     edges = comention_counts(gm).map_batches(
         lambda t: t.select(["s1", "s2"]), batch_format="pyarrow")
     return clustering_coefficients(edges)
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18-flavored large-volume customers: top-100 orders whose
+    total quantity exceeds the threshold, with their customer.
+
+    Scale shape: lineitem pre-aggregates quantity units per orderkey
+    per batch, then meets the orders rows in tagged-union hash exchange
+    #1 on orderkey (each orderkey complete in its block: the HAVING
+    filter is block-local); survivors meet customer in tagged-union
+    hash exchange #2 on custkey; top-100 = per-block local top-100 +
+    one tiny merge, ordered by integer total-price cents (no float-tie
+    ambiguity). Quantities on the integer 0.01 grid end-to-end.
+    Output: (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    qty_min_units = 300 * 100  # HAVING sum(l_quantity) > 300
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        qu = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        part = (df.assign(qu=qu)
+                .groupby("l_orderkey", as_index=False)["qu"].sum())
+        n = len(part)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "ckey": pa.nulls(n, pa.int64()),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "tp_cents": pa.nulls(n, pa.int64()),
+            "qu": pa.array(part["qu"].astype("int64")),
+            "is_order": pa.array([0] * n, pa.int64()),
+        })
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        tp = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "odate": pa.array(df["o_orderdate"]),
+            "tp_cents": pa.array(tp),
+            "qu": pa.nulls(n, pa.int64()),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
+
+    tagged1 = li.map_batches(li_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        l = df[df["is_order"] == 0]
+        o = df[df["is_order"] == 1]
+        qty = l.groupby("okey", as_index=False)["qu"].sum()
+        qty = qty[qty["qu"] > qty_min_units]
+        j = o[["okey", "ckey", "odate", "tp_cents"]].merge(qty, on="okey")
+        n = len(j)
+        return pa.table({
+            "ckey": pa.array(j["ckey"].astype("int64")),
+            "okey": pa.array(j["okey"].astype("int64")),
+            "odate": pa.array(j["odate"]),
+            "tp_cents": pa.array(j["tp_cents"].astype("int64")),
+            "qu": pa.array(j["qu"].astype("int64")),
+            "name": pa.nulls(n, pa.string()),
+            "is_big": pa.array([1] * n, pa.int64()),
+        })
+
+    big = group_blocks(tagged1, ["okey"], join1, batch_format="pandas")
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "tp_cents": pa.nulls(n, pa.int64()),
+            "qu": pa.nulls(n, pa.int64()),
+            "name": pa.array(df["c_name"].astype(str), pa.string()),
+            "is_big": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged2 = big.union(cust.map_batches(cust_side,
+                                         batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"name": str, "ckey": "int64", "okey": "int64",
+                "odate": "datetime64[us]", "tp_cents": "int64",
+                "qu": "int64"}
+        b = df[df["is_big"] == 1]
+        c = df[df["is_big"] == 0]
+        j = b[["ckey", "okey", "odate", "tp_cents", "qu"]].merge(
+            c[["ckey", "name"]], on="ckey")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        j = j.sort_values(["tp_cents", "odate", "okey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(100)
+        return j[list(cols)]
+
+    heads = group_blocks(tagged2, ["ckey"], join2, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "c_name": pd.Series(dtype=str),
+                "c_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "sum_qty": pd.Series(dtype="float64")})
+        df = df.sort_values(["tp_cents", "odate", "okey"],
+                            ascending=[False, True, True],
+                            kind="stable").head(100)
+        return pd.DataFrame({
+            "c_name": df["name"].to_numpy(),
+            "c_custkey": df["ckey"].astype("int64").to_numpy(),
+            "o_orderkey": df["okey"].astype("int64").to_numpy(),
+            "o_orderdate": df["odate"].to_numpy(),
+            "o_totalprice": df["tp_cents"].to_numpy() / 100.0,
+            "sum_qty": df["qu"].to_numpy() / 100.0})
+
+    return heads.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_events_debounce(sf_dir: str):
+    """Streaming debounce / burst-leader dedup: keep an event iff it is
+    the first of its (user_id, event_type) stream or follows the
+    PREVIOUS raw event by >= 1 hour — the keep-first-of-burst CDC
+    primitive. ONE (user, type) hash exchange + block-local lexsorted
+    shift diff (no per-row loop). Out: the kept rows (event_id,
+    user_id, event_type, ts)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    gap_us = 3_600_000_000
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "event_type": str, "ts": "datetime64[us]"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        tu = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        gap_ok = np.ones(len(df), dtype=bool)
+        gap_ok[1:] = (tu[1:] - tu[:-1]) >= gap_us
+        out = df[new_grp | gap_ok]
+        return out[list(cols)].reset_index(drop=True)
+
+    return group_blocks(ev, ["user_id", "event_type"], keep,
+                        batch_format="pandas")
