@@ -949,3 +949,94 @@ def edit_pair_sims(pairs_ds, surf_ref):
     return pairs_ds.map_batches(_EditSims, fn_constructor_args=(surf_ref,),
                                 batch_format="pyarrow", concurrency=2,
                                 num_cpus=0.5)
+
+
+# ------------------------------------------------- rare-token blocking
+def rare_token_keys(mentions_ds, *, num_partitions: int | None = None):
+    """Term-frequency blocking (the dedupe/Splink rare-token predicate):
+    each mention's blocking key is its RAREST normalized token —
+    minimum document frequency, ties to the lexicographically smaller
+    token — so common tokens ('john', 'corp') never define a block and
+    hot keys shrink by construction. Shape: per-batch distinct
+    (mention, token) explode -> token-count combiner -> ONE token
+    exchange for exact dfs -> df table broadcast zero-copy
+    (vocabulary-bounded, the pmi precedent) -> one streamed argmin scan.
+    Out: (mention_id, block_key='r:<token>'); empty-norm mentions carry
+    no signal and are excluded."""
+    import ray
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "norm": _norm_series(df["surface"].astype(str))})
+        out = out[out["norm"] != ""]
+        if len(out) == 0:
+            return pd.DataFrame({"mention_id": pd.Series(dtype=str),
+                                 "t": pd.Series(dtype=str)})
+        e = out.assign(t=out["norm"].str.split(" ")).explode("t")
+        return e[["mention_id", "t"]].drop_duplicates() \
+            .reset_index(drop=True)
+
+    toks = mentions_ds.map_batches(explode, batch_format="pandas") \
+        .materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("t", as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("t", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    dfs = group_blocks(
+        toks.map_batches(df_partial, batch_format="pandas"),
+        ["t"], df_sum, batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+    parts = [t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_rows]
+    df_tbl = (pa.concat_tables(parts) if parts
+              else pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())}))
+    df_ref = ray.put(df_tbl)
+
+    class _ArgMin:
+        def __init__(self, ref):
+            t = ray.get(ref)
+            self.tok = t.column("t").combine_chunks()
+            self.n = t.column("n").combine_chunks()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_rows == 0:
+                return pa.table({"mention_id": pa.array([], pa.string()),
+                                 "block_key": pa.array([], pa.string())})
+            mid = t.column("mention_id").to_pandas() \
+                .to_numpy(dtype=object)
+            tk = t.column("t").combine_chunks().cast(pa.string())
+            n = self.n.take(pc.index_in(tk, value_set=self.tok)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tka = tk.to_numpy(zero_copy_only=False)
+            # vectorized per-mention argmin of (df, token): lexsort by
+            # (mention, df, token) then take each mention's first row
+            order = np.lexsort((tka, n, mid))
+            mid_s, tk_s = mid[order], tka[order]
+            first = np.ones(len(mid_s), dtype=bool)
+            first[1:] = mid_s[1:] != mid_s[:-1]
+            return pa.table({
+                "mention_id": pa.array(mid_s[first], pa.string()),
+                "block_key": pa.array(
+                    ["r:" + x for x in tk_s[first]], pa.string()),
+            })
+
+    return toks.map_batches(_ArgMin, fn_constructor_args=(df_ref,),
+                            batch_format="pyarrow", concurrency=2,
+                            num_cpus=0.5)

@@ -4456,6 +4456,33 @@ def oracle_sql() -> dict[str, str]:
                    r.surface AS canonical_surface, a.n_members, a.n_convs
             FROM a JOIN r ON r.norm = a.norm AND r.rn = 1
         """,
+        "el_block_keys_rare": f"""
+            WITH m AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            tok AS (
+                SELECT DISTINCT mention_id, t FROM (
+                    SELECT mention_id,
+                           unnest(str_split(norm, ' ')) AS t
+                    FROM m
+                )
+            ),
+            tdf AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY t
+            ),
+            r AS (
+                SELECT tok.mention_id, tok.t,
+                       row_number() OVER (
+                           PARTITION BY tok.mention_id
+                           ORDER BY tdf.n, tok.t
+                       ) AS rn
+                FROM tok JOIN tdf ON tdf.t = tok.t
+            )
+            SELECT mention_id, 'r:' || t AS block_key
+            FROM r WHERE rn = 1
+        """,
         "el_pair_edit": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
             SELECT p.m1_id, p.m2_id,
@@ -4827,6 +4854,7 @@ def queries():
         "comention_clustering": q_comention_clustering,
         "tpch_q18": q_tpch_q18,
         "events_debounce": q_events_debounce,
+        "el_block_keys_rare": q_el_block_keys_rare,
     }
 
 
@@ -5244,3 +5272,19 @@ def q_events_debounce(sf_dir: str):
 
     return group_blocks(ev, ["user_id", "event_type"], keep,
                         batch_format="pandas")
+
+
+def q_el_block_keys_rare(sf_dir: str):
+    """Term-frequency blocking key: each mention's RAREST normalized
+    token (min document frequency, ties to the smaller token) — the
+    dedupe/Splink rare-token predicate
+    (el/ops/er.py::rare_token_keys)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import rare_token_keys
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+    return rare_token_keys(gm)

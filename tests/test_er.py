@@ -448,3 +448,28 @@ def test_edit_pair_sims_matches_duckdb(ray_session):
     assert got["lev"].tolist() == want["lev"].tolist()
     # lev_sim bounds + exact-dup rows are 1.0
     assert ((got["lev_sim"] >= 0) & (got["lev_sim"] <= 1)).all()
+
+
+def test_rare_token_keys_bruteforce(ray_session):
+    import collections
+
+    import ray.data
+
+    from el.ops.er import rare_token_keys
+
+    df = _mentions(60)
+    out = rare_token_keys(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    dfreq = collections.Counter()
+    toks = {}
+    for r in ref.itertuples(index=False):
+        ts = set(r.norm.split(" "))
+        toks[r.mention_id] = ts
+        dfreq.update(ts)
+    want = {m: "r:" + min(ts, key=lambda t: (dfreq[t], t))
+            for m, ts in toks.items()}
+    got = dict(zip(out["mention_id"], out["block_key"]))
+    assert got == want
