@@ -1040,3 +1040,126 @@ def rare_token_keys(mentions_ds, *, num_partitions: int | None = None):
     return toks.map_batches(_ArgMin, fn_constructor_args=(df_ref,),
                             batch_format="pyarrow", concurrency=2,
                             num_cpus=0.5)
+
+
+# --------------------------------------------------- TF-IDF cosine sim
+def _token_dfs(mentions_ds, *, num_partitions: int | None = None):
+    """Exact distinct-mention document frequencies per normalized token
+    + the non-empty mention count: per-batch distinct explode -> one
+    token exchange; df table returned as an Arrow table for zero-copy
+    broadcast (vocabulary-bounded). -> (df_table, n_mentions)."""
+    import ray
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "norm": _norm_series(df["surface"].astype(str))})
+        out = out[out["norm"] != ""]
+        if len(out) == 0:
+            return pd.DataFrame({"mention_id": pd.Series(dtype=str),
+                                 "t": pd.Series(dtype=str)})
+        e = out.assign(t=out["norm"].str.split(" ")).explode("t")
+        return e[["mention_id", "t"]].drop_duplicates() \
+            .reset_index(drop=True)
+
+    toks = mentions_ds.map_batches(explode, batch_format="pandas") \
+        .materialize()
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["mention_id"]].drop_duplicates()
+
+    n_mentions = group_blocks(
+        toks.map_batches(heads, batch_format="pandas"),
+        ["mention_id"], heads, batch_format="pandas",
+        num_partitions=num_partitions).count()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("t", as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("t", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    dfs = group_blocks(
+        toks.map_batches(df_partial, batch_format="pandas"),
+        ["t"], df_sum, batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+    parts = [t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_rows]
+    df_tbl = (pa.concat_tables(parts) if parts
+              else pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())}))
+    return df_tbl, int(n_mentions)
+
+
+class _TfidfCos:
+    """Actor-pool scorer: TF-IDF cosine per labeled pair over DISTINCT
+    normalized tokens. idf is quantized to the integer 1e-6 grid
+    (idf_q = floor(ln((N+1)/(df+1)) * 1e6 + 0.5)), weights are idf_q^2
+    int64, so the shared mass and the two norms are exact integer sums
+    — the final double sim = shared / (sqrt(n1) * sqrt(n2)) is computed
+    from identical ints on engine and oracle, no float-order
+    sensitivity. Out is rounded at 6."""
+
+    def __init__(self, surf_ref, df_ref, n_mentions: int):
+        import ray
+
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        t = ray.get(df_ref)
+        self.norm = normalize_name
+        toks = t.column("t").to_pylist()
+        ns = t.column("n").to_pylist()
+        n1 = float(n_mentions + 1)
+        self.w2 = {tok: int(np.floor(np.log(n1 / (d + 1.0)) * 1e6
+                                     + 0.5)) ** 2
+                   for tok, d in zip(toks, ns)}
+        self._memo: dict[str, tuple[dict, int]] = {}
+
+    def _vec(self, mid: str) -> tuple[dict, int]:
+        v = self._memo.get(mid)
+        if v is None:
+            ts = set(self.norm(self.surf[mid]).split(" ")) - {""}
+            w = {t: self.w2.get(t, 0) for t in ts}
+            v = (w, sum(w.values()))
+            self._memo[mid] = v
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        sims = []
+        for a, b in zip(m1, m2):
+            wa, na = self._vec(a)
+            wb, nb = self._vec(b)
+            shared = sum(v for k, v in wa.items() if k in wb)
+            sims.append(shared / (np.sqrt(na) * np.sqrt(nb))
+                        if na and nb else 0.0)
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "tfidf_cos": pa.array(_round6(sims), pa.float64()),
+        })
+
+
+def tfidf_pair_sims(pairs_ds, mentions_ds, surf_ref):
+    """TF-IDF cosine similarity for candidate pairs (Cohen et al.'s
+    classic ER string metric): corpus-exact idf from one token
+    exchange, broadcast zero-copy; scoring is one streamed actor-pool
+    scan. Out: (m1_id, m2_id, tfidf_cos)."""
+    import ray
+
+    df_tbl, n_mentions = _token_dfs(mentions_ds)
+    df_ref = ray.put(df_tbl)
+    return pairs_ds.map_batches(
+        _TfidfCos, fn_constructor_args=(surf_ref, df_ref, n_mentions),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)

@@ -4483,6 +4483,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, 'r:' || t AS block_key
             FROM r WHERE rn = 1
         """,
+        "el_tfidf_sims": f"""
+            WITH m AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            tok AS (
+                SELECT DISTINCT mention_id, t FROM (
+                    SELECT mention_id,
+                           unnest(str_split(norm, ' ')) AS t
+                    FROM m
+                )
+            ),
+            nm AS (SELECT count(DISTINCT mention_id) AS n FROM tok),
+            tdf AS (SELECT t, count(*) AS d FROM tok GROUP BY t),
+            w AS (
+                SELECT t,
+                       CAST(floor(ln((nm.n + 1.0) / (tdf.d + 1.0)) * 1e6
+                                  + 0.5) AS BIGINT) AS q
+                FROM tdf, nm
+            ),
+            vec AS (
+                SELECT tok.mention_id, tok.t, w.q * w.q AS w2
+                FROM tok JOIN w ON w.t = tok.t
+            ),
+            nrm AS (
+                SELECT mention_id, sum(w2) AS n2 FROM vec
+                GROUP BY mention_id
+            ),
+            sh AS (
+                SELECT p.m1_id, p.m2_id, sum(v1.w2) AS shared
+                FROM {gp} p
+                JOIN vec v1 ON v1.mention_id = p.m1_id
+                JOIN vec v2 ON v2.mention_id = p.m2_id
+                           AND v2.t = v1.t
+                GROUP BY p.m1_id, p.m2_id
+            )
+            SELECT p.m1_id, p.m2_id,
+                   {_roundsql("CASE WHEN n1.n2 IS NULL OR n2.n2 IS NULL OR n1.n2 = 0 OR n2.n2 = 0 THEN 0.0 ELSE COALESCE(sh.shared, 0) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))) END", 6)}
+                       AS tfidf_cos
+            FROM {gp} p
+            LEFT JOIN sh ON sh.m1_id = p.m1_id AND sh.m2_id = p.m2_id
+            LEFT JOIN nrm n1 ON n1.mention_id = p.m1_id
+            LEFT JOIN nrm n2 ON n2.mention_id = p.m2_id
+        """,
         "el_pair_edit": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
             SELECT p.m1_id, p.m2_id,
@@ -4855,6 +4899,7 @@ def queries():
         "tpch_q18": q_tpch_q18,
         "events_debounce": q_events_debounce,
         "el_block_keys_rare": q_el_block_keys_rare,
+        "el_tfidf_sims": q_el_tfidf_sims,
     }
 
 
@@ -5288,3 +5333,27 @@ def q_el_block_keys_rare(sf_dir: str):
         os.path.join(fd, "gold_mentions.parquet"),
         columns=["mention_id", "surface"])
     return rare_token_keys(gm)
+
+
+def q_el_tfidf_sims(sf_dir: str):
+    """TF-IDF cosine per labeled candidate pair (Cohen et al.'s classic
+    ER metric), idf on the integer 1e-6 grid so shared mass and norms
+    are exact integer sums (el/ops/er.py::tfidf_pair_sims)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import tfidf_pair_sims
+
+    gm_t = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                         columns=["mention_id", "surface"])
+    surf = dict(zip(gm_t.column("mention_id").to_pylist(),
+                    gm_t.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return tfidf_pair_sims(gp, gm, ref)

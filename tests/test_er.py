@@ -473,3 +473,44 @@ def test_rare_token_keys_bruteforce(ray_session):
             for m, ts in toks.items()}
     got = dict(zip(out["mention_id"], out["block_key"]))
     assert got == want
+
+
+def test_tfidf_pair_sims_bruteforce(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import tfidf_pair_sims
+
+    df = _mentions(50)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    ids = df["mention_id"].tolist()
+    pairs = pd.DataFrame({"m1_id": ids[:35], "m2_id": ids[10:45]})
+    pairs = pairs[pairs["m1_id"] != pairs["m2_id"]]
+    out = tfidf_pair_sims(ray.data.from_pandas(pairs).repartition(3),
+                          ray.data.from_pandas(df),
+                          ray.put(surf)).to_pandas()
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    toks = {m: set(n.split(" ")) for m, n in zip(ref["mention_id"],
+                                                 ref["norm"])}
+    import collections
+    dfreq = collections.Counter(t for ts in toks.values() for t in ts)
+    n1 = len(toks) + 1.0
+    w2 = {t: int(np.floor(np.log(n1 / (d + 1.0)) * 1e6 + 0.5)) ** 2
+          for t, d in dfreq.items()}
+    want = {}
+    for r in pairs.itertuples(index=False):
+        ta, tb = toks.get(r.m1_id, set()), toks.get(r.m2_id, set())
+        na = sum(w2[t] for t in ta)
+        nb = sum(w2[t] for t in tb)
+        sh = sum(w2[t] for t in ta & tb)
+        s = sh / (np.sqrt(na) * np.sqrt(nb)) if na and nb else 0.0
+        want[(r.m1_id, r.m2_id)] = np.floor(s * 1e6 + 0.5) / 1e6
+    got = {(a, b): s for a, b, s in
+           zip(out["m1_id"], out["m2_id"], out["tfidf_cos"])}
+    assert got == want
+    # identical surfaces must score 1.0 when both non-empty
+    same = [(a, b) for (a, b) in want
+            if toks.get(a) and toks.get(a) == toks.get(b)]
+    assert all(got[k] == 1.0 for k in same)
