@@ -1163,3 +1163,98 @@ def tfidf_pair_sims(pairs_ds, mentions_ds, surf_ref):
     return pairs_ds.map_batches(
         _TfidfCos, fn_constructor_args=(surf_ref, df_ref, n_mentions),
         batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+
+# --------------------------------------------------------- cluster ARI
+def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
+    """Adjusted Rand Index of the exact-alias clustering (cluster =
+    normalized surface) against the gold entity labels — the standard
+    chance-corrected external cluster-quality score next to B3/pairwise
+    F1. All three pair masses are INTEGER combinatorics (sum of
+    C(count, 2)) computed from three combiner exchanges over tiny
+    count rows — (norm, gold) contingency cells, per-norm sizes,
+    per-gold sizes — then one single-row merge; the only floats are the
+    final chance-correction divisions, written identically on both
+    sides (float(a*b)/float(C(n,2)), a*b stays under 2^53 at any
+    workable fixture scale — documented envelope). Out: one row
+    (n_mentions, pairs_both, pairs_pred, pairs_gold, ari[6dp]);
+    degenerate denominators (all-singleton vs all-one) report 1.0."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "norm": _norm_series(df["surface"].astype(str)),
+            "gold": df["gold_kb_id"].astype(str)})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    base = mentions_ds.map_batches(prep, batch_format="pandas") \
+        .materialize()
+
+    def count_by(cols):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({**{c: pd.Series(dtype=str)
+                                        for c in cols},
+                                     "c": pd.Series(dtype="int64")})
+            out = df.groupby(cols, as_index=False).size().rename(
+                columns={"size": "c"})
+            out["c"] = out["c"].astype("int64")
+            return out
+
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            """-> one (pairs, n) partial row per co-located block."""
+            if len(df) == 0:
+                return pd.DataFrame({"pairs": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64")})
+            s = df.groupby(cols)["c"].sum()
+            c = s.to_numpy(np.int64)
+            return pd.DataFrame({
+                "pairs": [int((c * (c - 1) // 2).sum())],
+                "n": [int(c.sum())]})
+
+        return group_blocks(
+            base.map_batches(partial, batch_format="pandas"),
+            cols, total, batch_format="pandas",
+            num_partitions=num_partitions)
+
+    def tag(kind: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["kind"] = kind
+            return df
+        return f
+
+    tagged = (count_by(["norm", "gold"])
+              .map_batches(tag("s"), batch_format="pandas")
+              .union(count_by(["norm"])
+                     .map_batches(tag("a"), batch_format="pandas"))
+              .union(count_by(["gold"])
+                     .map_batches(tag("b"), batch_format="pandas")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_mentions": "int64", "pairs_both": "int64",
+                "pairs_pred": "int64", "pairs_gold": "int64",
+                "ari": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        g = df.groupby("kind")[["pairs", "n"]].sum()
+        s = int(g.loc["s", "pairs"]) if "s" in g.index else 0
+        a = int(g.loc["a", "pairs"]) if "a" in g.index else 0
+        b = int(g.loc["b", "pairs"]) if "b" in g.index else 0
+        n = int(g.loc["a", "n"]) if "a" in g.index else 0
+        n2 = n * (n - 1) // 2
+        if n2 == 0:
+            ari = 1.0
+        else:
+            exp = float(a * b) / float(n2)
+            den = 0.5 * float(a + b) - exp
+            ari = 1.0 if den == 0.0 else (float(s) - exp) / den
+        return pd.DataFrame({
+            "n_mentions": pd.array([n], dtype="int64"),
+            "pairs_both": pd.array([s], dtype="int64"),
+            "pairs_pred": pd.array([a], dtype="int64"),
+            "pairs_gold": pd.array([b], dtype="int64"),
+            "ari": [float(np.floor(ari * 1e6 + 0.5) / 1e6)]})
+
+    return tagged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)

@@ -4483,6 +4483,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, 'r:' || t AS block_key
             FROM r WHERE rn = 1
         """,
+        "el_cluster_ari": f"""
+            WITH f AS (
+                SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
+                WHERE {norm} != ''
+            ),
+            ng AS (
+                SELECT norm, gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm, gold
+            ),
+            na AS (
+                SELECT norm, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm
+            ),
+            nb AS (
+                SELECT gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY gold
+            ),
+            agg AS (
+                SELECT
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM ng) AS s,
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM na) AS a,
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM nb) AS b,
+                    (SELECT CAST(count(*) AS BIGINT) FROM f) AS n
+            )
+            SELECT n AS n_mentions, s AS pairs_both, a AS pairs_pred,
+                   b AS pairs_gold,
+                   {_roundsql("CASE WHEN n * (n - 1) // 2 = 0 THEN 1.0 WHEN 0.5 * CAST(a + b AS DOUBLE) - CAST(a * b AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE) = 0.0 THEN 1.0 ELSE (CAST(s AS DOUBLE) - CAST(a * b AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)) / (0.5 * CAST(a + b AS DOUBLE) - CAST(a * b AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)) END", 6)}
+                       AS ari
+            FROM agg
+        """,
         "el_tfidf_sims": f"""
             WITH m AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -4900,6 +4933,7 @@ def queries():
         "events_debounce": q_events_debounce,
         "el_block_keys_rare": q_el_block_keys_rare,
         "el_tfidf_sims": q_el_tfidf_sims,
+        "el_cluster_ari": q_el_cluster_ari,
     }
 
 
@@ -5357,3 +5391,18 @@ def q_el_tfidf_sims(sf_dir: str):
     gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
                                columns=["m1_id", "m2_id"])
     return tfidf_pair_sims(gp, gm, ref)
+
+
+def q_el_cluster_ari(sf_dir: str):
+    """Adjusted Rand Index of the exact-alias clustering vs gold labels
+    — integer pair combinatorics from three combiner exchanges
+    (el/ops/er.py::cluster_ari); one row out."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import cluster_ari
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return cluster_ari(gm)

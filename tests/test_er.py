@@ -514,3 +514,44 @@ def test_tfidf_pair_sims_bruteforce(ray_session):
     same = [(a, b) for (a, b) in want
             if toks.get(a) and toks.get(a) == toks.get(b)]
     assert all(got[k] == 1.0 for k in same)
+
+
+def test_cluster_ari_matches_sklearn_formula(ray_session):
+    import ray.data
+
+    from el.ops.er import cluster_ari
+
+    df = _mentions(100)
+    df["conv_id"] = "c0"
+    out = cluster_ari(
+        ray.data.from_pandas(df).repartition(6)).to_pandas()
+    assert len(out) == 1
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    from collections import Counter
+    ng = Counter(zip(ref["norm"], ref["gold_kb_id"]))
+    na = Counter(ref["norm"])
+    nb = Counter(ref["gold_kb_id"])
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    s = sum(c2(v) for v in ng.values())
+    a = sum(c2(v) for v in na.values())
+    b = sum(c2(v) for v in nb.values())
+    n = len(ref)
+    n2 = c2(n)
+    exp = float(a * b) / float(n2)
+    den = 0.5 * float(a + b) - exp
+    ari = 1.0 if den == 0 else (float(s) - exp) / den
+    r = out.iloc[0]
+    assert (r["n_mentions"], r["pairs_both"], r["pairs_pred"],
+            r["pairs_gold"]) == (n, s, a, b)
+    assert r["ari"] == np.floor(ari * 1e6 + 0.5) / 1e6
+
+    # perfect clustering => ARI 1.0
+    perfect = pd.DataFrame({
+        "mention_id": [f"m{i}" for i in range(12)],
+        "surface": [f"name{i % 3}" for i in range(12)],
+        "gold_kb_id": [f"E{i % 3}" for i in range(12)],
+    })
+    out2 = cluster_ari(ray.data.from_pandas(perfect)).to_pandas()
+    assert out2.iloc[0]["ari"] == 1.0
