@@ -1258,3 +1258,87 @@ def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
 
     return tagged.repartition(1).map_batches(final, batch_format="pandas",
                                              batch_size=None)
+
+
+# --------------------------------------------------------- Soft-TF-IDF
+SOFT_TFIDF_THETA = 0.9
+
+
+class _SoftTfidf:
+    """Actor-pool scorer: Soft-TF-IDF (Cohen-Ravikumar-Fienberg) per
+    labeled pair over DISTINCT sorted normalized tokens. For each token
+    a of side 1 whose best Jaro-Winkler partner in side 2 clears theta
+    (jw rounded at 5; argmax ties to the smaller token), add
+    (w(a)/||w1||) * (w(b*)/||w2||) * jw(a, b*). Weights are the same
+    integer-grid idf as _TfidfCos (norms are exact integer sums of
+    idf_q^2), the per-token terms are written in a fixed operation
+    order and summed over SORTED side-1 tokens, so the SQL list
+    comprehension replays the identical doubles. Out rounded at 6."""
+
+    def __init__(self, surf_ref, df_ref, n_mentions: int):
+        import ray
+
+        from ..sim import jaro_winkler
+        from ..text import normalize_name
+        self.surf = ray.get(surf_ref)
+        t = ray.get(df_ref)
+        self.norm = normalize_name
+        self.jw = jaro_winkler
+        n1 = float(n_mentions + 1)
+        self.w = {tok: int(np.floor(np.log(n1 / (d + 1.0)) * 1e6 + 0.5))
+                  for tok, d in zip(t.column("t").to_pylist(),
+                                    t.column("n").to_pylist())}
+        self._memo: dict[str, tuple[list, float]] = {}
+
+    def _vec(self, mid: str) -> tuple[list, float]:
+        v = self._memo.get(mid)
+        if v is None:
+            ts = sorted(set(self.norm(self.surf[mid]).split(" ")) - {""})
+            ws = [self.w.get(t, 0) for t in ts]
+            n2 = sum(x * x for x in ws)
+            v = (list(zip(ts, ws)), np.sqrt(float(n2)))
+            self._memo[mid] = v
+        return v
+
+    def _score(self, v1, rn1, v2, rn2) -> float:
+        if not v1 or not v2 or rn1 == 0.0 or rn2 == 0.0:
+            return 0.0
+        total = 0.0
+        for ta, wa in v1:
+            bw, ws = -1.0, 0
+            for tb, wb in v2:  # v2 sorted: first argmax = smaller token
+                j = np.floor(self.jw(ta, tb) * 1e5 + 0.5) / 1e5
+                if j > bw:
+                    bw, ws = j, wb
+            if bw >= SOFT_TFIDF_THETA:
+                total += (wa / rn1) * (ws / rn2) * bw
+        return total
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        sims = []
+        for a, b in zip(m1, m2):
+            v1, rn1 = self._vec(a)
+            v2, rn2 = self._vec(b)
+            sims.append(self._score(v1, rn1, v2, rn2))
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "soft_tfidf": pa.array(_round6(sims), pa.float64()),
+        })
+
+
+def soft_tfidf_pair_sims(pairs_ds, mentions_ds, surf_ref):
+    """Soft-TF-IDF similarity for candidate pairs — the classic hybrid
+    token/character metric: TF-IDF mass transported along best
+    Jaro-Winkler >= 0.9 token alignments. Same corpus-exact broadcast
+    idf as tfidf_pair_sims; one streamed actor-pool scoring scan.
+    Out: (m1_id, m2_id, soft_tfidf)."""
+    import ray
+
+    df_tbl, n_mentions = _token_dfs(mentions_ds)
+    df_ref = ray.put(df_tbl)
+    return pairs_ds.map_batches(
+        _SoftTfidf, fn_constructor_args=(surf_ref, df_ref, n_mentions),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)

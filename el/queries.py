@@ -4483,6 +4483,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, 'r:' || t AS block_key
             FROM r WHERE rn = 1
         """,
+        "el_soft_tfidf": f"""
+            WITH m AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            tok AS (
+                SELECT DISTINCT mention_id, t FROM (
+                    SELECT mention_id,
+                           unnest(str_split(norm, ' ')) AS t
+                    FROM m
+                )
+            ),
+            nm AS (SELECT count(DISTINCT mention_id) AS n FROM tok),
+            tdf AS (SELECT t, count(*) AS d FROM tok GROUP BY t),
+            w AS (
+                SELECT t,
+                       CAST(floor(ln((nm.n + 1.0) / (tdf.d + 1.0)) * 1e6
+                                  + 0.5) AS BIGINT) AS q
+                FROM tdf, nm
+            ),
+            vtok AS (
+                SELECT tok.mention_id, tok.t, w.q
+                FROM tok JOIN w ON w.t = tok.t
+            ),
+            nrm AS (
+                SELECT mention_id,
+                       sqrt(CAST(sum(q * q) AS DOUBLE)) AS rn
+                FROM vtok GROUP BY mention_id
+            ),
+            x AS (
+                SELECT p.m1_id, p.m2_id, ta.t AS at, ta.q AS aw,
+                       tb.t AS bt, tb.q AS bw,
+                       floor(jaro_winkler_similarity(ta.t, tb.t) * 1e5
+                             + 0.5) / 1e5 AS j
+                FROM {gp} p
+                JOIN vtok ta ON ta.mention_id = p.m1_id
+                JOIN vtok tb ON tb.mention_id = p.m2_id
+            ),
+            best AS (
+                SELECT m1_id, m2_id, at, aw, bw, j,
+                       row_number() OVER (
+                           PARTITION BY m1_id, m2_id, at
+                           ORDER BY j DESC, bt
+                       ) AS rnk
+                FROM x
+            ),
+            score AS (
+                SELECT b.m1_id, b.m2_id,
+                       list_sum(list(
+                           (b.aw / n1.rn) * (b.bw / n2.rn) * b.j
+                           ORDER BY b.at
+                       )) AS s
+                FROM best b
+                JOIN nrm n1 ON n1.mention_id = b.m1_id
+                JOIN nrm n2 ON n2.mention_id = b.m2_id
+                WHERE b.rnk = 1 AND b.j >= 0.9
+                GROUP BY b.m1_id, b.m2_id
+            )
+            SELECT p.m1_id, p.m2_id,
+                   {_roundsql('COALESCE(sc.s, 0.0)', 6)} AS soft_tfidf
+            FROM {gp} p
+            LEFT JOIN score sc ON sc.m1_id = p.m1_id
+                              AND sc.m2_id = p.m2_id
+        """,
         "el_cluster_ari": f"""
             WITH f AS (
                 SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
@@ -4934,6 +4998,7 @@ def queries():
         "el_block_keys_rare": q_el_block_keys_rare,
         "el_tfidf_sims": q_el_tfidf_sims,
         "el_cluster_ari": q_el_cluster_ari,
+        "el_soft_tfidf": q_el_soft_tfidf,
     }
 
 
@@ -5406,3 +5471,27 @@ def q_el_cluster_ari(sf_dir: str):
         os.path.join(fd, "gold_mentions.parquet"),
         columns=["mention_id", "surface", "gold_kb_id"])
     return cluster_ari(gm)
+
+
+def q_el_soft_tfidf(sf_dir: str):
+    """Soft-TF-IDF (Cohen-Ravikumar-Fienberg) per labeled candidate
+    pair: TF-IDF mass along best JW>=0.9 token alignments
+    (el/ops/er.py::soft_tfidf_pair_sims)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import soft_tfidf_pair_sims
+
+    gm_t = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                         columns=["mention_id", "surface"])
+    surf = dict(zip(gm_t.column("mention_id").to_pylist(),
+                    gm_t.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return soft_tfidf_pair_sims(gp, gm, ref)

@@ -555,3 +555,50 @@ def test_cluster_ari_matches_sklearn_formula(ray_session):
     })
     out2 = cluster_ari(ray.data.from_pandas(perfect)).to_pandas()
     assert out2.iloc[0]["ari"] == 1.0
+
+
+def test_soft_tfidf_bruteforce(ray_session):
+    import collections
+
+    import ray
+    import ray.data
+
+    from el.ops.er import SOFT_TFIDF_THETA, soft_tfidf_pair_sims
+    from el.sim import jaro_winkler
+
+    df = _mentions(50)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    ids = df["mention_id"].tolist()
+    pairs = pd.DataFrame({"m1_id": ids[:35], "m2_id": ids[10:45]})
+    pairs = pairs[pairs["m1_id"] != pairs["m2_id"]]
+    out = soft_tfidf_pair_sims(
+        ray.data.from_pandas(pairs).repartition(3),
+        ray.data.from_pandas(df), ray.put(surf)).to_pandas()
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    toks = {m: sorted(set(n.split(" "))) for m, n in
+            zip(ref["mention_id"], ref["norm"])}
+    dfreq = collections.Counter(t for ts in toks.values() for t in ts)
+    n1 = len(toks) + 1.0
+    w = {t: int(np.floor(np.log(n1 / (d + 1.0)) * 1e6 + 0.5))
+         for t, d in dfreq.items()}
+    jw5 = lambda a, b: np.floor(  # noqa: E731
+        jaro_winkler(a, b) * 1e5 + 0.5) / 1e5
+    want = {}
+    for r in pairs.itertuples(index=False):
+        t1, t2 = toks.get(r.m1_id, []), toks.get(r.m2_id, [])
+        rn1 = np.sqrt(float(sum(w[t] ** 2 for t in t1)))
+        rn2 = np.sqrt(float(sum(w[t] ** 2 for t in t2)))
+        s = 0.0
+        if t1 and t2 and rn1 and rn2:
+            for a in t1:
+                js = [(jw5(a, b), b) for b in t2]
+                bj = max(j for j, _ in js)
+                bt = min(b for j, b in js if j == bj)
+                if bj >= SOFT_TFIDF_THETA:
+                    s += (w[a] / rn1) * (w[bt] / rn2) * bj
+        want[(r.m1_id, r.m2_id)] = np.floor(s * 1e6 + 0.5) / 1e6
+    got = {(a, b): s for a, b, s in
+           zip(out["m1_id"], out["m2_id"], out["soft_tfidf"])}
+    assert got == want
