@@ -595,3 +595,65 @@ def quantize_batch(df: pd.DataFrame) -> pd.DataFrame:
 def quantize_embeddings(emb_ds):
     """Stateless vectorized scan — embarrassingly parallel."""
     return emb_ds.map_batches(quantize_batch, batch_format="pandas")
+
+
+def label_centroids(emb_ds, *, num_partitions: int | None = None):
+    """Per-label embedding centroids on the fixed integer 1e-6 grid:
+    q = floor(x * 1e6 + 0.5) per dimension, so cross-vector sums are
+    EXACT int64 (headroom: 1e6-grid * |x|<=1 * ~1e12 rows per label)
+    and the centroid double s/n/1e6 is computed from identical ints on
+    engine and oracle. Shape: per-batch zero-copy matrix decode +
+    per-label integer dim-sums (rows per batch = labels x dims), then
+    ONE (label) hash exchange of the tiny partials. The per-class mean
+    vector is the nearest-class-mean / class-drift primitive of an
+    embedding table. Out: (label, dim, n, centroid[6dp])."""
+    import pandas as pd
+
+    from ..shuffle import group_blocks
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow as pa  # noqa: F401
+
+        cols = {"label": "int64", "dim": "int64", "s": "int64",
+                "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        X = _matrix_from_arrow(t.column("embedding"))
+        Q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = Q.shape[1]
+        out_lab, out_dim, out_s, out_n = [], [], [], []
+        for lv in np.unique(lab):
+            sel = Q[lab == lv]
+            out_lab.append(np.full(d, lv, dtype=np.int64))
+            out_dim.append(np.arange(1, d + 1, dtype=np.int64))
+            out_s.append(sel.sum(axis=0, dtype=np.int64))
+            out_n.append(np.full(d, sel.shape[0], dtype=np.int64))
+        return pd.DataFrame({
+            "label": np.concatenate(out_lab),
+            "dim": np.concatenate(out_dim),
+            "s": np.concatenate(out_s),
+            "n": np.concatenate(out_n)})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"label": "int64", "dim": "int64", "n": "int64",
+                "centroid": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        g = df.groupby(["label", "dim"], as_index=False)[["s", "n"]] \
+            .sum()
+        cent = (g["s"].to_numpy(np.float64)
+                / g["n"].to_numpy(np.float64)) / 1e6
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "dim": g["dim"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "centroid": np.floor(cent * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(parts, ["label"], merge, batch_format="pandas",
+                        num_partitions=num_partitions)

@@ -3356,6 +3356,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, min(conv_id) AS keep_conv_id FROM fp GROUP BY fp
         """,
+        "embed_label_centroids": f"""
+            WITH e AS (
+                SELECT label,
+                       unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            q AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(dim AS BIGINT) AS dim,
+                       CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS qv
+                FROM e
+            ),
+            g AS (
+                SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY label, dim
+            )
+            SELECT label, dim, n,
+                   {_roundsql('CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6)}
+                       AS centroid
+            FROM g
+        """,
         "embed_quantize": f"""
             WITH s AS (
                 SELECT vec_id, embedding,
@@ -4999,6 +5023,7 @@ def queries():
         "el_tfidf_sims": q_el_tfidf_sims,
         "el_cluster_ari": q_el_cluster_ari,
         "el_soft_tfidf": q_el_soft_tfidf,
+        "embed_label_centroids": q_embed_label_centroids,
     }
 
 
@@ -5495,3 +5520,12 @@ def q_el_soft_tfidf(sf_dir: str):
     gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
                                columns=["m1_id", "m2_id"])
     return soft_tfidf_pair_sims(gp, gm, ref)
+
+
+def q_embed_label_centroids(sf_dir: str):
+    """Per-label embedding centroids on the fixed integer 1e-6 grid —
+    exact int64 cross-vector sums, one label exchange of tiny partials
+    (el/ops/ann.py::label_centroids)."""
+    from .ops.ann import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings"))

@@ -849,3 +849,28 @@ def test_clustering_coefficients_known_graph(ray_session):
            for r in out.itertuples(index=False)}
     assert got == {"a": (3, 2, 0.666667), "b": (3, 2, 0.666667),
                    "c": (2, 1, 1.0), "d": (2, 1, 1.0)}
+
+
+def test_label_centroids_exact(ray_session):
+    import ray.data
+
+    from el.ops.ann import label_centroids
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    lab = rng.integers(0, 3, 50)
+    df = pd.DataFrame({"vec_id": np.arange(50),
+                       "embedding": [x.tolist() for x in X],
+                       "label": lab.astype("int32")})
+    out = label_centroids(
+        ray.data.from_pandas(df).repartition(4)).to_pandas()
+    assert len(out) == 3 * 8
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for lv in range(3):
+        sel = Q[lab == lv]
+        for d in range(8):
+            row = out[(out["label"] == lv) & (out["dim"] == d + 1)]
+            want = np.floor(
+                (sel[:, d].sum() / len(sel)) / 1e6 * 1e6 + 0.5) / 1e6
+            assert row.iloc[0]["centroid"] == want
+            assert row.iloc[0]["n"] == len(sel)
