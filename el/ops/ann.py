@@ -657,3 +657,97 @@ def label_centroids(emb_ds, *, num_partitions: int | None = None):
 
     return group_blocks(parts, ["label"], merge, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def ncm_accuracy(emb_ds, *, num_partitions: int | None = None):
+    """Nearest-class-mean classification eval over the embeddings
+    table: every vector is assigned to the label whose centroid (the
+    ROUNDED 1e-6-grid output of :func:`label_centroids`, so classifier
+    parameters are identical doubles on engine and oracle) is nearest
+    in squared L2 on the integer grid — diff = q_x - round(c * 1e6) is
+    an exact int, d2 = sum(diff^2) an exact int64 (64 dims x (2e6)^2
+    ~ 2.6e14 headroom), so the argmin (ties to the smaller label) is
+    BIT-EXACT with no float-sum order sensitivity. Shape: the tiny
+    (labels x dims) centroid table broadcasts zero-copy; one streamed
+    scan does the integer matmul argmin per batch and emits per-label
+    partials; one tiny label exchange finishes. Out: (label, n,
+    n_correct, accuracy[6dp]) per true label."""
+    import pandas as pd
+    import ray
+
+    from ..shuffle import group_blocks
+
+    cent = label_centroids(emb_ds, num_partitions=num_partitions) \
+        .materialize()
+    parts = [t for t in ray.get(list(cent.to_arrow_refs()))
+             if t.num_rows]
+    import pyarrow as pa
+
+    cent_tbl = (pa.concat_tables(parts) if parts
+                else pa.table({"label": pa.array([], pa.int64()),
+                               "dim": pa.array([], pa.int64()),
+                               "n": pa.array([], pa.int64()),
+                               "centroid": pa.array([], pa.float64())}))
+    cent_ref = ray.put(cent_tbl)
+
+    class _Assign:
+        def __init__(self, ref):
+            t = ray.get(ref).to_pandas()
+            t = t.sort_values(["label", "dim"])
+            labs = np.sort(t["label"].unique())
+            d = int(t["dim"].max()) if len(t) else 0
+            C = np.zeros((len(labs), d), dtype=np.int64)
+            for i, lv in enumerate(labs):
+                sub = t[t["label"] == lv].sort_values("dim")
+                C[i] = np.floor(sub["centroid"].to_numpy() * 1e6
+                                + 0.5).astype(np.int64)
+            self.labs = labs.astype(np.int64)
+            self.C = C
+            self.c2 = (C * C).sum(axis=1)  # per-class ||c||^2
+
+        def __call__(self, t) -> pd.DataFrame:
+            cols = {"label": "int64", "n": "int64",
+                    "n_correct": "int64"}
+            if t.num_rows == 0 or len(self.labs) == 0:
+                return pd.DataFrame({k: pd.Series(dtype=v)
+                                     for k, v in cols.items()})
+            Q = np.floor(_matrix_from_arrow(t.column("embedding"))
+                         * 1e6 + 0.5).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # exact integer d2 up to the shared ||q||^2 term:
+            # argmin_c (||q||^2 - 2 q.c + ||c||^2) == argmin of
+            # (||c||^2 - 2 q.c); labels ascending so the first argmin
+            # is the smallest label
+            score = self.c2[None, :] - 2 * (Q @ self.C.T)
+            pred = self.labs[np.argmin(score, axis=1)]
+            df = pd.DataFrame({"label": lab,
+                               "ok": (pred == lab).astype(np.int64)})
+            g = df.groupby("label", as_index=False).agg(
+                n=("ok", "size"), n_correct=("ok", "sum"))
+            g["n"] = g["n"].astype("int64")
+            g["n_correct"] = g["n_correct"].astype("int64")
+            return g
+
+    partials = emb_ds.map_batches(_Assign, fn_constructor_args=(cent_ref,),
+                                  batch_format="pyarrow", concurrency=2,
+                                  num_cpus=0.5)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"label": "int64", "n": "int64", "n_correct": "int64",
+                "accuracy": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("label", as_index=False)[["n", "n_correct"]].sum()
+        acc = g["n_correct"].to_numpy(np.float64) \
+            / g["n"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "n_correct": g["n_correct"].astype("int64"),
+            "accuracy": np.floor(acc * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(partials, ["label"], merge,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)

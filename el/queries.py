@@ -3380,6 +3380,58 @@ def oracle_sql() -> dict[str, str]:
                        AS centroid
             FROM g
         """,
+        "embed_ncm_accuracy": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                       unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+                       CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS qv
+                FROM e
+            ),
+            g AS (
+                SELECT label AS clab, dim,
+                       CAST(sum(qv) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY label, dim
+            ),
+            cent AS (
+                SELECT clab, dim,
+                       {_roundsql('CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6)}
+                           AS c6
+                FROM g
+            ),
+            ci AS (
+                SELECT clab, dim,
+                       CAST(floor(c6 * 1e6 + 0.5) AS BIGINT) AS c
+                FROM cent
+            ),
+            d AS (
+                SELECT q.vec_id, q.label AS tlab, ci.clab,
+                       sum((q.qv - ci.c) * (q.qv - ci.c)) AS d2
+                FROM q JOIN ci ON ci.dim = q.dim
+                GROUP BY q.vec_id, q.label, ci.clab
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, clab) AS rn
+                FROM d
+            ),
+            p AS (
+                SELECT tlab AS label, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN clab = tlab THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_correct
+                FROM r WHERE rn = 1 GROUP BY tlab
+            )
+            SELECT label, n, n_correct,
+                   {_roundsql('CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                       AS accuracy
+            FROM p
+        """,
         "embed_quantize": f"""
             WITH s AS (
                 SELECT vec_id, embedding,
@@ -5024,6 +5076,7 @@ def queries():
         "el_cluster_ari": q_el_cluster_ari,
         "el_soft_tfidf": q_el_soft_tfidf,
         "embed_label_centroids": q_embed_label_centroids,
+        "embed_ncm_accuracy": q_embed_ncm_accuracy,
     }
 
 
@@ -5529,3 +5582,12 @@ def q_embed_label_centroids(sf_dir: str):
     from .ops.ann import label_centroids
 
     return label_centroids(_read(sf_dir, "embeddings"))
+
+
+def q_embed_ncm_accuracy(sf_dir: str):
+    """Nearest-class-mean classification accuracy per label over the
+    embeddings table — bit-exact integer-grid argmin against the
+    rounded label centroids (el/ops/ann.py::ncm_accuracy)."""
+    from .ops.ann import ncm_accuracy
+
+    return ncm_accuracy(_read(sf_dir, "embeddings"))

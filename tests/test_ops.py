@@ -874,3 +874,25 @@ def test_label_centroids_exact(ray_session):
                 (sel[:, d].sum() / len(sel)) / 1e6 * 1e6 + 0.5) / 1e6
             assert row.iloc[0]["centroid"] == want
             assert row.iloc[0]["n"] == len(sel)
+
+
+def test_ncm_accuracy_separable_clusters(ray_session):
+    import ray.data
+
+    from el.ops.ann import ncm_accuracy
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4])
+    lab = rng.integers(0, 3, 90)
+    X = centers[lab] + rng.normal(scale=0.1, size=(90, 8))
+    df = pd.DataFrame({"vec_id": np.arange(90),
+                       "embedding": [x.astype(np.float32).tolist()
+                                     for x in X],
+                       "label": lab.astype("int32")})
+    out = ncm_accuracy(
+        ray.data.from_pandas(df).repartition(4)).to_pandas()
+    # perfectly separable: every label classifies at 1.0
+    assert sorted(out["label"]) == [0, 1, 2]
+    assert (out["accuracy"] == 1.0).all()
+    assert (out["n_correct"] == out["n"]).all()
+    assert int(out["n"].sum()) == 90
