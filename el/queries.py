@@ -4963,6 +4963,15 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
     }
+    sqls["ann_lsh_recall"] = f"""
+        SELECT bf.q_id,
+               CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+               {_roundsql('count(ap.vec_id) / 10.0', 6)} AS recall
+        FROM ({sqls['ann_topk']}) bf
+        LEFT JOIN ({sqls['ann_lsh']}) ap
+               ON ap.q_id = bf.q_id AND ap.vec_id = bf.vec_id
+        GROUP BY bf.q_id
+    """
     if ivf_cent is None:
         sqls.pop("ann_ivf")
         sqls.pop("semantic_dedup")
@@ -5077,6 +5086,7 @@ def queries():
         "el_soft_tfidf": q_el_soft_tfidf,
         "embed_label_centroids": q_embed_label_centroids,
         "embed_ncm_accuracy": q_embed_ncm_accuracy,
+        "ann_lsh_recall": q_ann_lsh_recall,
     }
 
 
@@ -5591,3 +5601,45 @@ def q_embed_ncm_accuracy(sf_dir: str):
     from .ops.ann import ncm_accuracy
 
     return ncm_accuracy(_read(sf_dir, "embeddings"))
+
+
+def q_ann_lsh_recall(sf_dir: str):
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    top-10, per query — the standard ANN quality metric. Composes the
+    two existing oracled pipelines: their tagged results meet in one
+    tiny q_id exchange (30 rows a side at the fixed query set)."""
+    from .shuffle import group_blocks
+
+    bf = q_ann_topk(sf_dir)
+    ap = q_ann_lsh(sf_dir)
+
+    def tag(is_bf: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "q_id": df["q_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
+                "is_bf": np.full(len(df), is_bf, dtype=np.int64)})
+        return f
+
+    tagged = bf.map_batches(tag(1), batch_format="pandas").union(
+        ap.map_batches(tag(0), batch_format="pandas"))
+
+    def recall(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"q_id": "int64", "n_hit": "int64", "recall": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        b = df[df["is_bf"] == 1]
+        a = df[df["is_bf"] == 0]
+        hit = b.merge(a[["q_id", "vec_id"]], on=["q_id", "vec_id"])
+        n_hit = hit.groupby("q_id").size()
+        g = b[["q_id"]].drop_duplicates().set_index("q_id")
+        g["n_hit"] = n_hit
+        g = g.fillna(0).reset_index()
+        return pd.DataFrame({
+            "q_id": g["q_id"].astype("int64"),
+            "n_hit": g["n_hit"].astype("int64"),
+            "recall": np.floor(g["n_hit"].to_numpy(np.float64)
+                               / 10.0 * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(tagged, ["q_id"], recall, batch_format="pandas")
