@@ -4559,6 +4559,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, 'r:' || t AS block_key
             FROM r WHERE rn = 1
         """,
+        "el_pr_curve": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            sc AS (
+                SELECT CAST(floor(jaro_winkler_similarity(
+                           s1.norm, s2.norm) * 1e5 + 0.5) AS BIGINT)
+                           AS jw5,
+                       p.same_entity AS same
+                FROM {gp} p
+                JOIN s s1 ON p.m1_id = s1.mention_id
+                JOIN s s2 ON p.m2_id = s2.mention_id
+            ),
+            thr AS (SELECT unnest([{', '.join(str(t) for t in PR_CURVE_THRESHOLDS)}]) AS thr_pct),
+            conf AS (
+                SELECT t.thr_pct,
+                       CAST(sum(CASE WHEN sc.jw5 >= t.thr_pct * 1000
+                                      AND sc.same THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN sc.jw5 >= t.thr_pct * 1000
+                                      AND NOT sc.same THEN 1 ELSE 0 END)
+                            AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN sc.jw5 < t.thr_pct * 1000
+                                      AND sc.same THEN 1 ELSE 0 END)
+                            AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN sc.jw5 < t.thr_pct * 1000
+                                      AND NOT sc.same THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tn
+                FROM thr t CROSS JOIN sc
+                GROUP BY t.thr_pct
+            )
+            SELECT CAST(thr_pct AS BIGINT) AS thr_pct, tp, fp, fn, tn,
+                   {_roundsql('CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 1.0 END', 6)} AS precision,
+                   {_roundsql('CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 1.0 END', 6)} AS recall,
+                   {_roundsql("CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 1.0 END) + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 1.0 END) > 0 THEN 2.0 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 1.0 END) * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 1.0 END) / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 1.0 END) + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 1.0 END)) ELSE 0.0 END", 6)} AS f1
+            FROM conf
+        """,
         "el_soft_tfidf": f"""
             WITH m AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -5087,6 +5122,7 @@ def queries():
         "embed_label_centroids": q_embed_label_centroids,
         "embed_ncm_accuracy": q_embed_ncm_accuracy,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "el_pr_curve": q_el_pr_curve,
     }
 
 
@@ -5643,3 +5679,96 @@ def q_ann_lsh_recall(sf_dir: str):
                                / 10.0 * 1e6 + 0.5) / 1e6})
 
     return group_blocks(tagged, ["q_id"], recall, batch_format="pandas")
+
+
+PR_CURVE_THRESHOLDS = [80, 82, 84, 86, 88, 90, 92, 94, 96, 98]
+
+
+def q_el_pr_curve(sf_dir: str):
+    """Pair-classifier precision/recall/F1 at a fixed JW threshold
+    grid against the gold same_entity labels — the threshold-sweep
+    eval behind LINK/MERGE cutoff choices. Per-batch vectorized
+    confusion partials per threshold (one broadcasting comparison),
+    ONE tiny threshold exchange, P/R/F1 doubles derived from exact
+    integer counts identically on both sides. Out: (thr_pct, tp, fp,
+    fn, tn, precision, recall, f1)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .shuffle import group_blocks
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(
+        os.path.join(fd, "gold_pairs.parquet"),
+        columns=["m1_id", "m2_id", "same_entity"])
+    thr = np.asarray(PR_CURVE_THRESHOLDS, dtype=np.int64)
+
+    class _Conf:
+        def __init__(self, ref):
+            self.surf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {"thr_pct": "int64", "tp": "int64", "fp": "int64",
+                    "fn": "int64", "tn": "int64"}
+            if t.num_rows == 0:
+                return pd.DataFrame({k: pd.Series(dtype=v)
+                                     for k, v in cols.items()})
+            m1 = t.column("m1_id").to_pylist()
+            m2 = t.column("m2_id").to_pylist()
+            same = t.column("same_entity").to_numpy(
+                zero_copy_only=False).astype(bool)
+            jw = np.asarray([
+                np.floor(jaro_winkler(normalize_name(self.surf[a]),
+                                      normalize_name(self.surf[b]))
+                         * 1e5 + 0.5) / 1e5
+                for a, b in zip(m1, m2)])
+            # predicted-same at threshold: jw >= thr/100 on the 1e5
+            # grid -> integer compare jw*1e5 >= thr*1000 (exact)
+            jw5 = np.floor(jw * 1e5 + 0.5).astype(np.int64)
+            pred = jw5[None, :] >= (thr[:, None] * 1000)
+            tp = (pred & same[None, :]).sum(axis=1)
+            fp = (pred & ~same[None, :]).sum(axis=1)
+            fn = ((~pred) & same[None, :]).sum(axis=1)
+            tn = ((~pred) & ~same[None, :]).sum(axis=1)
+            return pd.DataFrame({
+                "thr_pct": thr, "tp": tp.astype("int64"),
+                "fp": fp.astype("int64"), "fn": fn.astype("int64"),
+                "tn": tn.astype("int64")})
+
+    partials = gp.map_batches(_Conf, fn_constructor_args=(ref,),
+                              batch_format="pyarrow", concurrency=2,
+                              num_cpus=0.5)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"thr_pct": "int64", "tp": "int64", "fp": "int64",
+                "fn": "int64", "tn": "int64", "precision": "float64",
+                "recall": "float64", "f1": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("thr_pct", as_index=False)[
+            ["tp", "fp", "fn", "tn"]].sum()
+        tp = g["tp"].to_numpy(np.float64)
+        fp = g["fp"].to_numpy(np.float64)
+        fn = g["fn"].to_numpy(np.float64)
+        p = np.where(tp + fp > 0, tp / np.where(tp + fp > 0,
+                                                tp + fp, 1.0), 1.0)
+        r = np.where(tp + fn > 0, tp / np.where(tp + fn > 0,
+                                                tp + fn, 1.0), 1.0)
+        f1 = np.where(p + r > 0, 2.0 * p * r / np.where(p + r > 0,
+                                                        p + r, 1.0), 0.0)
+        out = g.astype({c: "int64" for c in ["thr_pct", "tp", "fp",
+                                             "fn", "tn"]})
+        out["precision"] = np.floor(p * 1e6 + 0.5) / 1e6
+        out["recall"] = np.floor(r * 1e6 + 0.5) / 1e6
+        out["f1"] = np.floor(f1 * 1e6 + 0.5) / 1e6
+        return out
+
+    return group_blocks(partials, ["thr_pct"], merge,
+                        batch_format="pandas")
