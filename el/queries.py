@@ -4559,6 +4559,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, 'r:' || t AS block_key
             FROM r WHERE rn = 1
         """,
+        "el_dedupe_e2e": f"""
+            WITH RECURSIVE f AS (
+                SELECT mention_id, surface, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            k AS (
+                SELECT mention_id, 'n:' || norm AS bk FROM f
+                UNION ALL
+                SELECT mention_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6)
+                           AS bk
+                FROM f WHERE length(split_part(norm, ' ', 1)) >= 3
+            ),
+            p AS (
+                SELECT DISTINCT a.mention_id AS m1, b.mention_id AS m2
+                FROM k a JOIN k b ON a.bk = b.bk
+                         AND a.mention_id < b.mention_id
+            ),
+            e AS (
+                SELECT p.m1 AS a, p.m2 AS b
+                FROM p
+                JOIN f s1 ON s1.mention_id = p.m1
+                JOIN f s2 ON s2.mention_id = p.m2
+                WHERE floor(jaro_winkler_similarity(s1.norm, s2.norm)
+                            * 1e5 + 0.5) / 1e5 >= 0.92
+            ),
+            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS ent FROM reach GROUP BY node
+            ),
+            comp AS (
+                SELECT f.mention_id,
+                       COALESCE(c.ent, f.mention_id) AS entity_id,
+                       f.surface
+                FROM f LEFT JOIN canon c ON c.node = f.mention_id
+            ),
+            r AS (
+                SELECT entity_id, mention_id, surface,
+                       row_number() OVER (
+                           PARTITION BY entity_id
+                           ORDER BY length(surface) DESC, mention_id
+                       ) AS rn
+                FROM comp
+            )
+            SELECT comp.mention_id, comp.entity_id,
+                   r.surface AS canonical_surface
+            FROM comp JOIN r ON r.entity_id = comp.entity_id
+                            AND r.rn = 1
+        """,
         "el_pr_curve": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             sc AS (
@@ -5123,6 +5177,7 @@ def queries():
         "embed_ncm_accuracy": q_embed_ncm_accuracy,
         "ann_lsh_recall": q_ann_lsh_recall,
         "el_pr_curve": q_el_pr_curve,
+        "el_dedupe_e2e": q_el_dedupe_e2e,
     }
 
 
@@ -5771,4 +5826,135 @@ def q_el_pr_curve(sf_dir: str):
         return out
 
     return group_blocks(partials, ["thr_pct"], merge,
+                        batch_format="pandas")
+
+
+def q_el_dedupe_e2e(sf_dir: str):
+    """The full dedupe pipeline as ONE query — the Splink-shaped
+    end-to-end: n:/p: blocking -> within-key candidate pairs (distinct
+    across keys) -> JW >= 0.92 scoring -> connected components
+    (hash-to-min label propagation, the distributed clustering path)
+    -> survivorship (longest surface, tie min mention_id) per entity.
+    Exchanges: key pair-gen, pair dedup, component propagation, one
+    mention attach, one entity finalize — every stage block-local and
+    vectorized. Out: (mention_id, entity_id, canonical_surface) for
+    every non-empty-norm mention."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .cluster import label_propagation
+    from .ops.er import _block_pairs_frame, _norm_series, _sql_block_keys
+    from .shuffle import group_blocks
+
+    gm_t = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                         columns=["mention_id", "surface"])
+    surf = dict(zip(gm_t.column("mention_id").to_pylist(),
+                    gm_t.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+
+    keys = gm.map_batches(_sql_block_keys, batch_format="pandas")
+    pairs = group_blocks(keys, ["block_key"], _block_pairs_frame,
+                         batch_format="pandas")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["m1_id", "m2_id"]].drop_duplicates() \
+            .reset_index(drop=True)
+
+    pairs = group_blocks(pairs.map_batches(dedup, batch_format="pandas"),
+                         ["m1_id", "m2_id"], dedup,
+                         batch_format="pandas")
+
+    class _Edges:
+        def __init__(self, ref):
+            self.surf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m1 = t.column("m1_id").to_pylist()
+            m2 = t.column("m2_id").to_pylist()
+            jw = np.asarray([
+                np.floor(jaro_winkler(normalize_name(self.surf[a]),
+                                      normalize_name(self.surf[b]))
+                         * 1e5 + 0.5) / 1e5
+                for a, b in zip(m1, m2)])
+            keep = jw >= 0.92
+            return pa.table({
+                "src": pa.array([a for a, k in zip(m1, keep) if k],
+                                pa.string()),
+                "dst": pa.array([b for b, k in zip(m2, keep) if k],
+                                pa.string()),
+            })
+
+    edges = pairs.map_batches(_Edges, fn_constructor_args=(ref,),
+                              batch_format="pyarrow", concurrency=2,
+                              num_cpus=0.5)
+
+    def nodes(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": df["mention_id"].astype(str),
+            "norm": _norm_series(df["surface"].astype(str))})
+        out = out[out["norm"] != ""]
+        return pd.DataFrame({"node": out["node"],
+                             "label": out["node"]})
+
+    labels = gm.map_batches(nodes, batch_format="pandas")
+    comp = label_propagation(edges, labels, num_partitions=4)
+
+    # attach surfaces: tagged union on mention_id (no driver dict in
+    # the attach path; the surf broadcast above feeds only the scorer)
+    def comp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mid": df["node"].astype(str),
+                             "entity": df["label"].astype(str),
+                             "surface": pd.Series([""] * len(df),
+                                                  dtype=str),
+                             "is_comp": np.ones(len(df),
+                                                dtype=np.int64)})
+
+    def surf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mid": df["mention_id"].astype(str),
+                             "entity": pd.Series([""] * len(df),
+                                                 dtype=str),
+                             "surface": df["surface"].astype(str),
+                             "is_comp": np.zeros(len(df),
+                                                 dtype=np.int64)})
+
+    tagged = comp.map_batches(comp_rows, batch_format="pandas").union(
+        gm.map_batches(surf_rows, batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mid": str, "entity": str, "surface": str}
+        c = df[df["is_comp"] == 1]
+        s = df[df["is_comp"] == 0]
+        j = c[["mid", "entity"]].merge(s[["mid", "surface"]], on="mid")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return j[list(cols)]
+
+    attached = group_blocks(tagged, ["mid"], attach,
+                            batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mention_id": str, "entity_id": str,
+                "canonical_surface": str}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        d = df.assign(slen=df["surface"].str.len())
+        d = d.sort_values(["entity", "slen", "mid"],
+                          ascending=[True, False, True], kind="stable")
+        canon = d.groupby("entity", as_index=False).first() \
+            .rename(columns={"surface": "canonical_surface"})
+        out = df.merge(canon[["entity", "canonical_surface"]],
+                       on="entity")
+        return pd.DataFrame({
+            "mention_id": out["mid"],
+            "entity_id": out["entity"],
+            "canonical_surface": out["canonical_surface"]})
+
+    return group_blocks(attached, ["entity"], finalize,
                         batch_format="pandas")

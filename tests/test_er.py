@@ -602,3 +602,40 @@ def test_soft_tfidf_bruteforce(ray_session):
     got = {(a, b): s for a, b, s in
            zip(out["m1_id"], out["m2_id"], out["soft_tfidf"])}
     assert got == want
+
+
+def test_dedupe_e2e_invariants(ray_session):
+    """The composite pipeline on the t1 fixture: every non-empty-norm
+    mention appears exactly once; entity_id is a member and the min of
+    its entity; the canonical surface is the entity's longest (tie ->
+    min mention_id); exact-duplicate normalized surfaces always share
+    an entity (they share the n: block and JW == 1)."""
+    from el.fixtures import ensure_fixture
+    from el.queries import q_el_dedupe_e2e
+
+    fd = ensure_fixture("t1")
+    out = q_el_dedupe_e2e(fd if fd.startswith("/") else "t1")
+    # q_el_dedupe_e2e takes sf_dir; ensure_fixture idempotently maps
+    df = out.to_pandas()
+    assert df["mention_id"].is_unique
+    g = df.groupby("entity_id")["mention_id"].agg(["min", "count"])
+    assert (g.index == g["min"]).all()
+
+    import pyarrow.parquet as pq
+
+    gm = pq.read_table(f"{fd}/gold_mentions.parquet",
+                       columns=["mention_id", "surface"]).to_pandas()
+    gm["norm"] = _norm_series(gm["surface"])
+    gm = gm[gm["norm"] != ""]
+    assert len(df) == len(gm)
+    j = df.merge(gm, on="mention_id")
+    ent_of = dict(zip(j["mention_id"], j["entity_id"]))
+    by_norm = j.groupby("norm")["mention_id"].agg(list)
+    for ms in by_norm:
+        assert len({ent_of[m] for m in ms}) == 1
+    # canonical = longest surface in entity, tie min mention_id
+    for ent, grp in j.groupby("entity_id"):
+        grp = grp.assign(slen=grp["surface"].str.len()).sort_values(
+            ["slen", "mention_id"], ascending=[False, True])
+        assert (grp["canonical_surface"]
+                == grp["surface"].iloc[0]).all()
