@@ -4835,6 +4835,32 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN t ON t.s = d.n
             WHERE d.degree >= 2
         """,
+        "comention_components": f"""
+            WITH RECURSIVE md AS (
+                SELECT DISTINCT conv_id, surface FROM {gm}
+            ),
+            e AS (
+                SELECT DISTINCT a.surface AS s1, b.surface AS s2
+                FROM md a
+                JOIN md b ON a.conv_id = b.conv_id
+                         AND a.surface < b.surface
+            ),
+            und AS (SELECT s1 AS a, s2 AS b FROM e
+                    UNION SELECT s2, s1 FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS component FROM reach
+                GROUP BY node
+            ),
+            nodes AS (SELECT DISTINCT surface FROM {gm})
+            SELECT n.surface,
+                   COALESCE(c.component, n.surface) AS component
+            FROM nodes n LEFT JOIN canon c ON c.node = n.surface
+        """,
         "comention_triangles": f"""
             WITH md AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             e AS (
@@ -5178,6 +5204,7 @@ def queries():
         "ann_lsh_recall": q_ann_lsh_recall,
         "el_pr_curve": q_el_pr_curve,
         "el_dedupe_e2e": q_el_dedupe_e2e,
+        "comention_components": q_comention_components,
     }
 
 
@@ -5958,3 +5985,40 @@ def q_el_dedupe_e2e(sf_dir: str):
 
     return group_blocks(attached, ["entity"], finalize,
                         batch_format="pandas")
+
+
+def q_comention_components(sf_dir: str):
+    """Weakly connected components of the co-mention graph labeled by
+    min surface — hash-to-min label propagation (the distributed
+    clustering path) over the comention_counts edge list; recursive-CTE
+    oracle. Completes the graph suite next to pagerank / triangles /
+    clustering coefficients."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .cluster import label_propagation
+    from .ops.cooccur import comention_counts
+    from .shuffle import group_blocks
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+    edges = comention_counts(gm).map_batches(
+        lambda t: pa.table({"src": t.column("s1"),
+                            "dst": t.column("s2")}),
+        batch_format="pyarrow")
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["surface"]].drop_duplicates()
+        return pd.DataFrame({"node": out["surface"].astype(str),
+                             "label": out["surface"].astype(str)})
+
+    # exact node table: one surface exchange of per-batch-distinct rows
+    labels = group_blocks(
+        gm.map_batches(node_rows, batch_format="pandas"),
+        ["node"], lambda df: df.drop_duplicates(),
+        batch_format="pandas")
+    comp = label_propagation(edges, labels, num_partitions=4)
+    return comp.map_batches(
+        lambda t: pa.table({"surface": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
