@@ -72,3 +72,119 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64):
 
     return group_blocks(partials, [group_col], merge,
                         batch_format="pandas")
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(docs_ds, k: int = 20,
+                      num_partitions: int | None = None):
+    """Count-min-sketch frequency estimates for the corpus's exact
+    top-k tokens — the frequency-sketch companion to the KMV distinct
+    sketch, with the estimate checked against the exact count in the
+    same output row.
+
+    Sketch: depth x width = 4 x 1024 int64 counters; bucket_r(t) =
+    md5_u64(f"{r}:{t}") % width (the shared engine/oracle hash
+    contract), estimate = min over rows — the classic CMS overestimate
+    bound (never under). Shape: one batch combiner emits BOTH the
+    per-token exact partials and the nonzero sketch cells; ONE (r, b)
+    exchange merges the sketch to its fixed 4096 cells (broadcast
+    zero-copy); the exact top-k reuses the vocab_topk local-top-k +
+    tiny-merge shape; the final scan looks each top token up in the
+    broadcast sketch. The oracle replays the sketch itself — hashes,
+    cell sums, min — so the ESTIMATE is hash-checked, not just the
+    exact counts. Out: (token, exact_count, est_count)."""
+    import ray
+
+    from .prep import _token_counts_partial
+    from ..shuffle import group_blocks
+
+    counts = docs_ds.map_batches(_token_counts_partial,
+                                 batch_format="pandas").materialize()
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"r": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64")})
+        toks = df["token"].to_numpy(dtype=object)
+        c = df["cnt"].to_numpy(np.int64)
+        outs = []
+        for r in range(CMS_DEPTH):
+            h = _value_hashes([f"{r}:{t}" for t in toks]) % CMS_WIDTH
+            part = pd.DataFrame({"b": h.astype(np.int64), "s": c}) \
+                .groupby("b", as_index=False)["s"].sum()
+            part["r"] = np.int64(r)
+            outs.append(part)
+        out = pd.concat(outs, ignore_index=True)
+        out["s"] = out["s"].astype("int64")
+        return out[["r", "b", "s"]]
+
+    def cell_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"r": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64")})
+        out = df.groupby(["r", "b"], as_index=False)["s"].sum()
+        out["s"] = out["s"].astype("int64")
+        return out
+
+    cms = group_blocks(counts.map_batches(cells, batch_format="pandas"),
+                       ["r", "b"], cell_sum, batch_format="pandas",
+                       num_partitions=num_partitions).materialize()
+    parts = [t for t in ray.get(list(cms.to_arrow_refs()))
+             if t.num_rows]
+    import pyarrow as pa
+
+    cms_tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"r": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "s": pa.array([], pa.int64())}))
+    cms_ref = ray.put(cms_tbl)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out = out.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(k)
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.reset_index(drop=True)
+
+    heads = group_blocks(counts, ["token"], merge_topk,
+                         batch_format="pandas",
+                         num_partitions=num_partitions)
+
+    class _Estimate:
+        def __init__(self, ref):
+            t = ray.get(ref)
+            M = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+            M[t.column("r").to_numpy(zero_copy_only=False),
+              t.column("b").to_numpy(zero_copy_only=False)] = \
+                t.column("s").to_numpy(zero_copy_only=False)
+            self.M = M
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = merge_topk(df)
+            if len(out) == 0:
+                return pd.DataFrame({
+                    "token": pd.Series(dtype=str),
+                    "exact_count": pd.Series(dtype="int64"),
+                    "est_count": pd.Series(dtype="int64")})
+            toks = out["token"].to_numpy(dtype=object)
+            est = np.full(len(toks), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+            for r in range(CMS_DEPTH):
+                h = _value_hashes([f"{r}:{t}" for t in toks]) % CMS_WIDTH
+                est = np.minimum(est, self.M[r, h.astype(np.int64)])
+            return pd.DataFrame({
+                "token": toks,
+                "exact_count": out["cnt"].to_numpy(np.int64),
+                "est_count": est})
+
+    return heads.repartition(1).map_batches(
+        _Estimate, fn_constructor_args=(cms_ref,),
+        batch_format="pandas", batch_size=None, concurrency=1)

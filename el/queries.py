@@ -3719,6 +3719,37 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(ptext, '<[^>]+>')) AS n_tags
             FROM p
         """,
+        "cms_heavy_hitters": f"""
+            WITH tok AS (
+                SELECT unnest({toks}) AS t FROM documents
+            ),
+            cnt AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY t
+            ),
+            top AS (
+                SELECT t, c FROM cnt
+                QUALIFY row_number() OVER (ORDER BY c DESC, t) <= 20
+            ),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            buck AS (
+                SELECT cnt.t, cnt.c, rws.r,
+                       CAST(md5_number_lower(CAST(rws.r AS VARCHAR)
+                                             || ':' || cnt.t) % 1024
+                            AS BIGINT) AS b
+                FROM cnt CROSS JOIN rws
+            ),
+            cms AS (
+                SELECT r, b, CAST(sum(c) AS BIGINT) AS s
+                FROM buck GROUP BY r, b
+            )
+            SELECT top.t AS token, top.c AS exact_count,
+                   CAST(min(cms.s) AS BIGINT) AS est_count
+            FROM top
+            JOIN buck ON buck.t = top.t
+            JOIN cms ON cms.r = buck.r AND cms.b = buck.b
+            GROUP BY top.t, top.c
+        """,
         "vocab_topk": f"""
             WITH tok AS (
                 SELECT unnest({toks}) AS token FROM documents
@@ -5205,6 +5236,7 @@ def queries():
         "el_pr_curve": q_el_pr_curve,
         "el_dedupe_e2e": q_el_dedupe_e2e,
         "comention_components": q_comention_components,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -6022,3 +6054,12 @@ def q_comention_components(sf_dir: str):
         lambda t: pa.table({"surface": t.column("node"),
                             "component": t.column("label")}),
         batch_format="pyarrow")
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch frequency estimates for the exact top-20
+    corpus tokens — the oracle replays the 4x1024 sketch itself
+    (el/ops/sketch.py::cms_heavy_hitters)."""
+    from .ops.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_read(sf_dir, "documents"), k=20)

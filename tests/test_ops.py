@@ -896,3 +896,30 @@ def test_ncm_accuracy_separable_clusters(ray_session):
     assert (out["accuracy"] == 1.0).all()
     assert (out["n_correct"] == out["n"]).all()
     assert int(out["n"].sum()) == 90
+
+
+def test_cms_heavy_hitters_overestimates(ray_session):
+    import ray.data
+
+    from el.ops.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(200)] + ["hot"] * 50
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120),
+        "text": [" ".join(rng.choice(words, 30)) for _ in range(120)],
+    })
+    out = cms_heavy_hitters(
+        ray.data.from_pandas(docs).repartition(5), k=10).to_pandas()
+    assert len(out) == 10
+    # CMS never underestimates; 'hot' dominates and must rank first
+    assert (out["est_count"] >= out["exact_count"]).all()
+    top = out.sort_values(["exact_count", "token"],
+                          ascending=[False, True]).iloc[0]
+    assert top["token"] == "hot"
+
+    import collections
+    cnt = collections.Counter(
+        t for txt in docs["text"] for t in txt.split())
+    got = dict(zip(out["token"], out["exact_count"]))
+    assert all(cnt[t] == c for t, c in got.items())
