@@ -5118,6 +5118,18 @@ def oracle_sql() -> dict[str, str]:
                ON ap.q_id = bf.q_id AND ap.vec_id = bf.vec_id
         GROUP BY bf.q_id
     """
+    sqls["minhash_recall"] = f"""
+        WITH ex AS (
+            SELECT d1, d2 FROM ({sqls['ngram_jaccard']})
+            WHERE jaccard >= 0.8
+        ),
+        mh AS (SELECT DISTINCT d1, d2 FROM ({sqls['minhash_dedup']}))
+        SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM ex JOIN mh USING (d1, d2))
+                    AS BIGINT) AS n_found,
+               {_roundsql("CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0 ELSE CAST((SELECT count(*) FROM ex JOIN mh USING (d1, d2)) AS DOUBLE) / (SELECT count(*) FROM ex) END", 6)}
+                   AS recall
+    """
     if ivf_cent is None:
         sqls.pop("ann_ivf")
         sqls.pop("semantic_dedup")
@@ -5237,6 +5249,7 @@ def queries():
         "el_dedupe_e2e": q_el_dedupe_e2e,
         "comention_components": q_comention_components,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -6063,3 +6076,61 @@ def q_cms_heavy_hitters(sf_dir: str):
     from .ops.sketch import cms_heavy_hitters
 
     return cms_heavy_hitters(_read(sf_dir, "documents"), k=20)
+
+
+def q_minhash_recall(sf_dir: str):
+    """Candidate recall of MinHash-LSH banding against the exact
+    n-gram-Jaccard pair set at the same 0.8 threshold (both pipelines
+    already oracled; the composition is too, on both sides). MinHash's
+    output is exact-verified, so found-pairs are a subset of truth and
+    recall = found / exact measures what the 16-band/64-perm banding
+    scheme misses. One (d1, d2) tagged exchange + a one-row merge.
+    Out: (n_exact, n_found, recall[6dp])."""
+    from .shuffle import group_blocks
+
+    mh = q_minhash_dedup(sf_dir)
+    ex = q_ngram_jaccard(sf_dir)
+
+    def mh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d1": df["d1"].astype("int64"),
+                             "d2": df["d2"].astype("int64"),
+                             "is_mh": np.ones(len(df), dtype=np.int64)})
+
+    def ex_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["jaccard"] >= 0.8]
+        return pd.DataFrame({"d1": df["d1"].astype("int64"),
+                             "d2": df["d2"].astype("int64"),
+                             "is_mh": np.zeros(len(df), dtype=np.int64)})
+
+    tagged = mh.map_batches(mh_rows, batch_format="pandas").union(
+        ex.map_batches(ex_rows, batch_format="pandas"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_exact": pd.Series(dtype="int64"),
+                                 "n_found": pd.Series(dtype="int64")})
+        e = df[df["is_mh"] == 0][["d1", "d2"]].drop_duplicates()
+        m = df[df["is_mh"] == 1][["d1", "d2"]].drop_duplicates()
+        hit = e.merge(m, on=["d1", "d2"])
+        return pd.DataFrame({"n_exact": [np.int64(len(e))],
+                             "n_found": [np.int64(len(hit))]})
+
+    parts = group_blocks(tagged, ["d1", "d2"], partial,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_exact": "int64", "n_found": "int64",
+                "recall": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        ne = int(df["n_exact"].sum())
+        nf = int(df["n_found"].sum())
+        rec = 1.0 if ne == 0 else float(nf) / float(ne)
+        return pd.DataFrame({
+            "n_exact": pd.array([ne], dtype="int64"),
+            "n_found": pd.array([nf], dtype="int64"),
+            "recall": [float(np.floor(rec * 1e6 + 0.5) / 1e6)]})
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
