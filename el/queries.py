@@ -5130,6 +5130,20 @@ def oracle_sql() -> dict[str, str]:
                {_roundsql("CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0 ELSE CAST((SELECT count(*) FROM ex JOIN mh USING (d1, d2)) AS DOUBLE) / (SELECT count(*) FROM ex) END", 6)}
                    AS recall
     """
+    sqls["kmv_error"] = f"""
+        WITH ex AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM events GROUP BY event_type
+        ),
+        es AS (SELECT event_type, est_distinct
+               FROM ({sqls['kmv_distinct']}))
+        SELECT ex.event_type, ex.exact_distinct, es.est_distinct,
+               {_roundsql('(es.est_distinct - ex.exact_distinct) / CAST(ex.exact_distinct AS DOUBLE)', 6)}
+                   AS rel_err
+        FROM ex JOIN es USING (event_type)
+    """
     if ivf_cent is None:
         sqls.pop("ann_ivf")
         sqls.pop("semantic_dedup")
@@ -5250,6 +5264,7 @@ def queries():
         "comention_components": q_comention_components,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "minhash_recall": q_minhash_recall,
+        "kmv_error": q_kmv_error,
     }
 
 
@@ -6134,3 +6149,76 @@ def q_minhash_recall(sf_dir: str):
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def q_kmv_error(sf_dir: str):
+    """KMV sketch accuracy eval: estimated vs EXACT distinct users per
+    event_type, with signed relative error — the sketch-quality
+    companion to kmv_distinct (both sides already oracled; the exact
+    side is one (event_type, user_id) dedup exchange + count). Out:
+    (event_type, exact_distinct, est_distinct, rel_err[6dp])."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    est = q_kmv_distinct(sf_dir)
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates() \
+            .reset_index(drop=True)
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = dedup(df)
+        out = d.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "exact_distinct"})
+        out["exact_distinct"] = out["exact_distinct"].astype("int64")
+        return out
+
+    exact = group_blocks(ev.map_batches(dedup, batch_format="pandas"),
+                         ["event_type", "user_id"], exact_counts,
+                         batch_format="pandas")
+
+    # exact partials may split one event_type across blocks of the
+    # (type, user) exchange — re-sum on the type key alongside the
+    # estimate rows in ONE tagged exchange
+    def ex_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "v": df["exact_distinct"].astype("float64"),
+            "is_exact": np.ones(len(df), dtype=np.int64)})
+
+    def est_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "v": df["est_distinct"].astype("float64"),
+            "is_exact": np.zeros(len(df), dtype=np.int64)})
+
+    tagged = exact.map_batches(ex_rows, batch_format="pandas").union(
+        est.map_batches(est_rows, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "exact_distinct": "int64",
+                "est_distinct": "float64", "rel_err": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        ex = df[df["is_exact"] == 1].groupby("event_type",
+                                             as_index=False)["v"].sum()
+        es = df[df["is_exact"] == 0][["event_type", "v"]]
+        j = ex.rename(columns={"v": "x"}).merge(
+            es.rename(columns={"v": "e"}), on="event_type")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rel = (j["e"].to_numpy() - j["x"].to_numpy()) / j["x"].to_numpy()
+        return pd.DataFrame({
+            "event_type": j["event_type"],
+            "exact_distinct": j["x"].astype("int64"),
+            "est_distinct": j["e"],
+            "rel_err": np.floor(rel * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(tagged, ["event_type"], final,
+                        batch_format="pandas")
