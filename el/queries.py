@@ -3078,6 +3078,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "el_fs_em": _fs_em_sql(gm, gp, norm, iters=3),
         "el_em_scores": _fs_em_sql(gm, gp, norm, iters=3, emit="scores"),
+        "el_block_purge": f"""
+            WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            k AS (
+                SELECT mention_id, 'n:' || norm AS bk
+                FROM m WHERE norm != ''
+                UNION ALL
+                SELECT mention_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6) AS bk
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+            )
+            SELECT bk AS block_key,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                       AS pair_count,
+                   count(*) > 24 AS purged
+            FROM k GROUP BY bk
+        """,
         "el_block_skew": f"""
             WITH m AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             k AS (
@@ -5265,6 +5282,7 @@ def queries():
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "minhash_recall": q_minhash_recall,
         "kmv_error": q_kmv_error,
+        "el_block_purge": q_el_block_purge,
     }
 
 
@@ -6222,3 +6240,49 @@ def q_kmv_error(sf_dir: str):
 
     return group_blocks(tagged, ["event_type"], final,
                         batch_format="pandas")
+
+
+def q_el_block_purge(sf_dir: str):
+    """Block purging (Papadakis meta-blocking step 0): per blocking key
+    of the n:/p: scheme, keep or purge by a max-size bound (> 24
+    mentions = purged — oversized blocks contribute quadratics without
+    discriminative power). One key exchange of per-batch count
+    partials; out one row per key: (block_key, n_mentions, pair_count,
+    purged)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import _sql_block_keys
+    from .shuffle import group_blocks
+
+    max_block = 24
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+    keys = gm.map_batches(_sql_block_keys, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"block_key": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype="int64")})
+        out = df.groupby("block_key", as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"block_key": str, "n_mentions": "int64",
+                "pair_count": "int64", "purged": bool}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("block_key", as_index=False)["n"].sum()
+        n = g["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "block_key": g["block_key"],
+            "n_mentions": n,
+            "pair_count": n * (n - 1) // 2,
+            "purged": n > max_block})
+
+    return group_blocks(keys.map_batches(partial, batch_format="pandas"),
+                        ["block_key"], finish, batch_format="pandas")
