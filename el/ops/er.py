@@ -1,9 +1,18 @@
 """Classic entity-resolution blocking / evaluation operators.
 
-Four standard record-linkage primitives the reference implies but never
+The standard record-linkage toolbox the reference implies but never
 names (its blocking is the candidate-finder composition,
 RunKBPEntityLinkerSystem.scala:45-49; its pair filter is
-MentionPairTrainingData.scala:57-70; its eval is Benchmarker.scala):
+MentionPairTrainingData.scala:57-70; its eval is Benchmarker.scala).
+Blocking: sorted_neighborhood, metablocking_pairs, rare_token_keys
+(+ block purging/skew reports in el/queries.py). Pair similarity:
+token_pair_sims (Jaccard/Dice/overlap/Monge-Elkan), edit_pair_sims
+(Levenshtein), tfidf_pair_sims, soft_tfidf_pair_sims. Decision models:
+fellegi_sunter (supervised m/u weights), fs_em (unsupervised EM),
+fs_em_scores (per-pair match probabilities). Matching/merging:
+mutual_best (one-to-one), incremental_assign (base/delta CDC),
+golden_record (survivorship). Evaluation: blocking_quality,
+cluster_ari. The original four, in detail:
 
 - sorted_neighborhood: Hernandez-Stolfo sorted-neighborhood blocking —
   sort mentions by a key, emit candidate pairs within a sliding window.
