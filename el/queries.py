@@ -5942,8 +5942,12 @@ def q_el_dedupe_e2e(sf_dir: str):
     -> survivorship (longest surface, tie min mention_id) per entity.
     Exchanges: key pair-gen, pair dedup, component propagation, one
     mention attach, one entity finalize — every stage block-local and
-    vectorized. Out: (mention_id, entity_id, canonical_surface) for
-    every non-empty-norm mention."""
+    vectorized. Pair generation here is the SQL-replayable exact form
+    (_block_pairs_frame fails loudly past its 10k-per-key cap);
+    the production linkage path routes the same step through
+    el/blocking.py's salted/capped generator instead, trading SQL
+    replayability for graceful hot-key handling. Out: (mention_id,
+    entity_id, canonical_surface) for every non-empty-norm mention."""
     fd = ensure_fixture(sf_dir)
     import ray
     import ray.data
