@@ -1351,3 +1351,132 @@ def soft_tfidf_pair_sims(pairs_ds, mentions_ds, surf_ref):
     return pairs_ds.map_batches(
         _SoftTfidf, fn_constructor_args=(surf_ref, df_ref, n_mentions),
         batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+
+# --------------------------------------------------- V-measure metrics
+def cluster_vmeasure(mentions_ds, *, num_partitions: int | None = None):
+    """Homogeneity / completeness / V-measure of the exact-alias
+    clustering vs gold labels (Rosenberg-Hirschberg 2007) — the
+    entropy-based companion to :func:`cluster_ari`. Each entropy term
+    n * ln(n / N) is quantized PER CELL to the integer 1e-9 grid
+    (q = floor(n * ln(n/N) * 1e9 + 0.5)), so the cross-cell sums are
+    exact int64 and carry no float-sum order sensitivity; the only
+    remaining engine/oracle float contract is ln() itself on identical
+    double ratios (the pmi precedent). Three combiner exchanges emit
+    one quantized partial row per co-located block; a one-row merge
+    derives the metrics. Out: (n_mentions, homogeneity, completeness,
+    v_measure), 6dp."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "norm": _norm_series(df["surface"].astype(str)),
+            "gold": df["gold_kb_id"].astype(str)})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    base = mentions_ds.map_batches(prep, batch_format="pandas") \
+        .materialize()
+    n_total = base.count()
+
+    def q_terms(counts: np.ndarray, denoms: np.ndarray) -> int:
+        t = counts.astype(np.float64) * np.log(
+            counts.astype(np.float64) / denoms.astype(np.float64))
+        return int(np.floor(t * 1e9 + 0.5).astype(np.int64).sum())
+
+    def count_partial(cols):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({**{c: pd.Series(dtype=str)
+                                        for c in cols},
+                                     "c": pd.Series(dtype="int64")})
+            out = df.groupby(cols, as_index=False).size().rename(
+                columns={"size": "c"})
+            out["c"] = out["c"].astype("int64")
+            return out
+        return partial
+
+    # marginal entropies: H(C) over norms, H(K) over golds — each one
+    # exchange; cells quantized against N
+    def marg_q(col):
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"q": pd.Series(dtype="int64")})
+            s = df.groupby(col)["c"].sum().to_numpy(np.int64)
+            return pd.DataFrame({"q": [q_terms(
+                s, np.full(len(s), n_total, dtype=np.int64))]})
+        return total
+
+    from ..shuffle import group_blocks
+
+    hc = group_blocks(base.map_batches(count_partial(["norm"]),
+                                       batch_format="pandas"),
+                      ["norm"], marg_q("norm"), batch_format="pandas",
+                      num_partitions=num_partitions)
+    hk = group_blocks(base.map_batches(count_partial(["gold"]),
+                                       batch_format="pandas"),
+                      ["gold"], marg_q("gold"), batch_format="pandas",
+                      num_partitions=num_partitions)
+
+    # conditional entropies need the joint cells with BOTH marginals:
+    # co-locate the contingency on norm for H(C|K)-side terms? No —
+    # n_ij ln(n_ij / n_.j) needs gold marginals per cell and
+    # n_ij ln(n_ij / n_i.) needs norm marginals; do two exchanges,
+    # each keyed by the marginal's key so the denominator is exact
+    # in-block
+    def cond_q(key):
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"q": pd.Series(dtype="int64")})
+            g = df.groupby(["norm", "gold"], as_index=False)["c"].sum()
+            marg = g.groupby(key)["c"].transform("sum") \
+                .to_numpy(np.int64)
+            return pd.DataFrame({"q": [q_terms(
+                g["c"].to_numpy(np.int64), marg)]})
+        return total
+
+    joint = base.map_batches(count_partial(["norm", "gold"]),
+                             batch_format="pandas")
+    hck = group_blocks(joint, ["gold"], cond_q("gold"),
+                       batch_format="pandas",
+                       num_partitions=num_partitions)
+    hkc = group_blocks(joint, ["norm"], cond_q("norm"),
+                       batch_format="pandas",
+                       num_partitions=num_partitions)
+
+    def tag(kind):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["kind"] = kind
+            return df
+        return f
+
+    tagged = (hc.map_batches(tag("hc"), batch_format="pandas")
+              .union(hk.map_batches(tag("hk"), batch_format="pandas"))
+              .union(hck.map_batches(tag("hck"), batch_format="pandas"))
+              .union(hkc.map_batches(tag("hkc"), batch_format="pandas")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_mentions": "int64", "homogeneity": "float64",
+                "completeness": "float64", "v_measure": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("kind")["q"].sum()
+        qs = {k: int(g.get(k, 0)) for k in ("hc", "hk", "hck", "hkc")}
+        n = float(n_total)
+        # entropies (nats): H = -(sum q)/1e9/N
+        h_c = -(qs["hc"] / 1e9) / n
+        h_k = -(qs["hk"] / 1e9) / n
+        h_ck = -(qs["hck"] / 1e9) / n
+        h_kc = -(qs["hkc"] / 1e9) / n
+        hom = 1.0 if h_c == 0.0 else 1.0 - h_ck / h_c
+        com = 1.0 if h_k == 0.0 else 1.0 - h_kc / h_k
+        v = 0.0 if hom + com == 0.0 else 2.0 * hom * com / (hom + com)
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        return pd.DataFrame({
+            "n_mentions": pd.array([n_total], dtype="int64"),
+            "homogeneity": [r6(hom)],
+            "completeness": [r6(com)],
+            "v_measure": [r6(v)]})
+
+    return tagged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)

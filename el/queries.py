@@ -4760,6 +4760,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN score sc ON sc.m1_id = p.m1_id
                               AND sc.m2_id = p.m2_id
         """,
+        "el_cluster_vmeasure": f"""
+            WITH f AS (
+                SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
+                WHERE {norm} != ''
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+            ng AS (
+                SELECT norm, gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm, gold
+            ),
+            na AS (
+                SELECT norm, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm
+            ),
+            nb AS (
+                SELECT gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY gold
+            ),
+            qhc AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(na.c AS DOUBLE)
+                    * ln(CAST(na.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM na, nt
+            ),
+            qhk AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(nb.c AS DOUBLE)
+                    * ln(CAST(nb.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM nb, nt
+            ),
+            qhck AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(ng.c AS DOUBLE)
+                    * ln(CAST(ng.c AS DOUBLE) / CAST(nb.c AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM ng JOIN nb USING (gold)
+            ),
+            qhkc AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(ng.c AS DOUBLE)
+                    * ln(CAST(ng.c AS DOUBLE) / CAST(na.c AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM ng JOIN na USING (norm)
+            ),
+            h AS (
+                SELECT nt.n,
+                       -(qhc.q / 1e9) / nt.n AS h_c,
+                       -(qhk.q / 1e9) / nt.n AS h_k,
+                       -(qhck.q / 1e9) / nt.n AS h_ck,
+                       -(qhkc.q / 1e9) / nt.n AS h_kc
+                FROM nt, qhc, qhk, qhck, qhkc
+            ),
+            hv AS (
+                SELECT n,
+                       CASE WHEN h_c = 0.0 THEN 1.0
+                            ELSE 1.0 - h_ck / h_c END AS hom,
+                       CASE WHEN h_k = 0.0 THEN 1.0
+                            ELSE 1.0 - h_kc / h_k END AS com
+                FROM h
+            )
+            SELECT n AS n_mentions,
+                   {_roundsql('hom', 6)} AS homogeneity,
+                   {_roundsql('com', 6)} AS completeness,
+                   {_roundsql('CASE WHEN hom + com = 0.0 THEN 0.0 ELSE 2.0 * hom * com / (hom + com) END', 6)}
+                       AS v_measure
+            FROM hv
+        """,
         "el_cluster_ari": f"""
             WITH f AS (
                 SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
@@ -5283,6 +5352,7 @@ def queries():
         "minhash_recall": q_minhash_recall,
         "kmv_error": q_kmv_error,
         "el_block_purge": q_el_block_purge,
+        "el_cluster_vmeasure": q_el_cluster_vmeasure,
     }
 
 
@@ -6290,3 +6360,18 @@ def q_el_block_purge(sf_dir: str):
 
     return group_blocks(keys.map_batches(partial, batch_format="pandas"),
                         ["block_key"], finish, batch_format="pandas")
+
+
+def q_el_cluster_vmeasure(sf_dir: str):
+    """Homogeneity / completeness / V-measure of exact-alias clustering
+    vs gold — per-cell integer-grid entropy terms so the sums are
+    order-free (el/ops/er.py::cluster_vmeasure); one row out."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import cluster_vmeasure
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return cluster_vmeasure(gm)

@@ -639,3 +639,38 @@ def test_dedupe_e2e_invariants(ray_session):
             ["slen", "mention_id"], ascending=[False, True])
         assert (grp["canonical_surface"]
                 == grp["surface"].iloc[0]).all()
+
+
+def test_cluster_vmeasure_bounds_and_perfect(ray_session):
+    import ray.data
+
+    from el.ops.er import cluster_vmeasure
+
+    perfect = pd.DataFrame({
+        "mention_id": [f"m{i}" for i in range(12)],
+        "surface": [f"name{i % 3}" for i in range(12)],
+        "gold_kb_id": [f"E{i % 3}" for i in range(12)],
+    })
+    out = cluster_vmeasure(ray.data.from_pandas(perfect)).to_pandas()
+    r = out.iloc[0]
+    assert (r["homogeneity"], r["completeness"], r["v_measure"]) \
+        == (1.0, 1.0, 1.0)
+
+    df = _mentions(80)
+    out2 = cluster_vmeasure(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+    r2 = out2.iloc[0]
+    for c in ("homogeneity", "completeness", "v_measure"):
+        assert 0.0 <= r2[c] <= 1.0
+    # sklearn-reference cross-check
+    try:
+        from sklearn.metrics import homogeneity_completeness_v_measure
+    except ImportError:
+        return
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    h, c, v = homogeneity_completeness_v_measure(
+        ref["gold_kb_id"], ref["norm"])
+    assert abs(r2["homogeneity"] - h) < 1e-4
+    assert abs(r2["completeness"] - c) < 1e-4
+    assert abs(r2["v_measure"] - v) < 1e-4
