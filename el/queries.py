@@ -3736,6 +3736,33 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(ptext, '<[^>]+>')) AS n_tags
             FROM p
         """,
+        "source_quality": f"""
+            WITH d AS (
+                SELECT source, {toks} AS tk FROM documents
+            ),
+            p AS (
+                SELECT source,
+                       CAST(len(tk) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(tk, x -> x IN (
+                           {', '.join(repr(m) for m in sorted(LANG_MARKERS['en']))}
+                       ))) AS BIGINT) AS n_stop,
+                       CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq
+                FROM d
+            ),
+            g AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_stop) AS BIGINT) AS n_stop,
+                       CAST(sum(n_uniq) AS BIGINT) AS n_uniq
+                FROM p GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   {_roundsql('CAST(n_stop AS DOUBLE) / CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END', 6)}
+                       AS stop_ratio,
+                   {_roundsql('CAST(n_uniq AS DOUBLE) / CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END', 6)}
+                       AS uniq_ratio
+            FROM g
+        """,
         "cms_heavy_hitters": f"""
             WITH tok AS (
                 SELECT unnest({toks}) AS t FROM documents
@@ -5353,6 +5380,7 @@ def queries():
         "kmv_error": q_kmv_error,
         "el_block_purge": q_el_block_purge,
         "el_cluster_vmeasure": q_el_cluster_vmeasure,
+        "source_quality": q_source_quality,
     }
 
 
@@ -6375,3 +6403,62 @@ def q_el_cluster_vmeasure(sf_dir: str):
         os.path.join(fd, "gold_mentions.parquet"),
         columns=["mention_id", "surface", "gold_kb_id"])
     return cluster_vmeasure(gm)
+
+
+def q_source_quality(sf_dir: str):
+    """Per-source corpus quality rollup: doc/token totals and
+    corpus-level stopword / unique-token ratios from EXACT integer
+    numerators (no mean-of-rounded-ratios float ordering) — the slice
+    report a curation pipeline keys filtering decisions on. One
+    combiner + one source exchange."""
+    import ray.data
+
+    from .ops.textstats import LANG_MARKERS, TOKEN_RE
+    from .shuffle import group_blocks
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"])
+    stop = frozenset(LANG_MARKERS["en"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": str, "n_docs": "int64", "n_tokens": "int64",
+                "n_stop": "int64", "n_uniq": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        out = pd.DataFrame({
+            "source": df["source"].astype(str),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_tokens": toks.map(len).astype("int64"),
+            "n_stop": toks.map(
+                lambda ws: sum(1 for w in ws if w in stop))
+            .astype("int64"),
+            "n_uniq": toks.map(lambda ws: len(set(ws))).astype("int64"),
+        })
+        return out.groupby("source", as_index=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": str, "n_docs": "int64", "n_tokens": "int64",
+                "stop_ratio": "float64", "uniq_ratio": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("source", as_index=False)[
+            ["n_docs", "n_tokens", "n_stop", "n_uniq"]].sum()
+        nt = g["n_tokens"].to_numpy(np.float64)
+        safe = np.where(nt > 0, nt, 1.0)
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "stop_ratio": np.floor(
+                g["n_stop"].to_numpy(np.float64) / safe * 1e6 + 0.5)
+            / 1e6,
+            "uniq_ratio": np.floor(
+                g["n_uniq"].to_numpy(np.float64) / safe * 1e6 + 0.5)
+            / 1e6})
+
+    return group_blocks(docs.map_batches(partial, batch_format="pandas"),
+                        ["source"], merge, batch_format="pandas")
