@@ -5231,6 +5231,22 @@ def oracle_sql() -> dict[str, str]:
                ON ap.q_id = bf.q_id AND ap.vec_id = bf.vec_id
         GROUP BY bf.q_id
     """
+    sqls["lang_confusion"] = f"""
+        SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
+        FROM documents d
+        JOIN ({sqls['lang_id']}) g USING (doc_id)
+        GROUP BY d.lang, g.lang_guess
+    """
+    sqls["events_histogram"] = """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(value / 25) AS BIGINT) AS bin
+            FROM events
+        )
+        SELECT event_type, bin, CAST(bin * 25 AS BIGINT) AS lo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY event_type, bin
+    """
     sqls["minhash_recall"] = f"""
         WITH ex AS (
             SELECT d1, d2 FROM ({sqls['ngram_jaccard']})
@@ -5381,6 +5397,8 @@ def queries():
         "el_block_purge": q_el_block_purge,
         "el_cluster_vmeasure": q_el_cluster_vmeasure,
         "source_quality": q_source_quality,
+        "lang_confusion": q_lang_confusion,
+        "events_histogram": q_events_histogram,
     }
 
 
@@ -6462,3 +6480,93 @@ def q_source_quality(sf_dir: str):
 
     return group_blocks(docs.map_batches(partial, batch_format="pandas"),
                         ["source"], merge, batch_format="pandas")
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the table's labeled ``lang``
+    column vs the marker-vote ``lang_guess`` — the eval companion of
+    lang_id (which is already oracled; this composes it with the
+    labels). Per-batch partial counts, one (lang, guess) exchange.
+    Out: (lang, lang_guess, n)."""
+    import ray.data
+
+    from .ops.textstats import lang_id_batch
+    from .shuffle import group_blocks
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"lang": str, "lang_guess": str, "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = lang_id_batch(df)
+        out = pd.DataFrame({"lang": df["lang"].astype(str).to_numpy(),
+                            "lang_guess": g["lang_guess"].to_numpy()})
+        out = out.groupby(["lang", "lang_guess"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"lang": str, "lang_guess": str, "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["lang", "lang_guess"], as_index=False)["n"] \
+            .sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return group_blocks(docs.map_batches(partial, batch_format="pandas"),
+                        ["lang", "lang_guess"], merge,
+                        batch_format="pandas")
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-bin histogram of event value per event_type (bin width
+    25, floor bin index — exact integer binning, no float edges):
+    the profiling primitive behind data-drift checks. One combiner +
+    one (event_type, bin) exchange. Out: (event_type, bin, lo, n)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    width = 25
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "bin": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        b = np.floor(df["value"].to_numpy(np.float64)
+                     / width).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].astype(str)
+                            .to_numpy(), "bin": b})
+        out = out.groupby(["event_type", "bin"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "bin": "int64", "lo": "int64",
+                "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["event_type", "bin"], as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "bin": g["bin"].astype("int64"),
+            "lo": (g["bin"] * width).astype("int64"),
+            "n": g["n"].astype("int64")})
+
+    return group_blocks(ev.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "bin"], merge,
+                        batch_format="pandas")
