@@ -4787,6 +4787,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN score sc ON sc.m1_id = p.m1_id
                               AND sc.m2_id = p.m2_id
         """,
+        "orders_rfm": """
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       / 100.0 AS total_price,
+                   min(o_orderdate) AS first_order,
+                   max(o_orderdate) AS last_order
+            FROM orders GROUP BY o_custkey
+        """,
+        "el_alias_ambiguity": f"""
+            WITH f AS (
+                SELECT {norm} AS alias_norm, gold_kb_id AS gold
+                FROM {gm} WHERE {norm} != ''
+            )
+            SELECT alias_norm,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT gold) AS BIGINT) AS n_entities,
+                   count(DISTINCT gold) > 1 AS is_ambiguous
+            FROM f GROUP BY alias_norm
+        """,
         "el_cluster_vmeasure": f"""
             WITH f AS (
                 SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
@@ -5399,6 +5419,8 @@ def queries():
         "source_quality": q_source_quality,
         "lang_confusion": q_lang_confusion,
         "events_histogram": q_events_histogram,
+        "orders_rfm": q_orders_rfm,
+        "el_alias_ambiguity": q_el_alias_ambiguity,
     }
 
 
@@ -6570,3 +6592,104 @@ def q_events_histogram(sf_dir: str):
     return group_blocks(ev.map_batches(partial, batch_format="pandas"),
                         ["event_type", "bin"], merge,
                         batch_format="pandas")
+
+
+def q_orders_rfm(sf_dir: str):
+    """Customer RFM-style rollup: order count, integer-cents monetary
+    total, first/last order timestamps per customer — one custkey
+    exchange of per-batch partials (min/max/sum/count all
+    combiner-safe). Out: (o_custkey, n_orders, total_price,
+    first_order, last_order)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_custkey": "int64", "n_orders": "int64",
+                "cents": "int64", "first_order": "datetime64[us]",
+                "last_order": "datetime64[us]"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        g = (df.assign(cents=cents)
+             .groupby("o_custkey", as_index=False)
+             .agg(n_orders=("cents", "size"), cents=("cents", "sum"),
+                  first_order=("o_orderdate", "min"),
+                  last_order=("o_orderdate", "max")))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["cents"] = g["cents"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_custkey": "int64", "n_orders": "int64",
+                "total_price": "float64",
+                "first_order": "datetime64[us]",
+                "last_order": "datetime64[us]"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = (df.groupby("o_custkey", as_index=False)
+             .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum"),
+                  first_order=("first_order", "min"),
+                  last_order=("last_order", "max")))
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "n_orders": g["n_orders"].astype("int64"),
+            "total_price": g["cents"].to_numpy(np.float64) / 100.0,
+            "first_order": g["first_order"],
+            "last_order": g["last_order"]})
+
+    return group_blocks(orders.map_batches(partial,
+                                           batch_format="pandas"),
+                        ["o_custkey"], merge, batch_format="pandas")
+
+
+def q_el_alias_ambiguity(sf_dir: str):
+    """Alias ambiguity profile: per normalized surface, mention count
+    and DISTINCT gold entity count — the corpus statistic behind the
+    curated-ambiguity assumption (aliases with > 1 entity need
+    context disambiguation). One alias exchange. Out: (alias_norm,
+    n_mentions, n_entities, is_ambiguous)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import _norm_series
+    from .shuffle import group_blocks
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["surface", "gold_kb_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "alias_norm": _norm_series(df["surface"].astype(str)),
+            "gold": df["gold_kb_id"].astype(str)})
+        out = out[out["alias_norm"] != ""]
+        g = out.groupby(["alias_norm", "gold"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"alias_norm": str, "n_mentions": "int64",
+                "n_entities": "int64", "is_ambiguous": bool}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        c = df.groupby(["alias_norm", "gold"], as_index=False)["n"].sum()
+        g = c.groupby("alias_norm", as_index=False).agg(
+            n_mentions=("n", "sum"), n_entities=("gold", "nunique"))
+        return pd.DataFrame({
+            "alias_norm": g["alias_norm"],
+            "n_mentions": g["n_mentions"].astype("int64"),
+            "n_entities": g["n_entities"].astype("int64"),
+            "is_ambiguous": (g["n_entities"] > 1).to_numpy()})
+
+    return group_blocks(gm.map_batches(prep, batch_format="pandas"),
+                        ["alias_norm"], merge, batch_format="pandas")
