@@ -5103,6 +5103,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
         """,
+        "tpch_q14": f"""
+            WITH j AS (
+                SELECT CAST(floor(l.l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev,
+                       p.p_type = 'PROMO' AS promo
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            ),
+            a AS (
+                SELECT CAST(COALESCE(sum(CASE WHEN promo THEN rev
+                                              ELSE 0 END), 0)
+                            AS BIGINT) AS pr,
+                       CAST(COALESCE(sum(rev), 0) AS BIGINT) AS tr
+                FROM j
+            )
+            SELECT {_roundsql('pr / 10000.0', 2)} AS promo_revenue,
+                   {_roundsql('tr / 10000.0', 2)} AS total_revenue,
+                   {_roundsql('CASE WHEN tr = 0 THEN 0.0 ELSE 100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE) END', 6)}
+                       AS promo_share
+            FROM a
+        """,
         "tpch_q5": f"""
             SELECT n.n_name,
                    {_roundsql(
@@ -5421,6 +5446,7 @@ def queries():
         "events_histogram": q_events_histogram,
         "orders_rfm": q_orders_rfm,
         "el_alias_ambiguity": q_el_alias_ambiguity,
+        "tpch_q14": q_tpch_q14,
     }
 
 
@@ -6693,3 +6719,90 @@ def q_el_alias_ambiguity(sf_dir: str):
 
     return group_blocks(gm.map_batches(prep, batch_format="pandas"),
                         ["alias_norm"], merge, batch_format="pandas")
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-flavored promotion effect: share of 1998 shipped
+    revenue carried by PROMO-type parts. Scale shape: lineitem
+    pre-aggregates integer-cents revenue per partkey per batch, then
+    meets the part rows in ONE tagged partkey hash exchange (no
+    broadcast of the corpus-scale part dimension — the q5/q3 custkey
+    discipline); per-block (promo, total) integer partials merge in a
+    one-row final. Out: (promo_revenue, total_revenue,
+    promo_share[6dp], all revenue 2dp)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1998-01-01"), pd.Timestamp("1999-01-01")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = (cents * (100 - disc)).astype("int64")
+        g = (df.assign(rev=rev)
+             .groupby("l_partkey", as_index=False)["rev"].sum())
+        n = len(g)
+        return pa.table({
+            "pkey": pa.array(g["l_partkey"].astype("int64")),
+            "rev": pa.array(g["rev"].astype("int64")),
+            "promo": pa.nulls(n, pa.int64()),
+            "is_part": pa.array([0] * n, pa.int64()),
+        })
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "pkey": pa.array(df["p_partkey"].astype("int64")),
+            "rev": pa.nulls(n, pa.int64()),
+            "promo": pa.array(
+                (df["p_type"] == "PROMO").astype("int64")),
+            "is_part": pa.array([1] * n, pa.int64()),
+        })
+
+    tagged = li.map_batches(li_side, batch_format="pandas").union(
+        part.map_batches(part_side, batch_format="pandas"))
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["is_part"] == 0]
+        p = df[df["is_part"] == 1]
+        j = l[["pkey", "rev"]].merge(p[["pkey", "promo"]], on="pkey")
+        if len(j) == 0:
+            return pd.DataFrame({"promo_rev": pd.Series(dtype="int64"),
+                                 "total_rev": pd.Series(dtype="int64")})
+        promo = int(j.loc[j["promo"] == 1, "rev"].sum())
+        return pd.DataFrame({"promo_rev": pd.array([promo],
+                                                   dtype="int64"),
+                             "total_rev": pd.array([int(j["rev"].sum())],
+                                                   dtype="int64")})
+
+    parts_df = group_blocks(tagged, ["pkey"], join_block,
+                            batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"promo_revenue": "float64", "total_revenue": "float64",
+                "promo_share": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        pr = int(df["promo_rev"].sum())
+        tr = int(df["total_rev"].sum())
+        share = 0.0 if tr == 0 else 100.0 * float(pr) / float(tr)
+        r = lambda x, k: float(np.floor(x * 10**k + 0.5) / 10**k)  # noqa: E731
+        return pd.DataFrame({
+            "promo_revenue": [r(pr / 10000.0, 2)],
+            "total_revenue": [r(tr / 10000.0, 2)],
+            "promo_share": [r(share, 6)]})
+
+    return parts_df.repartition(1).map_batches(final,
+                                               batch_format="pandas",
+                                               batch_size=None)
