@@ -5103,6 +5103,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
         """,
+        "orders_late_lineitem": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+                                     + INTERVAL 90 DAY
+            )
+            GROUP BY o.o_orderpriority
+        """,
         "tpch_q14": f"""
             WITH j AS (
                 SELECT CAST(floor(l.l_extendedprice * 100 + 0.5)
@@ -5447,6 +5459,7 @@ def queries():
         "orders_rfm": q_orders_rfm,
         "el_alias_ambiguity": q_el_alias_ambiguity,
         "tpch_q14": q_tpch_q14,
+        "orders_late_lineitem": q_orders_late_lineitem,
     }
 
 
@@ -6806,3 +6819,82 @@ def q_tpch_q14(sf_dir: str):
     return parts_df.repartition(1).map_batches(final,
                                                batch_format="pandas",
                                                batch_size=None)
+
+
+def q_orders_late_lineitem(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: orders per priority having at
+    least one lineitem shipped > 90 days after the order date — the
+    positive-existence twin of orders_no_recent_lineitem's anti-join.
+    lineitem pre-reduces per batch to per-orderkey max shipdate (the
+    only fact EXISTS needs), ONE tagged orderkey exchange, per-block
+    priority partials, tiny final merge. Out: (o_orderpriority,
+    n_orders)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lag = pd.Timedelta(days=90)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_orderkey", as_index=False)["l_shipdate"] \
+            .max()
+        n = len(g)
+        return pa.table({
+            "okey": pa.array(g["l_orderkey"].astype("int64")),
+            "maxship": pa.array(g["l_shipdate"]),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "prio": pa.nulls(n, pa.string()),
+            "is_order": pa.array([0] * n, pa.int64()),
+        })
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "maxship": pa.nulls(n, pa.timestamp("us")),
+            "odate": pa.array(df["o_orderdate"]),
+            "prio": pa.array(df["o_orderpriority"].astype(str),
+                             pa.string()),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
+
+    tagged = li.map_batches(li_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def exists_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prio": str, "n": "int64"}
+        o = df[df["is_order"] == 1]
+        l = (df[df["is_order"] == 0]
+             .groupby("okey", as_index=False)["maxship"].max())
+        j = o[["okey", "odate", "prio"]].merge(l, on="okey")
+        late = j[j["maxship"] > j["odate"] + lag]
+        if len(late) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = late.groupby("prio", as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = group_blocks(tagged, ["okey"], exists_block,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderpriority": str, "n_orders": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("prio", as_index=False)["n"].sum()
+        return pd.DataFrame({"o_orderpriority": g["prio"],
+                             "n_orders": g["n"].astype("int64")})
+
+    return parts.repartition(1).map_batches(final,
+                                            batch_format="pandas",
+                                            batch_size=None)
