@@ -1468,8 +1468,11 @@ def cluster_vmeasure(mentions_ds, *, num_partitions: int | None = None):
         h_k = -(qs["hk"] / 1e9) / n
         h_ck = -(qs["hck"] / 1e9) / n
         h_kc = -(qs["hkc"] / 1e9) / n
-        hom = 1.0 if h_c == 0.0 else 1.0 - h_ck / h_c
-        com = 1.0 if h_k == 0.0 else 1.0 - h_kc / h_k
+        # Rosenberg-Hirschberg (sklearn convention): classes = gold,
+        # clusters = norm. homogeneity = 1 - H(gold|norm)/H(gold);
+        # completeness = 1 - H(norm|gold)/H(norm).
+        hom = 1.0 if h_k == 0.0 else 1.0 - h_kc / h_k
+        com = 1.0 if h_c == 0.0 else 1.0 - h_ck / h_c
         v = 0.0 if hom + com == 0.0 else 2.0 * hom * com / (hom + com)
         r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
         return pd.DataFrame({

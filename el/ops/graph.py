@@ -177,9 +177,10 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
     pmi_pairs precedent; swap for a tagged degree-attach exchange when
     the vocabulary outgrows the object store); (2) per-batch orient via
     index_in rank lookups; (3) one src exchange emits each
-    out-neighborhood's rank-ordered pairs as wedge rows (capped at
-    ``max_wedge_degree`` out-neighbors per src with a logged drop — the
-    orientation makes the cap unreachable for real degree
+    out-neighborhood's rank-ordered pairs as wedge rows (a src with
+    more than ``max_wedge_degree`` oriented out-neighbors raises
+    loudly rather than silently dropping triangles the oracle would
+    count — the orientation makes the cap unreachable for real degree
     distributions); (4) wedges and oriented edges (tagged) meet in one
     (a, b) exchange — a wedge row whose (a, b) key also carries an edge
     row closes a triangle; (5) per-batch partial counts per corner then
@@ -252,8 +253,6 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
         concurrency=2, num_cpus=0.5).materialize()
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        import logging
-
         empty = pd.DataFrame({"a": pd.Series(dtype=str),
                               "b": pd.Series(dtype=str),
                               "apex": pd.Series(dtype=str)})
@@ -269,12 +268,16 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
         for s, e in zip(starts[:-1], starts[1:]):
             k = e - s
             if k > max_wedge_degree:
-                logging.getLogger(__name__).warning(
-                    "triangle_counts: src %s has %d oriented "
-                    "out-neighbors; capped at %d", src[s], k,
-                    max_wedge_degree)
-                e = s + max_wedge_degree
-                k = max_wedge_degree
+                # fail loudly (the _block_pairs_frame idiom) rather
+                # than silently dropping triangles the SQL oracle
+                # would count — degree-ordered orientation bounds
+                # out-degree at O(sqrt(m)), so hitting this means the
+                # graph needs a bigger cap, not a truncated answer
+                raise ValueError(
+                    f"triangle_counts: src {src[s]!r} has {k} oriented "
+                    f"out-neighbors > max_wedge_degree="
+                    f"{max_wedge_degree}; raise max_wedge_degree "
+                    "(wedge volume grows quadratically in it)")
             if k < 2:
                 continue
             iu, ju = np.triu_indices(k, 1)

@@ -2886,6 +2886,8 @@ def _minhash_cte_chain() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .ops.er import SOFT_TFIDF_THETA
+
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
     gp = f"read_parquet('{FIXTURE_SQL_DIR}/gold_pairs.parquet')"
@@ -4778,7 +4780,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM best b
                 JOIN nrm n1 ON n1.mention_id = b.m1_id
                 JOIN nrm n2 ON n2.mention_id = b.m2_id
-                WHERE b.rnk = 1 AND b.j >= 0.9
+                WHERE b.rnk = 1 AND b.j >= {SOFT_TFIDF_THETA}
                 GROUP BY b.m1_id, b.m2_id
             )
             SELECT p.m1_id, p.m2_id,
@@ -4862,11 +4864,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM nt, qhc, qhk, qhck, qhkc
             ),
             hv AS (
+                -- sklearn convention: classes = gold, clusters = norm;
+                -- hom = 1 - H(gold|norm)/H(gold), com = 1 - H(norm|gold)/H(norm)
                 SELECT n,
-                       CASE WHEN h_c = 0.0 THEN 1.0
-                            ELSE 1.0 - h_ck / h_c END AS hom,
                        CASE WHEN h_k = 0.0 THEN 1.0
-                            ELSE 1.0 - h_kc / h_k END AS com
+                            ELSE 1.0 - h_kc / h_k END AS hom,
+                       CASE WHEN h_c = 0.0 THEN 1.0
+                            ELSE 1.0 - h_ck / h_c END AS com
                 FROM h
             )
             SELECT n AS n_mentions,
@@ -6761,7 +6765,12 @@ def q_tpch_q14(sf_dir: str):
         df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
         cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
         disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
-        rev = (cents * (100 - disc)).astype("int64")
+        rev_f = cents * (100 - disc)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q14: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        rev = rev_f.astype("int64")
         g = (df.assign(rev=rev)
              .groupby("l_partkey", as_index=False)["rev"].sum())
         n = len(g)

@@ -662,15 +662,44 @@ def test_cluster_vmeasure_bounds_and_perfect(ray_session):
     r2 = out2.iloc[0]
     for c in ("homogeneity", "completeness", "v_measure"):
         assert 0.0 <= r2[c] <= 1.0
-    # sklearn-reference cross-check
+    # Rosenberg-Hirschberg reference computed inline from the
+    # contingency table (always runs — unlike the old optional sklearn
+    # import, which silently no-op'd in envs without sklearn and let a
+    # homogeneity/completeness swap go unnoticed). Convention: classes
+    # = gold_kb_id (true), clusters = norm (predicted).
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    n = len(ref)
+
+    def _entropy(labels):
+        c = labels.value_counts().to_numpy(float)
+        p = c / n
+        return float(-(p * np.log(p)).sum())
+
+    def _cond_entropy(of, given):
+        # H(of | given) = -sum_ij n_ij/N ln(n_ij / n_given_j)
+        ct = ref.groupby([given, of]).size().rename("nij").reset_index()
+        marg = ct.groupby(given)["nij"].transform("sum").to_numpy(float)
+        nij = ct["nij"].to_numpy(float)
+        return float(-((nij / n) * np.log(nij / marg)).sum())
+
+    h_gold = _entropy(ref["gold_kb_id"])
+    h_norm = _entropy(ref["norm"])
+    h = 1.0 if h_gold == 0 else 1.0 - _cond_entropy(
+        "gold_kb_id", "norm") / h_gold
+    c = 1.0 if h_norm == 0 else 1.0 - _cond_entropy(
+        "norm", "gold_kb_id") / h_norm
+    v = 0.0 if h + c == 0 else 2.0 * h * c / (h + c)
+    assert abs(r2["homogeneity"] - h) < 1e-4
+    assert abs(r2["completeness"] - c) < 1e-4
+    assert abs(r2["v_measure"] - v) < 1e-4
+    # optional sklearn confirmation when available
     try:
         from sklearn.metrics import homogeneity_completeness_v_measure
     except ImportError:
         return
-    ref = df.assign(norm=_norm_series(df["surface"]))
-    ref = ref[ref["norm"] != ""]
-    h, c, v = homogeneity_completeness_v_measure(
+    sh, sc, sv = homogeneity_completeness_v_measure(
         ref["gold_kb_id"], ref["norm"])
-    assert abs(r2["homogeneity"] - h) < 1e-4
-    assert abs(r2["completeness"] - c) < 1e-4
-    assert abs(r2["v_measure"] - v) < 1e-4
+    assert abs(r2["homogeneity"] - sh) < 1e-4
+    assert abs(r2["completeness"] - sc) < 1e-4
+    assert abs(r2["v_measure"] - sv) < 1e-4

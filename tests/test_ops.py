@@ -832,6 +832,29 @@ def test_triangle_counts_partition_invariance_and_star(ray_session):
     assert got == cnt
 
 
+def test_triangle_counts_wedge_cap_raises_loudly(ray_session):
+    """Exceeding max_wedge_degree must raise, not silently drop
+    triangles the SQL oracle would count."""
+    import ray.data
+
+    from el.ops.graph import triangle_counts
+
+    # K5: with degree ties broken by node id, the lowest-rank node has
+    # 4 oriented out-neighbors > cap 3
+    import itertools
+    pairs = list(itertools.combinations([f"n{i}" for i in range(5)], 2))
+    edges = pd.DataFrame(pairs, columns=["s1", "s2"])
+    with pytest.raises(Exception, match="max_wedge_degree"):
+        triangle_counts(ray.data.from_pandas(edges),
+                        max_wedge_degree=3).to_pandas()
+    # and below the cap the same graph counts fine: K5 has C(4,2)=6
+    # triangles per node
+    out = triangle_counts(ray.data.from_pandas(edges),
+                          max_wedge_degree=4).to_pandas()
+    assert dict(zip(out["surface"], out["n_triangles"])) \
+        == {f"n{i}": 6 for i in range(5)}
+
+
 def test_clustering_coefficients_known_graph(ray_session):
     import ray.data
 
