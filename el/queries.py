@@ -6123,65 +6123,73 @@ def q_el_dedupe_e2e(sf_dir: str):
     -> survivorship (longest surface, tie min mention_id) per entity.
     Exchanges: key pair-gen, pair dedup, component propagation, one
     mention attach, one entity finalize — every stage block-local and
-    vectorized. Pair generation here is the SQL-replayable exact form
-    (_block_pairs_frame fails loudly past its 10k-per-key cap);
-    the production linkage path routes the same step through
-    el/blocking.py's salted/capped generator instead, trading SQL
-    replayability for graceful hot-key handling. Out: (mention_id,
-    entity_id, canonical_surface) for every non-empty-norm mention."""
+    vectorized. The normalized surface rides THROUGH the block-key and
+    pair exchanges as a carried column, so pairs arrive at the scorer
+    with both sides attached — no driver-side mention→surface dict, no
+    corpus-scale broadcast (VERDICT r04 finding 1) — and JW is scored
+    by the vectorized DuckDB kernel (the el/scorer.py idiom, bit-equal
+    to el.sim.jaro_winkler). Pair generation here is the
+    SQL-replayable exact form (_block_pairs_frame fails loudly past
+    its 10k-per-key cap); the production linkage path routes the same
+    step through el/blocking.py's salted/capped generator instead,
+    trading SQL replayability for graceful hot-key handling. Out:
+    (mention_id, entity_id, canonical_surface) for every
+    non-empty-norm mention."""
     fd = ensure_fixture(sf_dir)
-    import ray
     import ray.data
-    import pyarrow.parquet as pq
 
     from .cluster import label_propagation
     from .ops.er import _block_pairs_frame, _norm_series, _sql_block_keys
+    from .scorer import _duck
     from .shuffle import group_blocks
 
-    gm_t = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
-                         columns=["mention_id", "surface"])
-    surf = dict(zip(gm_t.column("mention_id").to_pylist(),
-                    gm_t.column("surface").to_pylist()))
-    ref = ray.put(surf)
     gm = ray.data.read_parquet(
         os.path.join(fd, "gold_mentions.parquet"),
         columns=["mention_id", "surface"])
 
-    keys = gm.map_batches(_sql_block_keys, batch_format="pandas")
-    pairs = group_blocks(keys, ["block_key"], _block_pairs_frame,
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(nrm=_norm_series(df["surface"].astype(str)))
+        return _sql_block_keys(df, extra=["nrm"])
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return _block_pairs_frame(df, carry=["nrm"])
+
+    keys = gm.map_batches(keyed, batch_format="pandas")
+    pairs = group_blocks(keys, ["block_key"], gen_pairs,
                          batch_format="pandas")
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["m1_id", "m2_id"]].drop_duplicates() \
+        return df.drop_duplicates(subset=["m1_id", "m2_id"]) \
             .reset_index(drop=True)
 
     pairs = group_blocks(pairs.map_batches(dedup, batch_format="pandas"),
                          ["m1_id", "m2_id"], dedup,
                          batch_format="pandas")
 
-    class _Edges:
-        def __init__(self, ref):
-            self.surf = ray.get(ref)
+    def edge_score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        con = _duck()
+        view = t.select(["nrm1", "nrm2"]).append_column(  # noqa: F841
+            "i", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        con.register("dedupe_pairs", view)
+        jw = con.execute(
+            "SELECT floor(jaro_winkler_similarity(nrm1, nrm2) * 1e5"
+            " + 0.5) / 1e5 AS j FROM dedupe_pairs ORDER BY i"
+        ).fetchnumpy()["j"]
+        con.unregister("dedupe_pairs")
+        keep = jw >= 0.92
+        if not keep.any():
+            return empty
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            "src": kept.column("m1_id").cast(pa.string()),
+            "dst": kept.column("m2_id").cast(pa.string()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m1 = t.column("m1_id").to_pylist()
-            m2 = t.column("m2_id").to_pylist()
-            jw = np.asarray([
-                np.floor(jaro_winkler(normalize_name(self.surf[a]),
-                                      normalize_name(self.surf[b]))
-                         * 1e5 + 0.5) / 1e5
-                for a, b in zip(m1, m2)])
-            keep = jw >= 0.92
-            return pa.table({
-                "src": pa.array([a for a, k in zip(m1, keep) if k],
-                                pa.string()),
-                "dst": pa.array([b for b, k in zip(m2, keep) if k],
-                                pa.string()),
-            })
-
-    edges = pairs.map_batches(_Edges, fn_constructor_args=(ref,),
-                              batch_format="pyarrow", concurrency=2,
-                              num_cpus=0.5)
+    edges = pairs.map_batches(edge_score, batch_format="pyarrow")
 
     def nodes(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({

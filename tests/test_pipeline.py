@@ -305,3 +305,20 @@ def test_linkage_path_has_no_driver_collect():
                 "checkpoint", "outputs"]:
         src = open(os.path.join(root, f"{mod}.py")).read()
         assert "take_all" not in src, f"take_all reappeared in el/{mod}.py"
+
+
+def test_dedupe_e2e_has_no_driver_collect():
+    """Regression guard for VERDICT r04 finding 1: q_el_dedupe_e2e must
+    not materialize the mention->surface map on the driver
+    (read_table(...).to_pylist() -> dict -> ray.put) nor score pairs
+    with a per-pair Python loop — the surface rides through the
+    exchanges and JW goes through the vectorized DuckDB kernel."""
+    import inspect
+
+    from el.queries import q_el_dedupe_e2e
+
+    src = inspect.getsource(q_el_dedupe_e2e)
+    for banned in ("to_pylist", "ray.put", "read_table", "take_all"):
+        assert banned not in src, \
+            f"driver-side collect pattern {banned!r} in q_el_dedupe_e2e"
+    assert "jaro_winkler_similarity" in src  # the vectorized kernel
