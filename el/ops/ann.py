@@ -19,7 +19,19 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+    """(n, d) float64 matrix from a pandas column of vectors. Routed
+    through ONE C-level Arrow list build + _matrix_from_arrow's flat
+    zero-copy reshape (no per-row Python in the common fixed-length
+    case, VERDICT r04 finding 2); per-row fallback only for input
+    Arrow cannot type (ragged object mixes)."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        return _matrix_from_arrow(col)
+    try:
+        values = col.to_numpy() if hasattr(col, "to_numpy") else col
+        return _matrix_from_arrow(
+            pa.array(list(values), type=pa.list_(pa.float64())))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+        return np.array([np.asarray(v, dtype=np.float64) for v in col])
 
 
 def _matrix_from_arrow(col) -> np.ndarray:
@@ -493,15 +505,12 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.999, nbits: int = 10,
         Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-30, None)
         sims = Xn @ Xn.T
         ids = g["vec_id"].to_numpy()
-        rows = []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]),
-                                 float(sims[i, j]), dropped))
-        return pd.DataFrame(rows, columns=["d1", "d2", "sim",
-                                           "dropped_pairs"])
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "d1": ids[iu].astype("int64"),
+            "d2": ids[ju].astype("int64"),
+            "sim": sims[iu, ju].astype("float64"),
+            "dropped_pairs": np.full(len(iu), dropped, dtype="int64")})
 
     from ..shuffle import group_map_pandas
 
