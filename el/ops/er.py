@@ -917,36 +917,50 @@ def _levenshtein(a: str, b: str) -> int:
 
 class _EditSims:
     """Actor-pool scorer: Levenshtein distance + normalized similarity
-    (1 - lev / max(len)) on normalized surfaces per labeled pair;
-    distances memoized per distinct normalized pair per worker."""
+    (1 - lev / max(len)) on normalized surfaces per labeled pair —
+    ONE vectorized DuckDB ``levenshtein()`` pass per batch (the
+    el/scorer.py JW-kernel idiom; bit-equal to the _levenshtein DP,
+    which stays as the property-test reference)."""
 
     def __init__(self, surf_ref):
         import ray
 
-        from ..text import normalize_name
         self.surf = ray.get(surf_ref)
-        self.norm = normalize_name
-        self.memo: dict[tuple[str, str], int] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..scorer import _duck
+
         m1 = t.column("m1_id").to_pylist()
         m2 = t.column("m2_id").to_pylist()
-        lev, sim = [], []
-        for a, b in zip(m1, m2):
-            na, nb = self.norm(self.surf[a]), self.norm(self.surf[b])
-            key = (na, nb) if na <= nb else (nb, na)
-            d = self.memo.get(key)
-            if d is None:
-                d = _levenshtein(*key)
-                self.memo[key] = d
-            lev.append(d)
-            mx = max(len(na), len(nb))
-            sim.append(1.0 - d / mx if mx else 1.0)
+        if not m1:
+            return pa.table({"m1_id": pa.array([], pa.string()),
+                             "m2_id": pa.array([], pa.string()),
+                             "lev": pa.array([], pa.int64()),
+                             "lev_sim": pa.array([], pa.float64())})
+        na = _norm_series(pd.Series([self.surf[a] for a in m1],
+                                    dtype=str))
+        nb = _norm_series(pd.Series([self.surf[b] for b in m2],
+                                    dtype=str))
+        con = _duck()
+        view = pa.table({  # noqa: F841
+            "a": pa.array(na, pa.string()),
+            "b": pa.array(nb, pa.string()),
+            "i": pa.array(np.arange(len(m1), dtype=np.int64))})
+        con.register("edit_pairs", view)
+        out = con.execute(
+            "SELECT CAST(levenshtein(a, b) AS BIGINT) AS lev,"
+            " CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0"
+            " ELSE 1.0 - CAST(levenshtein(a, b) AS DOUBLE)"
+            " / greatest(length(a), length(b)) END AS sim"
+            " FROM edit_pairs ORDER BY i").arrow()
+        con.unregister("edit_pairs")
         return pa.table({
             "m1_id": pa.array(m1, pa.string()),
             "m2_id": pa.array(m2, pa.string()),
-            "lev": pa.array(lev, pa.int64()),
-            "lev_sim": pa.array(_round6(sim), pa.float64()),
+            "lev": out.column("lev").combine_chunks(),
+            "lev_sim": pa.array(_round6(
+                out.column("sim").to_numpy(zero_copy_only=False)),
+                pa.float64()),
         })
 
 
