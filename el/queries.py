@@ -57,10 +57,14 @@ def _roundsql(expr: str, k: int) -> str:
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Pruned parquet read: pass ``columns`` so only the columns the
+    operator consumes leave storage (the read-pruning discipline every
+    other read path already follows)."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
 
 
 # ===================================================================== EL
@@ -889,31 +893,31 @@ def q_el_training_pairs(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     from .ops.textstats import fingerprint
 
-    return fingerprint(_read(sf_dir, "documents"))
+    return fingerprint(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_exact_dedup(sf_dir: str):
     from .ops.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents"))
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_token_count(sf_dir: str):
     from .ops.textstats import token_count
 
-    return token_count(_read(sf_dir, "documents"))
+    return token_count(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_doc_quality(sf_dir: str):
     from .ops.textstats import quality
 
-    return quality(_read(sf_dir, "documents"))
+    return quality(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_lang_id(sf_dir: str):
     from .ops.textstats import lang_id
 
-    return lang_id(_read(sf_dir, "documents"))
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 # ============================================================== prep ops
@@ -925,7 +929,7 @@ _DECON_SENTINEL = ("alpha bravo charlie delta echo foxtrot golf hotel "
 
 
 def _pii_corpus(sf_dir: str):
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -958,7 +962,7 @@ def q_strip_markup(sf_dir: str):
     text + tag count."""
     from .ops.prep import strip_markup
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -976,7 +980,7 @@ def q_vocab_topk(sf_dir: str):
     tiny merge."""
     from .ops.prep import vocab_topk
 
-    return vocab_topk(_read(sf_dir, "documents"), k=100)
+    return vocab_topk(_read(sf_dir, "documents", ["text"]), k=100)
 
 
 def q_doc_chunk(sf_dir: str):
@@ -985,7 +989,7 @@ def q_doc_chunk(sf_dir: str):
     tokens. Oracle replays with generate_series + list_slice."""
     from .ops.prep import doc_chunk
 
-    return doc_chunk(_read(sf_dir, "documents"), size=64, stride=48)
+    return doc_chunk(_read(sf_dir, "documents", ["doc_id", "text"]), size=64, stride=48)
 
 
 def q_unigram_logprob(sf_dir: str):
@@ -996,14 +1000,14 @@ def q_unigram_logprob(sf_dir: str):
     but the oracle replays it anyway (QUALIFY top-V)."""
     from .ops.textstats import unigram_logprob
 
-    return unigram_logprob(_read(sf_dir, "documents"))
+    return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _decon_corpus(sf_dir: str):
     """documents with a 10-token sentinel appended to benchmark docs
     (doc_id % 97 == 0) and to every 13th doc — guarantees known
     8-gram contamination overlaps."""
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1027,7 +1031,7 @@ def q_stratified_sample(sf_dir: str):
     md5-rank — DuckDB replays it exactly)."""
     from .ops.prep import stratified_sample
 
-    return stratified_sample(_read(sf_dir, "documents"),
+    return stratified_sample(_read(sf_dir, "documents", ["doc_id", "lang"]),
                              stratum="lang", per_stratum=20)
 
 
@@ -1037,7 +1041,7 @@ def q_group_quantiles(sf_dir: str):
     sides."""
     from .ops.prep import group_quantiles
 
-    return group_quantiles(_read(sf_dir, "documents"),
+    return group_quantiles(_read(sf_dir, "documents", ["lang", "text"]),
                            group="lang", qs=(0.5, 0.9))
 
 
@@ -1046,14 +1050,14 @@ def q_inverted_index(sf_dir: str):
     one term exchange over distinct (term, doc_id) rows."""
     from .ops.prep import inverted_index
 
-    return inverted_index(_read(sf_dir, "documents"))
+    return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_bigram_topk(sf_dir: str):
     """Corpus-wide top-100 token bigrams (LM n-gram statistics)."""
     from .ops.prep import bigram_topk
 
-    return bigram_topk(_read(sf_dir, "documents"), k=100)
+    return bigram_topk(_read(sf_dir, "documents", ["text"]), k=100)
 
 
 def q_doc_top_terms(sf_dir: str):
@@ -1061,7 +1065,7 @@ def q_doc_top_terms(sf_dir: str):
     (tf DESC, global df ASC, term ASC)."""
     from .ops.prep import doc_top_terms
 
-    return doc_top_terms(_read(sf_dir, "documents"), k=3)
+    return doc_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
 def q_repetition_score(sf_dir: str):
@@ -1070,7 +1074,7 @@ def q_repetition_score(sf_dir: str):
     fraction, hottest gram count."""
     from .ops.prep import repetition_score
 
-    return repetition_score(_read(sf_dir, "documents"), n=2)
+    return repetition_score(_read(sf_dir, "documents", ["doc_id", "text"]), n=2)
 
 
 def q_token_pack(sf_dir: str):
@@ -1079,7 +1083,7 @@ def q_token_pack(sf_dir: str):
     training sequences, emit per-(doc, sequence) spans."""
     from .ops.prep import token_pack
 
-    return token_pack(_read(sf_dir, "documents"), seq_len=128)
+    return token_pack(_read(sf_dir, "documents", ["doc_id", "text"]), seq_len=128)
 
 
 def q_conv_stats(sf_dir: str):
@@ -1102,7 +1106,7 @@ def q_bpe_token_count(sf_dir: str):
     estimators for packing/budgeting)."""
     from .ops.textstats import bpe_token_count
 
-    return bpe_token_count(_read(sf_dir, "documents"))
+    return bpe_token_count(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_conv_dedup(sf_dir: str):
@@ -1138,7 +1142,7 @@ def q_embed_quantize(sf_dir: str):
     (first 4 quantized dims + full-vector checksum)."""
     from .ops.ann import quantize_embeddings
 
-    return quantize_embeddings(_read(sf_dir, "embeddings"))
+    return quantize_embeddings(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
 def q_tool_calls(sf_dir: str):
@@ -1186,7 +1190,7 @@ def q_source_mix(sf_dir: str):
     md5 hash rank — fully streaming, no exchange."""
     from .ops.prep import source_mix
 
-    return source_mix(_read(sf_dir, "documents"), _SOURCE_MIX_RATES,
+    return source_mix(_read(sf_dir, "documents", ["doc_id", "source"]), _SOURCE_MIX_RATES,
                       default_rate=_SOURCE_MIX_DEFAULT)
 
 
@@ -1196,7 +1200,7 @@ def _planted_dups(sf_dir: str):
     operators a known positive set."""
     import ray.data
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def clones(df: pd.DataFrame) -> pd.DataFrame:
         c = df[df["doc_id"] % 5 == 0].copy()  # every 5th doc gets a near-dup
@@ -1272,7 +1276,7 @@ def q_ann_topk(sf_dir: str):
     from .ops.ann import brute_force_topk
 
     Q = _query_matrix(sf_dir)
-    out = brute_force_topk(_read(sf_dir, "embeddings"), Q, k=10)
+    out = brute_force_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), Q, k=10)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1292,7 +1296,7 @@ def q_ann_lsh(sf_dir: str):
     from .ops.ann import lsh_topk
 
     Q = _query_matrix(sf_dir)
-    out = lsh_topk(_read(sf_dir, "embeddings"), Q, k=10)
+    out = lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), Q, k=10)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1314,7 +1318,7 @@ def q_ann_ivf(sf_dir: str):
     from .ops.ann import ivf_topk
 
     Q = _query_matrix(sf_dir)
-    out = ivf_topk(_read(sf_dir, "embeddings"), Q, k=10, n_probe=6)
+    out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), Q, k=10, n_probe=6)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1339,7 +1343,7 @@ def q_bm25_topk(sf_dir: str):
     Lucene BM25 form and ranking in DuckDB (same literal queries)."""
     from .ops.search import bm25_topk
 
-    out = bm25_topk(_read(sf_dir, "documents"), BM25_QUERIES, k=10)
+    out = bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERIES, k=10)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1359,7 +1363,7 @@ def q_embedding_dups(sf_dir: str):
         c["vec_id"] = c["vec_id"] + 1_000_000
         return pd.concat([df, c], ignore_index=True)
 
-    emb = _read(sf_dir, "embeddings").map_batches(clones, batch_format="pandas")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(clones, batch_format="pandas")
     out = cosine_dup_pairs(emb, threshold=0.9999)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1384,7 +1388,7 @@ def q_semantic_dedup(sf_dir: str):
 
     from .ops.ann import fit_centroids_bounded, semantic_dedup
 
-    base = _read(sf_dir, "embeddings")
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     C = fit_centroids_bounded(base, 256, 16, 5)
 
     def clones(df: pd.DataFrame) -> pd.DataFrame:
@@ -1414,7 +1418,7 @@ def q_embedding_dups_exact(sf_dir: str):
         c["vec_id"] = c["vec_id"] + 1_000_000
         return pd.concat([df, c], ignore_index=True)
 
-    emb = _read(sf_dir, "embeddings").map_batches(clones, batch_format="pandas")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(clones, batch_format="pandas")
     out = exact_cosine_pairs(emb, threshold=0.9999)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1552,7 +1556,7 @@ def q_multimodal_features(sf_dir: str):
 def _doc_assets(sf_dir: str):
     """Assets derived from documents (the multimodal_features recipe):
     payload = utf-8 text bytes, kind by doc_id % 3."""
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     kinds = ["image", "audio", "video"]
 
     def to_assets(t: pa.Table) -> pa.Table:
@@ -1596,7 +1600,7 @@ def q_events_hourly(sf_dir: str):
     ~15x slower through Ray's shuffles), converted back at the end."""
     from .shuffle import group_blocks
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hour = df["ts"].values.astype("datetime64[h]").astype("int64")
@@ -1761,7 +1765,7 @@ def q_hopping_window(sf_dir: str):
     combiner explode -> one (event_type, window) exchange."""
     from .ops.windows import hopping_window_agg
 
-    return hopping_window_agg(_read(sf_dir, "events"))
+    return hopping_window_agg(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
 def q_hopping_distinct(sf_dir: str):
@@ -1786,7 +1790,7 @@ def q_weighted_sample(sf_dir: str):
     top-k + one tiny merge."""
     from .ops.prep import weighted_sample
 
-    return weighted_sample(_read(sf_dir, "documents"), k=200)
+    return weighted_sample(_read(sf_dir, "documents", ["doc_id", "text"]), k=200)
 
 
 def q_cohort_retention(sf_dir: str):
@@ -2024,7 +2028,7 @@ def q_segment_revenue(sf_dir: str):
     seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
                       cust.column("c_mktsegment").to_pylist()))
     ref = ray.put(seg_of)
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     class Attach:
         def __init__(self, ref):
@@ -6301,7 +6305,7 @@ def q_cms_heavy_hitters(sf_dir: str):
     (el/ops/sketch.py::cms_heavy_hitters)."""
     from .ops.sketch import cms_heavy_hitters
 
-    return cms_heavy_hitters(_read(sf_dir, "documents"), k=20)
+    return cms_heavy_hitters(_read(sf_dir, "documents", ["text"]), k=20)
 
 
 def q_minhash_recall(sf_dir: str):
@@ -6395,17 +6399,25 @@ def q_kmv_error(sf_dir: str):
     # exact partials may split one event_type across blocks of the
     # (type, user) exchange — re-sum on the type key alongside the
     # estimate rows in ONE tagged exchange
-    def ex_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": df["event_type"].astype(str),
-            "v": df["exact_distinct"].astype("float64"),
-            "is_exact": np.ones(len(df), dtype=np.int64)})
+    # typed Arrow on BOTH union sides (the orders_topk_revenue idiom):
+    # empty pandas partials otherwise round-trip to null-typed /
+    # schema-less blocks and trip the executor's RefBundle schema-drift
+    # warning in the union
+    def ex_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "event_type": pa.array(df["event_type"].astype(str),
+                                   pa.string()),
+            "v": pa.array(df["exact_distinct"].astype("float64"),
+                          pa.float64()),
+            "is_exact": pa.array(np.ones(len(df), dtype=np.int64))})
 
-    def est_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": df["event_type"].astype(str),
-            "v": df["est_distinct"].astype("float64"),
-            "is_exact": np.zeros(len(df), dtype=np.int64)})
+    def est_rows(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "event_type": pa.array(df["event_type"].astype(str),
+                                   pa.string()),
+            "v": pa.array(df["est_distinct"].astype("float64"),
+                          pa.float64()),
+            "is_exact": pa.array(np.zeros(len(df), dtype=np.int64))})
 
     tagged = exact.map_batches(ex_rows, batch_format="pandas").union(
         est.map_batches(est_rows, batch_format="pandas"))
@@ -6431,8 +6443,12 @@ def q_kmv_error(sf_dir: str):
             "est_distinct": j["e"],
             "rel_err": np.floor(rel * 1e6 + 0.5) / 1e6})
 
-    return group_blocks(tagged, ["event_type"], final,
-                        batch_format="pandas")
+    # event_type cardinality is tiny by contract — coalesce + one
+    # in-block merge (the tpch final idiom) instead of paying a hash
+    # exchange whose mostly-empty partitions only emit ∅ bundles
+    return tagged.repartition(1).map_batches(final,
+                                             batch_format="pandas",
+                                             batch_size=None)
 
 
 def q_el_block_purge(sf_dir: str):

@@ -17,6 +17,26 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+def _install_empty_schema_filter() -> None:
+    """Silence Ray's schema-drift warning ONLY for the empty-partition
+    artifact (the bench.py filter): a 0-row map output loses its schema
+    inside Ray's MapOperator (observed through ray 2.49) even when the
+    fn returns a typed empty table, so any tiny-key hash exchange logs
+    one spurious '... new schema: .' line per empty partition. REAL
+    drift — a non-empty differing schema — still logs."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            msg = rec.getMessage()
+            return not ("different schema" in msg
+                        and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def to_pandas(res):
     import pandas as pd
     import pyarrow as pa
@@ -51,6 +71,7 @@ def main():
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    _install_empty_schema_filter()
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
