@@ -40,18 +40,107 @@ from .text import normalize_name
 
 MAX_ALIASES_PER_BLOCK = 200  # salt threshold: 200 aliases -> <=19.9k pairs/block
 
+# Pluggable key strategies (§2.10 extension surface; the reference's
+# candidate-finder composition, RunKBPEntityLinkerSystem.scala:45-49,
+# is an ordered list of finders — ours is an ordered tuple of key
+# emitters). "norm"/"prefix"/"phonetic" are the original production
+# scheme; "rare_token" adds the term-frequency key of
+# el/ops/er.py::rare_token_keys (rarest token by (df asc, token asc));
+# "snb" adds sorted-neighborhood tile keys (profile_key_map /
+# snb_tile_keys — rank-windowed over the sorted distinct-alias order).
+DEFAULT_KEY_STRATEGIES = ("norm", "prefix", "phonetic")
+DEFAULT_SNB_WINDOW = 16
 
-def block_keys(alias_norm: str) -> list[str]:
-    """Blocking keys for one normalized alias."""
+
+def block_keys(alias_norm: str,
+               strategies: tuple = DEFAULT_KEY_STRATEGIES,
+               token_df: dict | None = None) -> list[str]:
+    """Blocking keys for one normalized alias, in strategy order.
+    ``token_df`` (token -> document frequency over the blocking
+    universe) feeds the "rare_token" strategy; unseen tokens count as
+    df=1 (maximally rare). "snb" is rank-based, not per-alias — it is
+    emitted by profile_key_map / snb key rows, never here."""
     if not alias_norm:
         return []
     toks = alias_norm.split()
-    keys = [f"n:{alias_norm}"]
-    first, last = toks[0], toks[-1]
-    if len(first) >= 3:
-        keys.append(f"p:{first[:6]}")
-    keys.append(f"ph:{soundex(last)}:{last[0]}")
+    keys = []
+    for s in strategies:
+        if s == "norm":
+            keys.append(f"n:{alias_norm}")
+        elif s == "prefix":
+            if len(toks[0]) >= 3:
+                keys.append(f"p:{toks[0][:6]}")
+        elif s == "phonetic":
+            last = toks[-1]
+            keys.append(f"ph:{soundex(last)}:{last[0]}")
+        elif s == "rare_token":
+            df = token_df or {}
+            best = min(toks, key=lambda t: (df.get(t, 1), t))
+            keys.append(f"r:{best}")
+        elif s != "snb":
+            raise ValueError(f"unknown blocking key strategy {s!r}")
     return keys
+
+
+def alias_token_dfs(alias_norms: Iterable[str]) -> dict[str, int]:
+    """Token -> document frequency over a distinct-alias universe (one
+    count per alias containing the token) — the "rare_token" strategy's
+    side table. Alias-vocabulary-bounded (the er.py rare_token_keys /
+    pmi broadcast precedent)."""
+    df: dict[str, int] = {}
+    for an in alias_norms:
+        if not an:
+            continue
+        for t in set(an.split()):
+            df[t] = df.get(t, 0) + 1
+    return df
+
+
+def snb_tile_keys(rank: int, window: int = DEFAULT_SNB_WINDOW
+                  ) -> list[str]:
+    """Sorted-neighborhood as overlapping rank tiles: an alias at sort
+    rank r joins tiles r//window and r//window + 1, so every pair
+    within rank distance < ``window`` of the global (alias_norm,
+    group_key) order shares at least one key (a superset of the
+    window-``window`` SNB pair set, bounded by distance < 2*window) —
+    the standard blocking-key form of sorted-neighborhood, which
+    composes with the existing per-block salting/cap machinery instead
+    of needing its own sliding-window pass."""
+    t = rank // window
+    return [f"sn:{t}", f"sn:{t + 1}"]
+
+
+def profile_key_map(gkeys: list, norms: list,
+                    strategies: tuple = DEFAULT_KEY_STRATEGIES,
+                    token_df: dict | None = None,
+                    snb_window: int = DEFAULT_SNB_WINDOW
+                    ) -> dict[str, list[int]]:
+    """key -> row-index list over a distinct-alias profile (the shared
+    driver-plan blocking step): per-alias keys from ``block_keys`` plus
+    rank-tile keys when "snb" is enabled. Indices appear in group_key
+    order within every key (the order the pair generators rely on for
+    deterministic output). ``token_df`` defaults to dfs over this
+    profile's own aliases."""
+    order = sorted(range(len(gkeys)), key=lambda i: gkeys[i])
+    if "rare_token" in strategies and token_df is None:
+        token_df = alias_token_dfs(norms)
+    key_map: dict[str, list[int]] = {}
+    for i in order:
+        for k in block_keys(norms[i], strategies, token_df):
+            key_map.setdefault(k, []).append(i)
+    if "snb" in strategies:
+        # rank over the sorted (alias_norm, group_key) order; empty
+        # norms carry no blocking signal
+        snb_order = sorted((i for i in range(len(gkeys)) if norms[i]),
+                           key=lambda i: (norms[i], gkeys[i]))
+        tiles: dict[str, list[int]] = {}
+        for r, i in enumerate(snb_order):
+            for k in snb_tile_keys(r, snb_window):
+                tiles.setdefault(k, []).append(i)
+        for k, idxs in tiles.items():
+            key_map.setdefault(k, []).extend(
+                sorted(idxs, key=lambda i: gkeys[i]))
+    return key_map
 
 
 def surface_block_keys(surface: str) -> list[str]:
@@ -65,17 +154,21 @@ def _salt(alias_norm: str, n_salts: int) -> int:
     return int.from_bytes(h[:4], "little") % n_salts
 
 
-def emit_keys_batch(batch: pa.Table) -> pa.Table:
+def emit_keys_batch(batch: pa.Table,
+                    strategies: tuple = DEFAULT_KEY_STRATEGIES,
+                    token_df: dict | None = None) -> pa.Table:
     """flat_map-style batch fn: mentions -> (block_key, alias-group rows).
 
     Input columns: mention_id, alias, alias_norm, surface, ner_type.
-    Output: one row per (mention, key).
-    """
+    Output: one row per (mention, key). Per-alias strategies only —
+    the rank-based "snb" strategy is handled by the plan-level key-row
+    emitters (profile_key_map / the pipeline's snb key pass)."""
     alias_norm = batch.column("alias_norm").to_pylist()
+    per_alias = tuple(s for s in strategies if s != "snb")
     out_idx: list[int] = []
     out_key: list[str] = []
     for i, an in enumerate(alias_norm):
-        for k in block_keys(an):
+        for k in block_keys(an, per_alias, token_df):
             out_idx.append(i)
             out_key.append(k)
     idx = pa.array(out_idx, type=pa.int64())

@@ -49,7 +49,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .alias import canonicalize
-from .blocking import block_pair_groups, emit_keys_batch
+from .blocking import (DEFAULT_KEY_STRATEGIES, DEFAULT_SNB_WINDOW,
+                       block_pair_groups, emit_keys_batch)
 from .checkpoint import CheckpointManager
 from .cluster import label_propagation
 from .kb import broadcast_kb
@@ -785,7 +786,9 @@ def _finalize_profile_distributed(profile_ds_or_refs, num_partitions: int):
     return ray.data.from_arrow_refs(map_refs(refs, attach))
 
 
-def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True):
+def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True,
+                               key_strategies: tuple | None = None,
+                               snb_window: int | None = None):
     """Blocking + pair-index generation over the distinct-alias profile
     (alias-scale python + pair-scale numpy — cheap on the driver): same
     key functions and per-block salting/caps as the distributed path,
@@ -797,15 +800,14 @@ def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True):
     sorted pair id instead."""
     import numpy as np
 
-    from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
+    from .blocking import (DEFAULT_KEY_STRATEGIES, DEFAULT_SNB_WINDOW,
+                           MAX_ALIASES_PER_BLOCK, _salt, profile_key_map)
 
     gkeys = profile_tbl.column("group_key").to_pylist()
     norms = profile_tbl.column("alias_norm").to_pylist()
-    order = sorted(range(len(gkeys)), key=lambda i: gkeys[i])
-    key_map: dict[str, list[int]] = {}
-    for i in order:
-        for k in block_keys(norms[i]):
-            key_map.setdefault(k, []).append(i)
+    key_map = profile_key_map(
+        gkeys, norms, key_strategies or DEFAULT_KEY_STRATEGIES,
+        snb_window=snb_window or DEFAULT_SNB_WINDOW)
     i1_parts: list[np.ndarray] = []
     i2_parts: list[np.ndarray] = []
     key_parts: list[str] = []
@@ -852,7 +854,9 @@ def _pair_indices_from_profile(profile_tbl: pa.Table, with_keys: bool = True):
     return i1[first], i2[first], keys[first], dropped
 
 
-def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
+def _pairs_from_profile(profile_tbl: pa.Table,
+                        key_strategies: tuple | None = None,
+                        snb_window: int | None = None) -> pa.Table:
     """Driver-side pair TABLE build over the profile (checkpoint-plan
     form; the fast plan ships index slices to tasks instead —
     _score_edges_idx_slice). Vectorized: per-pair columns are pure
@@ -860,7 +864,8 @@ def _pairs_from_profile(profile_tbl: pa.Table) -> pa.Table:
     pairs."""
     import numpy as np
 
-    i1, i2, keys, dropped = _pair_indices_from_profile(profile_tbl)
+    i1, i2, keys, dropped = _pair_indices_from_profile(
+        profile_tbl, key_strategies=key_strategies, snb_window=snb_window)
     gkeys = profile_tbl.column("group_key").to_pylist()
     norms = profile_tbl.column("alias_norm").to_pylist()
     if len(i1) == 0:
@@ -931,7 +936,9 @@ def _score_edges_idx_slice(profile_ref, i1, i2) -> pa.Table:
 
 
 def _pair_group_shards(profile_tbl: pa.Table, target_pairs: int,
-                       max_shards: int):
+                       max_shards: int,
+                       key_strategies: tuple | None = None,
+                       snb_window: int | None = None):
     """Blocking over the distinct-alias profile, stopping at GROUPS:
     returns (shards, n_pairs, dropped) where each shard is a list of
     np.int64 row-index arrays (one per within-block group) packed
@@ -945,15 +952,14 @@ def _pair_group_shards(profile_tbl: pa.Table, target_pairs: int,
     union)."""
     import numpy as np
 
-    from .blocking import MAX_ALIASES_PER_BLOCK, _salt, block_keys
+    from .blocking import (DEFAULT_KEY_STRATEGIES, DEFAULT_SNB_WINDOW,
+                           MAX_ALIASES_PER_BLOCK, _salt, profile_key_map)
 
     gkeys = profile_tbl.column("group_key").to_pylist()
     norms = profile_tbl.column("alias_norm").to_pylist()
-    order = sorted(range(len(gkeys)), key=lambda i: gkeys[i])
-    key_map: dict[str, list[int]] = {}
-    for i in order:
-        for k in block_keys(norms[i]):
-            key_map.setdefault(k, []).append(i)
+    key_map = profile_key_map(
+        gkeys, norms, key_strategies or DEFAULT_KEY_STRATEGIES,
+        snb_window=snb_window or DEFAULT_SNB_WINDOW)
     groups: list = []
     counts: list[int] = []
     dropped = 0
@@ -1070,6 +1076,40 @@ def _boundary_rows_block(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:  # empty read splits yield schemaless blocks
         return pa.table({})
     return t.filter(pc.equal(t.column("boundary"), True))
+
+
+# --------- plan-level blocking-key emitters (fallback plan, §2.10)
+def _tbl_count(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _token_df_partial(t: pa.Table) -> dict:
+    """Per-block token-df partial over the distinct-alias profile (the
+    'rare_token' strategy's side table; alias-vocabulary-bounded — the
+    er.py rare_token_keys broadcast precedent)."""
+    from .blocking import alias_token_dfs
+
+    return alias_token_dfs(t.column("alias_norm").to_pylist())
+
+
+def _snb_tile_rows(t: pa.Table, offset: int, window: int) -> pa.Table:
+    """Task: emit the 'snb' rank-tile key rows for one SORTED profile
+    block whose first row has global rank ``offset`` — each alias joins
+    tiles r//window and r//window + 1 (blocking.snb_tile_keys), so the
+    downstream per-block pair generator covers every pair within rank
+    distance < window of the global sorted order."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return t.append_column("block_key", pa.array([], pa.string()))
+    r = np.arange(offset, offset + t.num_rows, dtype=np.int64)
+    tile = r // np.int64(window)
+    idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), 2))
+    keys = np.empty(2 * t.num_rows, dtype=object)
+    keys[0::2] = [f"sn:{v}" for v in tile]
+    keys[1::2] = [f"sn:{v + 1}" for v in tile]
+    return t.take(idx).append_column("block_key",
+                                     pa.array(keys, pa.string()))
 
 
 EMPTY_CHOICES = {
@@ -1669,6 +1709,8 @@ def run_linkage(
     sports_classify: bool = True,
     conv_partitioned: bool = True,
     broadcast_answers_max: int = 2_000_000,
+    key_strategies: tuple | None = None,
+    snb_window: int | None = None,
 ):
     """Full pipeline. Returns the answers Dataset with columns
     (mention_id, conv_id, turn_idx, surface, alias, cluster_id, kb_link,
@@ -1688,6 +1730,17 @@ def run_linkage(
     - FALLBACK (beyond the driver guard): every alias-scale stage runs
       distributed too (hash-partitioned profile, linker actor pool,
       blocked pair generation, min-label propagation, hash join back).
+
+    ``key_strategies`` picks the blocking-key emitters (default
+    ("norm", "prefix", "phonetic"); add "rare_token" and/or "snb" —
+    el/blocking.py::block_keys / profile_key_map, mirroring the
+    reference's candidate-finder composition,
+    RunKBPEntityLinkerSystem.scala:45-49). Extra strategies only ADD
+    candidate pairs (recall can't drop); all run behind the same
+    per-block salting/cap machinery. ``snb_window`` sets the
+    sorted-neighborhood rank-tile width. On the distributed fallback
+    plan the per-alias strategies apply; "snb" additionally sorts the
+    profile once and unions rank-tile key rows into the key exchange.
     """
     import ray
     import ray.data
@@ -2051,7 +2104,8 @@ def run_linkage(
             links_tbl = collect(links)
 
         def build_scored():
-            pairs_tbl = _pairs_from_profile(profile_tbl)
+            pairs_tbl = _pairs_from_profile(profile_tbl, key_strategies,
+                                            snb_window)
             # split into many blocks: map_batches parallelism is per
             # BLOCK, and from_arrow of one table yields a single block
             chunks = _chunk_table(pairs_tbl, 4096)
@@ -2077,8 +2131,10 @@ def run_linkage(
             def scored_edges_tasks() -> pa.Table:
                 shards, _n_pairs, _dropped = _timed(
                     "pair_gen",
-                    lambda: _pair_group_shards(profile_tbl, batch_size,
-                                               max_shards=16 * cpus))
+                    lambda: _pair_group_shards(
+                        profile_tbl, batch_size, max_shards=16 * cpus,
+                        key_strategies=key_strategies,
+                        snb_window=snb_window))
                 if not shards:
                     return pa.table({"a1": pa.array([], pa.string()),
                                      "a2": pa.array([], pa.string())})
@@ -2226,12 +2282,19 @@ def run_linkage(
         "links", {"input": tr_path, "kb": kb_path},
         build_links_distributed).materialize())
 
-    def _keys_fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        return emit_keys_batch(
-            t.select(["group_key", "alias_norm", "alias", "surface",
-                      "ner_type", "surface_norm", "ctx_vec"]))
+    _pkey_cols = ["group_key", "alias_norm", "alias", "surface",
+                  "ner_type", "surface_norm", "ctx_vec"]
+    _strats = tuple(key_strategies) if key_strategies \
+        else DEFAULT_KEY_STRATEGIES
+
+    def _make_keys_fn(token_df_ref):
+        def _keys_fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            df = (_maybe_get(token_df_ref)
+                  if token_df_ref is not None else None)
+            return emit_keys_batch(t.select(_pkey_cols), _strats, df)
+        return _keys_fn
 
     def _pairs_block(t: pa.Table) -> pa.Table:
         from .shuffle import split_groups
@@ -2242,7 +2305,40 @@ def run_linkage(
             return block_pair_groups(t)  # empty block emits its schema
         return pa.concat_tables(outs, promote_options="default")
 
+    def _token_df_ref():
+        """'rare_token' side table over the distinct-alias profile:
+        per-block partials merged on the driver, broadcast ONCE
+        (alias-vocabulary-bounded, the er.py precedent)."""
+        if "rare_token" not in _strats:
+            return None
+        rem = ray.remote(_token_df_partial)
+        merged: dict[str, int] = {}
+        for part in ray.get([rem.remote(r)
+                             for r in profile.to_arrow_refs()]):
+            for tok, c in part.items():
+                merged[tok] = merged.get(tok, 0) + c
+        return ray.put(merged)
+
+    def _snb_key_refs():
+        """Plan-level 'snb' emitter: one profile sort (alias-scale) ->
+        per-block rank-tile key rows with exact global offsets."""
+        w = snb_window or DEFAULT_SNB_WINDOW
+        nonempty = profile.map_batches(
+            lambda t: t.select(_pkey_cols).filter(
+                pc.not_equal(t.column("alias_norm"), "")),
+            batch_format="pyarrow")
+        refs = nonempty.sort(["alias_norm", "group_key"]).to_arrow_refs()
+        counts = ray.get([ray.remote(_tbl_count).remote(r) for r in refs])
+        offsets, acc = [], 0
+        for c in counts:
+            offsets.append(acc)
+            acc += c
+        rem = ray.remote(_snb_tile_rows)
+        return [rem.remote(r, o, w) for r, o in zip(refs, offsets)]
+
     def build_scored():
+        token_ref = _token_df_ref()
+        keys_fn = _make_keys_fn(token_ref)
         if ckpt.root is None:
             # same key-only exchange, as a plain-task shuffle + task
             # scoring — mirrors the other fallback stages (the Ray Data
@@ -2251,13 +2347,17 @@ def run_linkage(
             # scoring wall time)
             from .shuffle import map_refs, task_group_blocks
 
-            key_refs = map_refs(profile.to_arrow_refs(), _keys_fn)
+            key_refs = map_refs(profile.to_arrow_refs(), keys_fn)
+            if "snb" in _strats:
+                key_refs = key_refs + _snb_key_refs()
             pair_refs = task_group_blocks(
                 key_refs, ["block_key"], _pairs_block,
                 batch_format="pyarrow", num_partitions=num_partitions)
             return ray.data.from_arrow_refs(
                 map_refs(pair_refs, score_pairs_batch))
-        keys = profile.map_batches(_keys_fn, batch_format="pyarrow")
+        keys = profile.map_batches(keys_fn, batch_format="pyarrow")
+        if "snb" in _strats:
+            keys = keys.union(ray.data.from_arrow_refs(_snb_key_refs()))
         pairs = group_map(keys, "block_key", block_pair_groups)
         return pairs.map_batches(
             PairScorer,
@@ -2413,6 +2513,13 @@ def main(argv=None):
                          "exchange plan instead of the fused read")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--key-strategies", default=None,
+                    help="comma list of blocking-key strategies "
+                         "(norm,prefix,phonetic,rare_token,snb); "
+                         "default norm,prefix,phonetic")
+    ap.add_argument("--snb-window", type=int, default=None,
+                    help="sorted-neighborhood rank-tile width "
+                         "(with --key-strategies ...,snb)")
     args = ap.parse_args(argv)
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
@@ -2422,6 +2529,9 @@ def main(argv=None):
             args.input, args.checkpoint_dir, args.from_scratch,
             sports_classify=not args.no_sports_classify,
             conv_partitioned=not args.conv_unordered,
+            key_strategies=(tuple(args.key_strategies.split(","))
+                            if args.key_strategies else None),
+            snb_window=args.snb_window,
         )
         if args.human_readable or args.entity_strings or args.jsonl:
             answers = answers.materialize()  # several consumers -> pin

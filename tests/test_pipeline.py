@@ -322,3 +322,35 @@ def test_dedupe_e2e_has_no_driver_collect():
         assert banned not in src, \
             f"driver-side collect pattern {banned!r} in q_el_dedupe_e2e"
     assert "jaro_winkler_similarity" in src  # the vectorized kernel
+
+
+def test_key_strategies_preserve_e2e_quality(ray_session, t1_fixture,
+                                             t1_answers):
+    """run_linkage with the full strategy menu (rare_token + snb on
+    top of the default n/p/ph keys) must keep the e2e gates: extra
+    strategies only ADD candidate pairs, and the scorer threshold —
+    not the blocking — decides merges, so pairwise F1 stays 1.0 on
+    the labeled fixture. Exercised on BOTH physical plans."""
+    from el.metrics import pairwise_f1
+
+    strategies = ("norm", "prefix", "phonetic", "rare_token", "snb")
+    gp = pq.read_table(os.path.join(t1_fixture, "gold_pairs.parquet"))
+
+    df = run_linkage(t1_fixture, key_strategies=strategies,
+                     snb_window=8).to_pandas()
+    f1 = pairwise_f1(dict(zip(df.mention_id, df.cluster_id)), gp)
+    assert f1["f1"] == 1.0, f1
+
+    # distributed fallback plan (forced), same strategies
+    df2 = run_linkage(t1_fixture, driver_cc_max_nodes=0,
+                      conv_partitioned=False,
+                      key_strategies=strategies,
+                      snb_window=8).to_pandas()
+    f2 = pairwise_f1(dict(zip(df2.mention_id, df2.cluster_id)), gp)
+    assert f2["f1"] == 1.0, f2
+    # and both plans agree with each other and the default-strategy run
+    a = dict(zip(df.mention_id, df.cluster_id))
+    b = dict(zip(df2.mention_id, df2.cluster_id))
+    assert a == b
+    base = dict(zip(t1_answers.mention_id, t1_answers.cluster_id))
+    assert a == base
