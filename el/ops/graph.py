@@ -252,10 +252,12 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
         _Orient, fn_constructor_args=(deg_ref,), batch_format="pyarrow",
         concurrency=2, num_cpus=0.5).materialize()
 
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype=str),
-                              "b": pd.Series(dtype=str),
-                              "apex": pd.Series(dtype=str)})
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        # Arrow out (the union partner edge_rows is Arrow — pandas
+        # object blocks here made the union log a schema-flavor drift)
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "apex": pa.array([], pa.string())})
         if len(df) == 0:
             return empty
         df = df.sort_values(["src", "ddeg", "dst"], kind="stable") \
@@ -287,9 +289,10 @@ def triangle_counts(edges_ds, *, max_wedge_degree: int = 4000,
             ap.append(np.full(len(iu), src[s], dtype=object))
         if not aa:
             return empty
-        return pd.DataFrame({"a": np.concatenate(aa),
-                             "b": np.concatenate(bb),
-                             "apex": np.concatenate(ap)})
+        return pa.table({
+            "a": pa.array(np.concatenate(aa), pa.string()),
+            "b": pa.array(np.concatenate(bb), pa.string()),
+            "apex": pa.array(np.concatenate(ap), pa.string())})
 
     wedge_rows = group_blocks(oriented, ["src"], wedges,
                               batch_format="pandas",

@@ -157,7 +157,9 @@ def decontaminate(docs_ds, *, n: int = 8, bench_mod: int = 97):
         out: set = set()
         for g in _doc_ngrams(b["text"], n):
             out |= g
-        return pd.DataFrame({"g": sorted(out)})
+        # typed even when empty: a bare [] infers float64 and trips the
+        # executor's schema-drift warning against non-empty str blocks
+        return pd.DataFrame({"g": pd.Series(sorted(out), dtype=str)})
 
     bench_tbl = (
         docs_ds.map_batches(bench_grams_partial, batch_format="pandas")
