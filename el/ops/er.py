@@ -288,6 +288,113 @@ def blocking_quality(mentions_ds):
     })
 
 
+def _snbq_head(w: int, *tbls: pa.Table) -> pa.Table:
+    """First w (mention_id, gold) rows of the following blocks."""
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return pa.table({"mention_id": pa.array([], pa.string()),
+                         "gold": pa.array([], pa.string())})
+    cat = pa.concat_tables([t.select(["mention_id", "gold"])
+                            for t in tbls])
+    return cat.slice(0, w)
+
+
+def _snbq_counts(window: int, block: pa.Table, head: pa.Table) -> pa.Table:
+    """(cand, tp) partial for one sorted block + boundary head: SNB
+    emits each pair exactly once, so counting is pure shifted-slice
+    numpy — no pair rows materialize."""
+    ids = block.column("mention_id").to_pandas().to_numpy(dtype=object)
+    gold = block.column("gold").to_pandas().to_numpy(dtype=object)
+    ext_g = np.concatenate(
+        [gold, head.column("gold").to_pandas().to_numpy(dtype=object)])
+    n = len(ids)
+    cand = tp = 0
+    for d in range(1, window):
+        k = min(n, len(ext_g) - d)
+        if k <= 0:
+            continue
+        cand += k
+        tp += int((gold[:k] == ext_g[d:d + k]).sum())
+    return pa.table({"cand": pa.array([cand], pa.int64()),
+                     "tp": pa.array([tp], pa.int64())})
+
+
+def snb_quality(mentions_ds, *, window: int = 4):
+    """blocking_quality's report applied to the SORTED-NEIGHBORHOOD
+    scheme (the "snb" pluggable strategy, el/blocking.py): candidate =
+    every pair within ``window`` positions of the (norm(surface),
+    mention_id) sort order. Same one-row contract: (n_mentions,
+    candidate_pairs, matching_pairs, tp_pairs, pairs_completeness,
+    reduction_ratio, pairs_quality), floats rounded half-away at 6.
+
+    Shape: one alias-scale sort; per-block (cand, tp) partials via
+    shifted slices against the boundary head (the sorted_neighborhood
+    task pattern — SNB emits each pair exactly once, so no dedup
+    exchange); matching pairs via one gold exchange. The pair set
+    never materializes."""
+    import ray
+    import ray.data
+
+    n_mentions = mentions_ds.count()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "gold": df["gold_kb_id"].astype(str),
+            "norm": _norm_series(df["surface"].astype(str))})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    ds = (mentions_ds.map_batches(keyed, batch_format="pandas")
+          .sort(["norm", "mention_id"]))
+    refs = ds.to_arrow_refs()
+    cand = tp = 0
+    if refs:
+        count_rem = ray.remote(_snb_count)
+        counts = ray.get([count_rem.remote(r) for r in refs])
+        head_rem = ray.remote(_snbq_head)
+        cnt_rem = ray.remote(_snbq_counts)
+        outs = []
+        for b, r in enumerate(refs):
+            need, feed = window - 1, []
+            for nb in range(b + 1, len(refs)):
+                if need <= 0:
+                    break
+                feed.append(refs[nb])
+                need -= counts[nb]
+            head = head_rem.remote(window - 1, *feed) if feed \
+                else head_rem.remote(window - 1)
+            outs.append(cnt_rem.remote(window, r, head))
+        for t in ray.get(outs):
+            cand += int(t.column("cand")[0].as_py())
+            tp += int(t.column("tp")[0].as_py())
+
+    def entity_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"mp": pd.Series(dtype="int64")})
+        c = df.groupby("gold_kb_id", sort=False).size().to_numpy()
+        return pd.DataFrame({"mp": [np.int64((c * (c - 1) // 2).sum())]})
+
+    ent = mentions_ds.map_batches(
+        lambda df: df[["mention_id", "gold_kb_id"]], batch_format="pandas")
+    mp_parts = group_blocks(ent, ["gold_kb_id"], entity_pairs,
+                            batch_format="pandas").to_pandas()
+    matching = int(mp_parts["mp"].sum())
+
+    total = n_mentions * (n_mentions - 1) // 2
+    pc = _round6(tp / matching) if matching else 0.0
+    rr = _round6(1.0 - cand / total) if total else 0.0
+    pq = _round6(tp / cand) if cand else 0.0
+    return pd.DataFrame({
+        "n_mentions": pd.Series([n_mentions], dtype="int64"),
+        "candidate_pairs": pd.Series([cand], dtype="int64"),
+        "matching_pairs": pd.Series([matching], dtype="int64"),
+        "tp_pairs": pd.Series([tp], dtype="int64"),
+        "pairs_completeness": [float(pc)],
+        "reduction_ratio": [float(rr)],
+        "pairs_quality": [float(pq)],
+    })
+
+
 # ------------------------------------------------- blocking skew report
 def block_skew(mentions_ds, *, k: int = 20):
     """Hot-key diagnostics for the n:/p: blocking scheme: the ``k``

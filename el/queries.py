@@ -341,6 +341,24 @@ def q_el_blocking_quality(sf_dir: str):
     return blocking_quality(gm)
 
 
+def q_el_snb_quality(sf_dir: str):
+    """blocking_quality's report for the SORTED-NEIGHBORHOOD scheme
+    (the "snb" pluggable strategy): pairs completeness / reduction
+    ratio / pairs quality of the window-4 rank-window pair set vs gold
+    entities (one row; the Christen blocking-scheme comparison next to
+    el_blocking_quality's n:/p: row)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import snb_quality
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"],
+    )
+    return snb_quality(gm, window=4)
+
+
 def q_el_fs_weights(sf_dir: str):
     """Fellegi-Sunter per-feature match weights estimated from the
     labeled candidate-pair fixture (add-one smoothed m/u, log2 ratio)."""
@@ -3029,6 +3047,38 @@ def oracle_sql() -> dict[str, str]:
                        AS pairs_quality
             FROM c, mm, nn
         """,
+        "el_snb_quality": f"""
+            WITH s AS (
+                SELECT mention_id, gold_kb_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            r AS (
+                SELECT mention_id, gold_kb_id,
+                       row_number() OVER (ORDER BY norm, mention_id) AS rn
+                FROM s
+            ),
+            c AS (
+                SELECT CAST(count(*) AS BIGINT) AS cand,
+                       CAST(count(*) FILTER (a.gold_kb_id = b.gold_kb_id)
+                            AS BIGINT) AS tp
+                FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 4
+            ),
+            mm AS (
+                SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS matching
+                FROM (SELECT count(*) AS cnt FROM {gm}
+                      GROUP BY gold_kb_id)
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {gm})
+            SELECT nn.n AS n_mentions, c.cand AS candidate_pairs,
+                   mm.matching AS matching_pairs, c.tp AS tp_pairs,
+                   {_roundsql('CAST(c.tp AS DOUBLE) / mm.matching', 6)}
+                       AS pairs_completeness,
+                   {_roundsql('1.0 - CAST(c.cand AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2)', 6)}
+                       AS reduction_ratio,
+                   {_roundsql('CAST(c.tp AS DOUBLE) / c.cand', 6)}
+                       AS pairs_quality
+            FROM c, mm, nn
+        """,
         "el_fs_weights": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             p AS (
@@ -5357,6 +5407,7 @@ def queries():
         "el_sorted_neighborhood": q_el_sorted_neighborhood,
         "el_metablocking": q_el_metablocking,
         "el_blocking_quality": q_el_blocking_quality,
+        "el_snb_quality": q_el_snb_quality,
         "el_fs_weights": q_el_fs_weights,
         "el_token_sims": q_el_token_sims,
         "el_incremental_assign": q_el_incremental_assign,

@@ -703,3 +703,35 @@ def test_cluster_vmeasure_bounds_and_perfect(ray_session):
     assert abs(r2["homogeneity"] - sh) < 1e-4
     assert abs(r2["completeness"] - sc) < 1e-4
     assert abs(r2["v_measure"] - sv) < 1e-4
+
+
+def test_snb_quality_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from el.ops.er import snb_quality
+
+    df = _mentions(60)
+    out = snb_quality(ray.data.from_pandas(df).repartition(4), window=4)
+    r = out.iloc[0]
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    nz = ref[ref["norm"] != ""].sort_values(["norm", "mention_id"]) \
+        .reset_index(drop=True)
+    cand = tp = 0
+    for i in range(len(nz)):
+        for j in range(i + 1, min(i + 4, len(nz))):
+            cand += 1
+            tp += int(nz["gold_kb_id"][i] == nz["gold_kb_id"][j])
+    c = ref.groupby("gold_kb_id").size().to_numpy()
+    matching = int((c * (c - 1) // 2).sum())
+    n = len(df)
+    assert int(r["n_mentions"]) == n
+    assert int(r["candidate_pairs"]) == cand
+    assert int(r["tp_pairs"]) == tp
+    assert int(r["matching_pairs"]) == matching
+    assert abs(r["pairs_completeness"] - tp / matching) < 1e-6
+    assert abs(r["reduction_ratio"]
+               - (1 - cand / (n * (n - 1) / 2))) < 1e-6
+    assert abs(r["pairs_quality"] - tp / cand) < 1e-6
