@@ -1296,19 +1296,13 @@ def tfidf_pair_sims(pairs_ds, mentions_ds, surf_ref):
 
 
 # --------------------------------------------------------- cluster ARI
-def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
-    """Adjusted Rand Index of the exact-alias clustering (cluster =
-    normalized surface) against the gold entity labels — the standard
-    chance-corrected external cluster-quality score next to B3/pairwise
-    F1. All three pair masses are INTEGER combinatorics (sum of
-    C(count, 2)) computed from three combiner exchanges over tiny
-    count rows — (norm, gold) contingency cells, per-norm sizes,
-    per-gold sizes — then one single-row merge; the only floats are the
-    final chance-correction divisions, written identically on both
-    sides (float(a*b)/float(C(n,2)), a*b stays under 2^53 at any
-    workable fixture scale — documented envelope). Out: one row
-    (n_mentions, pairs_both, pairs_pred, pairs_gold, ari[6dp]);
-    degenerate denominators (all-singleton vs all-one) report 1.0."""
+def _pair_mass_tagged(mentions_ds, num_partitions: int | None = None):
+    """Shared machinery for the pair-counting external cluster-quality
+    scores (ARI, Fowlkes-Mallows): the three integer pair masses —
+    sum C(count, 2) over (norm, gold) contingency cells (kind 's'),
+    per-norm sizes (kind 'a'), per-gold sizes (kind 'b') — as tagged
+    (pairs, n, kind) partial rows from three combiner exchanges over
+    tiny count rows."""
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
@@ -1353,12 +1347,29 @@ def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
             return df
         return f
 
-    tagged = (count_by(["norm", "gold"])
-              .map_batches(tag("s"), batch_format="pandas")
-              .union(count_by(["norm"])
-                     .map_batches(tag("a"), batch_format="pandas"))
-              .union(count_by(["gold"])
-                     .map_batches(tag("b"), batch_format="pandas")))
+    return (count_by(["norm", "gold"])
+            .map_batches(tag("s"), batch_format="pandas")
+            .union(count_by(["norm"])
+                   .map_batches(tag("a"), batch_format="pandas"))
+            .union(count_by(["gold"])
+                   .map_batches(tag("b"), batch_format="pandas")))
+
+
+def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
+    """Adjusted Rand Index of the exact-alias clustering (cluster =
+    normalized surface) against the gold entity labels — the standard
+    chance-corrected external cluster-quality score next to B3/pairwise
+    F1. All three pair masses are INTEGER combinatorics (sum of
+    C(count, 2)) computed from three combiner exchanges over tiny
+    count rows — (norm, gold) contingency cells, per-norm sizes,
+    per-gold sizes — then one single-row merge; the only floats are the
+    final chance-correction divisions, written identically on both
+    sides (float(a*b)/float(C(n,2)), a*b stays under 2^53 at any
+    workable fixture scale — documented envelope). Out: one row
+    (n_mentions, pairs_both, pairs_pred, pairs_gold, ari[6dp]);
+    degenerate denominators (all-singleton vs all-one) report 1.0."""
+
+    tagged = _pair_mass_tagged(mentions_ds, num_partitions)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"n_mentions": "int64", "pairs_both": "int64",
@@ -1385,6 +1396,50 @@ def cluster_ari(mentions_ds, *, num_partitions: int | None = None):
             "pairs_pred": pd.array([a], dtype="int64"),
             "pairs_gold": pd.array([b], dtype="int64"),
             "ari": [float(np.floor(ari * 1e6 + 0.5) / 1e6)]})
+
+    return tagged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)
+
+
+def cluster_fm(mentions_ds, *, num_partitions: int | None = None):
+    """Fowlkes-Mallows index of the exact-alias clustering (cluster =
+    normalized surface) against gold entity labels — the geometric
+    mean of pairwise precision and recall, completing the external
+    cluster-quality family next to ARI / V-measure / B3. Same three
+    integer pair masses as cluster_ari (_pair_mass_tagged); the only
+    floats are the final divisions and one IEEE-exact sqrt, written
+    identically on both sides. Out: one row (n_mentions, tp_pairs,
+    pred_pairs, gold_pairs, pair_precision, pair_recall, fm[6dp]);
+    degenerate all-singleton masses report 1.0 (no pairs to get
+    wrong)."""
+    tagged = _pair_mass_tagged(mentions_ds, num_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_mentions": "int64", "tp_pairs": "int64",
+                "pred_pairs": "int64", "gold_pairs": "int64",
+                "pair_precision": "float64", "pair_recall": "float64",
+                "fm": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        g = df.groupby("kind")[["pairs", "n"]].sum()
+        s = int(g.loc["s", "pairs"]) if "s" in g.index else 0
+        a = int(g.loc["a", "pairs"]) if "a" in g.index else 0
+        b = int(g.loc["b", "pairs"]) if "b" in g.index else 0
+        n = int(g.loc["a", "n"]) if "a" in g.index else 0
+        prec = 1.0 if a == 0 else float(s) / float(a)
+        rec = 1.0 if b == 0 else float(s) / float(b)
+        fm = 1.0 if a == 0 or b == 0 \
+            else float(s) / np.sqrt(float(a) * float(b))
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        return pd.DataFrame({
+            "n_mentions": pd.array([n], dtype="int64"),
+            "tp_pairs": pd.array([s], dtype="int64"),
+            "pred_pairs": pd.array([a], dtype="int64"),
+            "gold_pairs": pd.array([b], dtype="int64"),
+            "pair_precision": [r6(prec)],
+            "pair_recall": [r6(rec)],
+            "fm": [r6(fm)]})
 
     return tagged.repartition(1).map_batches(final, batch_format="pandas",
                                              batch_size=None)

@@ -4967,6 +4967,43 @@ def oracle_sql() -> dict[str, str]:
                        AS ari
             FROM agg
         """,
+        "el_cluster_fm": f"""
+            WITH f AS (
+                SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
+                WHERE {norm} != ''
+            ),
+            ng AS (
+                SELECT norm, gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm, gold
+            ),
+            na AS (
+                SELECT norm, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm
+            ),
+            nb AS (
+                SELECT gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY gold
+            ),
+            agg AS (
+                SELECT
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM ng) AS s,
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM na) AS a,
+                    (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0)
+                                 AS BIGINT) FROM nb) AS b,
+                    (SELECT CAST(count(*) AS BIGINT) FROM f) AS n
+            )
+            SELECT n AS n_mentions, s AS tp_pairs, a AS pred_pairs,
+                   b AS gold_pairs,
+                   {_roundsql("CASE WHEN a = 0 THEN 1.0 ELSE CAST(s AS DOUBLE) / a END", 6)}
+                       AS pair_precision,
+                   {_roundsql("CASE WHEN b = 0 THEN 1.0 ELSE CAST(s AS DOUBLE) / b END", 6)}
+                       AS pair_recall,
+                   {_roundsql("CASE WHEN a = 0 OR b = 0 THEN 1.0 ELSE CAST(s AS DOUBLE) / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) END", 6)}
+                       AS fm
+            FROM agg
+        """,
         "el_tfidf_sims": f"""
             WITH m AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -5160,6 +5197,30 @@ def oracle_sql() -> dict[str, str]:
             FROM x
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
+        """,
+        "tpch_q6": """
+            WITH f AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                           AS disc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+                  AND l_shipdate < TIMESTAMP '1995-01-01'
+                  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                      BETWEEN 5 AND 7
+                  AND l_quantity < 24
+            ),
+            agg AS (
+                SELECT CAST(COALESCE(sum(cents * disc), 0) AS BIGINT)
+                           AS rev,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM f
+            )
+            SELECT floor(CAST(rev AS DOUBLE) / 10000.0 * 100 + 0.5)
+                       / 100 AS revenue,
+                   cnt AS n_lineitems
+            FROM agg
         """,
         "orders_late_lineitem": """
             SELECT o.o_orderpriority,
@@ -5488,6 +5549,7 @@ def queries():
         "segment_revenue": q_segment_revenue,
         "lineitem_pricing": q_lineitem_pricing,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "orders_topk_revenue": q_orders_topk_revenue,
         "el_mutual_best": q_el_mutual_best,
@@ -5500,6 +5562,7 @@ def queries():
         "el_block_keys_rare": q_el_block_keys_rare,
         "el_tfidf_sims": q_el_tfidf_sims,
         "el_cluster_ari": q_el_cluster_ari,
+        "el_cluster_fm": q_el_cluster_fm,
         "el_soft_tfidf": q_el_soft_tfidf,
         "embed_label_centroids": q_embed_label_centroids,
         "embed_ncm_accuracy": q_embed_ncm_accuracy,
@@ -5991,6 +6054,71 @@ def q_el_cluster_ari(sf_dir: str):
         os.path.join(fd, "gold_mentions.parquet"),
         columns=["mention_id", "surface", "gold_kb_id"])
     return cluster_ari(gm)
+
+
+def q_el_cluster_fm(sf_dir: str):
+    """Fowlkes-Mallows index of exact-alias clustering vs gold labels —
+    geometric mean of pairwise precision/recall from the same three
+    integer pair masses as ARI (el/ops/er.py::cluster_fm); one row."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import cluster_fm
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return cluster_fm(gm)
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue-change: sum(extendedprice *
+    discount) over 1994 shipments with discount in [0.05, 0.07] and
+    quantity < 24. Fully streaming — per-batch integer-cents x
+    integer-discount partial sums (2^53 envelope guard), one-row
+    merge; NO exchange touches row-scale data. Out: (revenue[2dp],
+    n_lineitems)."""
+    import ray.data
+
+    lo, hi = pd.Timestamp("1994-01-01"), pd.Timestamp("1995-01-01")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        keep = ((df["l_shipdate"].to_numpy() >= lo.to_datetime64())
+                & (df["l_shipdate"].to_numpy() < hi.to_datetime64())
+                & (disc >= 5) & (disc <= 7)
+                & (df["l_quantity"].to_numpy() < 24))
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()[keep] * 100 + 0.5)
+        rev_f = cents * disc[keep]
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q6: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        return pd.DataFrame({
+            "rev": pd.array([int(rev_f.sum())], dtype="int64"),
+            "cnt": pd.array([int(keep.sum())], dtype="int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"revenue": "float64", "n_lineitems": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rev = int(df["rev"].sum())
+        r2 = float(np.floor(rev / 10000.0 * 100 + 0.5) / 100)
+        return pd.DataFrame({
+            "revenue": [r2],
+            "n_lineitems": pd.array([int(df["cnt"].sum())],
+                                    dtype="int64")})
+
+    return (li.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
 
 
 def q_el_soft_tfidf(sf_dir: str):

@@ -735,3 +735,36 @@ def test_snb_quality_matches_bruteforce(ray_session):
     assert abs(r["reduction_ratio"]
                - (1 - cand / (n * (n - 1) / 2))) < 1e-6
     assert abs(r["pairs_quality"] - tp / cand) < 1e-6
+
+
+def test_cluster_fm_perfect_and_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import cluster_fm
+
+    perfect = pd.DataFrame({
+        "mention_id": [f"m{i}" for i in range(12)],
+        "surface": [f"name{i % 3}" for i in range(12)],
+        "gold_kb_id": [f"E{i % 3}" for i in range(12)],
+    })
+    r = cluster_fm(ray.data.from_pandas(perfect)).to_pandas().iloc[0]
+    assert (r["pair_precision"], r["pair_recall"], r["fm"]) \
+        == (1.0, 1.0, 1.0)
+
+    df = _mentions(80)
+    r2 = cluster_fm(
+        ray.data.from_pandas(df).repartition(5)).to_pandas().iloc[0]
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    ct = ref.groupby(["norm", "gold_kb_id"]).size().to_numpy()
+    s = int((ct * (ct - 1) // 2).sum())
+    ca = ref.groupby("norm").size().to_numpy()
+    a = int((ca * (ca - 1) // 2).sum())
+    cb = ref.groupby("gold_kb_id").size().to_numpy()
+    b = int((cb * (cb - 1) // 2).sum())
+    assert int(r2["tp_pairs"]) == s
+    assert int(r2["pred_pairs"]) == a
+    assert int(r2["gold_pairs"]) == b
+    assert r2["fm"] == pytest.approx(s / np.sqrt(a * b), abs=1e-6)
+    assert r2["pair_precision"] == pytest.approx(s / a, abs=1e-6)
+    assert r2["pair_recall"] == pytest.approx(s / b, abs=1e-6)
