@@ -87,6 +87,65 @@ def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1.1, scaled to the
+# fixture's short documents): every signal and bound is shared
+# verbatim with the SQL oracle.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 5000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.3
+GOPHER_MIN_STOPWORDS = 2
+_SYMBOL_RE = r"[^A-Za-z0-9\s]"
+
+
+def gopher_rules_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style rule-based quality filter (the classic web-corpus
+    curation gate): per-document token-count bounds, mean-token-length
+    band, alphabetic-token ratio, symbol-to-token ratio, and a minimum
+    stop-word count — each signal emitted alongside the composite
+    pass flag so downstream mixing can re-threshold without a second
+    scan. All ratios are exact int/int divisions (one float divide,
+    identical in numpy and DuckDB); mean length is an exact integer
+    sum over token lengths divided once."""
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    n_tokens = toks.map(len).astype("int64")
+    tok_chars = toks.map(lambda ws: sum(len(w) for w in ws)) \
+        .astype("int64")
+    n_alpha = toks.map(
+        lambda ws: sum(1 for w in ws if not w.isdigit())).astype("int64")
+    stop = set(LANG_MARKERS["en"])
+    n_stop = toks.map(
+        lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
+    n_sym = df["text"].str.count(_SYMBOL_RE).astype("int64")
+    denom = n_tokens.clip(lower=1)
+    mean_len = round_half_away(tok_chars / denom, 6)
+    alpha_ratio = round_half_away(n_alpha / denom, 6)
+    symbol_ratio = round_half_away(n_sym / denom, 6)
+    passes = ((n_tokens >= GOPHER_MIN_TOKENS)
+              & (n_tokens <= GOPHER_MAX_TOKENS)
+              & (mean_len >= GOPHER_MIN_MEAN_LEN)
+              & (mean_len <= GOPHER_MAX_MEAN_LEN)
+              & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+              & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+              & (n_stop >= GOPHER_MIN_STOPWORDS))
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64"),
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_len,
+        "alpha_ratio": alpha_ratio,
+        "symbol_ratio": symbol_ratio,
+        "n_stopwords": n_stop,
+        "passes": passes.astype(bool),
+    })
+
+
+def gopher_rules(docs_ds):
+    """Stateless vectorized scan — embarrassingly parallel at 100 TB."""
+    return docs_ds.map_batches(gopher_rules_batch, batch_format="pandas")
+
+
 def token_count(docs_ds):
     return docs_ds.map_batches(token_count_batch, batch_format="pandas")
 

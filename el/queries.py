@@ -938,6 +938,16 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1.1
+    scaled to the fixture): per-document token bounds, mean-token-length
+    band, alphabetic-token ratio, symbol ratio, stop-word floor — each
+    signal + the composite pass flag (el/ops/textstats.py)."""
+    from .ops.textstats import gopher_rules
+
+    return gopher_rules(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ============================================================== prep ops
 # deterministic PII planting (emails on every 4th doc, phones on every
 # 6th) — identical string construction on the Ray and SQL sides
@@ -2909,6 +2919,10 @@ def _minhash_cte_chain() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from .ops.er import SOFT_TFIDF_THETA
+    from .ops.textstats import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO,
+                                GOPHER_MAX_TOKENS, GOPHER_MIN_ALPHA_RATIO,
+                                GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
+                                GOPHER_MIN_TOKENS)
 
     norm = NORM_SQL.format(col="surface")
     gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
@@ -3730,6 +3744,34 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('len(list_filter(toks, x -> x IN ' + STOPLIST_SQL + ')) / greatest(len(toks), 1)', 6)} AS stop_ratio,
                    {_roundsql('len(list_distinct(toks)) / greatest(len(toks), 1)', 6)} AS uniq_ratio
             FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+        """,
+        "gopher_rules": f"""
+            WITH t AS (
+                SELECT doc_id, text, {toks} AS toks FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       {_roundsql("CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / greatest(len(toks), 1)", 6)}
+                           AS mean_token_len,
+                       {_roundsql("len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / greatest(len(toks), 1)", 6)}
+                           AS alpha_ratio,
+                       {_roundsql("len(regexp_extract_all(text, '[^A-Za-z0-9" + chr(92) + "s]')) / greatest(len(toks), 1)", 6)}
+                           AS symbol_ratio,
+                       CAST(len(list_filter(toks, x -> x IN {STOPLIST_SQL}))
+                            AS BIGINT) AS n_stopwords
+                FROM t
+            )
+            SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
+                   symbol_ratio, n_stopwords,
+                   (n_tokens >= {GOPHER_MIN_TOKENS}
+                    AND n_tokens <= {GOPHER_MAX_TOKENS}
+                    AND mean_token_len >= {GOPHER_MIN_MEAN_LEN}
+                    AND mean_token_len <= {GOPHER_MAX_MEAN_LEN}
+                    AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                    AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                    AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS passes
+            FROM s
         """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -5498,6 +5540,7 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "doc_quality": q_doc_quality,
+        "gopher_rules": q_gopher_rules,
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
         "strip_markup": q_strip_markup,

@@ -937,3 +937,35 @@ def test_group_topk_exact_totals_and_ties(ray_session):
             np.floor(want.cents.to_numpy() / 100.0 * 100 + 0.5) / 100,
             rtol=0, atol=0)
         assert got.rk.tolist() == [1, 2, 3]
+
+
+def test_gopher_rules_each_gate(ray_session):
+    """Each Gopher gate flips the pass flag independently."""
+    import ray.data
+
+    from el.ops.textstats import gopher_rules
+
+    good = ("the cat and the dog sat in a warm corner of the house "
+            "that was built for them last year")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            good,                              # passes everything
+            "short text the and",              # < 10 tokens
+            good + " " + " ".join(["12"] * 40),  # digit flood -> alpha
+            good + " !!! ??? *** &&& ^^^ %%% " * 10,  # symbols
+            ("zq wv xk pj mn bt " * 4),        # no stopwords
+        ],
+    })
+    out = gopher_rules(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[1, "passes"])
+    assert not bool(out.loc[2, "passes"])          # token floor
+    assert out.loc[3, "alpha_ratio"] < 0.8
+    assert not bool(out.loc[3, "passes"])
+    assert out.loc[4, "symbol_ratio"] > 0.3
+    assert not bool(out.loc[4, "passes"])
+    assert out.loc[5, "n_stopwords"] < 2
+    assert not bool(out.loc[5, "passes"])
+    # signals are exact int/int math
+    assert int(out.loc[1, "n_tokens"]) == len(good.split())
