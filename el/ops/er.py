@@ -1172,6 +1172,112 @@ def rare_token_keys(mentions_ds, *, num_partitions: int | None = None):
                             num_cpus=0.5)
 
 
+def rare_token_quality(mentions_ds, *, num_partitions: int | None = None):
+    """blocking_quality's report for the RARE-TOKEN scheme (the
+    "rare_token" pluggable strategy, el/blocking.py): candidate = all
+    within-key pairs of rare_token_keys' single key per mention. One
+    key per mention means NO cross-key pair dedup, so both masses come
+    straight from (key, gold) contingency counts — cand = sum_k
+    C(n_k, 2), tp = sum_{k,g} C(c_{kg}, 2) — and no pair row ever
+    materializes. Same one-row contract as blocking_quality /
+    snb_quality.
+
+    Shape: rare_token_keys' exchange+broadcast+argmin; ONE tagged
+    mention exchange attaches gold; one key exchange folds the
+    contingency; matching via one gold exchange."""
+    import ray  # noqa: F401 — parity with siblings
+
+    n_mentions = mentions_ds.count()
+    keys = rare_token_keys(mentions_ds, num_partitions=num_partitions)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "mid": t.column("mention_id").cast(pa.string()),
+            "block_key": t.column("block_key").cast(pa.string()),
+            "gold": pa.nulls(n, pa.string()),
+            "is_key": pa.array([1] * n, pa.int64())})
+
+    def gold_rows(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "mid": pa.array(df["mention_id"].astype(str), pa.string()),
+            "block_key": pa.nulls(n, pa.string()),
+            "gold": pa.array(df["gold_kb_id"].astype(str), pa.string()),
+            "is_key": pa.array([0] * n, pa.int64())})
+
+    tagged = keys.map_batches(key_rows, batch_format="pyarrow").union(
+        mentions_ds.map_batches(gold_rows, batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"block_key": str, "gold": str}
+        k = df[df["is_key"] == 1]
+        g = df[df["is_key"] == 0]
+        j = k[["mid", "block_key"]].merge(g[["mid", "gold"]], on="mid")
+        if len(j) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        return j[list(cols)].reset_index(drop=True)
+
+    kg = group_blocks(tagged, ["mid"], attach, batch_format="pandas",
+                      num_partitions=num_partitions)
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"block_key": pd.Series(dtype=str),
+                                 "gold": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["block_key", "gold"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def key_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cand": pd.Series(dtype="int64"),
+                                 "tp": pd.Series(dtype="int64")})
+        cells = df.groupby(["block_key", "gold"], as_index=False)["c"] \
+            .sum()
+        c = cells["c"].to_numpy(np.int64)
+        nk = cells.groupby("block_key")["c"].sum().to_numpy(np.int64)
+        return pd.DataFrame({
+            "cand": [int((nk * (nk - 1) // 2).sum())],
+            "tp": [int((c * (c - 1) // 2).sum())]})
+
+    parts = group_blocks(
+        kg.map_batches(cell_partial, batch_format="pandas"),
+        ["block_key"], key_fold, batch_format="pandas",
+        num_partitions=num_partitions).to_pandas()
+    cand = int(parts["cand"].sum())
+    tp = int(parts["tp"].sum())
+
+    def entity_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"mp": pd.Series(dtype="int64")})
+        c = df.groupby("gold_kb_id", sort=False).size().to_numpy()
+        return pd.DataFrame({"mp": [np.int64((c * (c - 1) // 2).sum())]})
+
+    ent = mentions_ds.map_batches(
+        lambda df: df[["mention_id", "gold_kb_id"]], batch_format="pandas")
+    mp_parts = group_blocks(ent, ["gold_kb_id"], entity_pairs,
+                            batch_format="pandas").to_pandas()
+    matching = int(mp_parts["mp"].sum())
+
+    total = n_mentions * (n_mentions - 1) // 2
+    pc = _round6(tp / matching) if matching else 0.0
+    rr = _round6(1.0 - cand / total) if total else 0.0
+    pq = _round6(tp / cand) if cand else 0.0
+    return pd.DataFrame({
+        "n_mentions": pd.Series([n_mentions], dtype="int64"),
+        "candidate_pairs": pd.Series([cand], dtype="int64"),
+        "matching_pairs": pd.Series([matching], dtype="int64"),
+        "tp_pairs": pd.Series([tp], dtype="int64"),
+        "pairs_completeness": [float(pc)],
+        "reduction_ratio": [float(rr)],
+        "pairs_quality": [float(pq)],
+    })
+
+
 # --------------------------------------------------- TF-IDF cosine sim
 def _token_dfs(mentions_ds, *, num_partitions: int | None = None):
     """Exact distinct-mention document frequencies per normalized token

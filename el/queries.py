@@ -359,6 +359,25 @@ def q_el_snb_quality(sf_dir: str):
     return snb_quality(gm, window=4)
 
 
+def q_el_rare_token_quality(sf_dir: str):
+    """blocking_quality's report for the RARE-TOKEN scheme (the
+    "rare_token" pluggable strategy): pairs completeness / reduction
+    ratio / pairs quality of the rarest-token single-key pair set vs
+    gold entities (one row; completes the Christen blocking-scheme
+    comparison triple next to el_blocking_quality and
+    el_snb_quality)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import rare_token_quality
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"],
+    )
+    return rare_token_quality(gm)
+
+
 def q_el_fs_weights(sf_dir: str):
     """Fellegi-Sunter per-feature match weights estimated from the
     labeled candidate-pair fixture (add-one smoothed m/u, log2 ratio)."""
@@ -3093,6 +3112,62 @@ def oracle_sql() -> dict[str, str]:
                        AS pairs_quality
             FROM c, mm, nn
         """,
+        "el_rare_token_quality": f"""
+            WITH m AS (
+                SELECT mention_id, gold_kb_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            tok AS (
+                SELECT DISTINCT mention_id, t FROM (
+                    SELECT mention_id,
+                           unnest(str_split(norm, ' ')) AS t
+                    FROM m
+                )
+            ),
+            tdf AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY t
+            ),
+            r AS (
+                SELECT tok.mention_id, tok.t,
+                       row_number() OVER (
+                           PARTITION BY tok.mention_id
+                           ORDER BY tdf.n, tok.t
+                       ) AS rn
+                FROM tok JOIN tdf ON tdf.t = tok.t
+            ),
+            k AS (
+                SELECT m.mention_id, m.gold_kb_id, 'r:' || r.t AS bk
+                FROM r JOIN m ON m.mention_id = r.mention_id
+                WHERE r.rn = 1
+            ),
+            c AS (
+                SELECT CAST(COALESCE(sum(nk * (nk - 1) // 2), 0)
+                            AS BIGINT) AS cand
+                FROM (SELECT count(*) AS nk FROM k GROUP BY bk)
+            ),
+            tpv AS (
+                SELECT CAST(COALESCE(sum(cg * (cg - 1) // 2), 0)
+                            AS BIGINT) AS tp
+                FROM (SELECT count(*) AS cg FROM k
+                      GROUP BY bk, gold_kb_id)
+            ),
+            mm AS (
+                SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS matching
+                FROM (SELECT count(*) AS cnt FROM {gm}
+                      GROUP BY gold_kb_id)
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {gm})
+            SELECT nn.n AS n_mentions, c.cand AS candidate_pairs,
+                   mm.matching AS matching_pairs, tpv.tp AS tp_pairs,
+                   {_roundsql('CAST(tpv.tp AS DOUBLE) / mm.matching', 6)}
+                       AS pairs_completeness,
+                   {_roundsql('1.0 - CAST(c.cand AS DOUBLE) / (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2)', 6)}
+                       AS reduction_ratio,
+                   {_roundsql('CAST(tpv.tp AS DOUBLE) / c.cand', 6)}
+                       AS pairs_quality
+            FROM c, tpv, mm, nn
+        """,
         "el_fs_weights": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             p AS (
@@ -5511,6 +5586,7 @@ def queries():
         "el_metablocking": q_el_metablocking,
         "el_blocking_quality": q_el_blocking_quality,
         "el_snb_quality": q_el_snb_quality,
+        "el_rare_token_quality": q_el_rare_token_quality,
         "el_fs_weights": q_el_fs_weights,
         "el_token_sims": q_el_token_sims,
         "el_incremental_assign": q_el_incremental_assign,

@@ -737,6 +737,42 @@ def test_snb_quality_matches_bruteforce(ray_session):
     assert abs(r["pairs_quality"] - tp / cand) < 1e-6
 
 
+def test_rare_token_quality_matches_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import rare_token_quality
+
+    df = _mentions(60)
+    r = rare_token_quality(
+        ray.data.from_pandas(df).repartition(4)).iloc[0]
+
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    nz = ref[ref["norm"] != ""].reset_index(drop=True)
+    toks = nz.assign(t=nz["norm"].str.split()) \
+        .explode("t").drop_duplicates(["mention_id", "t"])
+    dfreq = toks.groupby("t")["mention_id"].nunique()
+    toks = toks.assign(n=toks["t"].map(dfreq))
+    key = toks.sort_values(["n", "t"]).groupby("mention_id").head(1)
+    keyed = nz.merge(key[["mention_id", "t"]], on="mention_id")
+    cand = tp = 0
+    for _, grp in keyed.groupby("t"):
+        k = len(grp)
+        cand += k * (k - 1) // 2
+        g = grp.groupby("gold_kb_id").size().to_numpy()
+        tp += int((g * (g - 1) // 2).sum())
+    c = ref.groupby("gold_kb_id").size().to_numpy()
+    matching = int((c * (c - 1) // 2).sum())
+    n = len(df)
+    assert int(r["n_mentions"]) == n
+    assert int(r["candidate_pairs"]) == cand
+    assert int(r["tp_pairs"]) == tp
+    assert int(r["matching_pairs"]) == matching
+    assert abs(r["pairs_completeness"] - tp / matching) < 1e-6
+    assert abs(r["reduction_ratio"]
+               - (1 - cand / (n * (n - 1) / 2))) < 1e-6
+    assert abs(r["pairs_quality"] - tp / cand) < 1e-6
+
+
 def test_cluster_fm_perfect_and_bruteforce(ray_session):
     import ray.data
 
