@@ -251,3 +251,100 @@ def running_total(ds, key: str = "user_id",
 
     return group_blocks(ds, [key], block, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def assoc_rules(ds, key: str = "user_id", col: str = "event_type", *,
+                num_partitions: int | None = None):
+    """Market-basket association rules over per-``key`` DISTINCT
+    ``col`` itemsets — support / confidence / lift for every directed
+    type pair (the Agrawal-Srikant A-priori statistics at itemset size
+    2, the feature-cooccurrence screen a training-data pipeline runs
+    before one-hot crossing).
+
+    Scale shape: per-batch (key, item) dedup partials -> ONE key hash
+    exchange -> in-fold per-key distinct itemsets, emitting aggregated
+    (item, item) pair / single / basket-count partial rows per block —
+    each block's output is bounded by |item vocabulary|^2 + |vocab| +
+    1 rows, INDEPENDENT of row count, so the driver-side final merge
+    is over num_blocks x that bound, never data-scale (the
+    pivot_counts IN-list argument: the item vocabulary is feature
+    cardinality, not corpus cardinality). Metrics are single-division
+    float64 written identically to the SQL oracle: support =
+    n_both/n_baskets, confidence = n_both/n_ante, lift = n_both *
+    n_baskets / (n_ante * n_cons), 6dp half-up.
+
+    Out: one row per DIRECTED rule (antecedent -> consequent) with
+    n_both >= 1: (antecedent, consequent, n_both, n_ante, n_cons,
+    n_baskets, support, confidence, lift)."""
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 col: pd.Series(dtype=str)})
+        return df[[key, col]].drop_duplicates().reset_index(drop=True)
+
+    partials = ds.map_batches(dedup_partial, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": str, "b": str}
+        if len(df) == 0:
+            return pd.DataFrame({**{c: pd.Series(dtype=t)
+                                    for c, t in cols.items()},
+                                 "c": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype=str)})
+        ut = df.drop_duplicates([key, col])
+        # singles: item -> #baskets containing it (within this block's
+        # key range; keys are co-located so counts are exact)
+        singles = ut.groupby(col, as_index=False).size() \
+            .rename(columns={col: "a", "size": "c"})
+        singles["b"] = ""
+        singles["kind"] = "s"
+        # pairs: within-basket unordered item pairs, merged across
+        # baskets via a self-join on the key (vocabulary-bounded)
+        j = ut.merge(ut, on=key)
+        j = j[j[f"{col}_x"] < j[f"{col}_y"]]
+        pairs = j.groupby([f"{col}_x", f"{col}_y"], as_index=False) \
+            .size().rename(columns={f"{col}_x": "a", f"{col}_y": "b",
+                                    "size": "c"})
+        pairs["kind"] = "p"
+        baskets = pd.DataFrame({"a": [""], "b": [""],
+                                "c": [ut[key].nunique()],
+                                "kind": ["u"]})
+        out = pd.concat([singles, pairs, baskets], ignore_index=True)
+        out["c"] = out["c"].astype("int64")
+        return out[["a", "b", "c", "kind"]]
+
+    parts = group_blocks(partials, [key], fold, batch_format="pandas",
+                         num_partitions=num_partitions).to_pandas()
+
+    cols = {"antecedent": str, "consequent": str}
+    icols = ("n_both", "n_ante", "n_cons", "n_baskets")
+    fcols = ("support", "confidence", "lift")
+    if len(parts) == 0:
+        return pd.DataFrame({
+            **{c: pd.Series(dtype=t) for c, t in cols.items()},
+            **{c: pd.Series(dtype="int64") for c in icols},
+            **{c: pd.Series(dtype="float64") for c in fcols}})
+    agg = parts.groupby(["kind", "a", "b"], as_index=False)["c"].sum()
+    nu = int(agg.loc[agg["kind"] == "u", "c"].sum())
+    sing = dict(zip(agg.loc[agg["kind"] == "s", "a"],
+                    agg.loc[agg["kind"] == "s", "c"].astype("int64")))
+    p = agg[agg["kind"] == "p"]
+    rules = pd.concat([
+        p.rename(columns={"a": "antecedent", "b": "consequent"}),
+        p.rename(columns={"b": "antecedent", "a": "consequent"}),
+    ], ignore_index=True)[["antecedent", "consequent", "c"]]
+    rules = rules.rename(columns={"c": "n_both"})
+    rules["n_ante"] = rules["antecedent"].map(sing).astype("int64")
+    rules["n_cons"] = rules["consequent"].map(sing).astype("int64")
+    rules["n_both"] = rules["n_both"].astype("int64")
+    rules["n_baskets"] = np.int64(nu)
+    nb = rules["n_both"].to_numpy("float64")
+    na = rules["n_ante"].to_numpy("float64")
+    nc = rules["n_cons"].to_numpy("float64")
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rules["support"] = r6(nb / float(nu))
+    rules["confidence"] = r6(nb / na)
+    rules["lift"] = r6(nb * float(nu) / (na * nc))
+    return rules.sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)

@@ -1694,6 +1694,22 @@ def q_events_pivot(sf_dir: str):
     return pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
 
 
+def q_event_assoc_rules(sf_dir: str):
+    """Market-basket association rules over per-user distinct
+    event-type baskets: support / confidence / lift per directed type
+    pair (Agrawal-Srikant A-priori at itemset size 2). One user
+    exchange; per-block partials bounded by the type vocabulary, not
+    the row count."""
+    import ray.data
+
+    from .ops.relational import assoc_rules
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    return assoc_rules(ev)
+
+
 def q_events_running_total(sf_dir: str):
     """Windowed running total: per-user cumulative value sum in strict
     (ts, event_id) order — SUM() OVER (PARTITION BY user ORDER BY ...)
@@ -5436,6 +5452,43 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('pri', 10)} AS priority
             FROM p ORDER BY pri DESC, doc_id LIMIT 200
         """,
+        "event_assoc_rules": f"""
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ),
+            n AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+                FROM ut
+            ),
+            s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM ut GROUP BY event_type
+            ),
+            p AS (
+                SELECT a.event_type AS ante, b.event_type AS cons,
+                       CAST(count(*) AS BIGINT) AS nb
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT ante, cons, nb FROM p
+                UNION ALL
+                SELECT cons AS ante, ante AS cons, nb FROM p
+            )
+            SELECT d.ante AS antecedent, d.cons AS consequent,
+                   d.nb AS n_both, sa.c AS n_ante, sc.c AS n_cons,
+                   n.nu AS n_baskets,
+                   {_roundsql('CAST(d.nb AS DOUBLE) / n.nu', 6)}
+                       AS support,
+                   {_roundsql('CAST(d.nb AS DOUBLE) / sa.c', 6)}
+                       AS confidence,
+                   {_roundsql('CAST(d.nb AS DOUBLE) * n.nu / (CAST(sa.c AS DOUBLE) * sc.c)', 6)}
+                       AS lift
+            FROM d
+            JOIN s sa ON sa.event_type = d.ante
+            JOIN s sc ON sc.event_type = d.cons, n
+        """,
         "events_pivot": """
             SELECT user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
@@ -5650,6 +5703,7 @@ def queries():
         "events_hourly": q_events_hourly,
         "hopping_distinct": q_hopping_distinct,
         "weighted_sample": q_weighted_sample,
+        "event_assoc_rules": q_event_assoc_rules,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "events_zscore": q_events_zscore,

@@ -946,3 +946,36 @@ def test_cms_heavy_hitters_overestimates(ray_session):
         t for txt in docs["text"] for t in txt.split())
     got = dict(zip(out["token"], out["exact_count"]))
     assert all(cnt[t] == c for t, c in got.items())
+
+
+def test_assoc_rules_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from el.ops.relational import assoc_rules
+
+    rng = np.random.default_rng(11)
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 25, 400),
+        "event_type": rng.choice(list("abcde"), 400),
+    })
+    out = assoc_rules(ray.data.from_pandas(ev).repartition(6))
+
+    baskets = ev.groupby("user_id")["event_type"].agg(set)
+    nu = len(baskets)
+    sing = {t: sum(t in b for b in baskets) for t in "abcde"}
+    for _, r in out.iterrows():
+        a, c = r["antecedent"], r["consequent"]
+        nb = sum(a in b and c in b for b in baskets)
+        assert int(r["n_both"]) == nb and nb >= 1
+        assert int(r["n_ante"]) == sing[a]
+        assert int(r["n_cons"]) == sing[c]
+        assert int(r["n_baskets"]) == nu
+        assert abs(r["support"] - nb / nu) < 1e-6
+        assert abs(r["confidence"] - nb / sing[a]) < 1e-6
+        assert abs(r["lift"] - nb * nu / (sing[a] * sing[c])) < 1e-6
+    # every co-occurring directed pair is present
+    want = {(a, c) for a, c in itertools.permutations("abcde", 2)
+            if sum(a in b and c in b for b in baskets) >= 1}
+    assert set(zip(out["antecedent"], out["consequent"])) == want
