@@ -5331,6 +5331,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
         """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(COALESCE(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS high_line_count,
+                   CAST(COALESCE(sum(CASE WHEN o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
         "tpch_q6": """
             WITH f AS (
                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -5723,6 +5737,7 @@ def queries():
         "lineitem_pricing": q_lineitem_pricing,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
         "tpch_q3": q_tpch_q3,
         "orders_topk_revenue": q_orders_topk_revenue,
         "el_mutual_best": q_el_mutual_best,
@@ -6292,6 +6307,105 @@ def q_tpch_q6(sf_dir: str):
     return (li.map_batches(partial, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12-flavored shipping-priority crosstab, adapted to this
+    schema (no l_shipmode/commitdate columns — the grouping key is
+    l_returnflag and the date gate is l_shipdate in 1996; the query's
+    SHAPE is Q12's: lineitem ⋈ orders with a two-class priority
+    CASE crosstab, TPC-H spec Q12 / reference's per-category
+    benchmark groupings).
+
+    Scale shape: lineitem is date-filtered and pre-aggregated per
+    (orderkey, returnflag) per batch; orders ships only (okey,
+    is_high). Both meet in ONE tagged-union hash exchange on orderkey
+    (no corpus-scale broadcast); the in-fold join emits one
+    (returnflag, high, low) partial row per block, merged in a final
+    one-row-per-flag pass. Out: (l_returnflag, high_line_count,
+    low_line_count) sorted by flag."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    high = ("1-URGENT", "2-HIGH")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "flag": pa.nulls(n, pa.string()),
+            "cnt": pa.nulls(n, pa.int64()),
+            "is_high": pa.array(
+                df["o_orderpriority"].isin(high).astype("int64")),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy()
+        df = df[(sd >= lo.to_datetime64()) & (sd < hi.to_datetime64())]
+        part = (df.groupby(["l_orderkey", "l_returnflag"],
+                           as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+        n = len(part)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "flag": pa.array(part["l_returnflag"].astype(str),
+                             pa.string()),
+            "cnt": pa.array(part["cnt"].astype("int64")),
+            "is_high": pa.nulls(n, pa.int64()),
+            "is_order": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged = orders.map_batches(order_side, batch_format="pandas") \
+        .union(li.map_batches(li_side, batch_format="pandas"))
+
+    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_returnflag": str}
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        j = l[["okey", "flag", "cnt"]].merge(
+            o[["okey", "is_high"]], on="okey")
+        if len(j) == 0:
+            return pd.DataFrame({
+                **{c: pd.Series(dtype=t) for c, t in cols.items()},
+                "high": pd.Series(dtype="int64"),
+                "low": pd.Series(dtype="int64")})
+        j["high"] = j["cnt"] * j["is_high"]
+        j["low"] = j["cnt"] * (1 - j["is_high"])
+        out = j.groupby("flag", as_index=False)[["high", "low"]].sum()
+        out = out.rename(columns={"flag": "l_returnflag"})
+        out["high"] = out["high"].astype("int64")
+        out["low"] = out["low"].astype("int64")
+        return out
+
+    parts = group_blocks(tagged, ["okey"], join_fold,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_returnflag": str, "high_line_count": "int64",
+                "low_line_count": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        out = df.groupby("l_returnflag", as_index=False) \
+            [["high", "low"]].sum()
+        out = out.rename(columns={"high": "high_line_count",
+                                  "low": "low_line_count"})
+        out["high_line_count"] = out["high_line_count"].astype("int64")
+        out["low_line_count"] = out["low_line_count"].astype("int64")
+        return out.sort_values("l_returnflag").reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
 
 
 def q_el_soft_tfidf(sf_dir: str):
