@@ -276,3 +276,86 @@ def unigram_logprob(docs_ds, vocab_cap: int = 65536, oov_count: float = 0.5,
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+def source_kl(docs_ds, *, num_partitions: int | None = None):
+    """Per-source unigram KL divergence from the corpus distribution —
+    D_KL(P_source || P_corpus) = sum_t p_s(t) ln(p_s(t)/p(t)) — the
+    domain-shift screen a curation pipeline runs per provenance slice
+    (a source whose token distribution diverges from the mix is over-
+    or under-weighted; CCNet-style slice diagnostics).
+
+    Exactness contract: every per-(source, token) term
+    (c_st/n_s) * ln((c_st * n) / (n_s * c_t)) is quantized PER CELL to
+    the integer 1e-9 grid, so cross-cell sums are exact int64 with no
+    float-sum order sensitivity (the cluster_vmeasure precedent); the
+    only engine/oracle float contract is ln() on identical double
+    ratios.
+
+    Scale shape: per-batch (source, token) combiner partials -> ONE
+    token hash exchange (attaches the exact corpus count c_t to each
+    cell in-block) -> one streaming scalar sum for n -> ONE source
+    hash exchange folding quantized terms per source. Cell volume is
+    bounded by sources x vocabulary, never corpus rows. Out: one row
+    per source (source, n_tokens, vocab, kl[6dp])."""
+    from ..shuffle import group_blocks
+    from .prep import TOKEN_RE
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": str, "token": str}
+        if len(df) == 0:
+            return pd.DataFrame({**{c: pd.Series(dtype=t)
+                                    for c, t in cols.items()},
+                                 "c": pd.Series(dtype="int64")})
+        toks = df["text"].str.lower().str.findall(TOKEN_RE)
+        out = pd.DataFrame({
+            "source": df["source"].astype(str).repeat(toks.str.len()),
+            "token": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]).astype(str)
+            if toks.str.len().sum() else pd.Series(dtype=str)})
+        out = out.groupby(["source", "token"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = docs_ds.map_batches(cell_partial, batch_format="pandas")
+
+    def token_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": str, "c": "int64", "ct": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({"source": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64"),
+                                 "ct": pd.Series(dtype="int64")})
+        cells = df.groupby(["token", "source"], as_index=False)["c"] \
+            .sum()
+        cells["ct"] = cells.groupby("token")["c"].transform("sum")
+        out = cells[["source", "c", "ct"]]
+        out = out.astype({"c": "int64", "ct": "int64"})
+        return out.reset_index(drop=True)
+
+    cells = group_blocks(partials, ["token"], token_fold,
+                         batch_format="pandas",
+                         num_partitions=num_partitions).materialize()
+    n_total = int(cells.sum("c") or 0)
+
+    def source_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": str, "n_tokens": "int64", "vocab": "int64",
+                "kl": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rows = []
+        for src, g in df.groupby("source"):
+            c = g["c"].to_numpy("float64")
+            ct = g["ct"].to_numpy("float64")
+            ns = float(int(g["c"].sum()))
+            term = (c / ns) * np.log((c * float(n_total)) / (ns * ct))
+            q = int(np.floor(term * 1e9 + 0.5).astype("int64").sum())
+            kl = np.floor((q / 1e9) * 1e6 + 0.5) / 1e6
+            rows.append((str(src), int(ns), len(g), float(kl)))
+        out = pd.DataFrame(rows, columns=list(cols))
+        return out.astype({"n_tokens": "int64", "vocab": "int64"})
+
+    return group_blocks(cells, ["source"], source_fold,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)

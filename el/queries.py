@@ -1050,6 +1050,18 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_source_kl(sf_dir: str):
+    """Per-source unigram KL divergence from the corpus token
+    distribution (domain-shift screen per provenance slice). One token
+    exchange attaches exact corpus counts to each (source, token)
+    cell; per-cell terms quantized to the 1e-9 integer grid; one
+    source exchange folds them. Cell volume bounded by sources x
+    vocabulary."""
+    from .ops.textstats import source_kl
+
+    return source_kl(_read(sf_dir, "documents", ["text", "source"]))
+
+
 def _decon_corpus(sf_dir: str):
     """documents with a 10-token sentinel appended to benchmark docs
     (doc_id % 97 == 0) and to every 13th doc — guarantees known
@@ -4005,6 +4017,42 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ch, ' ') AS chunk_text
             FROM c
         """,
+        "source_kl": f"""
+            WITH tok AS (
+                SELECT source, unnest({toks}) AS token FROM documents
+            ),
+            cell AS (
+                SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY source, token
+            ),
+            tc AS (
+                SELECT token, CAST(sum(c) AS BIGINT) AS ct
+                FROM cell GROUP BY token
+            ),
+            src AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+                       CAST(count(*) AS BIGINT) AS vocab
+                FROM cell GROUP BY source
+            ),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+            terms AS (
+                SELECT cell.source,
+                       CAST(floor(
+                           (CAST(cell.c AS DOUBLE) / src.ns)
+                           * ln((CAST(cell.c AS DOUBLE) * n.n)
+                                / (CAST(src.ns AS DOUBLE) * tc.ct))
+                           * 1000000000 + 0.5) AS BIGINT) AS q
+                FROM cell
+                JOIN tc ON tc.token = cell.token
+                JOIN src ON src.source = cell.source, n
+            )
+            SELECT src.source, src.ns AS n_tokens, src.vocab AS vocab,
+                   {_roundsql('CAST(t.qs AS DOUBLE) / 1000000000', 6)}
+                       AS kl
+            FROM (SELECT source, CAST(sum(q) AS BIGINT) AS qs
+                  FROM terms GROUP BY source) t
+            JOIN src ON src.source = t.source
+        """,
         "unigram_logprob": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({toks}) AS token FROM documents
@@ -5689,6 +5737,7 @@ def queries():
         "strip_markup": q_strip_markup,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
+        "source_kl": q_source_kl,
         "doc_chunk": q_doc_chunk,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,

@@ -979,3 +979,41 @@ def test_assoc_rules_bruteforce(ray_session):
     want = {(a, c) for a, c in itertools.permutations("abcde", 2)
             if sum(a in b and c in b for b in baskets) >= 1}
     assert set(zip(out["antecedent"], out["consequent"])) == want
+
+
+def test_source_kl_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from el.ops.textstats import source_kl
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame({
+        "text": [" ".join(rng.choice(words, rng.integers(3, 12)))
+                 for _ in range(80)],
+        "source": rng.choice(["cc", "wiki", "forum"], 80),
+    })
+    out = source_kl(ray.data.from_pandas(docs).repartition(5)) \
+        .to_pandas().set_index("source")
+
+    import collections
+    cells = collections.Counter()
+    for txt, src in zip(docs["text"], docs["source"]):
+        for t in txt.lower().split():
+            cells[(src, t)] += 1
+    ct = collections.Counter()
+    for (s, t), c in cells.items():
+        ct[t] += c
+    n = sum(cells.values())
+    for src in ("cc", "wiki", "forum"):
+        sc = {t: c for (s, t), c in cells.items() if s == src}
+        ns = sum(sc.values())
+        kl = sum((c / ns) * math.log((c * n) / (ns * ct[t]))
+                 for t, c in sc.items())
+        r = out.loc[src]
+        assert int(r["n_tokens"]) == ns
+        assert int(r["vocab"]) == len(sc)
+        assert abs(r["kl"] - kl) < 1e-5
+        assert r["kl"] >= 0  # KL non-negativity sanity
