@@ -760,3 +760,71 @@ def ncm_accuracy(emb_ds, *, num_partitions: int | None = None):
     return group_blocks(partials, ["label"], merge,
                         batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+class _HardNegScorer:
+    """_BruteScorer with a label-mismatch mask: candidates sharing the
+    query's label are excluded BEFORE the local top-k, so the merge
+    sees only valid negatives."""
+
+    def __init__(self, q_ref, top_m: int):
+        import ray
+
+        Q, labels = ray.get(q_ref)  # ((nq, d) float64, (nq,) int64)
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.q_labels = labels
+        self.top_m = top_m
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(dict(_EMPTY_LOCAL))
+        X = _matrix_from_arrow(t.column("embedding"))
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                         1e-30, None)
+        sims = self.Qn @ Xn.T  # (nq, batch)
+        vec_ids = t.column("vec_id").to_numpy()
+        labels = t.column("label").to_numpy()
+        qs, ids, sv = [], [], []
+        for qi in range(sims.shape[0]):
+            keep = np.flatnonzero(labels != self.q_labels[qi])
+            if len(keep) == 0:
+                continue
+            m = min(self.top_m, len(keep))
+            order = keep[np.lexsort((vec_ids[keep], -sims[qi, keep]))[:m]]
+            qs.append(np.full(len(order), qi, dtype=np.int64))
+            ids.append(vec_ids[order])
+            sv.append(sims[qi, order])
+        return _local_topk_frame(qs, ids, sv)
+
+
+def hard_negatives(emb_ds, queries: np.ndarray, q_labels: np.ndarray,
+                   k: int = 10, concurrency: int = 2):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the exact cosine top-k most-similar table vectors whose
+    ``label`` DIFFERS from the query's label (the "hardest" negatives —
+    near in embedding space, wrong in class; the standard
+    dense-retrieval negative-sampling pass, e.g. DPR/ANCE-style).
+
+    Scale shape: identical to :func:`brute_force_topk` — the query
+    matrix + labels broadcast ONCE via ray.put, per-batch vectorized
+    matmul with a label-mismatch mask before the local top-k, then one
+    tiny q_id exchange merges the per-batch candidates. Returns
+    (q_id, vec_id, sim, rank)."""
+    import functools
+
+    import ray
+
+    from ..shuffle import group_map_pandas
+
+    q_ref = ray.put((np.asarray(queries, dtype=np.float64),
+                     np.asarray(q_labels, dtype=np.int64)))
+    local = emb_ds.map_batches(
+        _HardNegScorer,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return group_map_pandas(local, "q_id",
+                            functools.partial(_merge_topk, k=k))

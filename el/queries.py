@@ -1330,6 +1330,35 @@ def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (contrastive-training negatives): exact
+    cosine top-10 per query vector among table vectors with a
+    DIFFERENT label — query matrix + labels broadcast once, per-batch
+    vectorized matmul + label mask, one tiny q_id merge exchange
+    (el/ops/ann.py::hard_negatives)."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import hard_negatives
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.to_pandas().sort_values("vec_id").head(3)
+    Q = np.array([np.asarray(v, dtype=np.float64)
+                  for v in head["embedding"]])
+    labels = head["label"].to_numpy("int64")
+    out = hard_negatives(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        Q, labels, k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_id"] = df["q_id"].astype("int64")
+        df["sim"] = _round_half_away(df["sim"], 5)
+        df["rank"] = df["rank"].astype("int64")
+        return df[["q_id", "vec_id", "sim", "rank"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_ann_topk(sf_dir: str):
     """Exact brute-force cosine top-10 for the first 3 vectors."""
     from .ops.ann import brute_force_topk
@@ -4355,6 +4384,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE hamming(a.s, b.s) <= 3
         """,
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS q_id, label AS ql,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.label != q.ql),
+            r AS (SELECT q_id, vec_id, sim,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT q_id, vec_id, {_roundsql('sim', 5)} AS sim, rank
+            FROM r WHERE rank <= 10
+        """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),
@@ -5754,6 +5798,7 @@ def queries():
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "hard_negatives": q_hard_negatives,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "bm25_topk": q_bm25_topk,

@@ -1017,3 +1017,27 @@ def test_source_kl_bruteforce(ray_session):
         assert int(r["vocab"]) == len(sc)
         assert abs(r["kl"] - kl) < 1e-5
         assert r["kl"] >= 0  # KL non-negativity sanity
+
+
+def test_hard_negatives_matches_numpy(ray_session, emb_ds):
+    from el.ops.ann import hard_negatives
+
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    ids = df.vec_id.to_numpy()
+    labels = df.label.to_numpy()
+    Q, ql = X[:2], labels[:2]
+    res = hard_negatives(emb_ds, Q, ql, k=5).to_pandas()
+    lab = dict(zip(ids, labels))
+    # every returned negative has a different label than its query
+    assert all(lab[v] != ql[int(q)]
+               for q, v in zip(res.q_id, res.vec_id))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    for qi in range(2):
+        keep = np.flatnonzero(labels != ql[qi])
+        order = keep[np.lexsort((ids[keep], -sims[qi, keep]))[:5]]
+        want = [int(ids[j]) for j in order]
+        got = res[res.q_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want
