@@ -117,6 +117,68 @@ def q_el_answers(sf_dir: str):
     return _answers(fd).map_batches(slim, batch_format="pyarrow")
 
 
+def q_el_cluster_sizes(sf_dir: str):
+    """Cluster-size distribution of the exact-alias clustering (one
+    row per size: how many clusters have that many mentions) — the
+    skew diagnostic read before sizing the pair-generation caps
+    (el/blocking.py's cap rationale) and the distribution companion to
+    the scalar cluster-quality family (ARI / FM / V-measure).
+
+    Scale shape: per-batch (norm, partial-count) combiner -> ONE norm
+    exchange folding exact per-cluster sizes -> per-block size
+    histogram partials -> one tiny size exchange. No row-scale
+    materialization anywhere."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["surface"],
+    )
+
+    def norm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"norm": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        norms = pd.Series([normalize_name(s) for s in df["surface"]],
+                          dtype=str)
+        out = norms[norms != ""].to_frame("norm") \
+            .groupby("norm", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def size_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                                 "n_clusters": pd.Series(dtype="int64")})
+        sizes = df.groupby("norm")["c"].sum()
+        out = sizes.value_counts().rename_axis("cluster_size") \
+            .reset_index(name="n_clusters")
+        out = out.astype({"cluster_size": "int64",
+                          "n_clusters": "int64"})
+        return out
+
+    hist_parts = group_blocks(
+        gm.map_batches(norm_partial, batch_format="pandas"),
+        ["norm"], size_hist, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cluster_size": "int64", "n_clusters": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("cluster_size", as_index=False)["n_clusters"] \
+            .sum()
+        out["n_clusters"] = out["n_clusters"].astype("int64")
+        return out.sort_values("cluster_size").reset_index(drop=True)
+
+    return group_blocks(hist_parts, ["cluster_size"], merge,
+                        batch_format="pandas")
+
+
 def q_el_exact_cluster(sf_dir: str):
     """Exact-alias NIL clustering semantics (clusterNils analog,
     RunKBPEntityLinkerSystem.scala:160-192): cluster by normalized
@@ -3022,6 +3084,19 @@ def oracle_sql() -> dict[str, str]:
         "el_mentions": f"""
             SELECT mention_id, conv_id, turn_idx, beg, "end", surface FROM {gm}
         """,
+        "el_cluster_sizes": f"""
+            WITH m AS (
+                SELECT {norm} AS norm FROM {gm} WHERE {norm} != ''
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS cluster_size
+                FROM m GROUP BY norm
+            )
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM s GROUP BY cluster_size
+            ORDER BY cluster_size
+        """,
         "el_exact_cluster": f"""
             SELECT mention_id,
                    min(mention_id) OVER (PARTITION BY {norm}) AS cluster_id
@@ -5736,6 +5811,7 @@ def queries():
         "el_mentions": q_el_mentions,
         "el_answers": q_el_answers,
         "el_exact_cluster": q_el_exact_cluster,
+        "el_cluster_sizes": q_el_cluster_sizes,
         "el_block_keys": q_el_block_keys,
         "el_block_keys_phonetic": q_el_block_keys_phonetic,
         "el_pair_jw": q_el_pair_jw,
