@@ -1743,6 +1743,98 @@ def q_image_resize(sf_dir: str):
 
 
 # ============================================================ relational
+def q_events_anomaly(sf_dir: str):
+    """Trailing-window z-score anomaly screen over hourly event-type
+    counts: for each (event_type, hour) bucket with 6 PRECEDING
+    observed hourly buckets, z = (c - mean_prev6) / std_prev6 — the
+    streaming burst detector run over operational event feeds.
+
+    Exactness contract: window sums s = sum(prev6 c) and ss =
+    sum(prev6 c^2) are exact int64; variance uses the explicit
+    integer-numerator sample formula (w*ss - s*s) / (w*(w-1)) and
+    z = (c - s/w) / sqrt(var), written IDENTICALLY on both sides (no
+    engine-side STDDEV whose summation order could drift). Flat
+    windows (var == 0) emit z = 0.
+
+    Scale shape: per-batch (type, hour) count partials -> one tiny
+    (type, hour) exchange merge -> ONE type exchange, in-block hour
+    sort + vectorized sliding sums (cumsum diffs). Bucket volume is
+    types x hours, never row-scale. Out: (event_type, hour, n, z[6dp])
+    for full-window buckets, sorted in-block by hour."""
+    from .shuffle import group_blocks
+
+    W = 6
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                                 "hour": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        hour = df["ts"].values.astype("datetime64[h]").astype("int64")
+        out = df.assign(hour=hour).groupby(
+            ["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                                 "hour": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["event_type", "hour"], as_index=False)["c"] \
+            .sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    buckets = group_blocks(partials, ["event_type", "hour"], merge,
+                           batch_format="pandas")
+
+    def zscore(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "hour": "datetime64[us]",
+                "n": "int64", "z": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rows = []
+        for et, g in df.groupby("event_type"):
+            g = g.sort_values("hour")
+            c = g["c"].to_numpy("int64")
+            if len(c) <= W:
+                continue
+            cs = np.concatenate(([0], np.cumsum(c)))
+            cs2 = np.concatenate(([0], np.cumsum(c * c)))
+            # trailing window [i-W, i) for i >= W
+            s = cs[W:-1] - cs[:-W - 1]
+            ss = cs2[W:-1] - cs2[:-W - 1]
+            cur = c[W:]
+            num = W * ss - s * s  # exact int64
+            var = num.astype("float64") / float(W * (W - 1))
+            mean = s.astype("float64") / float(W)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = np.where(var > 0,
+                             (cur.astype("float64") - mean)
+                             / np.sqrt(var), 0.0)
+            z = np.floor(z * 1e6 + 0.5) / 1e6
+            h = g["hour"].to_numpy("int64")[W:]
+            rows.append(pd.DataFrame({
+                "event_type": et,
+                "hour": h.astype("datetime64[h]").astype(
+                    "datetime64[us]"),
+                "n": cur, "z": z}))
+        if not rows:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = pd.concat(rows, ignore_index=True)
+        return out.astype({"n": "int64"})
+
+    return group_blocks(buckets, ["event_type"], zscore,
+                        batch_format="pandas")
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: per-batch PRE-AGGREGATION (combiner),
     one hash exchange on (user_id, hour-int), block-local final merge.
@@ -4698,6 +4790,30 @@ def oracle_sql() -> dict[str, str]:
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.9999
         """,
+        "events_anomaly": f"""
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT event_type, hour, c,
+                       CAST(sum(c) OVER tw AS BIGINT) AS s,
+                       CAST(sum(c * c) OVER tw AS BIGINT) AS ss,
+                       count(*) OVER tw AS nw
+                FROM b
+                WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN 6 PRECEDING
+                              AND 1 PRECEDING)
+            )
+            SELECT event_type, hour, c AS n,
+                   {_roundsql(
+                       "CASE WHEN 6 * ss - s * s > 0 THEN "
+                       "(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / 6) "
+                       "/ sqrt(CAST(6 * ss - s * s AS DOUBLE) / 30.0) "
+                       "ELSE 0.0 END", 6)} AS z
+            FROM w WHERE nw = 6
+        """,
         "events_hourly": f"""
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    count(*) AS n,
@@ -5885,6 +6001,7 @@ def queries():
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
         "events_hourly": q_events_hourly,
+        "events_anomaly": q_events_anomaly,
         "hopping_distinct": q_hopping_distinct,
         "weighted_sample": q_weighted_sample,
         "event_assoc_rules": q_event_assoc_rules,

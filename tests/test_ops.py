@@ -1041,3 +1041,42 @@ def test_hard_negatives_matches_numpy(ray_session, emb_ds):
         want = [int(ids[j]) for j in order]
         got = res[res.q_id == qi].sort_values("rank")["vec_id"].tolist()
         assert got == want
+
+
+def test_events_anomaly_bruteforce(ray_session, tmp_path):
+    import math
+
+    from el.queries import q_events_anomaly
+
+    rng = np.random.default_rng(7)
+    ts = (np.datetime64("2026-01-01T00:00") +
+          rng.integers(0, 40, 300).astype("timedelta64[h]") +
+          rng.integers(0, 60, 300).astype("timedelta64[m]"))
+    ev = pd.DataFrame({
+        "event_id": np.arange(300, dtype="int64"),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": np.zeros(300, dtype="int64"),
+        "event_type": rng.choice(["click", "view"], 300),
+        "value": np.zeros(300), "props": [""] * 300,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_anomaly(str(tmp_path)).to_pandas()
+
+    hourly = ev.assign(hour=ev["ts"].values.astype("datetime64[h]")) \
+        .groupby(["event_type", "hour"]).size().rename("c").reset_index()
+    want = {}
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hour").reset_index(drop=True)
+        for i in range(6, len(g)):
+            prev = g["c"].iloc[i - 6:i].to_numpy("int64")
+            s, ss = int(prev.sum()), int((prev * prev).sum())
+            num = 6 * ss - s * s
+            c = int(g["c"].iloc[i])
+            z = ((c - s / 6) / math.sqrt(num / 30.0)) if num > 0 else 0.0
+            want[(et, np.datetime64(g["hour"].iloc[i], "h"))] = (c, z)
+    got = {(r.event_type, np.datetime64(r.hour, "h")): (r.n, r.z)
+           for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, (c, z) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - z) < 1e-6
