@@ -231,3 +231,74 @@ def conv_docs(transcripts_ds, *, clone_suffix: str = ""):
         return conv_docs_block(df, clone_suffix=clone_suffix)
 
     return group_blocks(ds, ["conv_id"], block, batch_format="pandas")
+
+
+def tool_bigrams_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation kernel: per-block (prev_tool, tool) counts of
+    CONSECUTIVE tool calls (in turn order, skipping non-tool turns) —
+    the transition matrix an agent-trace process-mining pass starts
+    from."""
+    empty = pd.DataFrame({"prev_tool": pd.Series(dtype=str),
+                          "tool": pd.Series(dtype=str),
+                          "c": pd.Series(dtype="int64")})
+    if len(df) == 0:
+        return empty
+    t = df[df["tool"] != ""].sort_values(["conv_id", "turn_idx"],
+                                         kind="stable")
+    if len(t) == 0:
+        return empty
+    prev = t.groupby("conv_id", sort=False)["tool"].shift(1)
+    m = prev.notna()
+    if not m.any():
+        return empty
+    out = pd.DataFrame({"prev_tool": prev[m].to_numpy(),
+                        "tool": t.loc[m, "tool"].to_numpy()}) \
+        .groupby(["prev_tool", "tool"], as_index=False).size() \
+        .rename(columns={"size": "c"})
+    out["c"] = out["c"].astype("int64")
+    return out
+
+
+def tool_bigrams(transcripts_ds):
+    """Tool-call transition counts across the corpus: one row per
+    (prev_tool, tool) pair with how often that consecutive pair occurs
+    within a conversation (n_pairs), plus the share of all transitions
+    (share, 6dp).
+
+    Scale shape: one conv_id exchange co-locates each conversation;
+    block kernels emit tool-vocabulary-bounded count partials; one
+    tiny (prev_tool, tool) exchange merges them; the share divides by
+    the exact global transition total (single-row broadcast-free final
+    pass over a vocabulary^2-bounded frame)."""
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "tool"])
+    parts = group_blocks(ds, ["conv_id"], tool_bigrams_block,
+                         batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"prev_tool": pd.Series(dtype=str),
+                                 "tool": pd.Series(dtype=str),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        out = df.groupby(["prev_tool", "tool"], as_index=False)["c"] \
+            .sum().rename(columns={"c": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    merged = group_blocks(parts, ["prev_tool", "tool"], merge,
+                          batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prev_tool": str, "tool": str, "n_pairs": "int64",
+                "share": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        total = float(int(df["n_pairs"].sum()))
+        df = df.copy()
+        df["share"] = np.floor(
+            df["n_pairs"].to_numpy("float64") / total * 1e6 + 0.5) / 1e6
+        return df.sort_values(["prev_tool", "tool"]) \
+            .reset_index(drop=True)[list(cols)]
+
+    return merged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)

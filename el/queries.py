@@ -1266,6 +1266,24 @@ def q_embed_quantize(sf_dir: str):
     return quantize_embeddings(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_tool_bigrams(sf_dir: str):
+    """Tool-call transition counts (agent-trace process mining): how
+    often each (prev_tool, tool) pair occurs consecutively within a
+    conversation, with each pair's share of all transitions. One
+    conv_id exchange -> vocabulary-bounded count partials -> one tiny
+    pair exchange."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.dialogue import tool_bigrams
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "tool"],
+    )
+    return tool_bigrams(tr)
+
+
 def q_tool_calls(sf_dir: str):
     """Tool-bearing turns with the immediately preceding turn's role
     and text (agent-trace extraction over transcripts)."""
@@ -3841,6 +3859,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(ql) AS BIGINT) AS qsum
             FROM q
         """,
+        "tool_bigrams": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, tool FROM {tr}
+                WHERE tool != ''
+            ),
+            w AS (
+                SELECT tool,
+                       lag(tool) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev_tool
+                FROM t
+            ),
+            c AS (
+                SELECT prev_tool, tool,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM w WHERE prev_tool IS NOT NULL
+                GROUP BY prev_tool, tool
+            ),
+            tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM c)
+            SELECT prev_tool, tool, n_pairs,
+                   {_roundsql('CAST(n_pairs AS DOUBLE) / tot.n', 6)}
+                       AS share
+            FROM c, tot
+        """,
         "tool_calls": f"""
             WITH w AS (
                 SELECT conv_id, turn_idx, tool,
@@ -5961,6 +6002,7 @@ def queries():
         "conv_dedup": q_conv_dedup,
         "conv_ngram_dedup": q_conv_ngram_dedup,
         "tool_calls": q_tool_calls,
+        "tool_bigrams": q_tool_bigrams,
         "embed_quantize": q_embed_quantize,
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,

@@ -1,6 +1,7 @@
 """Conversation analytics: per-conversation role/tool/token counts,
 duration, assistant response latency."""
 
+import numpy as np
 import pandas as pd
 
 
@@ -204,3 +205,35 @@ def test_conv_docs_and_ngram_near_dup(ray_session):
     got = set(zip(pairs["d1"], pairs["d2"]))
     assert (301, 100000301) in got          # near-dup found
     assert all(302 not in p for p in got)   # unrelated conv untouched
+
+
+def test_tool_bigrams_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import tool_bigrams
+
+    rng = np.random.default_rng(5)
+    tools = np.array(["", "search", "calc", "browse"])
+    rows = []
+    for c in range(12):
+        n = rng.integers(4, 12)
+        for i in range(n):
+            rows.append((f"c{c}", i, tools[rng.integers(0, 4)]))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "tool"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    out = tool_bigrams(ray.data.from_pandas(df).repartition(4)) \
+        .to_pandas()
+
+    import collections
+    cnt = collections.Counter()
+    for _, g in df.groupby("conv_id"):
+        seq = [t for t in g.sort_values("turn_idx")["tool"] if t != ""]
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    total = sum(cnt.values())
+    got = {(r.prev_tool, r.tool): (r.n_pairs, r.share)
+           for r in out.itertuples()}
+    assert set(got) == set(cnt)
+    for k, n in cnt.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - n / total) < 1e-6
