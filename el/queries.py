@@ -5655,6 +5655,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
         """,
+        "tpch_q10": """
+            WITH f AS (
+                SELECT l_orderkey,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev
+                FROM lineitem WHERE l_returnflag = 'R'
+            ),
+            j AS (
+                SELECT o.o_custkey AS ckey,
+                       CAST(sum(f.rev) AS BIGINT) AS rev
+                FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name,
+                   floor(CAST(j.rev AS DOUBLE) / 10000 * 100 + 0.5)
+                       / 100 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM j
+            JOIN customer c ON c.c_custkey = j.ckey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY j.rev DESC, c.c_custkey
+            LIMIT 20
+        """,
         "tpch_q12": """
             SELECT l_returnflag,
                    CAST(COALESCE(sum(CASE WHEN o_orderpriority IN
@@ -6067,6 +6093,7 @@ def queries():
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
+        "tpch_q10": q_tpch_q10,
         "tpch_q3": q_tpch_q3,
         "orders_topk_revenue": q_orders_topk_revenue,
         "el_mutual_best": q_el_mutual_best,
@@ -6732,6 +6759,146 @@ def q_tpch_q12(sf_dir: str):
         out["high_line_count"] = out["high_line_count"].astype("int64")
         out["low_line_count"] = out["low_line_count"].astype("int64")
         return out.sort_values("l_returnflag").reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    from l_returnflag='R' lineitems of 1996-Q4 orders, with name /
+    account balance / nation attached.
+
+    Scale shape (the q3 discipline): lineitem pre-aggregates R-flag
+    revenue per orderkey per batch (exact integer cents x discount
+    units, 2^53 guard); date-filtered orders meet it in tagged-union
+    hash exchange #1 on orderkey; the joined (custkey, cents) partials
+    meet customer in tagged-union hash exchange #2 on custkey — each
+    custkey complete in its block, so the global top-20 is per-block
+    top-20 + one tiny merge. nation (25 rows) attaches from a
+    driver-side dict — the one genuinely constant-size side. Out:
+    (c_custkey, c_name, revenue[2dp], c_acctbal, n_name), top-20 by
+    (revenue desc, custkey asc)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1996-10-01"), pd.Timestamp("1997-01-01")
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nat["n_nationkey"].astype(int),
+                      nat["n_name"].astype(str)))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_returnflag"] == "R"]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev_f = cents * (100 - disc)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q10: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        part = (df.assign(rev=rev_f.astype("int64"))
+                .groupby("l_orderkey", as_index=False)["rev"].sum())
+        n = len(part)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "ckey": pa.nulls(n, pa.int64()),
+            "rev": pa.array(part["rev"].astype("int64")),
+            "is_order": pa.array([0] * n, pa.int64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        od = df["o_orderdate"].to_numpy()
+        df = df[(od >= lo.to_datetime64()) & (od < hi.to_datetime64())]
+        n = len(df)
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "rev": pa.nulls(n, pa.int64()),
+            "is_order": pa.array([1] * n, pa.int64())})
+
+    tagged1 = li.map_batches(li_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        j = l[["okey", "rev"]].merge(o[["okey", "ckey"]], on="okey")
+        part = j.groupby("ckey", as_index=False)["rev"].sum()
+        n = len(part)
+        return pa.table({
+            "ckey": pa.array(part["ckey"].astype("int64")),
+            "rev": pa.array(part["rev"].astype("int64")),
+            "name": pa.nulls(n, pa.string()),
+            "nkey": pa.nulls(n, pa.int64()),
+            "bal": pa.nulls(n, pa.float64()),
+            "is_cust": pa.array([0] * n, pa.int64())})
+
+    cust_rev = group_blocks(tagged1, ["okey"], join1,
+                            batch_format="pandas")
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "rev": pa.nulls(n, pa.int64()),
+            "name": pa.array(df["c_name"].astype(str), pa.string()),
+            "nkey": pa.array(df["c_nationkey"].astype("int64")),
+            "bal": pa.array(df["c_acctbal"].astype("float64")),
+            "is_cust": pa.array([1] * n, pa.int64())})
+
+    tagged2 = cust_rev.union(
+        cust.map_batches(cust_side, batch_format="pandas"))
+
+    def empty_out() -> pd.DataFrame:
+        cols = {"c_custkey": "int64", "c_name": str,
+                "revenue": "float64", "c_acctbal": "float64",
+                "n_name": str}
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+
+    def join2_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["is_cust"] == 1]
+        r = df[df["is_cust"] == 0]
+        if len(r) == 0 or len(c) == 0:
+            return empty_out()
+        rev = r.groupby("ckey", as_index=False)["rev"].sum()
+        j = rev.merge(c[["ckey", "name", "nkey", "bal"]], on="ckey")
+        if len(j) == 0:
+            return empty_out()
+        j = j.sort_values(["rev", "ckey"],
+                          ascending=[False, True]).head(20)
+        return pd.DataFrame({
+            "c_custkey": j["ckey"].astype("int64").to_numpy(),
+            "c_name": j["name"].astype(str).to_numpy(),
+            "revenue": np.floor(j["rev"].to_numpy("int64") / 10000.0
+                                * 100 + 0.5) / 100,
+            "c_acctbal": j["bal"].astype("float64").to_numpy(),
+            "n_name": j["nkey"].astype(int).map(n_name).astype(str)
+            .to_numpy()})
+
+    parts = group_blocks(tagged2, ["ckey"], join2_topk,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty_out()
+        out = df.sort_values(["revenue", "c_custkey"],
+                             ascending=[False, True]).head(20)
+        return out.reset_index(drop=True)
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
