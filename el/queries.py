@@ -5655,6 +5655,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE pts IS NULL
                OR epoch_us(ts) - epoch_us(pts) >= 3600000000
         """,
+        "tpch_q7": """
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            ),
+            j AS (
+                SELECT ns.n_name AS supp_nation,
+                       nc.n_name AS cust_nation,
+                       f.l_year, CAST(sum(f.rev) AS BIGINT) AS rev
+                FROM f
+                JOIN supplier s ON s.s_suppkey = f.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+                JOIN orders o ON o.o_orderkey = f.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                WHERE (ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_6')
+                   OR (ns.n_name = 'NATION_6' AND nc.n_name = 'NATION_9')
+                GROUP BY 1, 2, 3
+            )
+            SELECT supp_nation, cust_nation, l_year,
+                   floor(CAST(rev AS DOUBLE) / 10000 * 100 + 0.5) / 100
+                       AS revenue
+            FROM j
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
         "tpch_q10": """
             WITH f AS (
                 SELECT l_orderkey,
@@ -6094,6 +6125,7 @@ def queries():
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
         "tpch_q10": q_tpch_q10,
+        "tpch_q7": q_tpch_q7,
         "tpch_q3": q_tpch_q3,
         "orders_topk_revenue": q_orders_topk_revenue,
         "el_mutual_best": q_el_mutual_best,
@@ -6899,6 +6931,189 @@ def q_tpch_q10(sf_dir: str):
         out = df.sort_values(["revenue", "c_custkey"],
                              ascending=[False, True]).head(20)
         return out.reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping between two nations (NATION_9 and
+    NATION_6 here; shipdate years 1996-1997): revenue per
+    (supp_nation, cust_nation, year) where supplier and customer sit
+    in opposite nations of the pair.
+
+    Scale shape — the registry's deepest join chain, THREE chained
+    tagged-union hash exchanges with semi-join pushdown: supplier and
+    customer are nation-filtered BEFORE their exchanges, so only
+    pair-nation rows ride the shuffles; lineitem pre-filters the
+    shipdate years and pre-aggregates revenue per (suppkey, orderkey,
+    year) cents per batch. Exchange #1 (suppkey) attaches the supplier
+    nation and drops non-pair lineitems; #2 (orderkey) attaches
+    custkey; #3 (custkey) attaches the customer nation, keeps opposite
+    -nation pairs, and folds per-block (s_nat, c_nat, year) partials —
+    a tiny final merge finishes. Revenue is exact integer cents x
+    discount units (q3 convention + 2^53 guard). Out: (supp_nation,
+    cust_nation, l_year, revenue[2dp])."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    N1, N2 = "NATION_9", "NATION_6"
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int),
+                       nat["n_name"].astype(str)))
+    pair_keys = {k for k, v in name_of.items() if v in (N1, N2)}
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy()
+        df = df[(sd >= lo.to_datetime64()) & (sd < hi.to_datetime64())]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev_f = cents * (100 - disc)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q7: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        year = df["l_shipdate"].to_numpy().astype("datetime64[Y]") \
+            .astype("int64") + 1970
+        part = (df.assign(rev=rev_f.astype("int64"), year=year)
+                .groupby(["l_suppkey", "l_orderkey", "year"],
+                         as_index=False)["rev"].sum())
+        n = len(part)
+        return pa.table({
+            "k": pa.array(part["l_suppkey"].astype("int64")),
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "year": pa.array(part["year"].astype("int64")),
+            "rev": pa.array(part["rev"].astype("int64")),
+            "nat": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_nationkey"].isin(pair_keys)]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "year": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "nat": pa.array(df["s_nationkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged1 = li.map_batches(li_side, batch_format="pandas").union(
+        supp.map_batches(supp_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        s = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "okey", "year", "rev"]].merge(
+            s[["k", "nat"]], on="k")
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["okey"].astype("int64")),
+            "year": pa.array(j["year"].astype("int64")),
+            "rev": pa.array(j["rev"].astype("int64")),
+            "snat": pa.array(j["nat"].astype("int64")),
+            "ckey": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["o_orderkey"].astype("int64")),
+            "year": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged2 = group_blocks(tagged1, ["k"], join1,
+                           batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pa.Table:
+        o = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "year", "rev", "snat"]].merge(
+            o[["k", "ckey"]], on="k")
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["ckey"].astype("int64")),
+            "year": pa.array(j["year"].astype("int64")),
+            "rev": pa.array(j["rev"].astype("int64")),
+            "snat": pa.array(j["snat"].astype("int64")),
+            "cnat": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(pair_keys)]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["c_custkey"].astype("int64")),
+            "year": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "cnat": pa.array(df["c_nationkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged3 = group_blocks(tagged2, ["k"], join2,
+                           batch_format="pandas").union(
+        cust.map_batches(cust_side, batch_format="pandas"))
+
+    def join3_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"snat": "int64", "cnat": "int64", "year": "int64",
+                "rev": "int64"}
+        c = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "year", "rev", "snat"]].merge(
+            c[["k", "cnat"]], on="k")
+        j = j[j["snat"] != j["cnat"]]  # opposite nations of the pair
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = j.groupby(["snat", "cnat", "year"], as_index=False)["rev"] \
+            .sum()
+        return out.astype({"snat": "int64", "cnat": "int64",
+                           "year": "int64", "rev": "int64"})
+
+    parts = group_blocks(tagged3, ["k"], join3_fold,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"supp_nation": str, "cust_nation": str,
+                "l_year": "int64", "revenue": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["snat", "cnat", "year"], as_index=False)["rev"] \
+            .sum()
+        return pd.DataFrame({
+            "supp_nation": out["snat"].astype(int).map(name_of)
+            .astype(str).to_numpy(),
+            "cust_nation": out["cnat"].astype(int).map(name_of)
+            .astype(str).to_numpy(),
+            "l_year": out["year"].astype("int64").to_numpy(),
+            "revenue": np.floor(out["rev"].to_numpy("int64") / 10000.0
+                                * 100 + 0.5) / 100,
+        }).sort_values(["supp_nation", "cust_nation", "l_year"]) \
+            .reset_index(drop=True)
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
