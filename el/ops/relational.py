@@ -348,3 +348,79 @@ def assoc_rules(ds, key: str = "user_id", col: str = "event_type", *,
     rules["lift"] = r6(nb * float(nu) / (na * nc))
     return rules.sort_values(["antecedent", "consequent"]) \
         .reset_index(drop=True)
+
+
+BLOOM_BITS = 65536  # 2^16 — positions are 16-bit slices of md5_u64
+
+
+def bloom_semijoin(probe_ds, build_ds, *, probe_key: str,
+                   build_key: str, bits: int = BLOOM_BITS,
+                   num_partitions: int | None = None):
+    """Bloom-filter semi-join: keep probe rows whose key PROBABLY
+    appears in the build side — the compact-bitset membership pass a
+    distributed engine runs before (or instead of) an exact semi-join
+    exchange when the build side is too large to broadcast as a hash
+    set but its BITSET is constant-size.
+
+    Bloom contract (deterministic, SQL-replayable INCLUDING false
+    positives): k=3 positions per key are the low/mid/high 16-bit
+    slices of the shared engine/oracle hash ``md5_u64(str(key))``
+    (el/scorer.py — the md5_number_lower contract), m = 65536 bits. A
+    probe row passes iff all three bits are set. The oracle replays
+    the exact same positions with DuckDB's md5_number_lower, so
+    engine and oracle agree on every false positive.
+
+    Scale shape: build side emits per-batch DISTINCT position partials
+    (<= 3 x batch keys, capped by m); ONE position exchange dedupes to
+    <= m rows — a CONSTANT-size frame collected once and broadcast as
+    a numpy bitset via ray.put; the probe side filters per batch with
+    one vectorized md5 pass + three bitset gathers. No corpus-scale
+    exchange, no corpus-scale driver structure."""
+    import ray
+
+    from ..scorer import md5_u64
+    from ..shuffle import group_blocks
+
+    assert bits & (bits - 1) == 0, "bits must be a power of two"
+
+    def positions(vals) -> np.ndarray:
+        h = md5_u64([str(v) for v in vals])
+        m = np.uint64(bits - 1)
+        return np.stack([(h & m),
+                         ((h >> np.uint64(16)) & m),
+                         ((h >> np.uint64(32)) & m)]).astype(np.int64)
+
+    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"p": pd.Series(dtype="int64")})
+        p = np.unique(positions(df[build_key]).ravel())
+        return pd.DataFrame({"p": p})
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"p": pd.Series(dtype="int64")})
+        return pd.DataFrame({"p": np.unique(df["p"].to_numpy("int64"))})
+
+    pos = group_blocks(
+        build_ds.map_batches(build_partial, batch_format="pandas"),
+        ["p"], dedup, batch_format="pandas",
+        num_partitions=num_partitions).to_pandas()
+    bitset = np.zeros(bits, dtype=bool)
+    bitset[pos["p"].to_numpy("int64")] = True
+    bits_ref = ray.put(bitset)
+
+    class _Probe:
+        def __init__(self, ref):
+            self.bits = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            p = positions(df[probe_key])
+            keep = (self.bits[p[0]] & self.bits[p[1]]
+                    & self.bits[p[2]])
+            return df[keep].reset_index(drop=True)
+
+    return probe_ds.map_batches(_Probe, fn_constructor_args=(bits_ref,),
+                                batch_format="pandas", batch_size=4096,
+                                concurrency=2, num_cpus=0.5)

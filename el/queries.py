@@ -1923,6 +1923,29 @@ def q_event_assoc_rules(sf_dir: str):
     return assoc_rules(ev)
 
 
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-filter semi-join: orders whose custkey hits the 65536-bit
+    k=3 bloom built from high-balance customers (c_acctbal >= 9000) —
+    constant-size bitset broadcast instead of a corpus-scale hash-set
+    or exchange; the oracle replays the exact bloom (same md5 slices),
+    so false positives match bit-for-bit."""
+    import ray.data
+
+    from .ops.relational import bloom_semijoin
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+    hi = cust.map_batches(
+        lambda df: df[df["c_acctbal"] >= 9000][["c_custkey"]],
+        batch_format="pandas")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    return bloom_semijoin(orders, hi, probe_key="o_custkey",
+                          build_key="c_custkey")
+
+
 def q_events_running_total(sf_dir: str):
     """Windowed running total: per-user cumulative value sum in strict
     (ts, event_id) order — SUM() OVER (PARTITION BY user ORDER BY ...)
@@ -5847,6 +5870,29 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('pri', 10)} AS priority
             FROM p ORDER BY pri DESC, doc_id LIMIT 200
         """,
+        "bloom_semijoin": """
+            WITH b AS (
+                SELECT DISTINCT p FROM (
+                    SELECT unnest([
+                        CAST(md5_number_lower(CAST(c_custkey AS VARCHAR))
+                             & 65535 AS BIGINT),
+                        CAST((md5_number_lower(CAST(c_custkey AS VARCHAR))
+                              >> 16) & 65535 AS BIGINT),
+                        CAST((md5_number_lower(CAST(c_custkey AS VARCHAR))
+                              >> 32) & 65535 AS BIGINT)]) AS p
+                    FROM customer WHERE c_acctbal >= 9000
+                )
+            ),
+            o AS (
+                SELECT o_orderkey, o_custkey,
+                       md5_number_lower(CAST(o_custkey AS VARCHAR)) AS h
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey FROM o
+            WHERE CAST(h & 65535 AS BIGINT) IN (SELECT p FROM b)
+              AND CAST((h >> 16) & 65535 AS BIGINT) IN (SELECT p FROM b)
+              AND CAST((h >> 32) & 65535 AS BIGINT) IN (SELECT p FROM b)
+        """,
         "event_assoc_rules": f"""
             WITH ut AS (
                 SELECT DISTINCT user_id, event_type FROM events
@@ -6104,6 +6150,7 @@ def queries():
         "hopping_distinct": q_hopping_distinct,
         "weighted_sample": q_weighted_sample,
         "event_assoc_rules": q_event_assoc_rules,
+        "bloom_semijoin": q_bloom_semijoin,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "events_zscore": q_events_zscore,

@@ -1080,3 +1080,36 @@ def test_events_anomaly_bruteforce(ray_session, tmp_path):
     for k, (c, z) in want.items():
         assert got[k][0] == c
         assert abs(got[k][1] - z) < 1e-6
+
+
+def test_bloom_semijoin_exact_replay_with_false_positives(ray_session):
+    import ray.data
+
+    from el.ops.relational import bloom_semijoin
+    from el.scorer import md5_u64
+
+    build = pd.DataFrame({"k": np.arange(0, 40, dtype="int64")})
+    probe = pd.DataFrame({"row": np.arange(400, dtype="int64"),
+                          "k": np.arange(100, 500, dtype="int64")})
+    # tiny 64-bit bloom -> false positives are certain (120 set bits
+    # max into 64 slots saturates the filter partially or fully)
+    out = bloom_semijoin(
+        ray.data.from_pandas(probe).repartition(4),
+        ray.data.from_pandas(build).repartition(3),
+        probe_key="k", build_key="k", bits=64).to_pandas()
+
+    def pos(vals, bits=64):
+        h = md5_u64([str(v) for v in vals])
+        m = np.uint64(bits - 1)
+        return np.stack([h & m, (h >> np.uint64(16)) & m,
+                         (h >> np.uint64(32)) & m]).astype(np.int64)
+
+    bitset = np.zeros(64, dtype=bool)
+    bitset[np.unique(pos(build["k"]).ravel())] = True
+    p = pos(probe["k"])
+    keep = bitset[p[0]] & bitset[p[1]] & bitset[p[2]]
+    want = set(probe["k"][keep])
+    assert set(out["k"]) == want
+    # the point of the tiny filter: some kept keys are NOT in the
+    # build side (false positives happen and are replayed exactly)
+    assert len(want - set(build["k"])) > 0
