@@ -1946,6 +1946,106 @@ def q_bloom_semijoin(sf_dir: str):
                           build_key="c_custkey")
 
 
+def q_customer_order_gaps(sf_dir: str):
+    """Per-customer inter-order cadence: number of orders and the
+    median day gap between consecutive orders (customers with >= 2
+    orders) — the recency-cadence feature an RFM-style segmentation
+    adds next to orders_rfm.
+
+    ONE custkey hash exchange; in-block date sort + vectorized diffs;
+    the median of integer day gaps is replayed exactly by the SQL
+    median (both average the two middles on even counts). Out:
+    (o_custkey, n_orders, median_gap_days)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_custkey": "int64", "n_orders": "int64",
+                "median_gap_days": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["o_custkey", "o_orderdate"],
+                            kind="mergesort")
+        day = df["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype("int64")
+        ck = df["o_custkey"].to_numpy("int64")
+        rows = []
+        starts = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        ends = np.concatenate((starts[1:], [len(ck)]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = np.diff(day[s:e])
+            rows.append((int(ck[s]), int(e - s), float(np.median(g))))
+        if not rows:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return pd.DataFrame(rows, columns=list(cols)) \
+            .astype({"o_custkey": "int64", "n_orders": "int64"})
+
+    return group_blocks(orders, ["o_custkey"], gaps,
+                        batch_format="pandas")
+
+
+def q_events_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    the behavioral-diversity feature next to events_pivot's raw
+    counts. Per-batch (user, type) count partials -> ONE user hash
+    exchange -> in-block entropy via H = ln(n) - (sum_c c*ln(c))/n
+    with each c*ln(c) term quantized to the 1e-9 integer grid
+    (cluster_vmeasure's order-free exactness contract). Out:
+    (user_id, n_events, n_types, entropy[6dp])."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = ev.map_batches(partial, batch_format="pandas")
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_types": "int64", "entropy": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        cells = df.groupby(["user_id", "event_type"],
+                           as_index=False)["c"].sum()
+        c = cells["c"].to_numpy("float64")
+        q = np.floor(c * np.log(c) * 1e9 + 0.5).astype("int64")
+        agg = cells.assign(q=q).groupby("user_id").agg(
+            n=("c", "sum"), k=("c", "size"), qs=("q", "sum"))
+        n = agg["n"].to_numpy("float64")
+        h = np.log(n) - (agg["qs"].to_numpy("int64") / 1e9) / n
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy("int64"),
+            "n_events": agg["n"].to_numpy("int64"),
+            "n_types": agg["k"].to_numpy("int64"),
+            "entropy": np.floor(h * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(partials, ["user_id"], entropy,
+                        batch_format="pandas")
+
+
 def q_events_running_total(sf_dir: str):
     """Windowed running total: per-user cumulative value sum in strict
     (ts, event_id) order — SUM() OVER (PARTITION BY user ORDER BY ...)
@@ -5870,6 +5970,50 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('pri', 10)} AS priority
             FROM p ORDER BY pri DESC, doc_id LIMIT 200
         """,
+        "events_entropy": f"""
+            WITH cell AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            q AS (
+                SELECT user_id, c,
+                       CAST(floor(CAST(c AS DOUBLE)
+                                  * ln(CAST(c AS DOUBLE))
+                                  * 1000000000 + 0.5) AS BIGINT) AS qv
+                FROM cell
+            ),
+            a AS (
+                SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(qv) AS BIGINT) AS qs
+                FROM q GROUP BY user_id
+            )
+            SELECT user_id, n AS n_events, k AS n_types,
+                   {_roundsql(
+                       "ln(CAST(n AS DOUBLE)) - (CAST(qs AS DOUBLE)"
+                       " / 1000000000) / n", 6)} AS entropy
+            FROM a
+        """,
+        "customer_order_gaps": """
+            WITH d AS (
+                SELECT o_custkey,
+                       CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                           AS day
+                FROM orders
+            ),
+            g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (PARTITION BY o_custkey
+                                            ORDER BY day) AS gap
+                FROM d
+            )
+            SELECT o_custkey,
+                   CAST(count(*) + 1 AS BIGINT) AS n_orders,
+                   CAST(median(gap) AS DOUBLE) AS median_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey
+        """,
         "bloom_semijoin": """
             WITH b AS (
                 SELECT DISTINCT p FROM (
@@ -6151,6 +6295,8 @@ def queries():
         "weighted_sample": q_weighted_sample,
         "event_assoc_rules": q_event_assoc_rules,
         "bloom_semijoin": q_bloom_semijoin,
+        "customer_order_gaps": q_customer_order_gaps,
+        "events_entropy": q_events_entropy,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "events_zscore": q_events_zscore,

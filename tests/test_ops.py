@@ -1113,3 +1113,61 @@ def test_bloom_semijoin_exact_replay_with_false_positives(ray_session):
     # the point of the tiny filter: some kept keys are NOT in the
     # build side (false positives happen and are replayed exactly)
     assert len(want - set(build["k"])) > 0
+
+
+def test_customer_order_gaps_bruteforce(ray_session, tmp_path):
+    from el.queries import q_customer_order_gaps
+
+    rng = np.random.default_rng(13)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(200, dtype="int64"),
+        "o_custkey": rng.integers(0, 30, 200),
+        "o_orderstatus": ["O"] * 200,
+        "o_totalprice": np.ones(200),
+        "o_orderdate": (np.datetime64("1996-01-01") +
+                        rng.integers(0, 700, 200)
+                        .astype("timedelta64[D]")).astype("datetime64[us]"),
+        "o_orderpriority": ["3-MEDIUM"] * 200,
+    })
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    out = q_customer_order_gaps(str(tmp_path)).to_pandas() \
+        .set_index("o_custkey")
+
+    for ck, g in orders.groupby("o_custkey"):
+        days = np.sort(g["o_orderdate"].values.astype("datetime64[D]")
+                       .astype("int64"))
+        if len(days) < 2:
+            assert ck not in out.index
+            continue
+        r = out.loc[ck]
+        assert int(r["n_orders"]) == len(days)
+        assert r["median_gap_days"] == float(np.median(np.diff(days)))
+
+
+def test_events_entropy_bruteforce(ray_session, tmp_path):
+    import math
+
+    from el.queries import q_events_entropy
+
+    rng = np.random.default_rng(17)
+    ev = pd.DataFrame({
+        "event_id": np.arange(500, dtype="int64"),
+        "ts": pd.Timestamp("2026-01-01").to_datetime64()
+        + np.zeros(500).astype("timedelta64[s]"),
+        "user_id": rng.integers(0, 40, 500),
+        "event_type": rng.choice(list("abcd"), 500),
+        "value": np.zeros(500), "props": [""] * 500,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_entropy(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+
+    for uid, g in ev.groupby("user_id"):
+        counts = g.groupby("event_type").size().to_numpy("float64")
+        n = counts.sum()
+        h = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        r = out.loc[uid]
+        assert int(r["n_events"]) == int(n)
+        assert int(r["n_types"]) == len(counts)
+        assert abs(r["entropy"] - h) < 1e-5
+        assert r["entropy"] >= -1e-9  # entropy non-negative
