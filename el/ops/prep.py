@@ -676,3 +676,134 @@ def doc_chunk(docs_ds, size: int = 64, stride: int = 48):
                              "chunk_text": texts})
 
     return docs_ds.map_batches(block, batch_format="pandas")
+
+
+def bigram_pmi(docs_ds, *, k: int = 100, min_count: int = 5,
+               num_partitions: int | None = None):
+    """Top-k collocations: token bigrams ranked by pointwise mutual
+    information pmi = ln((c12/NB) / ((c1/NU) * (c2/NU))) with a
+    min-count floor — the classic collocation-extraction pass
+    (Church-Hanks) a corpus-analysis pipeline runs beside raw
+    bigram_topk counts.
+
+    Exactness: ranking uses pmi quantized to the 1e-9 integer grid
+    (ties then (w1, w2) asc), so engine and SQL agree on the exact
+    top-k set; the published pmi is the same quantity at 6dp, formula
+    written identically on both sides (the ratio form keeps every
+    intermediate under the float64 envelope — no integer product of
+    corpus-scale counts).
+
+    Scale shape: bigram cells and unigram counts each merge in ONE
+    token exchange; two tagged-union attach exchanges (on w1, then
+    w2) bring the marginals to each surviving cell (min_count prunes
+    BEFORE the attaches); NB/NU are streaming scalar sums; top-k is
+    per-partition head + tiny merge."""
+    import ray  # noqa: F401
+
+    from ..shuffle import group_blocks
+
+    # ---- bigram cells (one exchange), unigram counts (one exchange)
+    bi = docs_ds.map_batches(_bigram_counts_partial,
+                             batch_format="pandas")
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    bi_cells = group_blocks(bi, ["token"], merge_counts,
+                            batch_format="pandas",
+                            num_partitions=num_partitions).materialize()
+    uni = group_blocks(
+        docs_ds.map_batches(_token_counts_partial,
+                            batch_format="pandas"),
+        ["token"], merge_counts, batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+    nb = float(int(bi_cells.sum("cnt") or 0))
+    nu = float(int(uni.sum("cnt") or 0))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cnt"] >= min_count]
+        if len(df) == 0:
+            return pd.DataFrame({"w1": pd.Series(dtype=str),
+                                 "w2": pd.Series(dtype=str),
+                                 "c12": pd.Series(dtype="int64")})
+        parts = df["token"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame({"w1": parts[0].astype(str),
+                             "w2": parts[1].astype(str),
+                             "c12": df["cnt"].astype("int64").to_numpy()})
+
+    cells = bi_cells.map_batches(split, batch_format="pandas")
+
+    # ---- attach marginal counts via tagged-union exchanges
+    def attach(keyed, uni_ds, key_col: str, out_col: str, carry: list):
+        def cell_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.rename(columns={key_col: "k"})
+            out["uc"] = np.int64(-1)
+            out["is_uni"] = np.int64(0)
+            return out[["k", *carry, "uc", "is_uni"]]
+
+        def uni_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"k": df["token"].astype(str)})
+            for c in carry:
+                out[c] = np.int64(0) if c not in ("w1", "w2") else ""
+            out["uc"] = df["cnt"].astype("int64").to_numpy()
+            out["is_uni"] = np.int64(1)
+            return out[["k", *carry, "uc", "is_uni"]]
+
+        tagged = keyed.map_batches(cell_rows, batch_format="pandas") \
+            .union(uni_ds.map_batches(uni_rows, batch_format="pandas"))
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[df["is_uni"] == 0]
+            u = df[df["is_uni"] == 1]
+            j = c[["k", *carry]].merge(
+                u[["k", "uc"]].rename(columns={"uc": out_col}), on="k")
+            j = j.rename(columns={"k": key_col})
+            cols = [key_col, *carry, out_col]
+            if len(j) == 0:
+                types = {key_col: str, out_col: "int64"}
+                return pd.DataFrame({
+                    col: pd.Series(dtype=types.get(
+                        col, str if col in ("w1", "w2") else "int64"))
+                    for col in cols})
+            return j[cols].reset_index(drop=True)
+
+        return group_blocks(tagged, ["k"], join, batch_format="pandas",
+                            num_partitions=num_partitions)
+
+    with_c1 = attach(cells, uni, "w1", "c1", ["w2", "c12"])
+    with_c2 = attach(with_c1, uni, "w2", "c2", ["w1", "c12", "c1"])
+
+    # ---- pmi + quantized rank, per-partition head, tiny merge
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": str, "w2": str, "c12": "int64", "c1": "int64",
+                "c2": "int64", "pmi": "float64", "q": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        c12 = df["c12"].to_numpy("float64")
+        c1 = df["c1"].to_numpy("float64")
+        c2 = df["c2"].to_numpy("float64")
+        pmi = np.log((c12 / nb) / ((c1 / nu) * (c2 / nu)))
+        q = np.floor(pmi * 1e9 + 0.5).astype("int64")
+        out = df[["w1", "w2"]].copy()
+        out["c12"] = df["c12"].astype("int64").to_numpy()
+        out["c1"] = df["c1"].astype("int64").to_numpy()
+        out["c2"] = df["c2"].astype("int64").to_numpy()
+        out["pmi"] = np.floor(pmi * 1e6 + 0.5) / 1e6
+        out["q"] = q
+        return out.sort_values(["q", "w1", "w2"],
+                               ascending=[False, True, True]).head(k) \
+            .reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = score(df)
+        return out.drop(columns=["q"])
+
+    heads = with_c2.map_batches(score, batch_format="pandas")
+    return heads.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

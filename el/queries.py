@@ -1181,6 +1181,18 @@ def q_bigram_topk(sf_dir: str):
     return bigram_topk(_read(sf_dir, "documents", ["text"]), k=100)
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Top-100 collocations by pointwise mutual information (Church-
+    Hanks) with a min-count-5 floor: bigram and unigram counts each in
+    one token exchange, marginals attached via two tagged-union
+    exchanges, ranking on the 1e-9 quantized-pmi grid
+    (el/ops/prep.py::bigram_pmi)."""
+    from .ops.prep import bigram_pmi
+
+    return bigram_pmi(_read(sf_dir, "documents", ["text"]),
+                      k=100, min_count=5)
+
+
 def q_doc_top_terms(sf_dir: str):
     """Per-document top-3 salient terms, TF-IDF-style but integer-exact
     (tf DESC, global df ASC, term ASC)."""
@@ -4492,6 +4504,39 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id, ',' ORDER BY doc_id) AS postings
             FROM tp GROUP BY term
         """,
+        "bigram_pmi": f"""
+            WITH tk AS (SELECT {toks} AS ts FROM documents),
+            uni AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(ts) AS t FROM tk) GROUP BY t
+            ),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            bg AS (
+                SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+                WHERE len(ts) >= 2
+            ),
+            cells AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY w1, w2
+            ),
+            nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cells),
+            j AS (
+                SELECT f.w1, f.w2, f.c12, u1.c AS c1, u2.c AS c2,
+                       ln((CAST(f.c12 AS DOUBLE) / nb.n)
+                          / ((CAST(u1.c AS DOUBLE) / nu.n)
+                             * (CAST(u2.c AS DOUBLE) / nu.n))) AS pmi
+                FROM (SELECT * FROM cells WHERE c12 >= 5) f
+                JOIN uni u1 ON u1.t = f.w1
+                JOIN uni u2 ON u2.t = f.w2, nb, nu
+            )
+            SELECT w1, w2, c12, c1, c2,
+                   {_roundsql('pmi', 6)} AS pmi
+            FROM j
+            QUALIFY row_number() OVER (
+                ORDER BY CAST(floor(pmi * 1000000000 + 0.5) AS BIGINT)
+                    DESC, w1, w2) <= 100
+        """,
         "bigram_topk": f"""
             WITH tk AS (SELECT {toks} AS ts FROM documents),
             bg AS (
@@ -6273,6 +6318,7 @@ def queries():
         "group_quantiles": q_group_quantiles,
         "inverted_index": q_inverted_index,
         "bigram_topk": q_bigram_topk,
+        "bigram_pmi": q_bigram_pmi,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_curation": q_corpus_curation,

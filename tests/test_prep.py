@@ -1,6 +1,7 @@
 """Training-data prep operators: PII redaction, vocabulary top-k,
 decontamination, stratified sampling, per-doc salient terms."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -969,3 +970,43 @@ def test_gopher_rules_each_gate(ray_session):
     assert not bool(out.loc[5, "passes"])
     # signals are exact int/int math
     assert int(out.loc[1, "n_tokens"]) == len(good.split())
+
+
+def test_bigram_pmi_bruteforce(ray_session):
+    import collections
+    import math
+
+    import ray.data
+
+    from el.ops.prep import bigram_pmi
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(15)]
+    docs = pd.DataFrame({
+        "text": [" ".join(rng.choice(words, rng.integers(5, 25)))
+                 for _ in range(120)],
+    })
+    out = bigram_pmi(ray.data.from_pandas(docs).repartition(5),
+                     k=10, min_count=3).to_pandas()
+
+    uni, big = collections.Counter(), collections.Counter()
+    for t in docs["text"]:
+        ws = t.lower().split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    scored = []
+    for (a, b), c12 in big.items():
+        if c12 < 3:
+            continue
+        pmi = math.log((c12 / nb) / ((uni[a] / nu) * (uni[b] / nu)))
+        scored.append((-int(math.floor(pmi * 1e9 + 0.5)), a, b,
+                       c12, pmi))
+    scored.sort()
+    want = scored[:10]
+    assert len(out) == len(want)
+    for row, (negq, a, b, c12, pmi) in zip(out.itertuples(), want):
+        assert (row.w1, row.w2) == (a, b)
+        assert row.c12 == c12
+        assert row.c1 == uni[a] and row.c2 == uni[b]
+        assert abs(row.pmi - pmi) < 1e-5
