@@ -1958,6 +1958,22 @@ def q_bloom_semijoin(sf_dir: str):
                           build_key="c_custkey")
 
 
+def q_customer_balance_ntile(sf_dir: str):
+    """Equal-frequency decile scoring: NTILE(10) over customers by
+    (c_acctbal, c_custkey) global order — one distributed sort, exact
+    per-block global offsets (O(num_blocks) driver list), independent
+    per-block tile assignment (el/ops/relational.py::global_ntile)."""
+    import ray.data
+
+    from .ops.relational import global_ntile
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+    return global_ntile(cust, order_by=["c_acctbal", "c_custkey"],
+                        k=10, out_col="decile")
+
+
 def q_customer_order_gaps(sf_dir: str):
     """Per-customer inter-order cadence: number of orders and the
     median day gap between consecutive orders (customers with >= 2
@@ -6040,6 +6056,12 @@ def oracle_sql() -> dict[str, str]:
                        " / 1000000000) / n", 6)} AS entropy
             FROM a
         """,
+        "customer_balance_ntile": """
+            SELECT c_custkey, c_acctbal,
+                   CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS BIGINT) AS decile
+            FROM customer
+        """,
         "customer_order_gaps": """
             WITH d AS (
                 SELECT o_custkey,
@@ -6342,6 +6364,7 @@ def queries():
         "event_assoc_rules": q_event_assoc_rules,
         "bloom_semijoin": q_bloom_semijoin,
         "customer_order_gaps": q_customer_order_gaps,
+        "customer_balance_ntile": q_customer_balance_ntile,
         "events_entropy": q_events_entropy,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,

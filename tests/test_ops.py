@@ -1171,3 +1171,29 @@ def test_events_entropy_bruteforce(ray_session, tmp_path):
         assert int(r["n_types"]) == len(counts)
         assert abs(r["entropy"] - h) < 1e-5
         assert r["entropy"] >= -1e-9  # entropy non-negative
+
+
+def test_global_ntile_matches_sql_semantics(ray_session):
+    import ray.data
+
+    from el.ops.relational import global_ntile
+
+    rng = np.random.default_rng(29)
+    n, k = 103, 10  # n % k = 3 -> first 3 tiles get 11 rows
+    df = pd.DataFrame({"id": np.arange(n, dtype="int64"),
+                       "v": rng.integers(0, 50, n)})
+    out = global_ntile(ray.data.from_pandas(df).repartition(7),
+                       order_by=["v", "id"], k=k,
+                       out_col="tile").to_pandas()
+
+    ref = df.sort_values(["v", "id"]).reset_index(drop=True)
+    sz, big = n // k, n % k
+    tiles = []
+    for t in range(1, k + 1):
+        tiles += [t] * (sz + 1 if t <= big else sz)
+    ref["tile"] = tiles
+    got = out.sort_values(["v", "id"]).reset_index(drop=True)
+    assert got[["id", "v", "tile"]].equals(ref[["id", "v", "tile"]])
+    sizes = got.groupby("tile").size()
+    assert sorted(sizes, reverse=True) == sorted(
+        [sz + 1] * big + [sz] * (k - big), reverse=True)
