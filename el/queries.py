@@ -1112,6 +1112,75 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_lang_source_chi2(sf_dir: str):
+    """Pearson chi-square independence statistic over the lang x
+    source contingency table — the corpus-composition audit asking
+    whether language mix varies by provenance. One (lang, source)
+    count exchange (cell volume = langs x sources, never row-scale);
+    each (o - e)^2 / e term quantized to the 1e-9 integer grid
+    (order-free sum; e computed in identical double ops on both
+    sides). Out: one row (n_docs, n_langs, n_sources, dof,
+    chi2[6dp])."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype=str),
+                                 "source": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["lang", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype=str),
+                                 "source": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["lang", "source"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    cells = group_blocks(docs.map_batches(partial, batch_format="pandas"),
+                         ["lang", "source"], merge,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_docs": "int64", "n_langs": "int64",
+                "n_sources": "int64", "dof": "int64",
+                "chi2": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["lang", "source"], as_index=False)["c"].sum()
+        # densify: chi2 includes absent cells (o = 0, e > 0)
+        dense = g.pivot_table(index="lang", columns="source",
+                              values="c", fill_value=0,
+                              aggfunc="sum").astype("int64")
+        o = dense.to_numpy("float64")
+        n = float(int(o.sum()))
+        rt = o.sum(axis=1, keepdims=True)
+        ct = o.sum(axis=0, keepdims=True)
+        e = (rt * ct) / n
+        term = (o - e) * (o - e) / e
+        q = int(np.floor(term * 1e9 + 0.5).astype("int64").sum())
+        nl, ns = dense.shape
+        return pd.DataFrame({
+            "n_docs": pd.array([int(n)], dtype="int64"),
+            "n_langs": pd.array([nl], dtype="int64"),
+            "n_sources": pd.array([ns], dtype="int64"),
+            "dof": pd.array([(nl - 1) * (ns - 1)], dtype="int64"),
+            "chi2": [float(np.floor((q / 1e9) * 1e6 + 0.5) / 1e6)]})
+
+    return cells.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
 def q_source_kl(sf_dir: str):
     """Per-source unigram KL divergence from the corpus token
     distribution (domain-shift screen per provenance slice). One token
@@ -4405,6 +4474,48 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ch, ' ') AS chunk_text
             FROM c
         """,
+        "lang_source_chi2": f"""
+            WITH cell AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, source
+            ),
+            l AS (SELECT DISTINCT lang FROM cell),
+            s AS (SELECT DISTINCT source FROM cell),
+            d AS (
+                SELECT g.lang, g.source,
+                       CAST(COALESCE(cell.c, 0) AS BIGINT) AS o
+                FROM (SELECT l.lang, s.source
+                      FROM l CROSS JOIN s) g
+                LEFT JOIN cell ON cell.lang = g.lang
+                              AND cell.source = g.source
+            ),
+            rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                   FROM d GROUP BY lang),
+            ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cc
+                   FROM d GROUP BY source),
+            n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM d),
+            terms AS (
+                SELECT CAST(floor(
+                    ((CAST(d.o AS DOUBLE) - e.e)
+                     * (CAST(d.o AS DOUBLE) - e.e) / e.e)
+                    * 1000000000 + 0.5) AS BIGINT) AS q
+                FROM d
+                JOIN rt ON rt.lang = d.lang
+                JOIN ct ON ct.source = d.source, n,
+                LATERAL (SELECT (CAST(rt.r AS DOUBLE) * ct.cc) / n.n
+                         AS e) e
+            )
+            SELECT n.n AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_langs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s)
+                       AS n_sources,
+                   ((SELECT count(*) FROM l) - 1)
+                   * ((SELECT count(*) FROM s) - 1) AS dof,
+                   {_roundsql(
+                       "(SELECT CAST(sum(q) AS DOUBLE) FROM terms)"
+                       " / 1000000000", 6)} AS chi2
+            FROM n
+        """,
         "source_kl": f"""
             WITH tok AS (
                 SELECT source, unnest({toks}) AS token FROM documents
@@ -6330,6 +6441,7 @@ def queries():
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
         "source_kl": q_source_kl,
+        "lang_source_chi2": q_lang_source_chi2,
         "doc_chunk": q_doc_chunk,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,

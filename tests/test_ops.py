@@ -1197,3 +1197,27 @@ def test_global_ntile_matches_sql_semantics(ray_session):
     sizes = got.groupby("tile").size()
     assert sorted(sizes, reverse=True) == sorted(
         [sz + 1] * big + [sz] * (k - big), reverse=True)
+
+
+def test_lang_source_chi2_bruteforce(ray_session, tmp_path):
+    from el.queries import q_lang_source_chi2
+
+    rng = np.random.default_rng(31)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"),
+        "text": ["x"] * 300,
+        "lang": rng.choice(["en", "de", "fr"], 300, p=[0.6, 0.25, 0.15]),
+        "source": rng.choice(["cc", "wiki"], 300),
+        "n_chars": np.ones(300, dtype="int64"),
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    r = q_lang_source_chi2(str(tmp_path)).to_pandas().iloc[0]
+
+    ct = pd.crosstab(docs["lang"], docs["source"]).to_numpy("float64")
+    n = ct.sum()
+    e = ct.sum(1, keepdims=True) * ct.sum(0, keepdims=True) / n
+    chi2 = (((ct - e) ** 2) / e).sum()
+    assert int(r["n_docs"]) == 300
+    assert int(r["n_langs"]) == 3 and int(r["n_sources"]) == 2
+    assert int(r["dof"]) == 2
+    assert abs(r["chi2"] - chi2) < 1e-5
