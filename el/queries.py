@@ -1250,6 +1250,52 @@ def q_bigram_topk(sf_dir: str):
     return bigram_topk(_read(sf_dir, "documents", ["text"]), k=100)
 
 
+def q_zipf_slope(sf_dir: str):
+    """Zipf-law exponent of the corpus vocabulary: least-squares slope
+    (and intercept) of ln(freq) on ln(rank) over the top-1000 tokens —
+    the corpus-health diagnostic a curation pipeline tracks across
+    snapshots (natural text sits near slope -1; template spam skews
+    it).
+
+    Shape: vocab_topk's combiner + one token exchange + per-partition
+    heads produce the constant-size top-K frame; per-point ln terms
+    and products are quantized to the 1e-9 integer grid so the
+    regression sums are exact int64 and the closed-form slope is the
+    same double expression on both sides. Out: one row (n_points,
+    slope[6dp], intercept[6dp])."""
+    from .ops.prep import vocab_topk
+
+    top = vocab_topk(_read(sf_dir, "documents", ["text"]), k=1000)
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_points": "int64", "slope": "float64",
+                "intercept": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["cnt", "token"],
+                            ascending=[False, True]).reset_index(drop=True)
+        kn = len(df)
+        x = np.log(np.arange(1, kn + 1, dtype="float64"))
+        y = np.log(df["cnt"].to_numpy("float64"))
+        q = lambda a: np.floor(a * 1e9 + 0.5).astype("int64")  # noqa: E731
+        sx = int(q(x).sum())
+        sy = int(q(y).sum())
+        sxy = int(q(x * y).sum())
+        sxx = int(q(x * x).sum())
+        fx, fy = sx / 1e9, sy / 1e9
+        den = kn * (sxx / 1e9) - fx * fx
+        slope = (kn * (sxy / 1e9) - fx * fy) / den
+        intercept = (fy - slope * fx) / kn
+        r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+        return pd.DataFrame({
+            "n_points": pd.array([kn], dtype="int64"),
+            "slope": [r6(slope)],
+            "intercept": [r6(intercept)]})
+
+    return top.map_batches(fit, batch_format="pandas", batch_size=None)
+
+
 def q_bigram_pmi(sf_dir: str):
     """Top-100 collocations by pointwise mutual information (Church-
     Hanks) with a min-count-5 floor: bigram and unigram counts each in
@@ -4631,6 +4677,56 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id, ',' ORDER BY doc_id) AS postings
             FROM tp GROUP BY term
         """,
+        "zipf_slope": f"""
+            WITH tok AS (SELECT unnest({toks}) AS t FROM documents),
+            c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY t),
+            top AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, t) AS rn
+                FROM c
+                QUALIFY rn <= 1000
+            ),
+            q AS (
+                SELECT
+                    CAST(floor(ln(CAST(rn AS DOUBLE))
+                               * 1000000000 + 0.5) AS BIGINT) AS qx,
+                    CAST(floor(ln(CAST(cnt AS DOUBLE))
+                               * 1000000000 + 0.5) AS BIGINT) AS qy,
+                    CAST(floor(ln(CAST(rn AS DOUBLE))
+                               * ln(CAST(cnt AS DOUBLE))
+                               * 1000000000 + 0.5) AS BIGINT) AS qxy,
+                    CAST(floor(ln(CAST(rn AS DOUBLE))
+                               * ln(CAST(rn AS DOUBLE))
+                               * 1000000000 + 0.5) AS BIGINT) AS qxx
+                FROM top
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(qx) AS BIGINT) AS sx,
+                       CAST(sum(qy) AS BIGINT) AS sy,
+                       CAST(sum(qxy) AS BIGINT) AS sxy,
+                       CAST(sum(qxx) AS BIGINT) AS sxx
+                FROM q
+            ),
+            f AS (
+                SELECT k,
+                       (k * (CAST(sxy AS DOUBLE) / 1000000000)
+                        - (CAST(sx AS DOUBLE) / 1000000000)
+                          * (CAST(sy AS DOUBLE) / 1000000000))
+                       / (k * (CAST(sxx AS DOUBLE) / 1000000000)
+                          - (CAST(sx AS DOUBLE) / 1000000000)
+                            * (CAST(sx AS DOUBLE) / 1000000000))
+                           AS slope,
+                       CAST(sx AS DOUBLE) / 1000000000 AS fx,
+                       CAST(sy AS DOUBLE) / 1000000000 AS fy
+                FROM s
+            )
+            SELECT k AS n_points,
+                   {_roundsql('slope', 6)} AS slope,
+                   {_roundsql('(fy - slope * fx) / k', 6)} AS intercept
+            FROM f
+        """,
         "bigram_pmi": f"""
             WITH tk AS (SELECT {toks} AS ts FROM documents),
             uni AS (
@@ -6453,6 +6549,7 @@ def queries():
         "inverted_index": q_inverted_index,
         "bigram_topk": q_bigram_topk,
         "bigram_pmi": q_bigram_pmi,
+        "zipf_slope": q_zipf_slope,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_resolve": q_near_dup_resolve,
         "corpus_curation": q_corpus_curation,

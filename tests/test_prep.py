@@ -1010,3 +1010,39 @@ def test_bigram_pmi_bruteforce(ray_session):
         assert row.c12 == c12
         assert row.c1 == uni[a] and row.c2 == uni[b]
         assert abs(row.pmi - pmi) < 1e-5
+
+
+def test_zipf_slope_bruteforce(ray_session, tmp_path):
+    import collections
+    import math
+
+    from el.queries import q_zipf_slope
+
+    rng = np.random.default_rng(37)
+    # zipf-ish corpus: word w_i with weight 1/(i+1)
+    words = [f"w{i}" for i in range(60)]
+    w = np.array([1.0 / (i + 1) for i in range(60)])
+    w /= w.sum()
+    docs = pd.DataFrame({
+        "doc_id": np.arange(100, dtype="int64"),
+        "text": [" ".join(rng.choice(words, 40, p=w))
+                 for _ in range(100)],
+        "lang": ["en"] * 100, "source": ["cc"] * 100,
+        "n_chars": np.ones(100, dtype="int64"),
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    r = q_zipf_slope(str(tmp_path)).to_pandas().iloc[0]
+
+    cnt = collections.Counter(t for txt in docs["text"]
+                              for t in txt.split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.log(np.arange(1, len(top) + 1, dtype="float64"))
+    y = np.log(np.array([c for _, c in top], dtype="float64"))
+    kn = len(top)
+    slope = (kn * (x * y).sum() - x.sum() * y.sum()) \
+        / (kn * (x * x).sum() - x.sum() ** 2)
+    intercept = (y.sum() - slope * x.sum()) / kn
+    assert int(r["n_points"]) == kn
+    assert abs(r["slope"] - slope) < 1e-4
+    assert abs(r["intercept"] - intercept) < 1e-4
+    assert -2.0 < r["slope"] < -0.3  # zipf-ish corpus fits a negative slope
