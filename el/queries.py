@@ -2137,6 +2137,102 @@ def q_customer_order_gaps(sf_dir: str):
                         batch_format="pandas")
 
 
+def q_events_pareto(sf_dir: str):
+    """Concentration (Pareto/Lorenz) analysis of event volume: how
+    many of the heaviest users cover 80% of all events, and what share
+    of events the top-decile users produce — the skew report a
+    capacity planner reads before partitioning by user.
+
+    Exactness: the 80% crossing is the INTEGER predicate
+    5 * cum_prev < 4 * N (no float threshold); the decile share is
+    one float division at 6dp. Scale shape: per-user counts in one
+    exchange; one distributed sort by (count desc, user); per-block
+    row/event totals -> exact global offsets (O(num_blocks) driver
+    lists, the global_ntile discipline); each block counts its
+    crossing rows and decile mass locally; one tiny merge. Out: one
+    row (n_users, n_events, users_for_80pct, top_decile_share)."""
+    import ray
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby("user_id", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby("user_id", as_index=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    per_user = group_blocks(ev.map_batches(partial,
+                                           batch_format="pandas"),
+                            ["user_id"], merge, batch_format="pandas")
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["nc"] = -df["c"]
+        return df
+
+    sorted_ds = per_user.map_batches(neg, batch_format="pandas") \
+        .sort(["nc", "user_id"])
+    refs = sorted_ds.to_arrow_refs()
+
+    def block_stats(t: pa.Table):
+        c = t.column("c").to_numpy() if t.num_rows else np.array([], "int64")
+        return int(len(c)), int(c.sum())
+
+    def block_fold(t: pa.Table, off_rows: int, off_sum: int,
+                   n_users: int, n_events: int) -> pa.Table:
+        m = (n_users + 9) // 10  # ceil(n/10) top-decile row count
+        if t.num_rows == 0:
+            return pa.table({"k80": pa.array([0], pa.int64()),
+                             "dec": pa.array([0], pa.int64())})
+        c = t.column("c").to_numpy().astype("int64")
+        cum_prev = off_sum + np.concatenate(([0], np.cumsum(c)[:-1]))
+        k80 = int((5 * cum_prev < 4 * n_events).sum())
+        rn = off_rows + np.arange(1, len(c) + 1)
+        dec = int(c[rn <= m].sum())
+        return pa.table({"k80": pa.array([k80], pa.int64()),
+                         "dec": pa.array([dec], pa.int64())})
+
+    stats_rem = ray.remote(block_stats)
+    stats = ray.get([stats_rem.remote(r) for r in refs]) if refs else []
+    n_users = sum(s[0] for s in stats)
+    n_events = sum(s[1] for s in stats)
+    fold_rem = ray.remote(block_fold)
+    outs, orow, osum = [], 0, 0
+    for r, (nr, sm) in zip(refs, stats):
+        outs.append(fold_rem.remote(r, orow, osum, n_users, n_events))
+        orow += nr
+        osum += sm
+    cols = {"n_users": "int64", "n_events": "int64",
+            "users_for_80pct": "int64", "top_decile_share": "float64"}
+    if not outs:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    parts = ray.data.from_arrow_refs(outs).to_pandas()
+    k80 = int(parts["k80"].sum())
+    dec = int(parts["dec"].sum())
+    share = float(np.floor(dec / n_events * 1e6 + 0.5) / 1e6) \
+        if n_events else 0.0
+    return pd.DataFrame({
+        "n_users": pd.array([n_users], dtype="int64"),
+        "n_events": pd.array([n_events], dtype="int64"),
+        "users_for_80pct": pd.array([k80], dtype="int64"),
+        "top_decile_share": [share]})
+
+
 def q_events_entropy(sf_dir: str):
     """Per-user Shannon entropy (nats) of the event-type distribution —
     the behavioral-diversity feature next to events_pivot's raw
@@ -6238,6 +6334,35 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('pri', 10)} AS priority
             FROM p ORDER BY pri DESC, doc_id LIMIT 200
         """,
+        "events_pareto": f"""
+            WITH u AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id
+            ),
+            w AS (
+                SELECT c,
+                       CAST(sum(c) OVER (ORDER BY c DESC, user_id
+                                         ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum,
+                       row_number() OVER (ORDER BY c DESC, user_id)
+                           AS rn
+                FROM u
+            ),
+            n AS (
+                SELECT CAST(count(*) AS BIGINT) AS nu,
+                       CAST(sum(c) AS BIGINT) AS ne
+                FROM u
+            )
+            SELECT n.nu AS n_users, n.ne AS n_events,
+                   (SELECT CAST(count(*) AS BIGINT) FROM w, n
+                    WHERE 5 * (w.cum - w.c) < 4 * n.ne)
+                       AS users_for_80pct,
+                   {_roundsql(
+                       "(SELECT CAST(sum(w.c) AS DOUBLE) FROM w, n"
+                       " WHERE w.rn <= (n.nu + 9) // 10) / n.ne", 6)}
+                       AS top_decile_share
+            FROM n
+        """,
         "events_entropy": f"""
             WITH cell AS (
                 SELECT user_id, event_type,
@@ -6575,6 +6700,7 @@ def queries():
         "customer_order_gaps": q_customer_order_gaps,
         "customer_balance_ntile": q_customer_balance_ntile,
         "events_entropy": q_events_entropy,
+        "events_pareto": q_events_pareto,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "events_zscore": q_events_zscore,

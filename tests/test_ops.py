@@ -1221,3 +1221,36 @@ def test_lang_source_chi2_bruteforce(ray_session, tmp_path):
     assert int(r["n_langs"]) == 3 and int(r["n_sources"]) == 2
     assert int(r["dof"]) == 2
     assert abs(r["chi2"] - chi2) < 1e-5
+
+
+def test_events_pareto_bruteforce(ray_session, tmp_path):
+    from el.queries import q_events_pareto
+
+    rng = np.random.default_rng(41)
+    # skewed: user u gets ~zipf volume
+    users = np.repeat(np.arange(50), (200 / (np.arange(50) + 1))
+                      .astype(int) + 1)
+    rng.shuffle(users)
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(users), dtype="int64"),
+        "ts": pd.Timestamp("2026-01-01").to_datetime64()
+        + np.zeros(len(users)).astype("timedelta64[s]"),
+        "user_id": users.astype("int64"),
+        "event_type": ["view"] * len(users),
+        "value": np.zeros(len(users)), "props": [""] * len(users),
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    r = q_events_pareto(str(tmp_path)).iloc[0]
+
+    counts = ev.groupby("user_id").size().sort_values(
+        ascending=False).to_numpy("int64")
+    n, ne = len(counts), int(counts.sum())
+    cum = np.cumsum(counts)
+    k80 = int(np.argmax(5 * cum >= 4 * ne)) + 1
+    m = (n + 9) // 10
+    share = counts[:m].sum() / ne
+    assert int(r["n_users"]) == n
+    assert int(r["n_events"]) == ne
+    assert int(r["users_for_80pct"]) == k80
+    assert abs(r["top_decile_share"] - share) < 1e-6
+    assert k80 < n * 0.5  # the fixture is genuinely skewed
