@@ -1765,3 +1765,96 @@ def cluster_vmeasure(mentions_ds, *, num_partitions: int | None = None):
 
     return tagged.repartition(1).map_batches(final, batch_format="pandas",
                                              batch_size=None)
+
+
+_TRIGRAM_SIM_SQL = """
+    WITH g AS (
+        SELECT i,
+               CASE WHEN length(a) < 3 THEN [a]
+                    ELSE [substr(a, j, 3)
+                          FOR j IN generate_series(1, length(a) - 2)]
+               END AS ga,
+               CASE WHEN length(b) < 3 THEN [b]
+                    ELSE [substr(b, j, 3)
+                          FOR j IN generate_series(1, length(b) - 2)]
+               END AS gb
+        FROM {src}
+    ),
+    ca AS (SELECT i, gr, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT i, unnest(ga) AS gr FROM g) GROUP BY i, gr),
+    cb AS (SELECT i, gr, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT i, unnest(gb) AS gr FROM g) GROUP BY i, gr),
+    dots AS (SELECT ca.i, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+             FROM ca JOIN cb ON ca.i = cb.i AND ca.gr = cb.gr
+             GROUP BY ca.i),
+    na AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS n
+           FROM ca GROUP BY i),
+    nb AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS n
+           FROM cb GROUP BY i)
+    SELECT g.i, CAST(COALESCE(dots.dot, 0) AS BIGINT) AS dot,
+           na.n AS na, nb.n AS nb,
+           CASE WHEN COALESCE(dots.dot, 0) = 0 THEN 0.0
+                ELSE CAST(dots.dot AS DOUBLE)
+                     / (sqrt(CAST(na.n AS DOUBLE))
+                        * sqrt(CAST(nb.n AS DOUBLE))) END AS sim
+    FROM g
+    JOIN na ON na.i = g.i
+    JOIN nb ON nb.i = g.i
+    LEFT JOIN dots ON dots.i = g.i
+"""
+
+
+class _TrigramSims:
+    """Actor-pool scorer: character-trigram count-vector cosine per
+    labeled pair — one DuckDB pass per batch over the SHARED
+    _TRIGRAM_SIM_SQL text, so the oracle replays the identical plan
+    (the _EditSims idiom). Strings shorter than 3 chars contribute the
+    whole string as their single gram."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        self.surf = ray.get(surf_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..scorer import _duck
+
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        if not m1:
+            return pa.table({"m1_id": pa.array([], pa.string()),
+                             "m2_id": pa.array([], pa.string()),
+                             "dot": pa.array([], pa.int64()),
+                             "trigram_cosine": pa.array([], pa.float64())})
+        na = _norm_series(pd.Series([self.surf[a] for a in m1],
+                                    dtype=str))
+        nb = _norm_series(pd.Series([self.surf[b] for b in m2],
+                                    dtype=str))
+        con = _duck()
+        view = pa.table({  # noqa: F841
+            "a": pa.array(na, pa.string()),
+            "b": pa.array(nb, pa.string()),
+            "i": pa.array(np.arange(len(m1), dtype=np.int64))})
+        con.register("tri_pairs", view)
+        out = con.execute(
+            _TRIGRAM_SIM_SQL.format(src="tri_pairs")
+            + " ORDER BY g.i").arrow()
+        con.unregister("tri_pairs")
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "dot": out.column("dot").combine_chunks(),
+            "trigram_cosine": pa.array(_round6(
+                out.column("sim").to_numpy(zero_copy_only=False)),
+                pa.float64())})
+
+
+def trigram_pair_sims(pairs_ds, surf_ref):
+    """Character-trigram cosine for candidate pairs — the char-n-gram
+    member of the similarity menu next to JW / token-set / TF-IDF /
+    soft-TF-IDF / edit distance. Out: (m1_id, m2_id, dot,
+    trigram_cosine)."""
+    return pairs_ds.map_batches(_TrigramSims,
+                                fn_constructor_args=(surf_ref,),
+                                batch_format="pyarrow", concurrency=2,
+                                num_cpus=0.5)

@@ -3528,7 +3528,7 @@ def _minhash_cte_chain() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from .ops.er import SOFT_TFIDF_THETA
+    from .ops.er import _TRIGRAM_SIM_SQL, SOFT_TFIDF_THETA
     from .ops.textstats import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO,
                                 GOPHER_MAX_TOKENS, GOPHER_MIN_ALPHA_RATIO,
                                 GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
@@ -5992,6 +5992,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nrm n1 ON n1.mention_id = p.m1_id
             LEFT JOIN nrm n2 ON n2.mention_id = p.m2_id
         """,
+        "el_pair_trigram": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            tri_src AS (
+                SELECT p.m1_id, p.m2_id, s1.norm AS a, s2.norm AS b,
+                       row_number() OVER (ORDER BY p.m1_id, p.m2_id)
+                           AS i
+                FROM {gp} p
+                JOIN s s1 ON p.m1_id = s1.mention_id
+                JOIN s s2 ON p.m2_id = s2.mention_id
+            ),
+            r AS ({_TRIGRAM_SIM_SQL.format(src='tri_src')})
+            SELECT t.m1_id, t.m2_id, r.dot,
+                   {_roundsql('r.sim', 6)} AS trigram_cosine
+            FROM r JOIN tri_src t ON t.i = r.i
+        """,
         "el_pair_edit": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
             SELECT p.m1_id, p.m2_id,
@@ -6729,6 +6744,7 @@ def queries():
         "el_golden_record": q_el_golden_record,
         "comention_triangles": q_comention_triangles,
         "el_pair_edit": q_el_pair_edit,
+        "el_pair_trigram": q_el_pair_trigram,
         "comention_clustering": q_comention_clustering,
         "tpch_q18": q_tpch_q18,
         "events_debounce": q_events_debounce,
@@ -6956,6 +6972,28 @@ def q_tpch_q3(sf_dir: str):
 
     return heads.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def q_el_pair_trigram(sf_dir: str):
+    """Character-trigram count-vector cosine per labeled candidate
+    pair — the char-n-gram member of the similarity menu
+    (el/ops/er.py::trigram_pair_sims; engine and oracle share the
+    same SQL text, so the plan replays identically)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import trigram_pair_sims
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return trigram_pair_sims(gp, ref)
 
 
 def q_el_pair_edit(sf_dir: str):

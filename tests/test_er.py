@@ -804,3 +804,39 @@ def test_cluster_fm_perfect_and_bruteforce(ray_session):
     assert r2["fm"] == pytest.approx(s / np.sqrt(a * b), abs=1e-6)
     assert r2["pair_precision"] == pytest.approx(s / a, abs=1e-6)
     assert r2["pair_recall"] == pytest.approx(s / b, abs=1e-6)
+
+
+def test_trigram_pair_sims_bruteforce(ray_session):
+    import collections
+    import math
+
+    import ray
+    import ray.data
+
+    from el.ops.er import trigram_pair_sims
+
+    df = _mentions(40)
+    surf = dict(zip(df["mention_id"], df["surface"]))
+    rows = [(df["mention_id"][i], df["mention_id"][i + 1])
+            for i in range(0, 38, 2)]
+    pairs = pd.DataFrame(rows, columns=["m1_id", "m2_id"])
+    out = trigram_pair_sims(
+        ray.data.from_pandas(pairs).repartition(3),
+        ray.put(surf)).to_pandas().set_index(["m1_id", "m2_id"])
+
+    def grams(s):
+        s = _norm_series(pd.Series([s], dtype=str)).iloc[0]
+        if len(s) < 3:
+            return collections.Counter([s])
+        return collections.Counter(s[i:i + 3]
+                                   for i in range(len(s) - 2))
+
+    for a, b in rows:
+        ga, gb = grams(surf[a]), grams(surf[b])
+        dot = sum(ga[g] * gb[g] for g in ga)
+        na = sum(c * c for c in ga.values())
+        nb = sum(c * c for c in gb.values())
+        sim = 0.0 if dot == 0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        r = out.loc[(a, b)]
+        assert int(r["dot"]) == dot
+        assert abs(r["trigram_cosine"] - sim) < 1e-6
