@@ -2073,6 +2073,55 @@ def q_bloom_semijoin(sf_dir: str):
                           build_key="c_custkey")
 
 
+def q_orders_yoy(sf_dir: str):
+    """Year-over-year revenue growth: total order value per order
+    year plus the growth ratio vs the prior year (the time-
+    intelligence report next to events_hourly's tumbling windows).
+    Streaming per-batch integer-cents partials -> one tiny merge; the
+    YoY division is one float op at 6dp, NULL-free (first year
+    reports 0). Out: (o_year, revenue, yoy_growth)."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"y": pd.Series(dtype="int64"),
+                                 "cents": pd.Series(dtype="int64")})
+        y = df["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype("int64") + 1970
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        out = pd.DataFrame({"y": y, "cents": cents}) \
+            .groupby("y", as_index=False)["cents"].sum()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_year": "int64", "revenue": "float64",
+                "yoy_growth": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("y", as_index=False)["cents"].sum() \
+            .sort_values("y").reset_index(drop=True)
+        cents = g["cents"].to_numpy("int64")
+        prev = np.concatenate(([0], cents[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            yoy = np.where(prev > 0,
+                           (cents.astype("float64") - prev) / prev, 0.0)
+        return pd.DataFrame({
+            "o_year": g["y"].astype("int64").to_numpy(),
+            "revenue": np.floor(cents / 100.0 * 100 + 0.5) / 100,
+            "yoy_growth": np.floor(yoy * 1e6 + 0.5) / 1e6})
+
+    return (orders.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def q_customer_balance_ntile(sf_dir: str):
     """Equal-frequency decile scoring: NTILE(10) over customers by
     (c_acctbal, c_custkey) global order — one distributed sort, exact
@@ -2135,6 +2184,60 @@ def q_customer_order_gaps(sf_dir: str):
 
     return group_blocks(orders, ["o_custkey"], gaps,
                         batch_format="pandas")
+
+
+def q_user_decay_score(sf_dir: str):
+    """Recency-weighted activity score per user: each event
+    contributes 2^(-age_days / 30) relative to the corpus max
+    timestamp (half-life 30 days) — the exponential-decay feature a
+    feature store keeps next to raw counts.
+
+    Exactness: the global max timestamp is an exact integer
+    (streaming max of epoch-us); each per-event weight is quantized
+    to the 1e-9 integer grid, so the per-user sums are exact int64
+    regardless of addition order; the published score divides once at
+    6dp. Scale shape: one streaming max pass + per-batch quantized
+    (user, weight) partials -> ONE user exchange merge. Out:
+    (user_id, n_events, decay_score)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    tmax_us = int(np.datetime64(ev.max("ts"), "us").astype("int64"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "q": pd.Series(dtype="int64")})
+        tus = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        age_days = (tmax_us - tus).astype("float64") / 86400e6
+        # np.power(2., x) and DuckDB pow(2., x) share the libm pow
+        # path (np.exp2 may differ in the last ulp)
+        w = np.power(2.0, -age_days / 30.0)
+        q = np.floor(w * 1e9 + 0.5).astype("int64")
+        out = df[["user_id"]].assign(n=np.int64(1), q=q) \
+            .groupby("user_id", as_index=False).sum()
+        return out.astype({"user_id": "int64", "n": "int64",
+                           "q": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "decay_score": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("user_id", as_index=False)[["n", "q"]].sum()
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64").to_numpy(),
+            "n_events": g["n"].astype("int64").to_numpy(),
+            "decay_score": np.floor(
+                (g["q"].to_numpy("int64") / 1e9) * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(ev.map_batches(partial, batch_format="pandas"),
+                        ["user_id"], merge, batch_format="pandas")
 
 
 def q_events_pareto(sf_dir: str):
@@ -6349,6 +6452,24 @@ def oracle_sql() -> dict[str, str]:
                    {_roundsql('pri', 10)} AS priority
             FROM p ORDER BY pri DESC, doc_id LIMIT 200
         """,
+        "user_decay_score": f"""
+            WITH tm AS (
+                SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t FROM events
+            ),
+            q AS (
+                SELECT user_id,
+                       CAST(floor(pow(2.0,
+                           -(CAST(tm.t - epoch_us(ts) AS DOUBLE)
+                             / 86400000000.0) / 30.0)
+                           * 1000000000 + 0.5) AS BIGINT) AS qv
+                FROM events, tm
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   {_roundsql(
+                       "CAST(sum(qv) AS DOUBLE) / 1000000000", 6)}
+                       AS decay_score
+            FROM q GROUP BY user_id
+        """,
         "events_pareto": f"""
             WITH u AS (
                 SELECT user_id, CAST(count(*) AS BIGINT) AS c
@@ -6402,6 +6523,27 @@ def oracle_sql() -> dict[str, str]:
                        "ln(CAST(n AS DOUBLE)) - (CAST(qs AS DOUBLE)"
                        " / 1000000000) / n", 6)} AS entropy
             FROM a
+        """,
+        "orders_yoy": f"""
+            WITH g AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            w AS (
+                SELECT y, cents,
+                       lag(cents) OVER (ORDER BY y) AS prev
+                FROM g
+            )
+            SELECT y AS o_year,
+                   floor(CAST(cents AS DOUBLE) / 100.0 * 100 + 0.5)
+                       / 100 AS revenue,
+                   {_roundsql(
+                       "CASE WHEN prev IS NULL OR prev <= 0 THEN 0.0"
+                       " ELSE (CAST(cents AS DOUBLE) - prev) / prev"
+                       " END", 6)} AS yoy_growth
+            FROM w ORDER BY y
         """,
         "customer_balance_ntile": """
             SELECT c_custkey, c_acctbal,
@@ -6714,8 +6856,10 @@ def queries():
         "bloom_semijoin": q_bloom_semijoin,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_balance_ntile": q_customer_balance_ntile,
+        "orders_yoy": q_orders_yoy,
         "events_entropy": q_events_entropy,
         "events_pareto": q_events_pareto,
+        "user_decay_score": q_user_decay_score,
         "events_pivot": q_events_pivot,
         "events_running_total": q_events_running_total,
         "events_zscore": q_events_zscore,

@@ -1254,3 +1254,66 @@ def test_events_pareto_bruteforce(ray_session, tmp_path):
     assert int(r["users_for_80pct"]) == k80
     assert abs(r["top_decile_share"] - share) < 1e-6
     assert k80 < n * 0.5  # the fixture is genuinely skewed
+
+
+def test_orders_yoy_bruteforce(ray_session, tmp_path):
+    from el.queries import q_orders_yoy
+
+    rng = np.random.default_rng(43)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(150, dtype="int64"),
+        "o_custkey": np.ones(150, dtype="int64"),
+        "o_orderstatus": ["O"] * 150,
+        "o_totalprice": np.round(rng.uniform(10, 5000, 150), 2),
+        "o_orderdate": (np.datetime64("1995-01-01") +
+                        rng.integers(0, 4 * 365, 150)
+                        .astype("timedelta64[D]")).astype("datetime64[us]"),
+        "o_orderpriority": ["3-MEDIUM"] * 150,
+    })
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    out = q_orders_yoy(str(tmp_path)).to_pandas()
+
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5) \
+        .astype("int64")
+    yr = orders["o_orderdate"].values.astype("datetime64[Y]") \
+        .astype("int64") + 1970
+    ref = pd.DataFrame({"y": yr, "c": cents}).groupby("y")["c"].sum() \
+        .sort_index()
+    assert list(out["o_year"]) == list(ref.index)
+    for i, (y, c) in enumerate(ref.items()):
+        assert abs(out["revenue"].iloc[i] - c / 100) < 1e-6
+        if i == 0:
+            assert out["yoy_growth"].iloc[i] == 0.0
+        else:
+            prev = ref.iloc[i - 1]
+            assert abs(out["yoy_growth"].iloc[i]
+                       - (c - prev) / prev) < 1e-6
+
+
+def test_user_decay_score_bruteforce(ray_session, tmp_path):
+    from el.queries import q_user_decay_score
+
+    rng = np.random.default_rng(47)
+    ts = (np.datetime64("2026-01-01T00:00:00") +
+          rng.integers(0, 90 * 86400, 400).astype("timedelta64[s]"))
+    ev = pd.DataFrame({
+        "event_id": np.arange(400, dtype="int64"),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 25, 400),
+        "event_type": ["view"] * 400,
+        "value": np.zeros(400), "props": [""] * 400,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_user_decay_score(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+
+    tmax = ev["ts"].values.astype("datetime64[us]").astype("int64").max()
+    for uid, g in ev.groupby("user_id"):
+        tus = g["ts"].values.astype("datetime64[us]").astype("int64")
+        age = (tmax - tus) / 86400e6
+        score = np.power(2.0, -age / 30.0).sum()
+        r = out.loc[uid]
+        assert int(r["n_events"]) == len(g)
+        assert abs(r["decay_score"] - score) < 1e-5
+        # decay weights are in (0, 1], so score <= n_events
+        assert r["decay_score"] <= len(g) + 1e-9
