@@ -6367,6 +6367,123 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY o.o_orderpriority
         """,
+        "tpch_q13": """
+            WITH per_c AS (
+                SELECT c.c_custkey,
+                       CAST(COALESCE(sum(CASE WHEN o.o_custkey IS NULL
+                                              THEN 0 ELSE 1 END), 0)
+                            AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'O'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_c
+            GROUP BY c_count
+        """,
+        "tpch_q15": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100
+                                                    + 0.5) AS BIGINT)))
+                            AS BIGINT) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   {_roundsql('CAST(r AS DOUBLE) / 10000.0', 2)}
+                       AS total_revenue
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
+        """,
+        "tpch_q17": f"""
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                           AS qty_c,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#12'
+            ),
+            stats AS (
+                SELECT l_partkey,
+                       CAST(sum(qty_c) AS BIGINT) AS sum_qc,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM li GROUP BY l_partkey
+            ),
+            kept AS (
+                SELECT li.cents
+                FROM li JOIN stats USING (l_partkey)
+                WHERE 5 * li.qty_c * stats.n < stats.sum_qc
+            )
+            SELECT {_roundsql(
+                'CAST(COALESCE(sum(cents), 0) AS DOUBLE) / 700.0', 2)}
+                       AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lineitems_kept
+            FROM kept
+        """,
+        "tpch_q19": f"""
+            WITH j AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE (p_brand = 'Brand#12'
+                       AND p_size BETWEEN 1 AND 5
+                       AND CAST(floor(l_quantity * 100 + 0.5)
+                                AS BIGINT) BETWEEN 100 AND 1100)
+                   OR (p_brand = 'Brand#23'
+                       AND p_size BETWEEN 1 AND 10
+                       AND CAST(floor(l_quantity * 100 + 0.5)
+                                AS BIGINT) BETWEEN 1000 AND 2000)
+                   OR (p_brand = 'Brand#34'
+                       AND p_size BETWEEN 1 AND 15
+                       AND CAST(floor(l_quantity * 100 + 0.5)
+                                AS BIGINT) BETWEEN 2000 AND 3000)
+            )
+            SELECT {_roundsql(
+                'CAST(COALESCE(sum(rev), 0) AS DOUBLE) / 10000.0', 2)}
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM j
+        """,
+        "tpch_q22": f"""
+            WITH avg_bal AS (
+                SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_c,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM customer
+                WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+            ),
+            eligible AS (
+                SELECT c.c_nationkey,
+                       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_c
+                FROM customer c, avg_bal a
+                WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                      * a.cnt > a.sum_c
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   {_roundsql('CAST(sum(bal_c) AS DOUBLE) / 100.0', 2)}
+                       AS totacctbal
+            FROM eligible e
+            JOIN nation n ON n.n_nationkey = e.c_nationkey
+            GROUP BY n.n_name
+        """,
         "tpch_q14": f"""
             WITH j AS (
                 SELECT CAST(floor(l.l_extendedprice * 100 + 0.5)
@@ -6915,6 +7032,11 @@ def queries():
         "el_alias_ambiguity": q_el_alias_ambiguity,
         "tpch_q14": q_tpch_q14,
         "orders_late_lineitem": q_orders_late_lineitem,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -8887,3 +9009,480 @@ def q_orders_late_lineitem(sf_dir: str):
     return parts.repartition(1).map_batches(final,
                                             batch_format="pandas",
                                             batch_size=None)
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer-distribution: histogram of per-customer
+    order counts, counting only open ('O') orders so the zero bucket
+    is populated (the spec's NOT LIKE comment filter adapted to this
+    schema's o_orderstatus; TPC-H spec Q13 / the reference's
+    per-category benchmark groupings, ExpBenchmark.scala).
+
+    Scale shape: orders is status-filtered and pre-aggregated to
+    (custkey, cnt) per batch; customer ships bare keys. Both meet in
+    ONE tagged-union hash exchange on custkey — left-join semantics:
+    a customer with no qualifying order lands in c_count=0 because
+    the customer row itself travels through the exchange. The second
+    aggregation groups on c_count (a few dozen distinct values), so
+    it is a per-block combine + one-partition merge, never a second
+    row-scale exchange. Out: (c_count, custdist)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["o_orderstatus"] == "O"]
+        g = keep.groupby("o_custkey", as_index=False).size()
+        return pa.table({
+            "ckey": pa.array(g["o_custkey"].astype("int64")),
+            "cnt": pa.array(g["size"].astype("int64")),
+            "is_cust": pa.array(np.zeros(len(g), dtype="int64")),
+        })
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "cnt": pa.array(np.zeros(n, dtype="int64")),
+            "is_cust": pa.array(np.ones(n, dtype="int64")),
+        })
+
+    tagged = orders.map_batches(order_side, batch_format="pandas").union(
+        cust.map_batches(cust_side, batch_format="pandas"))
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_count": "int64", "custdist": "int64"}
+        cust_keys = df.loc[df["is_cust"] == 1, "ckey"]
+        if len(cust_keys) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        per_c = (df[df["is_cust"] == 0]
+                 .groupby("ckey")["cnt"].sum()
+                 .reindex(cust_keys.to_numpy(), fill_value=0))
+        h = per_c.value_counts()
+        return pd.DataFrame({
+            "c_count": h.index.astype("int64"),
+            "custdist": h.to_numpy().astype("int64")})
+
+    parts = group_blocks(tagged, ["ckey"], count_block,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_count": "int64", "custdist": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("c_count", as_index=False)["custdist"].sum()
+        return pd.DataFrame({
+            "c_count": g["c_count"].astype("int64"),
+            "custdist": g["custdist"].astype("int64")})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier: supplier(s) with the maximum lineitem
+    revenue over Q1-1996 shipments (TPC-H spec Q15; the reference's
+    argmax idiom, ExpBenchmark.scala top-candidate selection).
+
+    Scale shape: lineitem is date-filtered and pre-aggregated to
+    (suppkey, revenue-partial) per batch — integer cents x (100-disc)
+    with the 2^53 envelope guard — so the ONE tagged-union hash
+    exchange on suppkey moves supplier-scale partials, not lineitems.
+    Supplier ships (key, name) through the same exchange (no
+    broadcast). The in-fold join emits per-supplier totals
+    (dim-scale); the global argmax is a one-partition merge that
+    keeps every supplier tied at the max. Out: (s_suppkey, s_name,
+    total_revenue[2dp])."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy()
+        keep = (sd >= lo.to_datetime64()) & (sd < hi.to_datetime64())
+        df = df[keep]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = cents * (100.0 - disc)
+        if len(rev) and np.max(np.abs(rev)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q15: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        g = (pd.DataFrame({"skey": df["l_suppkey"].astype("int64"),
+                           "rev": rev.astype("int64")})
+             .groupby("skey", as_index=False)["rev"].sum())
+        n = len(g)
+        return pa.table({
+            "skey": pa.array(g["skey"]),
+            "rev": pa.array(g["rev"].astype("int64")),
+            "name": pa.nulls(n, pa.string()),
+            "is_sup": pa.array(np.zeros(n, dtype="int64")),
+        })
+
+    def sup_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "skey": pa.array(df["s_suppkey"].astype("int64")),
+            "rev": pa.array(np.zeros(n, dtype="int64")),
+            "name": pa.array(df["s_name"].astype(str), pa.string()),
+            "is_sup": pa.array(np.ones(n, dtype="int64")),
+        })
+
+    tagged = li.map_batches(li_side, batch_format="pandas").union(
+        sup.map_batches(sup_side, batch_format="pandas"))
+
+    def total_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"skey": "int64", "name": str, "rev": "int64"}
+        s = df[df["is_sup"] == 1]
+        if len(s) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        per_s = (df[df["is_sup"] == 0]
+                 .groupby("skey")["rev"].sum()
+                 .reindex(s["skey"].to_numpy(), fill_value=0))
+        out = pd.DataFrame({"skey": s["skey"].to_numpy(),
+                            "name": s["name"].to_numpy(),
+                            "rev": per_s.to_numpy().astype("int64")})
+        return out[out["rev"] > 0]
+
+    totals = group_blocks(tagged, ["skey"], total_block,
+                          batch_format="pandas")
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s_suppkey": "int64", "s_name": str,
+                "total_revenue": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        top = df[df["rev"] == df["rev"].max()]
+        return pd.DataFrame({
+            "s_suppkey": top["skey"].astype("int64"),
+            "s_name": top["name"].astype(str),
+            "total_revenue": _round_half_away(
+                top["rev"].to_numpy() / 10000.0, 2)})
+
+    return totals.repartition(1).map_batches(
+        argmax, batch_format="pandas", batch_size=None)
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue: average yearly revenue
+    lost if orders for Brand#12 parts below 20% of the part's average
+    quantity were not taken (TPC-H spec Q17).
+
+    Scale shape: part ships (partkey, brand-flag); lineitem ships
+    (partkey, qty_cents, price_cents) rows. ONE tagged-union hash
+    exchange on partkey co-locates each part with all its lineitems;
+    the in-fold pass computes the per-part quantity stats and applies
+    the 20%-of-average gate as the INTEGER predicate
+    5*qty_c*n < sum_qc — no float division anywhere — emitting one
+    partial (kept_cents, kept_n) per block. Final one-row merge
+    divides by 7 on the 2dp grid. Out: (avg_yearly[2dp],
+    n_lineitems_kept)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["p_brand"] == "Brand#12"]
+        n = len(keep)
+        return pa.table({
+            "pkey": pa.array(keep["p_partkey"].astype("int64")),
+            "qty_c": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "is_part": pa.array(np.ones(n, dtype="int64")),
+        })
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        qty_c = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5)
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        return pa.table({
+            "pkey": pa.array(df["l_partkey"].astype("int64")),
+            "qty_c": pa.array(qty_c.astype("int64")),
+            "cents": pa.array(cents.astype("int64")),
+            "is_part": pa.array(np.zeros(n, dtype="int64")),
+        })
+
+    tagged = part.map_batches(part_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kept_cents": "int64", "kept_n": "int64"}
+        brand = set(df.loc[df["is_part"] == 1, "pkey"].to_numpy())
+        l = df[(df["is_part"] == 0) & df["pkey"].isin(brand)]
+        if len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = l.groupby("pkey")["qty_c"].agg(["sum", "count"])
+        sum_qc = g["sum"].reindex(l["pkey"].to_numpy()).to_numpy()
+        n_li = g["count"].reindex(l["pkey"].to_numpy()).to_numpy()
+        lhs = 5.0 * l["qty_c"].to_numpy() * n_li
+        if len(lhs) and np.max(np.abs(lhs)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q17: 5*qty*n exceeds the float64 integer-exact "
+                "envelope (2^53); widen to decimal")
+        keep = lhs < sum_qc
+        return pd.DataFrame({
+            "kept_cents": pd.array(
+                [int(l["cents"].to_numpy()[keep].sum())], dtype="int64"),
+            "kept_n": pd.array([int(keep.sum())], dtype="int64")})
+
+    parts = group_blocks(tagged, ["pkey"], fold_block,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"avg_yearly": "float64", "n_lineitems_kept": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        cents = int(df["kept_cents"].sum())
+        return pd.DataFrame({
+            "avg_yearly": [float(np.floor(
+                cents / 700.0 * 100 + 0.5) / 100)],
+            "n_lineitems_kept": pd.array([int(df["kept_n"].sum())],
+                                         dtype="int64")})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted-revenue: three disjunctive
+    (brand, size-range, quantity-range) arms summed into one revenue
+    figure (TPC-H spec Q19, adapted to this schema's columns — no
+    container/shipmode, so the arms gate on p_size and l_quantity).
+
+    Scale shape: part ships (partkey, 3-bit arm mask from brand+size);
+    lineitem pre-filters to the covering quantity envelope [1, 30] and
+    ships (partkey, qty_cents, revenue-partial). ONE tagged-union hash
+    exchange on partkey; the in-fold pass ANDs each arm's quantity
+    window against the part's mask bit and sums integer revenue —
+    one partial row per block, one-row final merge. Out:
+    (revenue[2dp], n_lineitems)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    ARMS = (("Brand#12", 1, 5, 100, 1100),
+            ("Brand#23", 1, 10, 1000, 2000),
+            ("Brand#34", 1, 15, 2000, 3000))
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        size = df["p_size"].to_numpy()
+        mask = np.zeros(len(df), dtype="int64")
+        for bit, (brand, s_lo, s_hi, _, _) in enumerate(ARMS):
+            hit = ((df["p_brand"] == brand).to_numpy()
+                   & (size >= s_lo) & (size <= s_hi))
+            mask |= hit.astype("int64") << bit
+        keep = mask > 0
+        return pa.table({
+            "pkey": pa.array(df["p_partkey"].to_numpy()[keep]
+                             .astype("int64")),
+            "mask": pa.array(mask[keep]),
+            "qty_c": pa.nulls(int(keep.sum()), pa.int64()),
+            "rev": pa.nulls(int(keep.sum()), pa.int64()),
+        })
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        qty_c = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5)
+        keep = (qty_c >= 100) & (qty_c <= 3000)
+        df, qty_c = df[keep], qty_c[keep]
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = cents * (100.0 - disc)
+        if len(rev) and np.max(np.abs(rev)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q19: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        n = len(df)
+        return pa.table({
+            "pkey": pa.array(df["l_partkey"].astype("int64")),
+            "mask": pa.array(np.zeros(n, dtype="int64")),
+            "qty_c": pa.array(qty_c.astype("int64")),
+            "rev": pa.array(rev.astype("int64")),
+        })
+
+    tagged = part.map_batches(part_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"rev": "int64", "n": "int64"}
+        pmask = (df[df["mask"] > 0].drop_duplicates("pkey")
+                 .set_index("pkey")["mask"])
+        l = df[df["mask"] == 0]
+        if len(l) == 0 or len(pmask) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        lmask = pmask.reindex(l["pkey"].to_numpy(), fill_value=0)\
+            .to_numpy()
+        qty_c = l["qty_c"].to_numpy()
+        hit = np.zeros(len(l), dtype=bool)
+        for bit, (_, _, _, q_lo, q_hi) in enumerate(ARMS):
+            hit |= (((lmask >> bit) & 1) > 0) \
+                & (qty_c >= q_lo) & (qty_c <= q_hi)
+        return pd.DataFrame({
+            "rev": pd.array([int(l["rev"].to_numpy()[hit].sum())],
+                            dtype="int64"),
+            "n": pd.array([int(hit.sum())], dtype="int64")})
+
+    parts = group_blocks(tagged, ["pkey"], fold_block,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"revenue": "float64", "n_lineitems": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rev = int(df["rev"].sum())
+        return pd.DataFrame({
+            "revenue": [float(np.floor(rev / 10000.0 * 100 + 0.5)
+                              / 100)],
+            "n_lineitems": pd.array([int(df["n"].sum())],
+                                    dtype="int64")})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global-sales-opportunity: per-nation count and total
+    balance of above-average-balance customers with no recent orders
+    (spec's phone-prefix cntrycode adapted to c_nationkey -> n_name;
+    the NOT EXISTS anti-join and the global-average subquery are the
+    spec's shape).
+
+    Scale shape: pass 1 folds customer into ONE (sum_cents, count)
+    row — per-batch partials, one-partition merge, a bounded take of
+    a single aggregate row (never row-scale). Pass 2: customer ships
+    (custkey, nationkey, bal_cents); orders date-filters and dedups
+    custkeys per batch. ONE tagged-union hash exchange on custkey;
+    the in-fold anti-join keeps marker-less customers passing the
+    INTEGER predicate bal_c * cnt > sum_c (no float average), then a
+    per-block nationkey combine + one-partition merge attaches n_name
+    from the constant-size nation table. Out: (n_name, numcust,
+    totacctbal[2dp])."""
+    import ray
+    import ray.data  # noqa: F401
+    import pyarrow.parquet as pq
+
+    from .shuffle import group_blocks
+
+    cutoff = pd.Timestamp("2000-01-01")
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bal_c = np.floor(df["c_acctbal"].to_numpy() * 100 + 0.5)
+        pos = bal_c[bal_c > 0]
+        return pd.DataFrame({
+            "s": pd.array([int(pos.sum())], dtype="int64"),
+            "n": pd.array([int(len(pos))], dtype="int64")})
+
+    avg_row = (cust.map_batches(bal_partial, batch_format="pandas")
+               .repartition(1)
+               .map_batches(
+                   lambda df: pd.DataFrame({
+                       "s": pd.array([int(df["s"].sum())],
+                                     dtype="int64"),
+                       "n": pd.array([int(df["n"].sum())],
+                                     dtype="int64")}),
+                   batch_format="pandas", batch_size=None)
+               .take(1))[0]
+    sum_c, cnt = int(avg_row["s"]), int(avg_row["n"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"])
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        bal_c = np.floor(df["c_acctbal"].to_numpy() * 100 + 0.5)
+        return pa.table({
+            "ckey": pa.array(df["c_custkey"].astype("int64")),
+            "nkey": pa.array(df["c_nationkey"].astype("int64")),
+            "bal_c": pa.array(bal_c.astype("int64")),
+            "is_cust": pa.array(np.ones(len(df), dtype="int64")),
+        })
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        od = df["o_orderdate"].to_numpy()
+        keys = np.unique(
+            df["o_custkey"].to_numpy()[od >= cutoff.to_datetime64()])
+        n = len(keys)
+        return pa.table({
+            "ckey": pa.array(keys.astype("int64")),
+            "nkey": pa.array(np.zeros(n, dtype="int64")),
+            "bal_c": pa.array(np.zeros(n, dtype="int64")),
+            "is_cust": pa.array(np.zeros(n, dtype="int64")),
+        })
+
+    tagged = cust.map_batches(cust_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def anti_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nkey": "int64", "numcust": "int64",
+                "bal_sum": "int64"}
+        recent = set(df.loc[df["is_cust"] == 0, "ckey"].to_numpy())
+        c = df[df["is_cust"] == 1]
+        keep = c[(~c["ckey"].isin(recent))
+                 & (c["bal_c"] * cnt > sum_c)]
+        if len(keep) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = keep.groupby("nkey", as_index=False).agg(
+            numcust=("ckey", "size"), bal_sum=("bal_c", "sum"))
+        return pd.DataFrame({
+            "nkey": g["nkey"].astype("int64"),
+            "numcust": g["numcust"].astype("int64"),
+            "bal_sum": g["bal_sum"].astype("int64")})
+
+    parts = group_blocks(tagged, ["ckey"], anti_block,
+                         batch_format="pandas")
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    names_ref = ray.put(names)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_name": str, "numcust": "int64",
+                "totacctbal": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        nm = ray.get(names_ref)
+        g = df.groupby("nkey", as_index=False).agg(
+            numcust=("numcust", "sum"), bal_sum=("bal_sum", "sum"))
+        return pd.DataFrame({
+            "n_name": g["nkey"].map(nm).astype(str),
+            "numcust": g["numcust"].astype("int64"),
+            "totacctbal": _round_half_away(
+                g["bal_sum"].to_numpy() / 100.0, 2)})
+
+    return parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

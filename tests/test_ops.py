@@ -1317,3 +1317,96 @@ def test_user_decay_score_bruteforce(ray_session, tmp_path):
         assert abs(r["decay_score"] - score) < 1e-5
         # decay weights are in (0, 1], so score <= n_events
         assert r["decay_score"] <= len(g) + 1e-9
+
+
+def _tpch_tmp_tables(tmp_path, rng):
+    """Small synthetic TPC-H star with deliberate edge cases: customers
+    without orders, negative balances, revenue ties, brand skew."""
+    n_cust, n_ord, n_li, n_part, n_sup = 60, 150, 600, 80, 12
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(5, dtype="int32"),
+        "n_name": [f"NATION_{i}" for i in range(5)],
+        "n_regionkey": np.zeros(5, dtype="int32")})
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype="int64"),
+        "c_name": [f"Customer#{i}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 5, n_cust).astype("int32"),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": ["BUILDING"] * n_cust})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype="int64"),
+        # leave custkeys >= 40 orderless
+        "o_custkey": rng.integers(0, 40, n_ord).astype("int64"),
+        "o_orderstatus": rng.choice(["O", "F", "P"], n_ord),
+        "o_totalprice": np.round(rng.uniform(10, 1000, n_ord), 2),
+        "o_orderdate": (np.datetime64("1995-01-01") +
+                        rng.integers(0, 6 * 365, n_ord)
+                        .astype("timedelta64[D]"))
+        .astype("datetime64[us]"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "3-MEDIUM"], n_ord)})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype="int64"),
+        "p_name": [f"part {i}" for i in range(n_part)],
+        "p_brand": rng.choice(
+            ["Brand#12", "Brand#23", "Brand#34", "Brand#55"], n_part),
+        "p_type": ["STANDARD"] * n_part,
+        "p_size": rng.integers(1, 20, n_part).astype("int32"),
+        "p_retailprice": np.round(rng.uniform(1, 100, n_part), 2)})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(n_sup, dtype="int64"),
+        "s_name": [f"Supplier#{i}" for i in range(n_sup)],
+        "s_nationkey": rng.integers(0, 5, n_sup).astype("int32"),
+        "s_acctbal": np.round(rng.uniform(0, 5000, n_sup), 2)})
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, n_li).astype("int64"),
+        "l_partkey": rng.integers(0, n_part, n_li).astype("int64"),
+        "l_suppkey": rng.integers(0, n_sup, n_li).astype("int64"),
+        "l_linenumber": np.ones(n_li, dtype="int32"),
+        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(100, 9000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.zeros(n_li),
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+        "l_linestatus": ["O"] * n_li,
+        "l_shipdate": (np.datetime64("1995-06-01") +
+                       rng.integers(0, 5 * 365, n_li)
+                       .astype("timedelta64[D]"))
+        .astype("datetime64[us]")})
+    for name, df in [("nation", nation), ("customer", customer),
+                     ("orders", orders), ("part", part),
+                     ("supplier", supplier), ("lineitem", lineitem)]:
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+
+
+@pytest.mark.parametrize("name", ["tpch_q13", "tpch_q15", "tpch_q17",
+                                  "tpch_q19", "tpch_q22"])
+def test_tpch_round5_queries_match_oracle_on_adversarial_star(
+        ray_session, tmp_path, name):
+    """Engine-vs-oracle agreement at a different scale and skew than
+    the driver's sf0.01 pass: run the Ray query and the registered
+    DuckDB oracle over the same synthetic star and compare the
+    order-insensitive value hash."""
+    import duckdb
+
+    from el.queries import oracle_sql, queries
+
+    _tpch_tmp_tables(tmp_path, np.random.default_rng(202))
+    eng = queries()[name](str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    for t in ["nation", "customer", "orders", "part", "supplier",
+              "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    ora = con.execute(oracle_sql()[name]).df()
+
+    assert sorted(eng.columns) == sorted(ora.columns)
+    assert len(eng) == len(ora)
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(tuple(str(v) for v in r)
+                      for r in df.itertuples(index=False))
+
+    assert canon(eng) == canon(ora)
