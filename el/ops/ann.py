@@ -828,3 +828,71 @@ def hard_negatives(emb_ds, queries: np.ndarray, q_labels: np.ndarray,
     )
     return group_map_pandas(local, "q_id",
                             functools.partial(_merge_topk, k=k))
+
+
+def norm_stats(emb_ds, *, num_partitions: int | None = None):
+    """Per-label embedding L2-norm statistics (count, mean, std) — the
+    collapse/drift health check run before any cosine-space op trusts
+    a table's embeddings. Exactness contract: per-vector norms are
+    computed from the fixed integer 1e-6 component grid
+    (sumsq = sum(q^2) is exact int64 at 64 dims), then each norm is
+    re-quantized to the 1e-6 grid so cross-vector sums of qn and qn^2
+    are exact int64 (headroom guard at 2^62); mean/std are derived
+    from identical integers on engine and oracle with one identical
+    float expression each. Shape: per-batch zero-copy matrix decode +
+    per-label integer partials, ONE tiny (label) exchange, one-row-
+    per-label merge. Out: (label, n, mean_norm[6dp], std_norm[6dp])."""
+    from ..shuffle import group_blocks
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"label": "int64", "n": "int64", "s1": "int64",
+                "s2": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        X = _matrix_from_arrow(t.column("embedding"))
+        Q = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        sumsq = (Q * Q).sum(axis=1)
+        norm = np.sqrt(sumsq.astype(np.float64)) / 1e6
+        qn = np.floor(norm * 1e6 + 0.5).astype(np.int64)
+        qn2 = qn * qn
+        lab = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({"label": lab, "n": 1, "s1": qn, "s2": qn2}) \
+            .groupby("label", as_index=False).sum()
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "s1": g["s1"].astype("int64"),
+            "s2": g["s2"].astype("int64")})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"label": "int64", "n": "int64", "mean_norm": "float64",
+                "std_norm": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=d)
+                                 for k, d in cols.items()})
+        chk = df["s2"].astype("float64").groupby(df["label"]).sum()
+        if len(chk) and chk.max() >= 2.0**62:
+            raise OverflowError(
+                "norm_stats: sum of squared quantized norms exceeds "
+                "the int64 envelope; coarsen the norm grid")
+        g = df.groupby("label", as_index=False)[["n", "s1", "s2"]] \
+            .sum()
+        n = g["n"].to_numpy(np.float64)
+        s1 = g["s1"].to_numpy(np.float64)
+        s2 = g["s2"].to_numpy(np.float64)
+        mean = s1 / n / 1e6
+        var = np.maximum(0.0, s2 / n - (s1 / n) * (s1 / n))
+        std = np.sqrt(var) / 1e6
+        r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "mean_norm": r6(mean),
+            "std_norm": r6(std)})
+
+    return group_blocks(parts, ["label"], merge, batch_format="pandas",
+                        num_partitions=num_partitions)

@@ -1858,3 +1858,93 @@ def trigram_pair_sims(pairs_ds, surf_ref):
                                 fn_constructor_args=(surf_ref,),
                                 batch_format="pyarrow", concurrency=2,
                                 num_cpus=0.5)
+
+
+def cluster_purity(mentions_ds, *, num_partitions: int | None = None):
+    """Purity / inverse purity / purity-F1 of the exact-alias
+    clustering vs gold labels — the set-matching companion to
+    :func:`cluster_vmeasure` (Amigó et al. 2009's purity pair; the
+    reference's benchmark groupings, ExpBenchmark.scala). Fully
+    INTEGER-exact: purity's numerator is the sum over clusters of the
+    cluster's majority-gold cell count, inverse purity's the sum over
+    gold classes of the class's majority-cluster cell count — both
+    int64 sums of contingency cells, no float until the final
+    division. Shape: one per-batch (norm, gold) combiner, then TWO
+    cell-scale exchanges (keyed norm, keyed gold) each emitting one
+    integer partial per block, and a one-row merge. Out:
+    (n_mentions, purity_correct, purity[6dp], inverse_correct,
+    inverse_purity[6dp], purity_f1[6dp])."""
+    from ..shuffle import group_blocks
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "norm": _norm_series(df["surface"].astype(str)),
+            "gold": df["gold_kb_id"].astype(str)})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    base = mentions_ds.map_batches(prep, batch_format="pandas") \
+        .materialize()
+    n_total = base.count()
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"norm": pd.Series(dtype=str),
+                                 "gold": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = df.groupby(["norm", "gold"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    joint = base.map_batches(cell_partial, batch_format="pandas")
+
+    def majority_q(key):
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"q": pd.Series(dtype="int64")})
+            g = df.groupby(["norm", "gold"], as_index=False)["c"].sum()
+            return pd.DataFrame({"q": pd.array(
+                [int(g.groupby(key)["c"].max().sum())], dtype="int64")})
+        return total
+
+    pur = group_blocks(joint, ["norm"], majority_q("norm"),
+                       batch_format="pandas",
+                       num_partitions=num_partitions)
+    inv = group_blocks(joint, ["gold"], majority_q("gold"),
+                       batch_format="pandas",
+                       num_partitions=num_partitions)
+
+    def tag(kind):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["kind"] = kind
+            return df
+        return f
+
+    tagged = pur.map_batches(tag("p"), batch_format="pandas").union(
+        inv.map_batches(tag("i"), batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_mentions": "int64", "purity_correct": "int64",
+                "purity": "float64", "inverse_correct": "int64",
+                "inverse_purity": "float64", "purity_f1": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("kind")["q"].sum()
+        pc, ic = int(g.get("p", 0)), int(g.get("i", 0))
+        n = float(n_total)
+        p = pc / n if n else 0.0
+        i = ic / n if n else 0.0
+        f1 = 0.0 if p + i == 0.0 else 2.0 * p * i / (p + i)
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        return pd.DataFrame({
+            "n_mentions": pd.array([int(n_total)], dtype="int64"),
+            "purity_correct": pd.array([pc], dtype="int64"),
+            "purity": [r6(p)],
+            "inverse_correct": pd.array([ic], dtype="int64"),
+            "inverse_purity": [r6(i)],
+            "purity_f1": [r6(f1)]})
+
+    return tagged.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -6456,6 +6456,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "el_cluster_purity": f"""
+            WITH f AS (
+                SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
+                WHERE {norm} != ''
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+            ng AS (
+                SELECT norm, gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm, gold
+            ),
+            pur AS (
+                SELECT CAST(COALESCE(sum(m), 0) AS BIGINT) AS pc
+                FROM (SELECT max(c) AS m FROM ng GROUP BY norm)
+            ),
+            inv AS (
+                SELECT CAST(COALESCE(sum(m), 0) AS BIGINT) AS ic
+                FROM (SELECT max(c) AS m FROM ng GROUP BY gold)
+            )
+            SELECT nt.n AS n_mentions,
+                   pur.pc AS purity_correct,
+                   {_roundsql(
+                       'CAST(pur.pc AS DOUBLE) / CAST(nt.n AS DOUBLE)',
+                       6)} AS purity,
+                   inv.ic AS inverse_correct,
+                   {_roundsql(
+                       'CAST(inv.ic AS DOUBLE) / CAST(nt.n AS DOUBLE)',
+                       6)} AS inverse_purity,
+                   {_roundsql(
+                       'CASE WHEN pur.pc + inv.ic = 0 THEN 0.0 ELSE '
+                       '2.0 * (CAST(pur.pc AS DOUBLE) / nt.n) '
+                       '* (CAST(inv.ic AS DOUBLE) / nt.n) '
+                       '/ ((CAST(pur.pc AS DOUBLE) / nt.n) '
+                       '+ (CAST(inv.ic AS DOUBLE) / nt.n)) END', 6)}
+                       AS purity_f1
+            FROM nt, pur, inv
+        """,
+        "embed_norm_stats": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ),
+            v AS (
+                SELECT vec_id, label,
+                       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                           + 0.5) AS BIGINT)
+                                * CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                             + 0.5) AS BIGINT))
+                            AS BIGINT) AS sumsq
+                FROM e GROUP BY vec_id, label
+            ),
+            q AS (
+                SELECT label,
+                       CAST(floor(sqrt(CAST(sumsq AS DOUBLE)) / 1e6
+                                  * 1e6 + 0.5) AS BIGINT) AS qn
+                FROM v
+            ),
+            g AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(qn) AS BIGINT) AS s1,
+                       CAST(sum(qn * qn) AS BIGINT) AS s2
+                FROM q GROUP BY label
+            )
+            SELECT label, n,
+                   {_roundsql('CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)'
+                              ' / 1e6', 6)} AS mean_norm,
+                   {_roundsql(
+                       'sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n '
+                       '- (CAST(s1 AS DOUBLE) / n) '
+                       '* (CAST(s1 AS DOUBLE) / n))) / 1e6', 6)}
+                       AS std_norm
+            FROM g
+        """,
         "tpch_q22": f"""
             WITH avg_bal AS (
                 SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
@@ -7037,6 +7110,8 @@ def queries():
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "el_cluster_purity": q_el_cluster_purity,
+        "embed_norm_stats": q_embed_norm_stats,
     }
 
 
@@ -9486,3 +9561,28 @@ def q_tpch_q22(sf_dir: str):
 
     return parts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def q_el_cluster_purity(sf_dir: str):
+    """Purity / inverse purity / purity-F1 of the exact-alias
+    clustering vs gold — integer-exact majority-cell sums, two
+    cell-scale exchanges (el/ops/er.py::cluster_purity)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import cluster_purity
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return cluster_purity(gm)
+
+
+def q_embed_norm_stats(sf_dir: str):
+    """Per-label embedding L2-norm count/mean/std on the fixed integer
+    1e-6 grid — exact int64 cross-vector sums, one tiny label exchange
+    (el/ops/ann.py::norm_stats)."""
+    from .ops.ann import norm_stats
+
+    return norm_stats(_read(sf_dir, "embeddings",
+                            columns=["embedding", "label"]))

@@ -840,3 +840,39 @@ def test_trigram_pair_sims_bruteforce(ray_session):
         r = out.loc[(a, b)]
         assert int(r["dot"]) == dot
         assert abs(r["trigram_cosine"] - sim) < 1e-6
+
+
+def test_cluster_purity_bruteforce_and_perfect(ray_session):
+    import ray.data
+
+    from el.ops.er import cluster_purity
+
+    perfect = pd.DataFrame({
+        "mention_id": [f"m{i}" for i in range(12)],
+        "surface": [f"name{i % 3}" for i in range(12)],
+        "gold_kb_id": [f"E{i % 3}" for i in range(12)],
+    })
+    r = cluster_purity(ray.data.from_pandas(perfect)).to_pandas().iloc[0]
+    assert (r["purity"], r["inverse_purity"], r["purity_f1"]) \
+        == (1.0, 1.0, 1.0)
+    assert r["purity_correct"] == r["n_mentions"] == 12
+
+    df = _mentions(80)
+    r2 = cluster_purity(
+        ray.data.from_pandas(df).repartition(5)).to_pandas().iloc[0]
+    # brute-force reference from the contingency table
+    ref = df.assign(norm=_norm_series(df["surface"]))
+    ref = ref[ref["norm"] != ""]
+    ct = ref.groupby(["norm", "gold_kb_id"]).size()
+    n = len(ref)
+    pc = int(ct.groupby("norm").max().sum())
+    ic = int(ct.groupby("gold_kb_id").max().sum())
+    assert r2["n_mentions"] == n
+    assert r2["purity_correct"] == pc
+    assert r2["inverse_correct"] == ic
+    p, i = pc / n, ic / n
+    assert abs(r2["purity"] - p) < 1e-6
+    assert abs(r2["inverse_purity"] - i) < 1e-6
+    assert abs(r2["purity_f1"] - 2 * p * i / (p + i)) < 1e-6
+    # the random many-cluster labeling must be properly asymmetric
+    assert r2["purity"] != r2["inverse_purity"]

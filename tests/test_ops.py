@@ -1410,3 +1410,31 @@ def test_tpch_round5_queries_match_oracle_on_adversarial_star(
                       for r in df.itertuples(index=False))
 
     assert canon(eng) == canon(ora)
+
+
+def test_embed_norm_stats_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.ann import norm_stats
+
+    rng = np.random.default_rng(77)
+    n, d = 300, 16
+    X = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "embedding": [r.tolist() for r in X],
+        "label": lab.astype("int32")})).repartition(6)
+    out = norm_stats(ds).to_pandas().set_index("label").sort_index()
+
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64)) / 1e6
+    qn = np.floor(norm * 1e6 + 0.5).astype(np.int64)
+    for lv in np.unique(lab):
+        sel = qn[lab == lv]
+        assert out.loc[lv, "n"] == len(sel)
+        mean = sel.sum() / len(sel) / 1e6
+        var = max(0.0, (sel.astype(np.float64) ** 2).sum() / len(sel)
+                  - (sel.sum() / len(sel)) ** 2)
+        std = np.sqrt(var) / 1e6
+        assert abs(out.loc[lv, "mean_norm"] - mean) < 2e-6
+        assert abs(out.loc[lv, "std_norm"] - std) < 2e-6
