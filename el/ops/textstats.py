@@ -359,3 +359,46 @@ def source_kl(docs_ds, *, num_partitions: int | None = None):
     return group_blocks(cells, ["source"], source_fold,
                         batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def ttr_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document lexical-diversity stats: token/type/hapax counts,
+    type-token ratio and hapax ratio (Gopher-style repetition /
+    diversity companion; a curation filter keys on low TTR). Purely
+    per-row — explode to (doc, term), one in-batch groupby, no
+    exchange. Ratios are int/int divisions rounded on the 1e-6 grid
+    (0.0 for empty docs on both engine and oracle)."""
+    cols = {"doc_id": "int64", "n_tokens": "int64",
+            "n_types": "int64", "n_hapax": "int64",
+            "ttr": "float64", "hapax_ratio": "float64"}
+    if len(df) == 0:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    toks = df["text"].str.lower().str.findall(TOKEN_RE)
+    ex = pd.DataFrame({
+        "doc_id": df["doc_id"].repeat(toks.str.len()).to_numpy(),
+        "term": np.concatenate([np.array(t, dtype=object)
+                                for t in toks])
+        if toks.str.len().sum() else np.array([], dtype=object)})
+    tf = ex.groupby(["doc_id", "term"], as_index=False).size()
+    per = tf.groupby("doc_id").agg(
+        n_tokens=("size", "sum"), n_types=("size", "size"),
+        n_hapax=("size", lambda s: int((s == 1).sum())))
+    per = per.reindex(df["doc_id"].to_numpy(), fill_value=0)
+    nt = per["n_tokens"].to_numpy(np.float64)
+    safe = np.where(nt == 0, 1.0, nt)
+    ttr = np.where(nt == 0, 0.0,
+                   per["n_types"].to_numpy(np.float64) / safe)
+    hap = np.where(nt == 0, 0.0,
+                   per["n_hapax"].to_numpy(np.float64) / safe)
+    return pd.DataFrame({
+        "doc_id": per.index.to_numpy().astype("int64"),
+        "n_tokens": per["n_tokens"].astype("int64").to_numpy(),
+        "n_types": per["n_types"].astype("int64").to_numpy(),
+        "n_hapax": per["n_hapax"].astype("int64").to_numpy(),
+        "ttr": round_half_away(ttr, 6),
+        "hapax_ratio": round_half_away(hap, 6)})
+
+
+def doc_ttr(docs_ds):
+    return docs_ds.map_batches(ttr_batch, batch_format="pandas")

@@ -6456,6 +6456,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "doc_ttr": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({toks}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                FROM t GROUP BY doc_id, term
+            ),
+            per AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM tf GROUP BY doc_id
+            ),
+            allk AS (
+                SELECT d.doc_id,
+                       COALESCE(p.n_tokens, 0) AS n_tokens,
+                       COALESCE(p.n_types, 0) AS n_types,
+                       COALESCE(p.n_hapax, 0) AS n_hapax
+                FROM documents d LEFT JOIN per p USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, n_types, n_hapax,
+                   {_roundsql('CASE WHEN n_tokens = 0 THEN 0.0 ELSE '
+                              'CAST(n_types AS DOUBLE) '
+                              '/ CAST(n_tokens AS DOUBLE) END', 6)}
+                       AS ttr,
+                   {_roundsql('CASE WHEN n_tokens = 0 THEN 0.0 ELSE '
+                              'CAST(n_hapax AS DOUBLE) '
+                              '/ CAST(n_tokens AS DOUBLE) END', 6)}
+                       AS hapax_ratio
+            FROM allk
+        """,
         "el_cluster_purity": f"""
             WITH f AS (
                 SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
@@ -7112,6 +7146,7 @@ def queries():
         "tpch_q22": q_tpch_q22,
         "el_cluster_purity": q_el_cluster_purity,
         "embed_norm_stats": q_embed_norm_stats,
+        "doc_ttr": q_doc_ttr,
     }
 
 
@@ -9586,3 +9621,13 @@ def q_embed_norm_stats(sf_dir: str):
 
     return norm_stats(_read(sf_dir, "embeddings",
                             columns=["embedding", "label"]))
+
+
+def q_doc_ttr(sf_dir: str):
+    """Per-document type-token ratio, hapax ratio and the underlying
+    integer counts — lexical-diversity curation signal, one
+    embarrassingly-parallel pass (el/ops/textstats.py::doc_ttr)."""
+    from .ops.textstats import doc_ttr
+
+    return doc_ttr(_read(sf_dir, "documents",
+                         columns=["doc_id", "text"]))

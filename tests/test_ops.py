@@ -1438,3 +1438,30 @@ def test_embed_norm_stats_bruteforce(ray_session):
         std = np.sqrt(var) / 1e6
         assert abs(out.loc[lv, "mean_norm"] - mean) < 2e-6
         assert abs(out.loc[lv, "std_norm"] - std) < 2e-6
+
+
+def test_doc_ttr_bruteforce(ray_session):
+    import re
+
+    import ray.data
+
+    from el.ops.textstats import doc_ttr
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype="int64"),
+        "text": ["the the the cat", "a b c d", "", "Xx xX XX yy",
+                 "one"],
+    })
+    out = doc_ttr(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, text in enumerate(docs["text"]):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        cnt = pd.Series(toks).value_counts() if toks else pd.Series(
+            dtype=int)
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_types"] == len(cnt)
+        assert out.loc[i, "n_hapax"] == int((cnt == 1).sum())
+        if toks:
+            assert abs(out.loc[i, "ttr"] - len(cnt) / len(toks)) < 1e-6
+        else:
+            assert out.loc[i, "ttr"] == 0.0
