@@ -3631,7 +3631,8 @@ def _minhash_cte_chain() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from .ops.er import _TRIGRAM_SIM_SQL, SOFT_TFIDF_THETA
+    from .ops.er import (_MONGE_ELKAN_SQL, _TRIGRAM_SIM_SQL,
+                         SOFT_TFIDF_THETA)
     from .ops.textstats import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO,
                                 GOPHER_MAX_TOKENS, GOPHER_MIN_ALPHA_RATIO,
                                 GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
@@ -6456,6 +6457,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "el_pair_monge_elkan": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
+            me_src AS (
+                SELECT p.m1_id, p.m2_id, s1.norm AS a, s2.norm AS b,
+                       row_number() OVER (ORDER BY p.m1_id, p.m2_id)
+                           AS i
+                FROM {gp} p
+                JOIN s s1 ON p.m1_id = s1.mention_id
+                JOIN s s2 ON p.m2_id = s2.mention_id
+            ),
+            r AS ({_MONGE_ELKAN_SQL.format(src='me_src')})
+            SELECT t.m1_id, t.m2_id,
+                   {_roundsql('r.me_ab', 6)} AS me_ab,
+                   {_roundsql('r.me_ba', 6)} AS me_ba,
+                   {_roundsql('r.me_sym', 6)} AS me_sym
+            FROM r JOIN me_src t ON t.i = r.i
+        """,
         "doc_ttr": f"""
             WITH t AS (
                 SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -7147,6 +7165,7 @@ def queries():
         "el_cluster_purity": q_el_cluster_purity,
         "embed_norm_stats": q_embed_norm_stats,
         "doc_ttr": q_doc_ttr,
+        "el_pair_monge_elkan": q_el_pair_monge_elkan,
     }
 
 
@@ -9631,3 +9650,24 @@ def q_doc_ttr(sf_dir: str):
 
     return doc_ttr(_read(sf_dir, "documents",
                          columns=["doc_id", "text"]))
+
+
+def q_el_pair_monge_elkan(sf_dir: str):
+    """Token-level Monge-Elkan similarity per labeled candidate pair
+    (el/ops/er.py::monge_elkan_pair_sims; engine and oracle share the
+    same SQL text, so the plan replays identically)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import monge_elkan_pair_sims
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return monge_elkan_pair_sims(gp, ref)

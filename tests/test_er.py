@@ -876,3 +876,44 @@ def test_cluster_purity_bruteforce_and_perfect(ray_session):
     assert abs(r2["purity_f1"] - 2 * p * i / (p + i)) < 1e-6
     # the random many-cluster labeling must be properly asymmetric
     assert r2["purity"] != r2["inverse_purity"]
+
+
+def test_monge_elkan_bruteforce(ray_session):
+    import duckdb
+    import ray
+    import ray.data
+
+    from el.ops.er import monge_elkan_pair_sims
+
+    surf = {"m1": "John A Smith", "m2": "Jon Smith",
+            "m3": "Acme Corp", "m4": "Acme Corporation Inc",
+            "m5": "xyz", "m6": "xyz"}
+    pairs = pd.DataFrame({"m1_id": ["m1", "m3", "m5"],
+                          "m2_id": ["m2", "m4", "m6"]})
+    out = monge_elkan_pair_sims(
+        ray.data.from_pandas(pairs), ray.put(surf)).to_pandas() \
+        .set_index(["m1_id", "m2_id"])
+
+    con = duckdb.connect()
+
+    def jw(a, b):
+        return con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+
+    def me(a_toks, b_toks):
+        return float(np.mean([max(jw(t, u) for u in b_toks)
+                              for t in a_toks]))
+
+    for (a_id, b_id) in [("m1", "m2"), ("m3", "m4"), ("m5", "m6")]:
+        ta = _norm_series(pd.Series([surf[a_id]]))[0].split(" ")
+        tb = _norm_series(pd.Series([surf[b_id]]))[0].split(" ")
+        ab, ba = me(ta, tb), me(tb, ta)
+        assert abs(out.loc[(a_id, b_id), "me_ab"] - ab) < 1e-6
+        assert abs(out.loc[(a_id, b_id), "me_ba"] - ba) < 1e-6
+        assert abs(out.loc[(a_id, b_id), "me_sym"]
+                   - (ab + ba) / 2) < 1e-6
+    # identical strings are a perfect match; asymmetric pair is not
+    assert out.loc[("m5", "m6"), "me_sym"] == 1.0
+    assert out.loc[("m1", "m2"), "me_ab"] \
+        != out.loc[("m1", "m2"), "me_ba"]
