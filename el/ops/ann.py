@@ -896,3 +896,100 @@ def norm_stats(emb_ds, *, num_partitions: int | None = None):
 
     return group_blocks(parts, ["label"], merge, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def silhouette(emb_ds, *, num_partitions: int | None = None):
+    """Simplified (centroid-based) silhouette per label over the
+    embeddings table — the O(n*k) medoid-free variant (Hruschka et
+    al.; sklearn's silhouette on centroids): a = ||x - c_own||,
+    b = min over other labels of ||x - c_k||, s = (b-a)/max(a,b).
+    Exactness contract: distances are exact int64 squared-L2 on the
+    1e-6 integer grid against ROUNDED centroids (the ncm_accuracy
+    contract); each s is ONE identical float expression of two exact
+    ints, quantized per vector to the 1e-9 grid so per-label sums are
+    exact int64. Single-label degenerate case: s = 0 (sklearn's
+    convention). Shape: tiny centroid broadcast, one streamed scan
+    emitting per-label integer partials, one tiny label exchange.
+    Out: (label, n, mean_silhouette[6dp])."""
+    import ray
+
+    from ..shuffle import group_blocks
+
+    cent = label_centroids(emb_ds, num_partitions=num_partitions) \
+        .materialize()
+    parts = [t for t in ray.get(list(cent.to_arrow_refs()))
+             if t.num_rows]
+    cent_tbl = (pa.concat_tables(parts) if parts
+                else pa.table({"label": pa.array([], pa.int64()),
+                               "dim": pa.array([], pa.int64()),
+                               "n": pa.array([], pa.int64()),
+                               "centroid": pa.array([], pa.float64())}))
+    cent_ref = ray.put(cent_tbl)
+
+    class _Sil:
+        def __init__(self, ref):
+            t = ray.get(ref).to_pandas().sort_values(["label", "dim"])
+            labs = np.sort(t["label"].unique())
+            d = int(t["dim"].max()) if len(t) else 0
+            C = np.zeros((len(labs), d), dtype=np.int64)
+            for i, lv in enumerate(labs):
+                sub = t[t["label"] == lv].sort_values("dim")
+                C[i] = np.floor(sub["centroid"].to_numpy() * 1e6
+                                + 0.5).astype(np.int64)
+            self.labs = labs.astype(np.int64)
+            self.C = C
+            self.c2 = (C * C).sum(axis=1)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {"label": "int64", "n": "int64", "qs": "int64"}
+            if t.num_rows == 0 or len(self.labs) == 0:
+                return pd.DataFrame({k: pd.Series(dtype=v)
+                                     for k, v in cols.items()})
+            Q = np.floor(_matrix_from_arrow(t.column("embedding"))
+                         * 1e6 + 0.5).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q2 = (Q * Q).sum(axis=1)
+            # exact int64 squared distances to every centroid
+            D2 = q2[:, None] - 2 * (Q @ self.C.T) + self.c2[None, :]
+            own = np.searchsorted(self.labs, lab)
+            a2 = D2[np.arange(len(lab)), own].astype(np.float64)
+            if len(self.labs) == 1:
+                s = np.zeros(len(lab), dtype=np.float64)
+            else:
+                D2m = D2.astype(np.float64).copy()
+                D2m[np.arange(len(lab)), own] = np.inf
+                b2 = D2m.min(axis=1)
+                mx = np.maximum(a2, b2)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s = np.where(mx == 0.0, 0.0,
+                                 (np.sqrt(b2) - np.sqrt(a2))
+                                 / np.sqrt(mx))
+            qs = np.floor(s * 1e9 + 0.5).astype(np.int64)
+            g = pd.DataFrame({"label": lab, "n": 1, "qs": qs}) \
+                .groupby("label", as_index=False).sum()
+            g["n"] = g["n"].astype("int64")
+            g["qs"] = g["qs"].astype("int64")
+            return g
+
+    partials = emb_ds.map_batches(_Sil, fn_constructor_args=(cent_ref,),
+                                  batch_format="pyarrow", concurrency=2,
+                                  num_cpus=0.5)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"label": "int64", "n": "int64",
+                "mean_silhouette": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("label", as_index=False)[["n", "qs"]].sum()
+        mean = g["qs"].to_numpy(np.float64) / 1e9 \
+            / g["n"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "mean_silhouette": np.floor(mean * 1e6 + 0.5) / 1e6})
+
+    return group_blocks(partials, ["label"], merge,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)

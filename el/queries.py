@@ -6457,6 +6457,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "embed_silhouette": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                       unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+                       CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS qv
+                FROM e
+            ),
+            g AS (
+                SELECT label AS clab, dim,
+                       CAST(sum(qv) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY label, dim
+            ),
+            cent AS (
+                SELECT clab, dim,
+                       {_roundsql('CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6)}
+                           AS c6
+                FROM g
+            ),
+            ci AS (
+                SELECT clab, dim,
+                       CAST(floor(c6 * 1e6 + 0.5) AS BIGINT) AS c
+                FROM cent
+            ),
+            d AS (
+                SELECT q.vec_id, q.label AS tlab, ci.clab,
+                       sum((q.qv - ci.c) * (q.qv - ci.c)) AS d2
+                FROM q JOIN ci ON ci.dim = q.dim
+                GROUP BY q.vec_id, q.label, ci.clab
+            ),
+            ab AS (
+                SELECT vec_id, tlab,
+                       CAST(max(CASE WHEN clab = tlab THEN d2 END)
+                            AS DOUBLE) AS a2,
+                       CAST(min(CASE WHEN clab != tlab THEN d2 END)
+                            AS DOUBLE) AS b2,
+                       CAST(count(DISTINCT clab) AS BIGINT) AS k
+                FROM d GROUP BY vec_id, tlab
+            ),
+            sv AS (
+                SELECT tlab,
+                       CAST(floor((CASE
+                            WHEN k <= 1 THEN 0.0
+                            WHEN greatest(a2, b2) = 0 THEN 0.0
+                            ELSE (sqrt(b2) - sqrt(a2))
+                                 / sqrt(greatest(a2, b2)) END) * 1e9
+                            + 0.5) AS BIGINT) AS qs
+                FROM ab
+            )
+            SELECT tlab AS label, CAST(count(*) AS BIGINT) AS n,
+                   {_roundsql('CAST(sum(qs) AS DOUBLE) / 1e9 / count(*)', 6)}
+                       AS mean_silhouette
+            FROM sv GROUP BY tlab
+        """,
         "el_pair_monge_elkan": f"""
             WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm}),
             me_src AS (
@@ -7166,6 +7226,7 @@ def queries():
         "embed_norm_stats": q_embed_norm_stats,
         "doc_ttr": q_doc_ttr,
         "el_pair_monge_elkan": q_el_pair_monge_elkan,
+        "embed_silhouette": q_embed_silhouette,
     }
 
 
@@ -9671,3 +9732,13 @@ def q_el_pair_monge_elkan(sf_dir: str):
     gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
                                columns=["m1_id", "m2_id"])
     return monge_elkan_pair_sims(gp, ref)
+
+
+def q_embed_silhouette(sf_dir: str):
+    """Simplified centroid-based silhouette per label — exact
+    integer-grid distances, per-vector 1e-9-quantized scores, one tiny
+    label exchange (el/ops/ann.py::silhouette)."""
+    from .ops.ann import silhouette
+
+    return silhouette(_read(sf_dir, "embeddings",
+                            columns=["embedding", "label"]))

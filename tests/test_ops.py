@@ -1465,3 +1465,46 @@ def test_doc_ttr_bruteforce(ray_session):
             assert abs(out.loc[i, "ttr"] - len(cnt) / len(toks)) < 1e-6
         else:
             assert out.loc[i, "ttr"] == 0.0
+
+
+def test_embed_silhouette_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.ann import silhouette
+
+    rng = np.random.default_rng(91)
+    # three well-separated blobs: silhouette should be high and exact
+    # vs a numpy replay of the integer-grid contract
+    centers = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                        [0, 0, 1.0, 0]])
+    lab = rng.integers(0, 3, 200)
+    X = (centers[lab] * 0.4
+         + rng.normal(0, 0.05, (200, 4))).astype(np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "embedding": [r.tolist() for r in X],
+        "label": lab.astype("int32")})).repartition(5)
+    out = silhouette(ds).to_pandas().set_index("label").sort_index()
+
+    # numpy replay on the same grids
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    C = np.zeros((3, 4), dtype=np.int64)
+    for lv in range(3):
+        sel = Q[lab == lv]
+        c6 = np.floor(sel.sum(axis=0) / len(sel) / 1e6 * 1e6 + 0.5) / 1e6
+        C[lv] = np.floor(c6 * 1e6 + 0.5).astype(np.int64)
+    D2 = ((Q[:, None, :] - C[None, :, :]).astype(np.float64) ** 2) \
+        .sum(axis=2)
+    a2 = D2[np.arange(len(lab)), lab]
+    D2m = D2.copy()
+    D2m[np.arange(len(lab)), lab] = np.inf
+    b2 = D2m.min(axis=1)
+    s = np.where(np.maximum(a2, b2) == 0, 0.0,
+                 (np.sqrt(b2) - np.sqrt(a2))
+                 / np.sqrt(np.maximum(a2, b2)))
+    qs = np.floor(s * 1e9 + 0.5).astype(np.int64)
+    for lv in range(3):
+        n = int((lab == lv).sum())
+        ref = qs[lab == lv].sum() / 1e9 / n
+        assert out.loc[lv, "n"] == n
+        assert abs(out.loc[lv, "mean_silhouette"] - ref) < 2e-6
+        assert out.loc[lv, "mean_silhouette"] > 0.5  # separated blobs
