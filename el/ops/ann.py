@@ -993,3 +993,68 @@ def silhouette(emb_ds, *, num_partitions: int | None = None):
     return group_blocks(partials, ["label"], merge,
                         batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def covariance(emb_ds, *, num_partitions: int | None = None):
+    """Distributed covariance matrix of the embedding table — the
+    Gram-matrix building block of PCA / whitening / drift detection.
+    Exactness contract: per-batch partials are EXACT int64 on the 1e-6
+    component grid — S = Q^T Q (d x d) and m = sum(Q) (d) — so the
+    one-partition merge adds identical integers in any order;
+    cov_ij = (S_ij - m_i * m_j / n) / n is ONE identical float
+    expression per cell on engine and oracle (population covariance).
+    Headroom: |q| <= 2e6, so S_ij sums ~4e12 per row pair — guarded at
+    2^62 (> 1e6 rows per dim-pair needs a coarser grid). Shape: one
+    streamed scan emitting (d^2 + d)-sized integer partials, one tiny
+    one-partition merge — NO row-scale exchange. Out: (dim_i, dim_j,
+    n, cov[9dp]) for i <= j (symmetric upper triangle)."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"i": "int64", "j": "int64", "s": "int64",
+                "mi": "int64", "mj": "int64", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        Q = np.floor(_matrix_from_arrow(t.column("embedding")) * 1e6
+                     + 0.5).astype(np.int64)
+        n, d = Q.shape
+        S = Q.T @ Q
+        m = Q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": iu.astype("int64") + 1,
+            "j": ju.astype("int64") + 1,
+            "s": S[iu, ju],
+            "mi": m[iu],
+            "mj": m[ju],
+            "n": np.full(len(iu), n, dtype="int64")})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"dim_i": "int64", "dim_j": "int64", "n": "int64",
+                "cov": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        chk = df["s"].astype("float64").abs() \
+            .groupby([df["i"], df["j"]]).sum()
+        if len(chk) and chk.max() >= 2.0**62:
+            raise OverflowError(
+                "covariance: integer Gram partial sum exceeds the "
+                "int64 envelope; coarsen the component grid")
+        g = df.groupby(["i", "j"], as_index=False)[
+            ["s", "mi", "mj", "n"]].sum()
+        n = g["n"].to_numpy(np.float64)
+        s = g["s"].to_numpy(np.float64)
+        mi = g["mi"].to_numpy(np.float64)
+        mj = g["mj"].to_numpy(np.float64)
+        cov = (s - mi * mj / n) / n / 1e12
+        return pd.DataFrame({
+            "dim_i": g["i"].astype("int64"),
+            "dim_j": g["j"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "cov": np.floor(cov * 1e9 + 0.5) / 1e9})
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None)

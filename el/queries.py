@@ -6457,6 +6457,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "embed_covariance": f"""
+            WITH e AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                       CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS qv
+                FROM e
+            ),
+            p AS (
+                SELECT a.dim AS dim_i, b.dim AS dim_j,
+                       CAST(sum(a.qv * b.qv) AS BIGINT) AS s,
+                       CAST(sum(a.qv) AS BIGINT) AS mi,
+                       CAST(sum(b.qv) AS BIGINT) AS mj,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q a JOIN q b
+                  ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                GROUP BY a.dim, b.dim
+            )
+            SELECT dim_i, dim_j, n,
+                   {_roundsql(
+                       '(CAST(s AS DOUBLE) - CAST(mi AS DOUBLE) '
+                       '* CAST(mj AS DOUBLE) / CAST(n AS DOUBLE)) '
+                       '/ CAST(n AS DOUBLE) / 1e12', 9)} AS cov
+            FROM p
+        """,
         "embed_silhouette": f"""
             WITH e AS (
                 SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -7227,6 +7256,7 @@ def queries():
         "doc_ttr": q_doc_ttr,
         "el_pair_monge_elkan": q_el_pair_monge_elkan,
         "embed_silhouette": q_embed_silhouette,
+        "embed_covariance": q_embed_covariance,
     }
 
 
@@ -9742,3 +9772,13 @@ def q_embed_silhouette(sf_dir: str):
 
     return silhouette(_read(sf_dir, "embeddings",
                             columns=["embedding", "label"]))
+
+
+def q_embed_covariance(sf_dir: str):
+    """Distributed covariance matrix of the embedding table — exact
+    int64 Gram partials on the 1e-6 grid, one tiny merge, no row-scale
+    exchange (el/ops/ann.py::covariance)."""
+    from .ops.ann import covariance
+
+    return covariance(_read(sf_dir, "embeddings",
+                            columns=["embedding"]))

@@ -1508,3 +1508,26 @@ def test_embed_silhouette_bruteforce(ray_session):
         assert out.loc[lv, "n"] == n
         assert abs(out.loc[lv, "mean_silhouette"] - ref) < 2e-6
         assert out.loc[lv, "mean_silhouette"] > 0.5  # separated blobs
+
+
+def test_embed_covariance_matches_numpy(ray_session):
+    import ray.data
+
+    from el.ops.ann import covariance
+
+    rng = np.random.default_rng(123)
+    n, d = 250, 8
+    X = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "embedding": [r.tolist() for r in X],
+        "vec_id": np.arange(n, dtype="int64")})).repartition(7)
+    out = covariance(ds).to_pandas()
+    assert len(out) == d * (d + 1) // 2
+
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5)
+    ref = np.cov(Q.T, bias=True) / 1e12  # population covariance
+    for _, r in out.iterrows():
+        i, j = int(r["dim_i"]) - 1, int(r["dim_j"]) - 1
+        assert i <= j
+        assert r["n"] == n
+        assert abs(r["cov"] - ref[i, j]) < 1e-8
