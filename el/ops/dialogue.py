@@ -302,3 +302,53 @@ def tool_bigrams(transcripts_ds):
 
     return merged.repartition(1).map_batches(final, batch_format="pandas",
                                              batch_size=None)
+
+
+_TT_SCHEMA = {"conv_id": str, "n_turns": "int64",
+              "n_switches": "int64", "switch_rate": "float64",
+              "longest_run": "int64", "n_roles": "int64"}
+
+
+def turn_taking_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation turn-taking kernel (runs after the conv_id
+    exchange): role-switch count and rate (switches / (turns-1)),
+    longest same-role run, distinct-role count — the conversational-
+    structure health signals a dialogue-corpus curation pass filters
+    on (single-role monologues, degenerate ping-pong). All counts are
+    integers; the rate is one int/int division rounded on the 1e-6
+    grid (0.0 for single-turn conversations)."""
+    from .textstats import round_half_away
+
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _TT_SCHEMA.items()})
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    cid = df["conv_id"]
+    prev_role = df.groupby("conv_id", sort=False)["role"].shift(1)
+    switch = (df["role"] != prev_role) & prev_role.notna()
+    # run ids increment at every switch (and at conversation starts)
+    run_id = (switch | prev_role.isna()).cumsum()
+    runs = df.assign(r=run_id).groupby(["conv_id", "r"], sort=False) \
+        .size()
+    out = pd.DataFrame({
+        "n_turns": df.groupby("conv_id", sort=False).size()
+        .astype("int64"),
+        "n_switches": switch.groupby(cid, sort=False).sum()
+        .astype("int64"),
+        "longest_run": runs.groupby("conv_id", sort=False).max()
+        .astype("int64"),
+        "n_roles": df.groupby("conv_id", sort=False)["role"]
+        .nunique().astype("int64"),
+    })
+    nt = out["n_turns"].to_numpy(np.float64)
+    out["switch_rate"] = np.where(
+        nt <= 1, 0.0,
+        round_half_away(out["n_switches"].to_numpy(np.float64)
+                        / np.where(nt <= 1, 1.0, nt - 1.0), 6))
+    return out.reset_index()[list(_TT_SCHEMA)]
+
+
+def turn_taking(transcripts_ds):
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "role"])
+    return group_blocks(ds, ["conv_id"], turn_taking_block,
+                        batch_format="pandas")

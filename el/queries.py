@@ -6457,6 +6457,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "conv_turn_taking": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS prev
+                FROM {tr}
+            ),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       sum(CASE WHEN prev IS NULL OR role != prev
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS run_id
+                FROM t
+            ),
+            runs AS (
+                SELECT conv_id, run_id, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY conv_id, run_id
+            ),
+            agg AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(sum(CASE WHEN prev IS NOT NULL
+                                     AND role != prev
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_switches,
+                       CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+                FROM t GROUP BY conv_id
+            ),
+            lr AS (
+                SELECT conv_id, CAST(max(c) AS BIGINT) AS longest_run
+                FROM runs GROUP BY conv_id
+            )
+            SELECT a.conv_id, a.n_turns, a.n_switches,
+                   CASE WHEN a.n_turns <= 1 THEN 0.0
+                        ELSE {_roundsql(
+                            'CAST(a.n_switches AS DOUBLE) '
+                            '/ (CAST(a.n_turns AS DOUBLE) - 1.0)', 6)}
+                   END AS switch_rate,
+                   lr.longest_run, a.n_roles
+            FROM agg a JOIN lr USING (conv_id)
+        """,
         "embed_covariance": f"""
             WITH e AS (
                 SELECT vec_id, unnest(embedding) AS x,
@@ -7257,6 +7299,7 @@ def queries():
         "el_pair_monge_elkan": q_el_pair_monge_elkan,
         "embed_silhouette": q_embed_silhouette,
         "embed_covariance": q_embed_covariance,
+        "conv_turn_taking": q_conv_turn_taking,
     }
 
 
@@ -9782,3 +9825,18 @@ def q_embed_covariance(sf_dir: str):
 
     return covariance(_read(sf_dir, "embeddings",
                             columns=["embedding"]))
+
+
+def q_conv_turn_taking(sf_dir: str):
+    """Per-conversation turn-taking structure: role-switch count/rate,
+    longest same-role run, distinct roles — one conv_id exchange
+    (el/ops/dialogue.py::turn_taking)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.dialogue import turn_taking
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role"])
+    return turn_taking(tr)

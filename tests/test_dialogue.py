@@ -237,3 +237,36 @@ def test_tool_bigrams_bruteforce(ray_session):
     for k, n in cnt.items():
         assert got[k][0] == n
         assert abs(got[k][1] - n / total) < 1e-6
+
+
+def test_turn_taking_exact(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import turn_taking
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 6 + ["c2"] + ["c3"] * 4,
+        "turn_idx": [0, 1, 2, 3, 4, 5, 0, 0, 1, 2, 3],
+        "role": ["user", "assistant", "assistant", "assistant",
+                 "user", "assistant",           # c1: 3 switches
+                 "user",                        # c2: lone turn
+                 "user", "user", "user", "user"],  # c3: monologue
+    })
+    out = turn_taking(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("conv_id").sort_index()
+
+    assert out.loc["c1", "n_turns"] == 6
+    assert out.loc["c1", "n_switches"] == 3
+    assert abs(out.loc["c1", "switch_rate"] - 3 / 5) < 1e-6
+    assert out.loc["c1", "longest_run"] == 3
+    assert out.loc["c1", "n_roles"] == 2
+
+    assert out.loc["c2", "n_turns"] == 1
+    assert out.loc["c2", "n_switches"] == 0
+    assert out.loc["c2", "switch_rate"] == 0.0
+    assert out.loc["c2", "longest_run"] == 1
+
+    assert out.loc["c3", "n_switches"] == 0
+    assert out.loc["c3", "switch_rate"] == 0.0
+    assert out.loc["c3", "longest_run"] == 4
+    assert out.loc["c3", "n_roles"] == 1
