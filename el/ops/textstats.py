@@ -402,3 +402,44 @@ def ttr_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def doc_ttr(docs_ds):
     return docs_ds.map_batches(ttr_batch, batch_format="pandas")
+
+
+def readability_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document Flesch-style reading-ease estimate from regex
+    proxies: sentences = runs of [.!?], words = TOKEN_RE matches,
+    syllables = vowel-group runs (the classic hyphenation-free proxy).
+    FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    computed from exact integer counts with one identical float
+    expression per doc (engine == oracle); degenerate docs (no words
+    or no sentences) report 0.0. A curation gate pairs this with
+    gopher_rules / doc_quality."""
+    cols = {"doc_id": "int64", "n_sentences": "int64",
+            "n_words": "int64", "n_syllables": "int64",
+            "flesch": "float64"}
+    if len(df) == 0:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    n_sent = df["text"].str.count(r"[.!?]+").astype("int64")
+    n_words = df["text"].str.count(TOKEN_RE).astype("int64")
+    n_syl = df["text"].str.lower().str.count(r"[aeiouy]+") \
+        .astype("int64")
+    w = n_words.to_numpy(np.float64)
+    s = n_sent.to_numpy(np.float64)
+    y = n_syl.to_numpy(np.float64)
+    ok = (w > 0) & (s > 0)
+    fre = np.where(
+        ok,
+        206.835
+        - 1.015 * (w / np.where(s == 0, 1.0, s))
+        - 84.6 * (y / np.where(w == 0, 1.0, w)),
+        0.0)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64").to_numpy(),
+        "n_sentences": n_sent.to_numpy(),
+        "n_words": n_words.to_numpy(),
+        "n_syllables": n_syl.to_numpy(),
+        "flesch": round_half_away(fre, 4)})
+
+
+def readability(docs_ds):
+    return docs_ds.map_batches(readability_batch, batch_format="pandas")

@@ -6457,6 +6457,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lineitems
             FROM j
         """,
+        "doc_readability": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[.!?]+'))
+                            AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '[aeiouy]+')) AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+                   CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0.0
+                        ELSE {_roundsql(
+                            '206.835 - 1.015 * (CAST(n_words AS DOUBLE)'
+                            ' / CAST(n_sentences AS DOUBLE)) - 84.6 * '
+                            '(CAST(n_syllables AS DOUBLE) '
+                            '/ CAST(n_words AS DOUBLE))', 4)}
+                   END AS flesch
+            FROM c
+        """,
         "conv_turn_taking": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, role,
@@ -7300,6 +7321,7 @@ def queries():
         "embed_silhouette": q_embed_silhouette,
         "embed_covariance": q_embed_covariance,
         "conv_turn_taking": q_conv_turn_taking,
+        "doc_readability": q_doc_readability,
     }
 
 
@@ -9840,3 +9862,13 @@ def q_conv_turn_taking(sf_dir: str):
         os.path.join(fd, "transcripts.parquet"),
         columns=["conv_id", "turn_idx", "role"])
     return turn_taking(tr)
+
+
+def q_doc_readability(sf_dir: str):
+    """Per-document Flesch-style reading ease from exact regex-proxy
+    counts — embarrassingly parallel, one pass
+    (el/ops/textstats.py::readability)."""
+    from .ops.textstats import readability
+
+    return readability(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))

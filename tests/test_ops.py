@@ -1531,3 +1531,32 @@ def test_embed_covariance_matches_numpy(ray_session):
         assert i <= j
         assert r["n"] == n
         assert abs(r["cov"] - ref[i, j]) < 1e-8
+
+
+def test_doc_readability_bruteforce(ray_session):
+    import re
+
+    import ray.data
+
+    from el.ops.textstats import readability
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["The cat sat. The dog ran! Was it fun?",
+                 "no sentence terminator here",
+                 "", "Aeiou!!! bcd."],
+    })
+    out = readability(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, text in enumerate(docs["text"]):
+        ns = len(re.findall(r"[.!?]+", text))
+        nw = len(re.findall(r"[A-Za-z0-9]+", text))
+        ny = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert out.loc[i, "n_sentences"] == ns
+        assert out.loc[i, "n_words"] == nw
+        assert out.loc[i, "n_syllables"] == ny
+        if nw and ns:
+            ref = 206.835 - 1.015 * nw / ns - 84.6 * ny / nw
+            assert abs(out.loc[i, "flesch"] - ref) < 1e-3
+        else:
+            assert out.loc[i, "flesch"] == 0.0
