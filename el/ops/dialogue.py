@@ -352,3 +352,77 @@ def turn_taking(transcripts_ds):
     ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "role"])
     return group_blocks(ds, ["conv_id"], turn_taking_block,
                         batch_format="pandas")
+
+
+_TL_PARTIAL = {"role_from": str, "role_to": str, "c": "int64",
+               "sum_us": "int64", "max_us": "int64"}
+
+
+def turn_latency_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation kernel: per-block (role_from, role_to)
+    partials of adjacent-turn latency — count, exact microsecond sum
+    and max over every consecutive turn pair. Complements conv_stats
+    (per-conversation assistant latency) with the corpus-level
+    role-transition latency matrix a serving/curation pass reads
+    (how long after a user turn does the assistant land, how fast do
+    tool rounds bounce back)."""
+    empty = pd.DataFrame({k: pd.Series(dtype=v)
+                          for k, v in _TL_PARTIAL.items()})
+    if len(df) == 0:
+        return empty
+    t = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    g = t.groupby("conv_id", sort=False)
+    prev_role = g["role"].shift(1)
+    prev_ts = g["ts"].shift(1)
+    m = prev_role.notna()
+    if not m.any():
+        return empty
+    delta_us = (t.loc[m, "ts"].to_numpy("datetime64[us]")
+                - prev_ts[m].to_numpy("datetime64[us]")) \
+        .astype("timedelta64[us]").astype("int64")
+    out = pd.DataFrame({"role_from": prev_role[m].to_numpy(),
+                        "role_to": t.loc[m, "role"].to_numpy(),
+                        "us": delta_us}) \
+        .groupby(["role_from", "role_to"], as_index=False) \
+        .agg(c=("us", "size"), sum_us=("us", "sum"), max_us=("us", "max"))
+    for col in ("c", "sum_us", "max_us"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def turn_latency(transcripts_ds):
+    """Corpus-level role-transition latency matrix: one row per
+    (role_from, role_to) with transition count, mean latency in
+    seconds (1e-6 grid) and exact max latency in microseconds.
+
+    Scale shape: one conv_id exchange co-locates conversations; block
+    kernels emit roles^2-bounded integer partials (count / sum_us /
+    max_us — all exact int64); one tiny (role_from, role_to) exchange
+    merges. Nothing corpus-proportional leaves the block kernels."""
+    from .textstats import round_half_away
+
+    ds = transcripts_ds.select_columns(["conv_id", "turn_idx", "role",
+                                        "ts"])
+    parts = group_blocks(ds, ["conv_id"], turn_latency_block,
+                         batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"role_from": str, "role_to": str, "n": "int64",
+                "mean_latency_s": "float64", "max_latency_us": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["role_from", "role_to"], as_index=False) \
+            .agg(n=("c", "sum"), sum_us=("sum_us", "sum"),
+                 max_latency_us=("max_us", "max"))
+        g["n"] = g["n"].astype("int64")
+        g["max_latency_us"] = g["max_latency_us"].astype("int64")
+        # sum_us < 2^53 for any realistic corpus slice is NOT assumed:
+        # int64 sums stay exact; the division happens once in float64.
+        g["mean_latency_s"] = round_half_away(
+            g["sum_us"].to_numpy("float64")
+            / g["n"].to_numpy("float64") / 1e6, 6)
+        return g[list(cols)]
+
+    return group_blocks(parts, ["role_from", "role_to"], merge,
+                        batch_format="pandas")

@@ -2042,3 +2042,142 @@ def monge_elkan_pair_sims(pairs_ds, surf_ref):
                                 fn_constructor_args=(surf_ref,),
                                 batch_format="pyarrow", concurrency=2,
                                 num_cpus=0.5)
+
+
+class _DamerauSims:
+    """Actor-pool scorer: Damerau-Levenshtein distance (adjacent
+    transpositions count 1) + normalized similarity on normalized
+    surfaces per labeled pair — ONE vectorized DuckDB
+    ``damerau_levenshtein()`` pass per batch (the _EditSims idiom).
+    The transposition-tolerant member of the edit-distance family:
+    'teh' -> 'the' is distance 1 here, 2 under plain Levenshtein —
+    the right metric for typo-heavy mention surfaces."""
+
+    def __init__(self, surf_ref):
+        import ray
+
+        self.surf = ray.get(surf_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..scorer import _duck
+
+        m1 = t.column("m1_id").to_pylist()
+        m2 = t.column("m2_id").to_pylist()
+        if not m1:
+            return pa.table({"m1_id": pa.array([], pa.string()),
+                             "m2_id": pa.array([], pa.string()),
+                             "dl": pa.array([], pa.int64()),
+                             "dl_sim": pa.array([], pa.float64())})
+        na = _norm_series(pd.Series([self.surf[a] for a in m1],
+                                    dtype=str))
+        nb = _norm_series(pd.Series([self.surf[b] for b in m2],
+                                    dtype=str))
+        con = _duck()
+        view = pa.table({  # noqa: F841
+            "a": pa.array(na, pa.string()),
+            "b": pa.array(nb, pa.string()),
+            "i": pa.array(np.arange(len(m1), dtype=np.int64))})
+        con.register("dl_pairs", view)
+        out = con.execute(
+            "SELECT CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl,"
+            " CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0"
+            " ELSE 1.0 - CAST(damerau_levenshtein(a, b) AS DOUBLE)"
+            " / greatest(length(a), length(b)) END AS sim"
+            " FROM dl_pairs ORDER BY i").arrow()
+        con.unregister("dl_pairs")
+        return pa.table({
+            "m1_id": pa.array(m1, pa.string()),
+            "m2_id": pa.array(m2, pa.string()),
+            "dl": out.column("dl").combine_chunks(),
+            "dl_sim": pa.array(_round6(
+                out.column("sim").to_numpy(zero_copy_only=False)),
+                pa.float64()),
+        })
+
+
+def damerau_pair_sims(pairs_ds, surf_ref):
+    """Damerau-Levenshtein distance / normalized similarity for
+    candidate pairs. Out: (m1_id, m2_id, dl, dl_sim)."""
+    return pairs_ds.map_batches(_DamerauSims,
+                                fn_constructor_args=(surf_ref,),
+                                batch_format="pyarrow", concurrency=2,
+                                num_cpus=0.5)
+
+
+# --------------------------------------------------- acronym matching
+_ACR_PARTIAL = {"key": str, "side": str, "norm": str, "c": "int64"}
+
+
+def _acronym_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch tagged-union partial: multi-token normalized surfaces
+    emit (key=first-letter acronym, side='exp', norm, mention count);
+    single-token norms of length >= 2 emit (key=norm, side='acr').
+    Both streams are vocabulary-bounded after the groupby."""
+    empty = pd.DataFrame({k: pd.Series(dtype=v)
+                          for k, v in _ACR_PARTIAL.items()})
+    if len(df) == 0:
+        return empty
+    norm = _norm_series(df["surface"].astype(str))
+    norm = norm[norm != ""]
+    if len(norm) == 0:
+        return empty
+    toks = norm.str.split(" ")
+    ntok = toks.str.len()
+    out = []
+    multi = norm[ntok >= 2]
+    if len(multi):
+        acr = toks[ntok >= 2].map(lambda ts: "".join(t[0] for t in ts))
+        e = pd.DataFrame({"key": acr.to_numpy(), "norm": multi.to_numpy()}) \
+            .groupby(["key", "norm"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        e["side"] = "exp"
+        out.append(e)
+    single = norm[(ntok == 1) & (norm.str.len() >= 2)]
+    if len(single):
+        a = pd.DataFrame({"key": single.to_numpy()}) \
+            .groupby("key", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        a["norm"] = a["key"]
+        a["side"] = "acr"
+        out.append(a)
+    if not out:
+        return empty
+    res = pd.concat(out, ignore_index=True)
+    res["c"] = res["c"].astype("int64")
+    return res[list(_ACR_PARTIAL)]
+
+
+def acronym_candidates(mentions_ds):
+    """Acronym <-> expansion candidate generation (the pair-level
+    analog of the reference's abbreviation generator,
+    StringUtils.scala extractAbbreviation idiom): a single-token
+    surface matches a multi-token surface whose token-initial string
+    equals it ('abc' <-> 'acme banking corp'). Out one row per
+    distinct (acronym, expansion) with mention counts on both sides.
+
+    Scale shape: per-batch tagged-union partials (both streams
+    vocabulary-bounded after the in-batch groupby) -> ONE key
+    exchange -> block-local merge + side join. No pair blowup: the
+    output is distinct surface pairs, not mention pairs."""
+    parts = mentions_ds.select_columns(["surface"]) \
+        .map_batches(_acronym_partial, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"acronym": str, "expansion": str,
+                "n_acr_mentions": "int64", "n_exp_mentions": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["key", "side", "norm"], as_index=False)["c"] \
+            .sum()
+        acr = g[g["side"] == "acr"][["key", "c"]] \
+            .rename(columns={"c": "n_acr_mentions"})
+        exp = g[g["side"] == "exp"][["key", "norm", "c"]] \
+            .rename(columns={"norm": "expansion",
+                             "c": "n_exp_mentions"})
+        m = acr.merge(exp, on="key").rename(columns={"key": "acronym"})
+        m["n_acr_mentions"] = m["n_acr_mentions"].astype("int64")
+        m["n_exp_mentions"] = m["n_exp_mentions"].astype("int64")
+        return m[list(cols)]
+
+    return group_blocks(parts, ["key"], finalize, batch_format="pandas")

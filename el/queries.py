@@ -6478,6 +6478,61 @@ def oracle_sql() -> dict[str, str]:
                    END AS flesch
             FROM c
         """,
+        "turn_latency": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, ts,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS role_from,
+                       lag(ts) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_ts
+                FROM {tr}
+            )
+            SELECT role_from, role AS role_to,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {_roundsql(
+                       "CAST(sum(date_diff('microsecond', prev_ts, ts))"
+                       " AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+                       " / 1000000.0", 6)} AS mean_latency_s,
+                   CAST(max(date_diff('microsecond', prev_ts, ts))
+                        AS BIGINT) AS max_latency_us
+            FROM t WHERE role_from IS NOT NULL
+            GROUP BY role_from, role
+        """,
+        "el_pair_damerau": f"""
+            WITH s AS (SELECT mention_id, {norm} AS norm FROM {gm})
+            SELECT p.m1_id, p.m2_id,
+                   CAST(damerau_levenshtein(s1.norm, s2.norm) AS BIGINT)
+                       AS dl,
+                   {_roundsql("CASE WHEN greatest(length(s1.norm), length(s2.norm)) = 0 THEN 1.0 ELSE 1.0 - CAST(damerau_levenshtein(s1.norm, s2.norm) AS DOUBLE) / greatest(length(s1.norm), length(s2.norm)) END", 6)}
+                       AS dl_sim
+            FROM {gp} p
+            JOIN s s1 ON p.m1_id = s1.mention_id
+            JOIN s s2 ON p.m2_id = s2.mention_id
+        """,
+        "el_acronym_candidates": f"""
+            WITH s AS (SELECT {norm} AS norm FROM {gm}),
+            tok AS (
+                SELECT norm, str_split(norm, ' ') AS ts
+                FROM s WHERE norm <> ''
+            ),
+            exp AS (
+                SELECT array_to_string(
+                           list_transform(ts, x -> substr(x, 1, 1)), '')
+                           AS key,
+                       norm AS expansion,
+                       CAST(count(*) AS BIGINT) AS n_exp_mentions
+                FROM tok WHERE len(ts) >= 2 GROUP BY 1, 2
+            ),
+            acr AS (
+                SELECT norm AS key,
+                       CAST(count(*) AS BIGINT) AS n_acr_mentions
+                FROM tok WHERE len(ts) = 1 AND length(norm) >= 2
+                GROUP BY 1
+            )
+            SELECT a.key AS acronym, e.expansion,
+                   a.n_acr_mentions, e.n_exp_mentions
+            FROM acr a JOIN exp e ON e.key = a.key
+        """,
         "conv_turn_taking": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, role,
@@ -7322,6 +7377,9 @@ def queries():
         "embed_covariance": q_embed_covariance,
         "conv_turn_taking": q_conv_turn_taking,
         "doc_readability": q_doc_readability,
+        "turn_latency": q_turn_latency,
+        "el_pair_damerau": q_el_pair_damerau,
+        "el_acronym_candidates": q_el_acronym_candidates,
     }
 
 
@@ -9872,3 +9930,55 @@ def q_doc_readability(sf_dir: str):
 
     return readability(_read(sf_dir, "documents",
                              columns=["doc_id", "text"]))
+
+
+def q_turn_latency(sf_dir: str):
+    """Corpus-level role-transition latency matrix from adjacent-turn
+    ts deltas (el/ops/dialogue.py::turn_latency) — one conv exchange
+    of integer partials, one roles^2-bounded merge."""
+    from .ops.dialogue import turn_latency
+
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "role", "ts"])
+    return turn_latency(tr)
+
+
+def q_el_pair_damerau(sf_dir: str):
+    """Damerau-Levenshtein distance + normalized similarity per
+    labeled candidate pair (el/ops/er.py::damerau_pair_sims; the
+    transposition-tolerant member of the edit family, DuckDB
+    damerau_levenshtein() on both sides)."""
+    fd = ensure_fixture(sf_dir)
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from .ops.er import damerau_pair_sims
+
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["mention_id", "surface"])
+    surf = dict(zip(gm.column("mention_id").to_pylist(),
+                    gm.column("surface").to_pylist()))
+    ref = ray.put(surf)
+    gp = ray.data.read_parquet(os.path.join(fd, "gold_pairs.parquet"),
+                               columns=["m1_id", "m2_id"])
+    return damerau_pair_sims(gp, ref)
+
+
+def q_el_acronym_candidates(sf_dir: str):
+    """Acronym <-> expansion candidate surfaces with mention counts
+    (el/ops/er.py::acronym_candidates; the reference's abbreviation
+    generator at candidate-generation level,
+    StringUtils.scala extractAbbreviation idiom)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import acronym_candidates
+
+    m = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                              columns=["surface"])
+    return acronym_candidates(m)

@@ -917,3 +917,79 @@ def test_monge_elkan_bruteforce(ray_session):
     assert out.loc[("m5", "m6"), "me_sym"] == 1.0
     assert out.loc[("m1", "m2"), "me_ab"] \
         != out.loc[("m1", "m2"), "me_ba"]
+
+
+def test_damerau_pair_sims_transposition(ray_session):
+    import ray
+    import ray.data
+
+    from el.ops.er import damerau_pair_sims
+
+    surf = {"m1": "teh", "m2": "the", "m3": "abcd", "m4": "acbd",
+            "m5": ""}
+    pairs = pd.DataFrame({"m1_id": ["m1", "m3", "m5"],
+                          "m2_id": ["m2", "m4", "m5"]})
+    out = damerau_pair_sims(ray.data.from_pandas(pairs),
+                            ray.put(surf)).to_pandas() \
+        .set_index("m1_id").sort_index()
+    # adjacent transpositions cost 1 (Levenshtein would say 2)
+    assert out.loc["m1", "dl"] == 1
+    assert out.loc["m3", "dl"] == 1
+    assert abs(out.loc["m1", "dl_sim"] - (1 - 1 / 3)) < 1e-6
+    # empty-vs-empty normalizes to similarity 1.0
+    assert out.loc["m5", "dl"] == 0
+    assert out.loc["m5", "dl_sim"] == 1.0
+
+
+def test_acronym_candidates_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import acronym_candidates
+
+    df = pd.DataFrame({"surface": [
+        "Acme Banking Corp", "acme banking corp", "ABC", "abc", "A.B.C.",
+        "United Nations", "UN", "xyz", "a", "Acme Corp",
+    ]})
+    out = acronym_candidates(
+        ray.data.from_pandas(df).repartition(4)).to_pandas() \
+        .sort_values(["acronym", "expansion"]).reset_index(drop=True)
+    # 'abc' appears 3x single-token (ABC, abc, A.B.C. -> norm 'abc'? no:
+    # 'a.b.c.' normalizes to 'a b c' (3 tokens) -> an EXPANSION of itself)
+    want = {
+        ("abc", "a b c"): (2, 1),
+        ("abc", "acme banking corp"): (2, 2),
+        ("un", "united nations"): (1, 1),
+    }
+    got = {(r.acronym, r.expansion): (r.n_acr_mentions, r.n_exp_mentions)
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_turn_latency_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import turn_latency
+
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # conv A: user -> assistant (2s), assistant -> user (3s),
+    #         user -> assistant (5s)
+    for i, (role, dt) in enumerate([("user", 0), ("assistant", 2),
+                                    ("user", 5), ("assistant", 10)]):
+        rows.append(("A", i, role, ts0 + pd.Timedelta(seconds=dt)))
+    # conv B: single turn -> no transitions
+    rows.append(("B", 0, "user", ts0))
+    # conv C: user -> user (1.5s)
+    rows.append(("C", 0, "user", ts0))
+    rows.append(("C", 1, "user", ts0 + pd.Timedelta(seconds=1.5)))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+    out = turn_latency(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index(["role_from", "role_to"]).sort_index()
+    assert out.loc[("user", "assistant"), "n"] == 2
+    assert out.loc[("user", "assistant"), "max_latency_us"] == 5_000_000
+    assert abs(out.loc[("user", "assistant"), "mean_latency_s"]
+               - 3.5) < 1e-9
+    assert out.loc[("assistant", "user"), "n"] == 1
+    assert out.loc[("user", "user"), "n"] == 1
+    assert abs(out.loc[("user", "user"), "mean_latency_s"] - 1.5) < 1e-9
+    assert len(out) == 3
