@@ -6533,6 +6533,66 @@ def oracle_sql() -> dict[str, str]:
                    a.n_acr_mentions, e.n_exp_mentions
             FROM acr a JOIN exp e ON e.key = a.key
         """,
+        "tpch_q8": f"""
+            WITH rn AS (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'
+            ),
+            base AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev,
+                       s_nationkey
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                         AND p_type = 'ECONOMY'
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                  AND c_nationkey IN (SELECT n_nationkey FROM rn)
+            ),
+            agg AS (
+                SELECT o_year,
+                       sum(CASE WHEN s_nationkey =
+                                (SELECT n_nationkey FROM nation
+                                 WHERE n_name = 'NATION_6')
+                                THEN rev ELSE 0 END) AS t,
+                       sum(rev) AS a
+                FROM base GROUP BY o_year
+            )
+            SELECT o_year,
+                   CASE WHEN a = 0 THEN 0.0
+                        ELSE {_roundsql('CAST(t AS DOUBLE) / CAST(a AS DOUBLE)', 6)}
+                   END AS mkt_share,
+                   floor(CAST(t AS DOUBLE) / 10000.0 * 100 + 0.5) / 100
+                       AS nation_volume,
+                   floor(CAST(a AS DOUBLE) / 10000.0 * 100 + 0.5) / 100
+                       AS total_volume
+            FROM agg
+        """,
+        "events_markov": f"""
+            WITH t AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS from_type
+                FROM events
+            ),
+            c AS (
+                SELECT from_type, event_type AS to_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM t WHERE from_type IS NOT NULL
+                GROUP BY from_type, event_type
+            )
+            SELECT from_type, to_type, n,
+                   {_roundsql('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)', 6)}
+                       AS p
+            FROM c
+        """,
         "conv_turn_taking": f"""
             WITH t AS (
                 SELECT conv_id, turn_idx, role,
@@ -7209,7 +7269,17 @@ def oracle_sql() -> dict[str, str]:
                    AS rel_err
         FROM ex JOIN es USING (event_type)
     """
-    if ivf_cent is None:
+    if ivf_cent is not None:
+        sqls["ann_ivf_recall"] = f"""
+            SELECT bf.q_id,
+                   CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+                   {_roundsql('count(ap.vec_id) / 10.0', 6)} AS recall
+            FROM ({sqls['ann_topk']}) bf
+            LEFT JOIN ({sqls['ann_ivf']}) ap
+                   ON ap.q_id = bf.q_id AND ap.vec_id = bf.vec_id
+            GROUP BY bf.q_id
+        """
+    else:
         sqls.pop("ann_ivf")
         sqls.pop("semantic_dedup")
     return sqls
@@ -7380,6 +7450,9 @@ def queries():
         "turn_latency": q_turn_latency,
         "el_pair_damerau": q_el_pair_damerau,
         "el_acronym_candidates": q_el_acronym_candidates,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "events_markov": q_events_markov,
+        "tpch_q8": q_tpch_q8,
     }
 
 
@@ -8405,15 +8478,11 @@ def q_embed_ncm_accuracy(sf_dir: str):
     return ncm_accuracy(_read(sf_dir, "embeddings"))
 
 
-def q_ann_lsh_recall(sf_dir: str):
-    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
-    top-10, per query — the standard ANN quality metric. Composes the
-    two existing oracled pipelines: their tagged results meet in one
-    tiny q_id exchange (30 rows a side at the fixed query set)."""
+def _ann_recall_ds(bf, ap):
+    """Shared recall@10 composition: tag the exact (bf) and approximate
+    (ap) top-k result sets, meet in ONE tiny q_id exchange, count
+    hits. Used by ann_lsh_recall and ann_ivf_recall."""
     from .shuffle import group_blocks
-
-    bf = q_ann_topk(sf_dir)
-    ap = q_ann_lsh(sf_dir)
 
     def tag(is_bf: int):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -8445,6 +8514,22 @@ def q_ann_lsh_recall(sf_dir: str):
                                / 10.0 * 1e6 + 0.5) / 1e6})
 
     return group_blocks(tagged, ["q_id"], recall, batch_format="pandas")
+
+
+def q_ann_lsh_recall(sf_dir: str):
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    top-10, per query — the standard ANN quality metric. Composes the
+    two existing oracled pipelines: their tagged results meet in one
+    tiny q_id exchange (30 rows a side at the fixed query set)."""
+    return _ann_recall_ds(q_ann_topk(sf_dir), q_ann_lsh(sf_dir))
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """Recall@10 of the IVF-probed ANN against the exact brute-force
+    top-10, per query — the IVF twin of ann_lsh_recall (same tagged
+    q_id exchange; the n_probe=6 setting's quality knob made
+    measurable)."""
+    return _ann_recall_ds(q_ann_topk(sf_dir), q_ann_ivf(sf_dir))
 
 
 PR_CURVE_THRESHOLDS = [80, 82, 84, 86, 88, 90, 92, 94, 96, 98]
@@ -9982,3 +10067,271 @@ def q_el_acronym_candidates(sf_dir: str):
     m = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
                               columns=["surface"])
     return acronym_candidates(m)
+
+
+def q_events_markov(sf_dir: str):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: one row per (from_type, to_type) with the transition
+    count and the row-normalized probability — the behavioral
+    process-mining twin of tool_bigrams on the events table.
+
+    Scale shape: ONE user_id hash exchange co-locates each user's
+    history; block kernels sort by (ts, event_id) and emit
+    types^2-bounded integer count partials; one tiny from_type
+    exchange merges and row-normalizes (every from_type's rows are
+    co-located, so the probability divides by an in-block exact
+    integer sum)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    p_cols = {"from_type": str, "to_type": str, "c": "int64"}
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in p_cols.items()})
+        t = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = t.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = prev.notna()
+        if not m.any():
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in p_cols.items()})
+        out = pd.DataFrame({"from_type": prev[m].to_numpy(),
+                            "to_type": t.loc[m, "event_type"].to_numpy()}) \
+            .groupby(["from_type", "to_type"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = group_blocks(ev, ["user_id"], transitions,
+                         batch_format="pandas")
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"from_type": str, "to_type": str, "n": "int64",
+                "p": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["from_type", "to_type"], as_index=False)["c"] \
+            .sum().rename(columns={"c": "n"})
+        g["n"] = g["n"].astype("int64")
+        tot = g.groupby("from_type")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        g["p"] = _round_half_away(
+            g["n"].to_numpy(np.float64) / tot, 6)
+        return g[list(cols)]
+
+    return group_blocks(parts, ["from_type"], normalize,
+                        batch_format="pandas")
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share (adapted to the synthetic
+    catalog: p_type='ECONOMY', customer region 'AMERICA', target
+    supplier nation 'NATION_6', order years 1995-1996): per order
+    year, the share of region-customer ECONOMY-part revenue supplied
+    by the target nation.
+
+    Scale shape — FOUR chained tagged-union hash exchanges (the q7
+    idiom, one deeper): #1 partkey (semi-join against type-filtered
+    part — the filtered partkey set is type-proportional, so it rides
+    an exchange, not a broadcast); #2 suppkey (attach supplier
+    nation); #3 orderkey (orders date-filtered BEFORE the exchange,
+    attach custkey + order year, inner join drops out-of-window
+    lineitems); #4 custkey (customer pre-filtered to the region's
+    nations via the tiny nation/region driver dims, fold per-block
+    (year, is_target) integer partials). Revenue is exact integer
+    cents x discount units (q3 convention + 2^53 guard); the share
+    divides two exact int64 sums once in float64. Out: (o_year,
+    mkt_share[6dp], nation_volume[2dp], total_volume[2dp])."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    PTYPE, REGION, TNAT = "ECONOMY", "AMERICA", "NATION_6"
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == REGION, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+    tnat_key = int(nat.loc[nat["n_name"] == TNAT, "n_nationkey"].iloc[0])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev_f = cents * (100 - disc)
+        if len(rev_f) and np.max(np.abs(rev_f)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q8: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["l_partkey"].astype("int64")),
+            "okey": pa.array(df["l_orderkey"].astype("int64")),
+            "skey": pa.array(df["l_suppkey"].astype("int64")),
+            "rev": pa.array(rev_f.astype("int64")),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["p_type"] == PTYPE]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["p_partkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "skey": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged1 = li.map_batches(li_side, batch_format="pandas").union(
+        part.map_batches(part_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        p = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l.merge(p[["k"]].drop_duplicates(), on="k")
+        # pre-aggregate: many lineitems share (suppkey, orderkey)
+        j = j.groupby(["skey", "okey"], as_index=False)["rev"].sum()
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["skey"].astype("int64")),
+            "okey": pa.array(j["okey"].astype("int64")),
+            "rev": pa.array(j["rev"].astype("int64")),
+            "snat": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "snat": pa.array(df["s_nationkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged2 = group_blocks(tagged1, ["k"], join1,
+                           batch_format="pandas").union(
+        supp.map_batches(supp_side, batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pa.Table:
+        s = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "okey", "rev"]].merge(s[["k", "snat"]], on="k")
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["okey"].astype("int64")),
+            "rev": pa.array(j["rev"].astype("int64")),
+            "snat": pa.array(j["snat"].astype("int64")),
+            "year": pa.nulls(n, pa.int64()),
+            "ckey": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        od = df["o_orderdate"].to_numpy()
+        df = df[(od >= lo.to_datetime64()) & (od < hi.to_datetime64())]
+        year = df["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype("int64") + 1970
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["o_orderkey"].astype("int64")),
+            "rev": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "year": pa.array(year),
+            "ckey": pa.array(df["o_custkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged3 = group_blocks(tagged2, ["k"], join2,
+                           batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join3(df: pd.DataFrame) -> pa.Table:
+        o = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "rev", "snat"]].merge(
+            o[["k", "year", "ckey"]], on="k")
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["ckey"].astype("int64")),
+            "rev": pa.array(j["rev"].astype("int64")),
+            "snat": pa.array(j["snat"].astype("int64")),
+            "year": pa.array(j["year"].astype("int64")),
+            "cnat": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def cust_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["c_nationkey"].isin(region_nations)]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["c_custkey"].astype("int64")),
+            "rev": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "year": pa.nulls(n, pa.int64()),
+            "cnat": pa.array(df["c_nationkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged4 = group_blocks(tagged3, ["k"], join3,
+                           batch_format="pandas").union(
+        cust.map_batches(cust_side, batch_format="pandas"))
+
+    def join4_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"year": "int64", "t_rev": "int64", "a_rev": "int64"}
+        c = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "rev", "snat", "year"]].merge(c[["k"]], on="k")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        j["t_rev"] = np.where(j["snat"].to_numpy("int64") == tnat_key,
+                              j["rev"].to_numpy("int64"), 0)
+        out = j.groupby("year", as_index=False) \
+            .agg(t_rev=("t_rev", "sum"), a_rev=("rev", "sum"))
+        return out.astype(cols)
+
+    parts = group_blocks(tagged4, ["k"], join4_fold,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_year": "int64", "mkt_share": "float64",
+                "nation_volume": "float64", "total_volume": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("year", as_index=False) \
+            .agg(t_rev=("t_rev", "sum"), a_rev=("a_rev", "sum"))
+        t = out["t_rev"].to_numpy("int64").astype(np.float64)
+        a = out["a_rev"].to_numpy("int64").astype(np.float64)
+        return pd.DataFrame({
+            "o_year": out["year"].astype("int64").to_numpy(),
+            "mkt_share": np.floor(
+                np.where(a == 0, 0.0, t / np.where(a == 0, 1.0, a))
+                * 1e6 + 0.5) / 1e6,
+            "nation_volume": np.floor(t / 10000.0 * 100 + 0.5) / 100,
+            "total_volume": np.floor(a / 10000.0 * 100 + 0.5) / 100,
+        }).sort_values("o_year").reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

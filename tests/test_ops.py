@@ -1560,3 +1560,65 @@ def test_doc_readability_bruteforce(ray_session):
             assert abs(out.loc[i, "flesch"] - ref) < 1e-3
         else:
             assert out.loc[i, "flesch"] == 0.0
+
+
+def test_events_markov_bruteforce(ray_session, tmp_path):
+    from el.queries import q_events_markov
+
+    rng = np.random.default_rng(23)
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2026-01-01").to_datetime64()
+        + rng.integers(0, 86400, n).astype("timedelta64[s]"),
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(list("abc"), n),
+        "value": np.zeros(n), "props": [""] * n,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_markov(str(tmp_path)).to_pandas() \
+        .set_index(["from_type", "to_type"]).sort_index()
+
+    t = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = t.groupby("user_id", sort=False)["event_type"].shift(1)
+    m = prev.notna()
+    want = pd.DataFrame({"f": prev[m].to_numpy(),
+                         "t": t.loc[m, "event_type"].to_numpy()}) \
+        .groupby(["f", "t"]).size()
+    totals = want.groupby(level=0).sum()
+    assert len(out) == len(want)
+    for (f, to), c in want.items():
+        assert out.loc[(f, to), "n"] == c
+        assert abs(out.loc[(f, to), "p"] - c / totals[f]) < 1e-6
+    # row-stochastic: probabilities per from_type sum to ~1
+    sums = out.groupby(level=0)["p"].sum()
+    assert ((sums - 1).abs() < 1e-4).all()
+
+
+def test_ann_ivf_recall_shape(ray_session):
+    from el.queries import q_ann_ivf_recall
+
+    out = q_ann_ivf_recall("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 3  # fixed 3-query set
+    assert ((out["recall"] >= 0) & (out["recall"] <= 1)).all()
+    assert (out["n_hit"] == (out["recall"] * 10).round()).all()
+
+
+def test_tpch_q8_matches_duckdb(ray_session):
+    import duckdb
+
+    from el.queries import oracle_sql, q_tpch_q8
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tpch_q8(sf).to_pandas().sort_values("o_year") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(oracle_sql()["tpch_q8"]).df() \
+        .sort_values("o_year").reset_index(drop=True)
+    assert got["o_year"].tolist() == want["o_year"].tolist()
+    for c in ("mkt_share", "nation_volume", "total_volume"):
+        assert np.allclose(got[c], want[c], atol=1e-9), c
