@@ -1058,3 +1058,69 @@ def covariance(emb_ds, *, num_partitions: int | None = None):
 
     return parts.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None)
+
+
+class _PairHist:
+    """Probe-panel cosine histogram stage: each batch is one matmul
+    against the broadcast query panel; sims round to the 1e-5 grid
+    (the ann_topk contract that already hash-matches
+    list_cosine_similarity) and bin at width 0.05; the partial leaving
+    the batch is a <=41-row (bin, c) frame."""
+
+    def __init__(self, q_ref, q_ids_ref):
+        import ray
+
+        self.Q = ray.get(q_ref)
+        self.Qn = self.Q / np.clip(
+            np.linalg.norm(self.Q, axis=1, keepdims=True), 1e-30, None)
+        self.q_ids = ray.get(q_ids_ref)
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        cols = {"bin": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64")}
+        if t.num_rows == 0:
+            return pd.DataFrame(cols)
+        X = _matrix_from_arrow(t.column("embedding"))
+        Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                         1e-30, None)
+        sims = self.Qn @ Xn.T  # (nq, batch)
+        vec_ids = t.column("vec_id").to_numpy()
+        mask = vec_ids[None, :] != self.q_ids[:, None]  # drop self-pairs
+        r5 = np.floor(sims[mask] * 1e5 + 0.5) / 1e5
+        bins = np.floor(r5 * 20.0).astype(np.int64)
+        b, c = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"bin": b.astype("int64"),
+                             "c": c.astype("int64")})
+
+
+def embed_pair_hist(emb_ds, queries: np.ndarray, q_ids: np.ndarray):
+    """Cosine-similarity histogram of every table vector against a
+    fixed probe panel (self-pairs excluded): bin width 0.05 over
+    [-1, 1] — the embedding-space geometry health check (collapsed
+    spaces pile mass near 1.0; healthy panels spread) run before
+    semantic dedup thresholds are chosen.
+
+    Scale shape: the panel broadcasts once per actor; each batch is
+    one matmul; partials are 41-bin-bounded; one single-partition
+    merge finishes. Out: (bin, lo, n)."""
+    import ray
+
+    parts = emb_ds.map_batches(
+        _PairHist,
+        fn_constructor_args=(ray.put(queries), ray.put(q_ids)),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bin": "int64", "lo": "float64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("bin", as_index=False)["c"].sum() \
+            .rename(columns={"c": "n"})
+        g["bin"] = g["bin"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        g["lo"] = g["bin"].to_numpy(np.float64) / 20.0
+        return g.sort_values("bin").reset_index(drop=True)[list(cols)]
+
+    return parts.repartition(1).map_batches(merge, batch_format="pandas",
+                                            batch_size=None)

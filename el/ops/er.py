@@ -2181,3 +2181,167 @@ def acronym_candidates(mentions_ds):
         return m[list(cols)]
 
     return group_blocks(parts, ["key"], finalize, batch_format="pandas")
+
+
+# ----------------------------------------------------- rule coverage
+_RC_RULES = ("n", "p", "ph", "r")
+
+
+def _rc_np_ph_keys(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch key rows for the stateless rules: n (norm-exact),
+    p (first-token prefix-6), ph (Soundex of the last token; the
+    el_block_keys_phonetic key format). Each rule emits at most one
+    key per mention, so per-rule pair sets are duplicate-free by
+    construction."""
+    from ..sim import soundex
+
+    cols = {"mention_id": str, "gold": str, "bk": str}
+    if len(df) == 0:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    norm = _norm_series(df["surface"].astype(str))
+    mid = df["mention_id"].astype(str)
+    gold = df["gold_kb_id"].astype(str)
+    keep = norm != ""
+    out = []
+    n = pd.DataFrame({"mention_id": mid[keep], "gold": gold[keep],
+                      "bk": "n:" + norm[keep]})
+    out.append(n)
+    first = norm[keep].str.split(" ").str[0]
+    pm = first.str.len() >= 3
+    if pm.any():
+        out.append(pd.DataFrame({
+            "mention_id": mid[keep][pm], "gold": gold[keep][pm],
+            "bk": "p:" + first[pm].str.slice(0, 6)}))
+    last = norm[keep].str.split(" ").str[-1]
+    ph = last.map(lambda t: f"ph:{soundex(t)}:{t[0]}")
+    out.append(pd.DataFrame({"mention_id": mid[keep],
+                             "gold": gold[keep], "bk": ph}))
+    res = pd.concat(out, ignore_index=True)
+    return res[list(cols)]
+
+
+def rule_coverage(mentions_ds):
+    """Blocking-RULE provenance report (the Papadakis/JedAI
+    block-scheme comparison surface): for each key strategy — n
+    (norm-exact), p (prefix-6), ph (Soundex), r (rare-token) — how
+    many candidate pairs it generates, how many of those NO other
+    rule generates (the rule's marginal contribution), and how many
+    are gold matches; plus an 'all' union row. The decision input for
+    dropping a rule from the production candidate finder
+    (RunKBPEntityLinkerSystem.scala:45-49's composition).
+
+    Scale shape: stateless key rules are one vectorized pass; the
+    rare-token rule reuses rare_token_keys' bounded df exchange and
+    attaches gold through one mention_id exchange; then ONE bk
+    exchange generates per-rule pairs (<=1 key per mention per rule —
+    no within-rule dups) and ONE (m1, m2) exchange computes per-pair
+    rule sets; per-block partials are rule-bounded (<= 10 rows) and a
+    single-row-group final merge finishes. Loud cap on degenerate
+    blocks (_block_pairs_frame convention). Out: (rule, n_pairs,
+    n_marginal, tp_pairs)."""
+    ds = mentions_ds.select_columns(["mention_id", "surface",
+                                     "gold_kb_id"])
+    npph = ds.map_batches(_rc_np_ph_keys, batch_format="pandas")
+
+    # rare-token keys (global-df argmin) + gold attach via one
+    # mention_id exchange
+    rare = rare_token_keys(ds)
+
+    def rare_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "gold": pd.Series([""] * len(df), dtype=str),
+            "bk": df["block_key"].astype(str), "tag": 0})
+
+    def gold_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "mention_id": df["mention_id"].astype(str),
+            "gold": df["gold_kb_id"].astype(str),
+            "bk": pd.Series([""] * len(df), dtype=str), "tag": 1})
+
+    tagged = rare.map_batches(rare_side, batch_format="pandas").union(
+        ds.map_batches(gold_side, batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mention_id": str, "gold": str, "bk": str}
+        r = df[df["tag"] == 0]
+        g = df[df["tag"] == 1]
+        j = r[["mention_id", "bk"]].merge(
+            g[["mention_id", "gold"]], on="mention_id")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return j[list(cols)]
+
+    rare_g = group_blocks(tagged, ["mention_id"], attach,
+                          batch_format="pandas")
+
+    keys_all = npph.union(rare_g)
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"m1_id": str, "m2_id": str, "rule": str,
+                "match": "int64"}
+        rows = {k: [] for k in cols}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        for bk, g in df.groupby("bk", sort=False):
+            g = g.drop_duplicates("mention_id").sort_values("mention_id")
+            n = len(g)
+            if n < 2:
+                continue
+            if n > 10_000:
+                raise ValueError(
+                    f"rule_coverage block {bk!r} holds {n} mentions "
+                    "(> 10000); route through the salted generator")
+            i, j = np.triu_indices(n, k=1)
+            ids = g["mention_id"].to_numpy(dtype=object)
+            gl = g["gold"].to_numpy(dtype=object)
+            rows["m1_id"].append(ids[i])
+            rows["m2_id"].append(ids[j])
+            rows["rule"].append(np.full(len(i), bk.split(":", 1)[0],
+                                        dtype=object))
+            rows["match"].append((gl[i] == gl[j]).astype("int64"))
+        if not rows["m1_id"]:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return pd.DataFrame({k: np.concatenate(v)
+                             for k, v in rows.items()})
+
+    pairs = group_blocks(keys_all, ["bk"], pairs_block,
+                         batch_format="pandas")
+
+    p_cols = {"rule": str, "n_pairs": "int64", "n_marginal": "int64",
+              "tp_pairs": "int64"}
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in p_cols.items()})
+        nr = df.groupby(["m1_id", "m2_id"])["rule"].transform("nunique")
+        df = df.assign(nr=nr, marg=(nr == 1).astype("int64"))
+        per_rule = df.groupby("rule", as_index=False).agg(
+            n_pairs=("rule", "size"), n_marginal=("marg", "sum"),
+            tp_pairs=("match", "sum"))
+        u = df.drop_duplicates(["m1_id", "m2_id"])
+        union_row = pd.DataFrame({
+            "rule": ["all"], "n_pairs": [len(u)],
+            "n_marginal": [int((u["nr"] == 1).sum())],
+            "tp_pairs": [int(u["match"].sum())]})
+        out = pd.concat([per_rule, union_row], ignore_index=True)
+        return out.astype(p_cols)[list(p_cols)]
+
+    partials = group_blocks(pairs, ["m1_id", "m2_id"], per_pair,
+                            batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in p_cols.items()})
+        out = df.groupby("rule", as_index=False).sum()
+        return out.astype(p_cols).sort_values("rule") \
+            .reset_index(drop=True)[list(p_cols)]
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)

@@ -443,3 +443,111 @@ def readability_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def readability(docs_ds):
     return docs_ds.map_batches(readability_batch, batch_format="pandas")
+
+
+def _canon_series(texts: pd.Series) -> pd.Series:
+    """Canonical LM string: lowercase tokens joined by single spaces —
+    the shared engine/oracle surface for character-level models
+    (array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'),
+    ' ') on the SQL side)."""
+    return texts.str.lower().str.findall(r"[a-z0-9]+").str.join(" ")
+
+
+_TRI_RE = r"(?=(.{3}))"
+
+
+def _trigram_counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+    cols = {"token": str, "cnt": "int64"}
+    if len(df) == 0:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    tris = _canon_series(df["text"].astype(str)).str.findall(_TRI_RE)
+    flat = [t for ts in tris for t in ts]
+    if not flat:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    out = pd.Series(flat, dtype=str).value_counts().rename_axis("token") \
+        .reset_index(name="cnt")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[list(cols)]
+
+
+class _TrigramScorer:
+    """Broadcast-model scoring stage for the character-trigram LM:
+    overlapping trigrams via one zero-width-lookahead findall (C
+    regex), dict map, reduceat segment mean — the _UnigramScorer
+    idiom one level down (the KenLM-style char-LM quality proxy that
+    survives unseen words better than the word-level model)."""
+
+    def __init__(self, lp_ref, oov_lp: float):
+        import ray
+
+        self.lp = ray.get(lp_ref)
+        self.oov = oov_lp
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        tris = _canon_series(df["text"].astype(str)).str.findall(_TRI_RE)
+        lens = tris.str.len().to_numpy(dtype=np.int64)
+        out = df[["doc_id"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_trigrams"] = lens
+        score = np.full(len(df), np.nan)
+        if lens.sum():
+            flat = pd.Series(np.concatenate(
+                [np.asarray(t, dtype=object) for t in tris]))
+            vals = flat.map(self.lp).fillna(self.oov).to_numpy(np.float64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nz = lens > 0
+            sums = np.add.reduceat(vals, starts[nz])
+            score[nz] = sums / lens[nz]
+        out["logprob_per_trigram"] = round_half_away(score, 5)
+        return out
+
+
+def char_trigram_logprob(docs_ds, vocab_cap: int = 65536,
+                         oov_count: float = 0.5, concurrency: int = 4):
+    """Character-trigram LM quality score — the char-level twin of
+    unigram_logprob (same fit/broadcast/score shape; the trigram
+    vocabulary is alphabet^3-bounded, far under the cap, so the
+    'vocab' is effectively exact). Returns (doc_id, n_trigrams,
+    logprob_per_trigram)."""
+    import math
+
+    import ray
+
+    from ..shuffle import group_blocks
+
+    partials = docs_ds.map_batches(_trigram_counts_partial,
+                                   batch_format="pandas")
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    merged = group_blocks(partials, ["token"], merge_counts,
+                          batch_format="pandas").materialize()
+    total = float(merged.sum("cnt") or 1.0)
+
+    def top_v(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"],
+                              ascending=[False, True]).head(vocab_cap)
+
+    vocab_rows = (merged.map_batches(top_v, batch_format="pandas")
+                  .repartition(1)
+                  .map_batches(top_v, batch_format="pandas",
+                               batch_size=None)
+                  .take_all())
+    lp = {r["token"]: math.log(r["cnt"] / total) for r in vocab_rows}
+    oov_lp = math.log(oov_count / total)
+    return docs_ds.map_batches(
+        _TrigramScorer,
+        fn_constructor_args=(ray.put(lp), oov_lp),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -6533,6 +6533,158 @@ def oracle_sql() -> dict[str, str]:
                    a.n_acr_mentions, e.n_exp_mentions
             FROM acr a JOIN exp e ON e.key = a.key
         """,
+        "embed_pair_hist": f"""
+            WITH q AS (SELECT vec_id AS q_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 16),
+            s AS (SELECT list_cosine_similarity(
+                             q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                  FROM q CROSS JOIN embeddings e
+                  WHERE e.vec_id != q.q_id),
+            b AS (SELECT CAST(floor({_roundsql('sim', 5)} * 20.0)
+                              AS BIGINT) AS bin
+                  FROM s)
+            SELECT bin, bin / 20.0 AS lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bin
+        """,
+        "char_trigram_logprob": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text),
+                                       '[a-z0-9]+'), ' ') AS s
+                FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(s) - 1),
+                              i -> substr(s, CAST(i AS INT), 3)))
+                           AS token
+                FROM c WHERE length(s) >= 3
+            ),
+            cnt AS (SELECT token, count(*) AS cnt FROM tri
+                    GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt),
+            vocab AS (
+                SELECT token, cnt FROM cnt
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, token)
+                    <= 65536
+            ),
+            lp AS (
+                SELECT tri.doc_id,
+                       CASE WHEN v.cnt IS NULL
+                            THEN ln(0.5 / tot.t)
+                            ELSE ln(CAST(v.cnt AS DOUBLE) / tot.t)
+                       END AS l
+                FROM tri LEFT JOIN vocab v USING (token)
+                CROSS JOIN tot
+            ),
+            agg AS (SELECT doc_id, count(*) AS n_trigrams, avg(l) AS s
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_trigrams, CAST(0 AS BIGINT))
+                       AS n_trigrams,
+                   {_roundsql('a.s', 5)} AS logprob_per_trigram
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "el_rule_coverage": f"""
+            WITH m AS (
+                SELECT mention_id, gold_kb_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            phb AS (
+                SELECT mention_id,
+                       regexp_extract(norm, '([a-z0-9]+)$', 1) AS last
+                FROM m
+            ),
+            phc AS (
+                SELECT mention_id, last,
+                       regexp_replace(last, '[^a-z]', '', 'g') AS w
+                FROM phb
+            ),
+            phd AS (
+                SELECT mention_id, last, w, substr(w, 1, 1) AS head,
+                       translate(substr(w, 1, 1) ||
+                           replace(replace(substr(w, 2), 'h', ''),
+                                   'w', ''),
+                           'bfpvcgjkqsxzdtlmnr', '111122222222334556')
+                           AS coded
+                FROM phc
+            ),
+            phe AS (
+                SELECT mention_id, last, w, head, {_SOUNDEX_COLLAPSE}
+                           AS collapsed
+                FROM phd
+            ),
+            tok AS (
+                SELECT DISTINCT mention_id, t FROM (
+                    SELECT mention_id,
+                           unnest(str_split(norm, ' ')) AS t
+                    FROM m
+                )
+            ),
+            tdf AS (
+                SELECT t, count(*) AS n FROM tok GROUP BY t
+            ),
+            rr AS (
+                SELECT tok.mention_id, tok.t,
+                       row_number() OVER (
+                           PARTITION BY tok.mention_id
+                           ORDER BY tdf.n, tok.t) AS rn
+                FROM tok JOIN tdf ON tdf.t = tok.t
+            ),
+            k AS (
+                SELECT mention_id, gold_kb_id, 'n:' || norm AS bk
+                FROM m
+                UNION ALL
+                SELECT mention_id, gold_kb_id,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6)
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+                UNION ALL
+                SELECT ph.mention_id, m.gold_kb_id,
+                       'ph:' ||
+                       CASE WHEN ph.w = '' THEN '0000'
+                            ELSE upper(ph.head) || substr(
+                                regexp_replace(substr(ph.collapsed, 2),
+                                               '[^1-6]', '', 'g')
+                                || '000', 1, 3)
+                       END || ':' || substr(ph.last, 1, 1)
+                FROM phe ph JOIN m USING (mention_id)
+                UNION ALL
+                SELECT rr.mention_id, m.gold_kb_id, 'r:' || rr.t
+                FROM rr JOIN m USING (mention_id) WHERE rr.rn = 1
+            ),
+            p AS (
+                SELECT DISTINCT split_part(a.bk, ':', 1) AS rule,
+                       a.mention_id AS m1, b.mention_id AS m2,
+                       CASE WHEN a.gold_kb_id = b.gold_kb_id
+                            THEN 1 ELSE 0 END AS match
+                FROM k a JOIN k b ON a.bk = b.bk
+                         AND a.mention_id < b.mention_id
+            ),
+            pr AS (
+                SELECT m1, m2, count(*) AS nr, max(match) AS match
+                FROM p GROUP BY m1, m2
+            ),
+            per_rule AS (
+                SELECT p.rule,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(CASE WHEN pr.nr = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_marginal,
+                       CAST(sum(p.match) AS BIGINT) AS tp_pairs
+                FROM p JOIN pr ON pr.m1 = p.m1 AND pr.m2 = p.m2
+                GROUP BY p.rule
+            ),
+            u AS (
+                SELECT 'all' AS rule,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(CASE WHEN nr = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_marginal,
+                       CAST(sum(match) AS BIGINT) AS tp_pairs
+                FROM pr
+            )
+            SELECT * FROM per_rule UNION ALL SELECT * FROM u
+        """,
         "tpch_q8": f"""
             WITH rn AS (
                 SELECT n_nationkey FROM nation
@@ -7453,6 +7605,9 @@ def queries():
         "ann_ivf_recall": q_ann_ivf_recall,
         "events_markov": q_events_markov,
         "tpch_q8": q_tpch_q8,
+        "el_rule_coverage": q_el_rule_coverage,
+        "char_trigram_logprob": q_char_trigram_logprob,
+        "embed_pair_hist": q_embed_pair_hist,
     }
 
 
@@ -10335,3 +10490,48 @@ def q_tpch_q8(sf_dir: str):
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def q_el_rule_coverage(sf_dir: str):
+    """Per-blocking-rule pair provenance: pairs generated, marginal
+    pairs (no other rule finds them), gold matches, plus the 'all'
+    union row (el/ops/er.py::rule_coverage) — the decision input for
+    composing the production candidate finder
+    (RunKBPEntityLinkerSystem.scala:45-49)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import rule_coverage
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return rule_coverage(gm)
+
+
+def q_char_trigram_logprob(sf_dir: str):
+    """Character-trigram LM quality score per document — the char-level
+    twin of unigram_logprob (el/ops/textstats.py::char_trigram_logprob;
+    fit via one alphabet^3-bounded trigram exchange, score via one
+    broadcast pass)."""
+    from .ops.textstats import char_trigram_logprob
+
+    return char_trigram_logprob(_read(sf_dir, "documents",
+                                      columns=["doc_id", "text"]))
+
+
+def q_embed_pair_hist(sf_dir: str):
+    """Cosine histogram of all vectors against the 16-vector probe
+    panel (el/ops/ann.py::embed_pair_hist) — the embedding-geometry
+    health check before semantic-dedup thresholds."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import embed_pair_hist
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = t.to_pandas().sort_values("vec_id").head(16)
+    Q = np.array([np.asarray(v, dtype=np.float64)
+                  for v in head["embedding"]])
+    q_ids = head["vec_id"].to_numpy("int64")
+    return embed_pair_hist(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), Q, q_ids)

@@ -993,3 +993,65 @@ def test_turn_latency_bruteforce(ray_session):
     assert out.loc[("user", "user"), "n"] == 1
     assert abs(out.loc[("user", "user"), "mean_latency_s"] - 1.5) < 1e-9
     assert len(out) == 3
+
+
+def test_rule_coverage_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import _norm_series, rule_coverage
+    from el.sim import soundex
+
+    df = _mentions(50)
+    df = df.assign(gold_kb_id=df["mention_id"].str[:4])
+    out = rule_coverage(ray.data.from_pandas(df).repartition(5)) \
+        .to_pandas().set_index("rule")
+
+    # brute-force the four rule pair sets
+    norm = _norm_series(df["surface"].astype(str))
+    keep = norm != ""
+    base = pd.DataFrame({"mid": df["mention_id"][keep],
+                         "gold": df["gold_kb_id"][keep],
+                         "norm": norm[keep]})
+    keysets = {}
+    keysets["n"] = dict(zip(base["mid"], "n:" + base["norm"]))
+    first = base["norm"].str.split(" ").str[0]
+    pm = first.str.len() >= 3
+    keysets["p"] = dict(zip(base["mid"][pm], "p:" + first[pm].str[:6]))
+    last = base["norm"].str.split(" ").str[-1]
+    keysets["ph"] = dict(zip(
+        base["mid"], last.map(lambda t: f"ph:{soundex(t)}:{t[0]}")))
+    tokdf = {}
+    for n in base["norm"]:
+        for t in set(n.split()):
+            tokdf[t] = tokdf.get(t, 0) + 0  # placeholder
+    # mention-level token df (distinct per mention)
+    cnt = {}
+    for n in base["norm"]:
+        for t in set(n.split()):
+            cnt[t] = cnt.get(t, 0) + 1
+    keysets["r"] = {
+        mid: "r:" + min(n.split(), key=lambda t: (cnt[t], t))
+        for mid, n in zip(base["mid"], base["norm"])}
+
+    gold = dict(zip(base["mid"], base["gold"]))
+    pair_rules = {}
+    for rule, km in keysets.items():
+        bykey = {}
+        for mid, k in km.items():
+            bykey.setdefault(k, []).append(mid)
+        for mids in bykey.values():
+            mids = sorted(set(mids))
+            for i in range(len(mids)):
+                for j in range(i + 1, len(mids)):
+                    pair_rules.setdefault((mids[i], mids[j]),
+                                          set()).add(rule)
+    for rule in ("n", "p", "ph", "r"):
+        pairs = [pr for pr, rs in pair_rules.items() if rule in rs]
+        assert out.loc[rule, "n_pairs"] == len(pairs), rule
+        assert out.loc[rule, "n_marginal"] == sum(
+            1 for pr in pairs if pair_rules[pr] == {rule}), rule
+        assert out.loc[rule, "tp_pairs"] == sum(
+            1 for a, b in pairs if gold[a] == gold[b]), rule
+    assert out.loc["all", "n_pairs"] == len(pair_rules)
+    assert out.loc["all", "tp_pairs"] == sum(
+        1 for (a, b) in pair_rules if gold[a] == gold[b])

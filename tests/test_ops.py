@@ -1622,3 +1622,67 @@ def test_tpch_q8_matches_duckdb(ray_session):
     assert got["o_year"].tolist() == want["o_year"].tolist()
     for c in ("mkt_share", "nation_volume", "total_volume"):
         assert np.allclose(got[c], want[c], atol=1e-9), c
+
+
+def test_char_trigram_logprob_bruteforce(ray_session, tmp_path):
+    import math
+
+    import ray.data
+
+    from el.ops.textstats import char_trigram_logprob
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["the cat", "the the", "", "xy"],
+    })
+    out = char_trigram_logprob(ray.data.from_pandas(docs)) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    def canon(t):
+        import re
+        return " ".join(re.findall(r"[a-z0-9]+", t.lower()))
+
+    def tris(s):
+        return [s[i:i + 3] for i in range(len(s) - 2)]
+
+    allt = [t for d in docs["text"] for t in tris(canon(d))]
+    total = len(allt)
+    cnt = pd.Series(allt).value_counts().to_dict()
+    for i, text in enumerate(docs["text"]):
+        ts = tris(canon(text))
+        assert out.loc[i, "n_trigrams"] == len(ts)
+        if ts:
+            want = sum(math.log(cnt[t] / total) for t in ts) / len(ts)
+            assert abs(out.loc[i, "logprob_per_trigram"] - want) < 1e-4
+        else:
+            assert np.isnan(out.loc[i, "logprob_per_trigram"])
+
+
+def test_embed_pair_hist_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.ann import embed_pair_hist
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    X = rng.normal(size=(n, d))
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [x.astype(np.float32).tolist() for x in X],
+    })
+    Q = np.array([np.asarray(v, dtype=np.float64)
+                  for v in emb["embedding"][:4]])
+    q_ids = np.arange(4, dtype="int64")
+    out = embed_pair_hist(ray.data.from_pandas(emb).repartition(3),
+                          Q, q_ids).to_pandas()
+    X64 = np.array([np.asarray(v, np.float64) for v in emb["embedding"]])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Xn = X64 / np.linalg.norm(X64, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    mask = emb["vec_id"].to_numpy()[None, :] != q_ids[:, None]
+    r5 = np.floor(sims[mask] * 1e5 + 0.5) / 1e5
+    bins = np.floor(r5 * 20.0).astype(np.int64)
+    want = pd.Series(bins).value_counts().sort_index()
+    got = out.set_index("bin")["n"]
+    assert got.to_dict() == want.to_dict()
+    assert int(out["n"].sum()) == 4 * n - 4
