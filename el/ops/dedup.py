@@ -377,21 +377,21 @@ def _shingle_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc_ids, "shingle": shingles})
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
-                        hot_shingle_cap: int = 100):
-    """EXACT n-gram Jaccard similar pairs via an inverted shingle index —
-    no broadcast, no verification stage, fully shuffle-based:
+def _ngram_pair_stat_refs(docs_ds, k: int, hot_shingle_cap: int):
+    """Shared inverted-shingle-index pair statistics (the exchange
+    chain behind ngram_jaccard_pairs AND ngram_containment_pairs):
 
       explode (doc, shingle) -> groupby(shingle) pairs (hot cap)
       -> groupby(d1, d2).count co-occurrence
-      -> jaccard = co / (|A| + |B| - co) with per-doc shingle counts
-         attached by two hash joins on d1/d2.
+      -> per-doc shingle counts attached by two hash joins on d1/d2.
 
-    All five exchanges run as a plain-task shuffle over block refs
-    (no aggregator fleets; see minhash_dedup_pairs for the rationale).
+    Returns block refs of frames where kind='p' rows carry
+    (d1, d2, co, n1) keyed by d2 and kind='s' rows carry the size map
+    for the final attach — the caller's finish computes its metric.
+    All exchanges run as a plain-task shuffle over block refs (no
+    aggregator fleets; see minhash_dedup_pairs for the rationale).
     """
     import ray
-    import ray.data
 
     from ..shuffle import (bundle_refs, map_refs, split_groups,
                            task_group_blocks)
@@ -477,8 +477,22 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         p["key"] = p["d2"].astype("int64")
         return pd.concat([df[df["kind"] == "s"], p], ignore_index=True)
 
-    r1_refs = task_group_blocks(u_refs, ["key"], attach_first,
-                                batch_format="pandas")
+    return task_group_blocks(u_refs, ["key"], attach_first,
+                             batch_format="pandas")
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
+                        hot_shingle_cap: int = 100):
+    """EXACT n-gram Jaccard similar pairs over the shared inverted
+    shingle index (_ngram_pair_stat_refs): jaccard =
+    co / (|A| + |B| - co), threshold-filtered. Out: (d1, d2,
+    jaccard)."""
+    import ray
+    import ray.data
+
+    from ..shuffle import task_group_blocks
+
+    r1_refs = _ngram_pair_stat_refs(docs_ds, k, hot_shingle_cap)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -493,6 +507,45 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3,
         jac = np.floor((p["co"] / denom) * 1e6 + 0.5) / 1e6
         out = pd.DataFrame({"d1": p["d1"], "d2": p["d2"], "jaccard": jac})
         return out[out["jaccard"] >= threshold]
+
+    out_refs = task_group_blocks(r1_refs, ["key"], finish,
+                                 batch_format="pandas")
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def ngram_containment_pairs(docs_ds, threshold: float = 0.6, k: int = 3,
+                            hot_shingle_cap: int = 100):
+    """EXACT n-gram CONTAINMENT pairs over the same inverted shingle
+    index: c1 = co/|A|, c2 = co/|B| — the asymmetric near-dup metric
+    that catches sub-document duplication (a doc pasted inside a
+    bigger one scores low Jaccard but containment ~1 on the small
+    side). Pairs kept where max(c1, c2) >= threshold.
+    Out: (d1, d2, co, c1, c2)."""
+    import ray
+    import ray.data
+
+    from ..shuffle import task_group_blocks
+
+    r1_refs = _ngram_pair_stat_refs(docs_ds, k, hot_shingle_cap)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"d1": "int64", "d2": "int64", "co": "int64",
+                "c1": "float64", "c2": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in cols.items()})
+        smap = df[df["kind"] == "s"].set_index("key")["n"]
+        p = df[df["kind"] == "p"].copy()
+        n2 = p["key"].map(smap).fillna(0).astype("int64")
+        n1 = p["n1"].clip(lower=1)
+        n2c = n2.clip(lower=1)
+        c1 = np.floor((p["co"] / n1) * 1e6 + 0.5) / 1e6
+        c2 = np.floor((p["co"] / n2c) * 1e6 + 0.5) / 1e6
+        out = pd.DataFrame({"d1": p["d1"].astype("int64"),
+                            "d2": p["d2"].astype("int64"),
+                            "co": p["co"].astype("int64"),
+                            "c1": c1, "c2": c2})
+        return out[np.maximum(c1, c2) >= threshold][list(cols)]
 
     out_refs = task_group_blocks(r1_refs, ["key"], finish,
                                  batch_format="pandas")

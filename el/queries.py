@@ -5049,6 +5049,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "minhash_band_stats": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            {_minhash_cte_chain()},
+            bsz AS (
+                SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz
+                FROM bands GROUP BY band, bkey
+            )
+            SELECT sz AS bucket_size,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(count(*) * (sz * (sz - 1) // 2) AS BIGINT)
+                       AS cand_pairs
+            FROM bsz GROUP BY sz
+        """,
+        "comention_degree_hist": f"""
+            WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+            e AS (
+                SELECT DISTINCT a.surface AS s1, b.surface AS s2
+                FROM m a JOIN m b ON a.conv_id = b.conv_id
+                         AND a.surface < b.surface
+            ),
+            und AS (
+                SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e
+            ),
+            deg AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS degree
+                FROM und GROUP BY s
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        "doc_containment": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            co AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS co
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            SELECT co.d1, co.d2, CAST(co.co AS BIGINT) AS co,
+                   {_roundsql('co.co / s1.n', 6)} AS c1,
+                   {_roundsql('co.co / s2.n', 6)} AS c2
+            FROM co
+            JOIN sizes s1 ON co.d1 = s1.doc_id
+            JOIN sizes s2 ON co.d2 = s2.doc_id
+            WHERE greatest({_roundsql('co.co / s1.n', 6)},
+                           {_roundsql('co.co / s2.n', 6)}) >= 0.6
+        """,
         "minhash_dedup": f"""
             WITH {_PLANTED_SHINGLES_CTE},
             {_minhash_cte_chain()}
@@ -7608,6 +7655,9 @@ def queries():
         "el_rule_coverage": q_el_rule_coverage,
         "char_trigram_logprob": q_char_trigram_logprob,
         "embed_pair_hist": q_embed_pair_hist,
+        "doc_containment": q_doc_containment,
+        "comention_degree_hist": q_comention_degree_hist,
+        "minhash_band_stats": q_minhash_band_stats,
     }
 
 
@@ -10535,3 +10585,130 @@ def q_embed_pair_hist(sf_dir: str):
     q_ids = head["vec_id"].to_numpy("int64")
     return embed_pair_hist(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), Q, q_ids)
+
+
+def q_doc_containment(sf_dir: str):
+    """Asymmetric n-gram containment near-dup pairs over the planted
+    corpus (el/ops/dedup.py::ngram_containment_pairs): catches
+    sub-document duplication the symmetric Jaccard misses."""
+    from .ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_planted_dups(sf_dir), threshold=0.6)
+
+
+def q_comention_degree_hist(sf_dir: str):
+    """Degree distribution of the undirected co-mention graph: one row
+    per degree with the node count — the skew diagnostic read before
+    sizing the triangle/pagerank stages (heavy-tail degrees are what
+    the 4k wedge cap and hot-key salting exist for).
+
+    Scale shape: distinct co-mention edges (one conv exchange, the
+    comention_counts chain) -> both directions -> per-batch src count
+    partials -> ONE src exchange for exact degrees -> degree-bounded
+    histogram partials -> single-partition merge."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .shuffle import group_blocks
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": pd.Series(dtype=str),
+                                 "c": pd.Series(dtype="int64")})
+        out = pd.DataFrame({
+            "s": pd.concat([df["s1"], df["s2"]], ignore_index=True)}) \
+            .groupby("s", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = comention_counts(gm).map_batches(both_dirs,
+                                             batch_format="pandas")
+
+    def degrees(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"degree": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        d = df.groupby("s", as_index=False)["c"].sum()
+        out = d.groupby("c", as_index=False).size() \
+            .rename(columns={"c": "degree", "size": "c"})
+        out["degree"] = out["degree"].astype("int64")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    hist_parts = group_blocks(parts, ["s"], degrees,
+                              batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"degree": "int64", "n_nodes": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("degree", as_index=False)["c"].sum() \
+            .rename(columns={"c": "n_nodes"})
+        return out.astype(cols).sort_values("degree") \
+            .reset_index(drop=True)[list(cols)]
+
+    return hist_parts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def q_minhash_band_stats(sf_dir: str):
+    """LSH bucket-size distribution of the minhash banding (64 perms,
+    16 bands — the minhash_dedup setting): one row per bucket size
+    with how many buckets have it and the candidate-pair volume those
+    buckets imply — THE tuning read before running LSH dedup at scale
+    (a heavy bucket is quadratic work; this is where you see it
+    before paying for it).
+
+    Scale shape: vectorized signature map (the cached MinHasher),
+    ONE bucket exchange for exact bucket sizes, size-bounded histogram
+    partials, single-partition merge. The engine buckets on the
+    splitmix64 band key and the oracle on the raw band-value
+    string_agg — injective up to 2^-63 collisions, so the size
+    multiset replays exactly (the minhash_dedup contract).
+    Out: (bucket_size, n_buckets, cand_pairs)."""
+    from .ops.dedup import _cached_minhasher
+    from .shuffle import group_blocks
+
+    docs = _planted_dups(sf_dir)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        return _cached_minhasher(64, 16, 3)(df)
+
+    rows = docs.map_batches(sigs, batch_format="pandas")
+
+    def bucket_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"size": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        s = df.groupby("bucket", as_index=False).size() \
+            .rename(columns={"size": "sz"})
+        out = s.groupby("sz", as_index=False).size() \
+            .rename(columns={"sz": "size", "size": "c"})
+        return out.astype(cols)
+
+    parts = group_blocks(rows, ["bucket"], bucket_sizes,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket_size": "int64", "n_buckets": "int64",
+                "cand_pairs": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("size", as_index=False)["c"].sum() \
+            .rename(columns={"size": "bucket_size", "c": "n_buckets"})
+        sz = out["bucket_size"].to_numpy("int64")
+        out["cand_pairs"] = out["n_buckets"].to_numpy("int64") \
+            * (sz * (sz - 1) // 2)
+        return out.astype(cols).sort_values("bucket_size") \
+            .reset_index(drop=True)[list(cols)]
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)

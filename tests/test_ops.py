@@ -1686,3 +1686,68 @@ def test_embed_pair_hist_bruteforce(ray_session):
     got = out.set_index("bin")["n"]
     assert got.to_dict() == want.to_dict()
     assert int(out["n"].sum()) == 4 * n - 4
+
+
+def test_ngram_containment_subdocument(ray_session):
+    import ray.data
+
+    from el.ops.dedup import ngram_containment_pairs, word_shingles
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa llama mu nu xi omicron pi " \
+        "rho sigma tau upsilon phi chi psi omega one two three four"
+    other = "completely different words in this entirely other text"
+    docs = pd.DataFrame({"doc_id": np.array([1, 2, 3], dtype="int64"),
+                         "text": [small, big, other]})
+    out = ngram_containment_pairs(
+        ray.data.from_pandas(docs).repartition(2), threshold=0.6) \
+        .to_pandas()
+    # the small doc is fully contained in the big one
+    row = out[(out["d1"] == 1) & (out["d2"] == 2)]
+    assert len(row) == 1
+    s_small = set(word_shingles(small, 3))
+    s_big = set(word_shingles(big, 3))
+    co = len(s_small & s_big)
+    assert int(row["co"].iloc[0]) == co
+    assert abs(row["c1"].iloc[0] - co / len(s_small)) < 1e-6
+    assert abs(row["c2"].iloc[0] - co / len(s_big)) < 1e-6
+    assert row["c1"].iloc[0] == 1.0  # full containment on the small side
+    assert row["c2"].iloc[0] < 0.6   # jaccard-style symmetric would miss
+    # the unrelated doc pairs with nobody
+    assert not ((out["d1"] == 3) | (out["d2"] == 3)).any()
+
+
+def test_minhash_band_stats_consistency(ray_session):
+    from el.queries import q_minhash_band_stats
+
+    out = q_minhash_band_stats("/root/testdata/sf0.001").to_pandas()
+    from el.queries import _planted_dups
+    n_docs = _planted_dups("/root/testdata/sf0.001").count()
+    # every doc emits exactly 16 band rows
+    assert int((out["bucket_size"] * out["n_buckets"]).sum()) \
+        == 16 * n_docs
+    # cand_pairs consistent with sizes
+    sz = out["bucket_size"].to_numpy()
+    assert (out["cand_pairs"] == out["n_buckets"] *
+            (sz * (sz - 1) // 2)).all()
+
+
+def test_comention_degree_hist_bruteforce(ray_session):
+    from el.queries import q_comention_degree_hist
+    import pyarrow.parquet as pq
+    from el.fixtures import ensure_fixture
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    out = q_comention_degree_hist(sf).to_pandas()
+    fd = ensure_fixture(sf)
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["conv_id", "surface"]).to_pandas()
+    m = gm.drop_duplicates()
+    e = m.merge(m, on="conv_id")
+    e = e[e["surface_x"] < e["surface_y"]] \
+        .drop_duplicates(["surface_x", "surface_y"])
+    deg = pd.concat([e["surface_x"], e["surface_y"]]).value_counts()
+    want = deg.value_counts().sort_index()
+    got = out.set_index("degree")["n_nodes"]
+    assert got.to_dict() == {int(k): int(v) for k, v in want.items()}
