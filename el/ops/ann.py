@@ -995,6 +995,30 @@ def silhouette(emb_ds, *, num_partitions: int | None = None):
                         num_partitions=num_partitions)
 
 
+def _gram_partial(t: pa.Table) -> pd.DataFrame:
+    """Per-batch exact integer Gram partial on the 1e-6 component
+    grid: upper-triangle S = Q^T Q, column sums m, row count n —
+    shared by covariance() and pca_power()."""
+    cols = {"i": "int64", "j": "int64", "s": "int64",
+            "mi": "int64", "mj": "int64", "n": "int64"}
+    if t.num_rows == 0:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in cols.items()})
+    Q = np.floor(_matrix_from_arrow(t.column("embedding")) * 1e6
+                 + 0.5).astype(np.int64)
+    n, d = Q.shape
+    S = Q.T @ Q
+    m = Q.sum(axis=0)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({
+        "i": iu.astype("int64") + 1,
+        "j": ju.astype("int64") + 1,
+        "s": S[iu, ju],
+        "mi": m[iu],
+        "mj": m[ju],
+        "n": np.full(len(iu), n, dtype="int64")})
+
+
 def covariance(emb_ds, *, num_partitions: int | None = None):
     """Distributed covariance matrix of the embedding table — the
     Gram-matrix building block of PCA / whitening / drift detection.
@@ -1009,27 +1033,7 @@ def covariance(emb_ds, *, num_partitions: int | None = None):
     one-partition merge — NO row-scale exchange. Out: (dim_i, dim_j,
     n, cov[9dp]) for i <= j (symmetric upper triangle)."""
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        cols = {"i": "int64", "j": "int64", "s": "int64",
-                "mi": "int64", "mj": "int64", "n": "int64"}
-        if t.num_rows == 0:
-            return pd.DataFrame({k: pd.Series(dtype=v)
-                                 for k, v in cols.items()})
-        Q = np.floor(_matrix_from_arrow(t.column("embedding")) * 1e6
-                     + 0.5).astype(np.int64)
-        n, d = Q.shape
-        S = Q.T @ Q
-        m = Q.sum(axis=0)
-        iu, ju = np.triu_indices(d)
-        return pd.DataFrame({
-            "i": iu.astype("int64") + 1,
-            "j": ju.astype("int64") + 1,
-            "s": S[iu, ju],
-            "mi": m[iu],
-            "mj": m[ju],
-            "n": np.full(len(iu), n, dtype="int64")})
-
-    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+    parts = emb_ds.map_batches(_gram_partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"dim_i": "int64", "dim_j": "int64", "n": "int64",
@@ -1124,3 +1128,70 @@ def embed_pair_hist(emb_ds, queries: np.ndarray, q_ids: np.ndarray):
 
     return parts.repartition(1).map_batches(merge, batch_format="pandas",
                                             batch_size=None)
+
+
+def pca_power(emb_ds, *, iters: int = 6):
+    """Top principal direction via INTEGER power iteration — the PCA
+    step on top of covariance()'s exact Gram partials, kept
+    bit-deterministic end to end so a DuckDB oracle can replay every
+    iteration: M = n*S - m m^T (the covariance numerator on the 1e-6
+    component grid — a positive scaling, so eigenvectors are
+    unchanged), v_0 = 1e6 * ones, and each step is
+    w = M v; v' = trunc(w * 1e6 / max|w|) with Python arbitrary-
+    precision integers (DuckDB replays in HUGEINT with its
+    truncating // — verified semantics match for negatives).
+
+    Scale shape: the DISTRIBUTED part is the one streamed Gram scan
+    (d^2-bounded integer partials, the covariance() contract); the
+    iteration itself is O(d^2) per step on d x d driver state —
+    bounded, never row-scale. Envelope guard: |w| * 1e6 must stay
+    under 2^127 so the HUGEINT replay is exact; raises loudly
+    otherwise. Out: (dim, v_grid) — the direction on the 1e6 grid,
+    sign as the iteration produces it (deterministic from v_0 > 0)."""
+    import ray
+
+    parts = emb_ds.map_batches(_gram_partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"i": "int64", "j": "int64", "s": "int64",
+                "mi": "int64", "mj": "int64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        chk = df["s"].astype("float64").abs() \
+            .groupby([df["i"], df["j"]]).sum()
+        if len(chk) and chk.max() >= 2.0**62:
+            raise OverflowError(
+                "pca_power: integer Gram partial sum exceeds the "
+                "int64 envelope; coarsen the component grid")
+        g = df.groupby(["i", "j"], as_index=False)[
+            ["s", "mi", "mj", "n"]].sum()
+        return g.astype(cols)
+
+    rows = parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None).take_all()
+    if not rows:
+        return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                             "v_grid": pd.Series(dtype="int64")})
+    d = max(r["j"] for r in rows)
+    n = int(rows[0]["n"])
+    M = [[0] * d for _ in range(d)]
+    for r in rows:
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        mv = n * int(r["s"]) - int(r["mi"]) * int(r["mj"])
+        M[i][j] = mv
+        M[j][i] = mv
+    v = [10**6] * d
+    for _ in range(iters):
+        w = [sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            raise ValueError("pca_power: zero covariance matrix")
+        if mx * 10**6 >= 2**127:
+            raise OverflowError(
+                "pca_power: iterate exceeds the HUGEINT replay "
+                "envelope; coarsen the component grid")
+        # DuckDB's HUGEINT // truncates toward zero; replicate exactly
+        v = [(abs(x) * 10**6) // mx * (1 if x >= 0 else -1) for x in w]
+    return pd.DataFrame({"dim": np.arange(1, d + 1, dtype="int64"),
+                         "v_grid": np.array(v, dtype="int64")})

@@ -426,3 +426,51 @@ def turn_latency(transcripts_ds):
 
     return group_blocks(parts, ["role_from", "role_to"], merge,
                         batch_format="pandas")
+
+
+_VO_SCHEMA = {"conv_id": str, "n_user_vocab": "int64",
+              "n_assistant_vocab": "int64", "n_shared": "int64",
+              "jaccard": "float64"}
+
+
+def vocab_overlap_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-conversation kernel: distinct lowercase token vocabularies
+    of the user and assistant turns and their Jaccard overlap — the
+    lexical-alignment signal (parroting assistants score high,
+    off-topic ones near zero). Tool turns are excluded on both
+    sides."""
+    from .textstats import round_half_away
+
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _VO_SCHEMA.items()})
+    df = df[df["role"].isin(("user", "assistant"))]
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _VO_SCHEMA.items()})
+    toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+    rows = []
+    e = df.assign(t=toks)[["conv_id", "role", "t"]].explode("t")
+    e = e[e["t"].notna()].drop_duplicates(["conv_id", "role", "t"])
+    for cid, g in e.groupby("conv_id", sort=False):
+        u = set(g.loc[g["role"] == "user", "t"])
+        a = set(g.loc[g["role"] == "assistant", "t"])
+        inter = len(u & a)
+        union = len(u | a)
+        rows.append((cid, len(u), len(a), inter,
+                     round_half_away(inter / union, 6)
+                     if union else 0.0))
+    out = pd.DataFrame(rows, columns=list(_VO_SCHEMA))
+    return out.astype(_VO_SCHEMA)
+
+
+def vocab_overlap(transcripts_ds):
+    """Per-conversation user/assistant vocabulary Jaccard.
+
+    Scale shape: ONE conv_id exchange (conversations are tiny vs
+    blocks), in-block distinct-token set arithmetic, integer counts +
+    one rounded division. Out: (conv_id, n_user_vocab,
+    n_assistant_vocab, n_shared, jaccard)."""
+    ds = transcripts_ds.select_columns(["conv_id", "role", "text"])
+    return group_blocks(ds, ["conv_id"], vocab_overlap_block,
+                        batch_format="pandas")

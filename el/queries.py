@@ -3630,6 +3630,55 @@ def _minhash_cte_chain() -> str:
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 
+def _pca_power_sql(iters: int = 6) -> str:
+    """Unrolled integer power iteration in HUGEINT — replays
+    el/ops/ann.py::pca_power bit-for-bit: M = n*S - m m^T on the 1e-6
+    grid, v0 = 1e6, each step w = M v; v' = (w * 1e6) // max|w|
+    (DuckDB's // truncates toward zero, matching the engine's
+    sign-split trunc division)."""
+    chain = """
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS HUGEINT) AS qv
+            FROM e
+        ),
+        g AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   sum(a.qv * b.qv) AS s,
+                   sum(a.qv) AS mi, sum(b.qv) AS mj,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM q a JOIN q b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        ),
+        mm AS (SELECT i, j, n * s - mi * mj AS mv FROM g),
+        v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v
+               FROM mm)"""
+    prev = "v0"
+    for it in range(1, iters + 1):
+        chain += f""",
+        w{it} AS (
+            SELECT mm.i AS dim, sum(mm.mv * {prev}.v) AS w
+            FROM mm JOIN {prev} ON {prev}.dim = mm.j
+            GROUP BY mm.i
+        ),
+        n{it} AS (SELECT max(abs(w)) AS mx FROM w{it}),
+        v{it} AS (
+            SELECT dim, (w * 1000000) // n{it}.mx AS v
+            FROM w{it}, n{it}
+        )"""
+        prev = f"v{it}"
+    chain += f"""
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_grid
+        FROM {prev}"""
+    return chain
+
+
 def oracle_sql() -> dict[str, str]:
     from .ops.er import (_MONGE_ELKAN_SQL, _TRIGRAM_SIM_SQL,
                          SOFT_TFIDF_THETA)
@@ -5048,6 +5097,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON co.d1 = s1.doc_id
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
+        """,
+        "embed_pca_power": _pca_power_sql(),
+        "conv_vocab_overlap": f"""
+            WITH t AS (
+                SELECT conv_id, role,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS tok
+                FROM {tr} WHERE role IN ('user', 'assistant')
+            ),
+            d AS (SELECT DISTINCT conv_id, role, tok FROM t),
+            s AS (
+                SELECT conv_id, tok, count(DISTINCT role) AS nr
+                FROM d GROUP BY conv_id, tok
+            ),
+            agg AS (
+                SELECT d.conv_id,
+                       CAST(count(*) FILTER (role = 'user') AS BIGINT)
+                           AS n_user_vocab,
+                       CAST(count(*) FILTER (role = 'assistant')
+                            AS BIGINT) AS n_assistant_vocab
+                FROM d GROUP BY d.conv_id
+            ),
+            sh AS (
+                SELECT conv_id,
+                       CAST(count(*) FILTER (nr = 2) AS BIGINT)
+                           AS n_shared
+                FROM s GROUP BY conv_id
+            )
+            SELECT a.conv_id, a.n_user_vocab, a.n_assistant_vocab,
+                   sh.n_shared,
+                   CASE WHEN a.n_user_vocab + a.n_assistant_vocab
+                             - sh.n_shared = 0 THEN 0.0
+                        ELSE {_roundsql(
+                            'CAST(sh.n_shared AS DOUBLE) '
+                            '/ (a.n_user_vocab + a.n_assistant_vocab '
+                            '- sh.n_shared)', 6)}
+                   END AS jaccard
+            FROM agg a JOIN sh USING (conv_id)
+        """,
+        "tpch_q9": """
+            WITH base AS (
+                SELECT s_nationkey,
+                       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))
+                       - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(l_quantity + 0.5) AS BIGINT) * 100
+                           AS profit
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                         AND p_name LIKE '%red%'
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+            )
+            SELECT n_name AS nation, o_year,
+                   floor(CAST(sum(profit) AS DOUBLE) / 10000.0 * 100
+                         + 0.5) / 100 AS profit
+            FROM base JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
         """,
         "minhash_band_stats": f"""
             WITH {_PLANTED_SHINGLES_CTE},
@@ -7658,6 +7767,9 @@ def queries():
         "doc_containment": q_doc_containment,
         "comention_degree_hist": q_comention_degree_hist,
         "minhash_band_stats": q_minhash_band_stats,
+        "tpch_q9": q_tpch_q9,
+        "conv_vocab_overlap": q_conv_vocab_overlap,
+        "embed_pca_power": q_embed_pca_power,
     }
 
 
@@ -10712,3 +10824,197 @@ def q_minhash_band_stats(sf_dir: str):
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit (adapted: no partsupp table in
+    this catalog, so unit cost is p_retailprice; the part filter is
+    p_name LIKE '%red%'): profit per (supplier nation, order year)
+    where profit = extendedprice*(1-discount) -
+    retailprice*quantity, all in exact 1e-4-dollar integer units.
+
+    Scale shape: the q8 skeleton — FOUR chained tagged-union hash
+    exchanges (partkey attaches the name-filtered part's retail
+    cents; suppkey the supplier nation; orderkey the order year;
+    the custless fold groups (nation, year) integer partials) with
+    per-batch pre-aggregation after the part join and loud 2^53
+    envelope guards. Out: (nation, o_year, profit[2dp])."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int),
+                       nat["n_name"].astype(str)))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"])
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+        disc = np.floor(df["l_discount"].to_numpy() * 100 + 0.5)
+        rev = cents * (100 - disc)  # 1e-4 dollars
+        qty = np.floor(df["l_quantity"].to_numpy() + 0.5)
+        if len(rev) and np.max(np.abs(rev)) >= 2.0**53:
+            raise OverflowError(
+                "tpch_q9: per-line revenue exceeds the float64 "
+                "integer-exact envelope (2^53); widen to decimal")
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["l_partkey"].astype("int64")),
+            "okey": pa.array(df["l_orderkey"].astype("int64")),
+            "skey": pa.array(df["l_suppkey"].astype("int64")),
+            "rev": pa.array(rev.astype("int64")),
+            "qty": pa.array(qty.astype("int64")),
+            "rc": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["p_name"].str.contains("red", regex=False)]
+        rc = np.floor(df["p_retailprice"].to_numpy() * 100 + 0.5)
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["p_partkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "skey": pa.nulls(n, pa.int64()),
+            "rev": pa.nulls(n, pa.int64()),
+            "qty": pa.nulls(n, pa.int64()),
+            "rc": pa.array(rc.astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged1 = li.map_batches(li_side, batch_format="pandas").union(
+        part.map_batches(part_side, batch_format="pandas"))
+
+    def join1(df: pd.DataFrame) -> pa.Table:
+        p = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "okey", "skey", "rev", "qty"]].merge(
+            p[["k", "rc"]], on="k")
+        if len(j):
+            # profit in 1e-4 dollars: rev - retail_cents * qty * 100
+            cost = j["rc"].to_numpy("int64") * j["qty"].to_numpy("int64") \
+                * 100
+            if np.max(np.abs(cost)) >= 2**53:
+                raise OverflowError(
+                    "tpch_q9: per-line cost exceeds the integer-exact "
+                    "envelope; widen to decimal")
+            j = j.assign(profit=j["rev"].to_numpy("int64") - cost)
+        else:
+            j = j.assign(profit=pd.Series(dtype="int64"))
+        j = j.groupby(["skey", "okey"], as_index=False)["profit"].sum()
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["skey"].astype("int64")),
+            "okey": pa.array(j["okey"].astype("int64")),
+            "profit": pa.array(j["profit"].astype("int64")),
+            "snat": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "okey": pa.nulls(n, pa.int64()),
+            "profit": pa.nulls(n, pa.int64()),
+            "snat": pa.array(df["s_nationkey"].astype("int64")),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged2 = group_blocks(tagged1, ["k"], join1,
+                           batch_format="pandas").union(
+        supp.map_batches(supp_side, batch_format="pandas"))
+
+    def join2(df: pd.DataFrame) -> pa.Table:
+        s = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "okey", "profit"]].merge(s[["k", "snat"]], on="k")
+        n = len(j)
+        return pa.table({
+            "k": pa.array(j["okey"].astype("int64")),
+            "profit": pa.array(j["profit"].astype("int64")),
+            "snat": pa.array(j["snat"].astype("int64")),
+            "year": pa.nulls(n, pa.int64()),
+            "tag": pa.array([0] * n, pa.int64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        year = df["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype("int64") + 1970
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["o_orderkey"].astype("int64")),
+            "profit": pa.nulls(n, pa.int64()),
+            "snat": pa.nulls(n, pa.int64()),
+            "year": pa.array(year),
+            "tag": pa.array([1] * n, pa.int64())})
+
+    tagged3 = group_blocks(tagged2, ["k"], join2,
+                           batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas"))
+
+    def join3_fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"snat": "int64", "year": "int64", "profit": "int64"}
+        o = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l[["k", "profit", "snat"]].merge(o[["k", "year"]], on="k")
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = j.groupby(["snat", "year"], as_index=False)["profit"].sum()
+        return out.astype(cols)
+
+    parts = group_blocks(tagged3, ["k"], join3_fold,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": str, "o_year": "int64", "profit": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["snat", "year"], as_index=False)["profit"].sum()
+        return pd.DataFrame({
+            "nation": out["snat"].astype(int).map(name_of).astype(str)
+            .to_numpy(),
+            "o_year": out["year"].astype("int64").to_numpy(),
+            "profit": np.floor(out["profit"].to_numpy("int64") / 10000.0
+                               * 100 + 0.5) / 100,
+        }).sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_conv_vocab_overlap(sf_dir: str):
+    """Per-conversation user/assistant vocabulary Jaccard
+    (el/ops/dialogue.py::vocab_overlap) — the lexical-alignment
+    curation signal."""
+    from .ops.dialogue import vocab_overlap
+
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    tr = ray.data.read_parquet(
+        os.path.join(fd, "transcripts.parquet"),
+        columns=["conv_id", "role", "text"])
+    return vocab_overlap(tr)
+
+
+def q_embed_pca_power(sf_dir: str):
+    """Top principal direction of the embedding table via integer
+    power iteration (el/ops/ann.py::pca_power): one distributed exact
+    Gram scan, then a d x d driver iteration the oracle replays
+    unrolled in HUGEINT."""
+    from .ops.ann import pca_power
+
+    return pca_power(_read(sf_dir, "embeddings",
+                           columns=["embedding"]))

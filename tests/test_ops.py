@@ -1751,3 +1751,55 @@ def test_comention_degree_hist_bruteforce(ray_session):
     want = deg.value_counts().sort_index()
     got = out.set_index("degree")["n_nodes"]
     assert got.to_dict() == {int(k): int(v) for k, v in want.items()}
+
+
+def test_pca_power_matches_numpy_direction(ray_session):
+    import ray.data
+
+    from el.ops.ann import pca_power
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 12
+    # anisotropic cloud with a dominant direction
+    base = rng.normal(size=(n, d))
+    base[:, 0] *= 6.0
+    R = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    X = base @ R
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [x.astype(np.float32).tolist() for x in X],
+    })
+    out = pca_power(ray.data.from_pandas(emb).repartition(4)) \
+        .sort_values("dim")
+    v = out["v_grid"].to_numpy(np.float64)
+    v = v / np.linalg.norm(v)
+    # reference eigenvector of the (quantized-grid) covariance
+    Xq = np.floor(np.array([np.asarray(e, np.float64)
+                            for e in emb["embedding"]]) * 1e6 + 0.5)
+    C = np.cov(Xq.T, bias=True)
+    w, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    assert abs(abs(v @ top) - 1.0) < 1e-3
+
+
+def test_conv_vocab_overlap_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.dialogue import vocab_overlap
+
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 3 + ["b"] * 2,
+        "role": ["user", "assistant", "tool", "user", "assistant"],
+        "text": ["the cat sat", "the dog sat!", "IGNORED tokens",
+                 "alpha beta", "gamma delta"],
+    })
+    out = vocab_overlap(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("conv_id").sort_index()
+    # conv a: user={the,cat,sat}, asst={the,dog,sat}: shared 2, union 4
+    assert out.loc["a", "n_user_vocab"] == 3
+    assert out.loc["a", "n_assistant_vocab"] == 3
+    assert out.loc["a", "n_shared"] == 2
+    assert abs(out.loc["a", "jaccard"] - 0.5) < 1e-9
+    # conv b: disjoint
+    assert out.loc["b", "n_shared"] == 0
+    assert out.loc["b", "jaccard"] == 0.0
