@@ -3630,7 +3630,7 @@ def _minhash_cte_chain() -> str:
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 
-def _pca_power_sql(iters: int = 6) -> str:
+def _pca_power_sql(iters: int = 6, final: str | None = None) -> str:
     """Unrolled integer power iteration in HUGEINT — replays
     el/ops/ann.py::pca_power bit-for-bit: M = n*S - m m^T on the 1e-6
     grid, v0 = 1e6, each step w = M v; v' = (w * 1e6) // max|w|
@@ -3673,9 +3673,11 @@ def _pca_power_sql(iters: int = 6) -> str:
             FROM w{it}, n{it}
         )"""
         prev = f"v{it}"
-    chain += f"""
+    if final is None:
+        final = f"""
         SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_grid
         FROM {prev}"""
+    chain += final
     return chain
 
 
@@ -5099,6 +5101,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
         "embed_pca_power": _pca_power_sql(),
+        "embed_pca_scores": _pca_power_sql(final="""
+        SELECT q.vec_id,
+               CAST(sum(q.qv * v6.v) AS BIGINT) AS score_grid
+        FROM q JOIN v6 ON v6.dim = q.dim
+        GROUP BY q.vec_id"""),
+        "near_dup_cluster_sizes": f"""
+            WITH RECURSIVE {_PLANTED_SHINGLES_CTE},
+            {_minhash_cte_chain()},
+            dup AS (
+                SELECT co.d1, co.d2
+                FROM co
+                JOIN sizes s1 ON co.d1 = s1.doc_id
+                JOIN sizes s2 ON co.d2 = s2.doc_id
+                WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.8
+            ),
+            und AS (
+                SELECT d1 AS a, d2 AS b FROM dup
+                UNION SELECT d2, d1 FROM dup
+            ),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            canon AS (
+                SELECT node, min(lab) AS canonical_id FROM reach
+                GROUP BY node
+            ),
+            res AS (
+                SELECT d.doc_id,
+                       COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+                FROM docs d LEFT JOIN canon c ON c.node = d.doc_id
+            ),
+            cs AS (
+                SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+                FROM res GROUP BY 1
+            )
+            SELECT sz AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cs GROUP BY sz
+        """,
+        "cross_source_dups": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            co AS (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS co
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id),
+            jp AS (
+                SELECT co.d1, co.d2
+                FROM co
+                JOIN sizes s1 ON co.d1 = s1.doc_id
+                JOIN sizes s2 ON co.d2 = s2.doc_id
+                WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
+            ),
+            src AS (
+                SELECT jp.d1, jp.d2,
+                       da.source AS sa, db.source AS sb
+                FROM jp
+                JOIN documents da ON da.doc_id = jp.d1 % 1000000
+                JOIN documents db ON db.doc_id = jp.d2 % 1000000
+            )
+            SELECT least(sa, sb) AS source_1,
+                   greatest(sa, sb) AS source_2,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM src GROUP BY 1, 2
+        """,
         "conv_vocab_overlap": f"""
             WITH t AS (
                 SELECT conv_id, role,
@@ -7770,6 +7841,9 @@ def queries():
         "tpch_q9": q_tpch_q9,
         "conv_vocab_overlap": q_conv_vocab_overlap,
         "embed_pca_power": q_embed_pca_power,
+        "embed_pca_scores": q_embed_pca_scores,
+        "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
+        "cross_source_dups": q_cross_source_dups,
     }
 
 
@@ -11018,3 +11092,159 @@ def q_embed_pca_power(sf_dir: str):
 
     return pca_power(_read(sf_dir, "embeddings",
                            columns=["embedding"]))
+
+
+def q_near_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the near-dup resolution: one row per
+    cluster size with how many canonical clusters have it — the
+    dedup-rate summary a curation report leads with.
+
+    Scale shape: composes near_dup_resolve (task-shuffle LSH + CC),
+    then ONE canonical_id exchange for exact cluster sizes and a
+    size-bounded histogram merge."""
+    from .shuffle import group_blocks
+
+    res = q_near_dup_resolve(sf_dir)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"size": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        s = df.groupby("canonical_id", as_index=False).size() \
+            .rename(columns={"size": "sz"})
+        out = s.groupby("sz", as_index=False).size() \
+            .rename(columns={"sz": "size", "size": "c"})
+        return out.astype(cols)
+
+    parts = group_blocks(res, ["canonical_id"], sizes,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cluster_size": "int64", "n_clusters": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("size", as_index=False)["c"].sum() \
+            .rename(columns={"size": "cluster_size", "c": "n_clusters"})
+        return out.astype(cols).sort_values("cluster_size") \
+            .reset_index(drop=True)[list(cols)]
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source near-duplication matrix: for every unordered
+    source pair, how many near-dup pairs (exact n-gram jaccard >= 0.5
+    over the planted corpus) span it — the provenance-leakage report
+    (the same article syndicated across crawls shows up here before
+    it poisons a held-out split).
+
+    Scale shape: the inverted-index pair chain (ngram_jaccard), then
+    planted ids fold back to their base doc (doc_id % 1e6) and TWO
+    tagged key exchanges attach each side's source (the hash-join
+    idiom — documents is corpus-scale, never broadcast); per-block
+    source^2-bounded count partials and a tiny merge."""
+    from .ops.dedup import ngram_jaccard_pairs
+    from .shuffle import group_blocks
+
+    pairs = ngram_jaccard_pairs(_planted_dups(sf_dir), threshold=0.5)
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": (df["d1"].astype("int64") % 1_000_000),
+            "kind": "p",
+            "other": (df["d2"].astype("int64") % 1_000_000),
+            "s1": pd.Series([""] * len(df), dtype=str),
+            "src": pd.Series([""] * len(df), dtype=str)})
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"),
+            "kind": "s",
+            "other": np.int64(0),
+            "s1": pd.Series([""] * len(df), dtype=str),
+            "src": df["source"].astype(str)})
+
+    u1 = pairs.map_batches(pair_rows, batch_format="pandas").union(
+        docs.map_batches(doc_rows, batch_format="pandas"))
+
+    def attach1(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"key": "int64", "kind": str, "other": "int64",
+                "s1": str, "src": str}
+        s = df[df["kind"] == "s"]
+        p = df[df["kind"] == "p"].copy()
+        if len(p) == 0:
+            return s[list(cols)].astype(cols)
+        smap = s.set_index("key")["src"]
+        p["s1"] = p["key"].map(smap).fillna("").astype(str)
+        p["key"] = p["other"]
+        return pd.concat([s, p], ignore_index=True)[list(cols)] \
+            .astype(cols)
+
+    r1 = group_blocks(u1, ["key"], attach1, batch_format="pandas")
+
+    def attach2(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source_1": str, "source_2": str, "c": "int64"}
+        p = df[df["kind"] == "p"].copy()
+        if len(p) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        smap = df[df["kind"] == "s"].set_index("key")["src"]
+        s2 = p["key"].map(smap).fillna("").astype(str)
+        a = np.minimum(p["s1"].to_numpy(dtype=object),
+                       s2.to_numpy(dtype=object))
+        b = np.maximum(p["s1"].to_numpy(dtype=object),
+                       s2.to_numpy(dtype=object))
+        out = pd.DataFrame({"source_1": a, "source_2": b}) \
+            .groupby(["source_1", "source_2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype(cols)
+
+    parts = group_blocks(r1, ["key"], attach2, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source_1": str, "source_2": str, "n_pairs": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["source_1", "source_2"], as_index=False)["c"] \
+            .sum().rename(columns={"c": "n_pairs"})
+        return out.astype(cols).sort_values(["source_1", "source_2"]) \
+            .reset_index(drop=True)[list(cols)]
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_embed_pca_scores(sf_dir: str):
+    """Per-vector projection onto the top principal direction: exact
+    integer dot products of the 1e-6-grid components against
+    pca_power's 1e6-grid direction (el/ops/ann.py::pca_power fit +
+    one broadcast scoring pass; the oracle recomputes the direction
+    with the same unrolled HUGEINT chain and joins). Out: (vec_id,
+    score_grid)."""
+    import ray
+
+    from .ops.ann import _matrix_from_arrow, pca_power
+
+    v = pca_power(_read(sf_dir, "embeddings", columns=["embedding"]))
+    v_ref = ray.put(v["v_grid"].to_numpy("int64"))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        cols = {"vec_id": "int64", "score_grid": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({k: pd.Series(dtype=vv)
+                                 for k, vv in cols.items()})
+        vv = ray.get(v_ref)
+        Q = np.floor(_matrix_from_arrow(t.column("embedding")) * 1e6
+                     + 0.5).astype(np.int64)
+        s = Q @ vv  # |q| <= 2e6, |v| <= 1e6, d=64 -> < 1.3e14, exact
+        return pd.DataFrame({
+            "vec_id": t.column("vec_id").to_numpy().astype("int64"),
+            "score_grid": s.astype("int64")})
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow")

@@ -1803,3 +1803,44 @@ def test_conv_vocab_overlap_bruteforce(ray_session):
     # conv b: disjoint
     assert out.loc["b", "n_shared"] == 0
     assert out.loc["b", "jaccard"] == 0.0
+
+
+def test_near_dup_cluster_sizes_total(ray_session):
+    from el.queries import _planted_dups, q_near_dup_cluster_sizes
+
+    sf = "/root/testdata/sf0.001"
+    out = q_near_dup_cluster_sizes(sf).to_pandas()
+    n_docs = _planted_dups(sf).count()
+    assert int((out["cluster_size"] * out["n_clusters"]).sum()) == n_docs
+    # planted near-dups guarantee some multi-doc clusters
+    assert (out["cluster_size"] >= 2).any()
+
+
+def test_cross_source_dups_consistency(ray_session):
+    from el.queries import q_cross_source_dups, q_ngram_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cross_source_dups(sf).to_pandas()
+    n_pairs = len(q_ngram_jaccard(sf).to_pandas())
+    assert int(out["n_pairs"].sum()) == n_pairs
+    assert (out["source_1"] <= out["source_2"]).all()
+
+
+def test_embed_pca_scores_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from el.ops.ann import pca_power
+    from el.queries import q_embed_pca_scores, _read
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embed_pca_scores(sf).to_pandas().set_index("vec_id") \
+        .sort_index()
+    v = pca_power(_read(sf, "embeddings", columns=["embedding"])) \
+        .sort_values("dim")["v_grid"].to_numpy("int64")
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    Q = np.floor(np.array([np.asarray(e, np.float64)
+                           for e in t["embedding"]]) * 1e6 + 0.5) \
+        .astype(np.int64)
+    want = Q @ v
+    assert (got["score_grid"].to_numpy() == want).all()
