@@ -2345,3 +2345,108 @@ def rule_coverage(mentions_ds):
 
     return partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------- candidate ranking
+def candidate_topk(mentions_ds, *, k: int = 3, cap: int = 10_000):
+    """Ranked candidate list per mention: the top-``k`` other mentions
+    sharing an n:/p: blocking key, ordered by Jaro-Winkler similarity
+    of normalized surfaces (ties to the smaller candidate id) — the
+    reference's proximity-sorted candidate finder as a first-class
+    ranked surface (RunKBPEntityLinkerSystem.scala:45-49 composition +
+    the M10 proximity sort).
+
+    Scale shape: one bk exchange generates within-block ordered pairs
+    with both norms carried (loud cap per key, _block_pairs_frame
+    convention); one mention exchange dedupes cross-key pairs, scores
+    JW in ONE vectorized DuckDB pass per block (the scorer kernel,
+    bit-equal to jaro_winkler_similarity) and keeps the local top-k —
+    per-mention output is k-bounded. Out: (mention_id, candidate_id,
+    jw, rank)."""
+    ds = mentions_ds.select_columns(["mention_id", "surface"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mention_id": str, "norm": str, "bk": str}
+        if len(df) == 0:
+            return pd.DataFrame({k_: pd.Series(dtype=v)
+                                 for k_, v in cols.items()})
+        norm = _norm_series(df["surface"].astype(str))
+        mid = df["mention_id"].astype(str)
+        keep = norm != ""
+        out = [pd.DataFrame({"mention_id": mid[keep],
+                             "norm": norm[keep],
+                             "bk": "n:" + norm[keep]})]
+        first = norm[keep].str.split(" ").str[0]
+        pm = first.str.len() >= 3
+        if pm.any():
+            out.append(pd.DataFrame({
+                "mention_id": mid[keep][pm], "norm": norm[keep][pm],
+                "bk": "p:" + first[pm].str.slice(0, 6)}))
+        return pd.concat(out, ignore_index=True)[list(cols)]
+
+    keyed = ds.map_batches(keys, batch_format="pandas")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"m": str, "c": str, "mn": str, "cn": str}
+        rows = {k_: [] for k_ in cols}
+        if len(df) == 0:
+            return pd.DataFrame({k_: pd.Series(dtype=v)
+                                 for k_, v in cols.items()})
+        for bk, g in df.groupby("bk", sort=False):
+            g = g.drop_duplicates("mention_id")
+            n = len(g)
+            if n < 2:
+                continue
+            if n > cap:
+                raise ValueError(
+                    f"candidate_topk block {bk!r} holds {n} mentions "
+                    f"(> cap {cap}); route through the salted generator")
+            i, j = np.triu_indices(n, k=1)
+            ids = g["mention_id"].to_numpy(dtype=object)
+            ns = g["norm"].to_numpy(dtype=object)
+            # both directions: each side ranks the other as candidate
+            rows["m"].extend((ids[i], ids[j]))
+            rows["c"].extend((ids[j], ids[i]))
+            rows["mn"].extend((ns[i], ns[j]))
+            rows["cn"].extend((ns[j], ns[i]))
+        if not rows["m"]:
+            return pd.DataFrame({k_: pd.Series(dtype=v)
+                                 for k_, v in cols.items()})
+        return pd.DataFrame({k_: np.concatenate(v)
+                             for k_, v in rows.items()})
+
+    pairs = group_blocks(keyed, ["bk"], pairs_block,
+                         batch_format="pandas")
+
+    def rank_block(df: pd.DataFrame, _k: int = k) -> pd.DataFrame:
+        from ..scorer import _duck
+
+        cols = {"mention_id": str, "candidate_id": str,
+                "jw": "float64", "rank": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k_: pd.Series(dtype=v)
+                                 for k_, v in cols.items()})
+        d = df.drop_duplicates(["m", "c"]).reset_index(drop=True)
+        con = _duck()
+        view = pa.table({  # noqa: F841
+            "a": pa.array(d["mn"].astype(str), pa.string()),
+            "b": pa.array(d["cn"].astype(str), pa.string()),
+            "i": pa.array(np.arange(len(d), dtype=np.int64))})
+        con.register("ct_pairs", view)
+        jw = con.execute(
+            "SELECT floor(jaro_winkler_similarity(a, b) * 1e5 + 0.5)"
+            " / 1e5 AS jw FROM ct_pairs ORDER BY i").df()["jw"] \
+            .to_numpy(np.float64)
+        con.unregister("ct_pairs")
+        d = d.assign(jw=jw).sort_values(
+            ["m", "jw", "c"], ascending=[True, False, True],
+            kind="stable")
+        d["rank"] = d.groupby("m", sort=False).cumcount() + 1
+        d = d[d["rank"] <= _k]
+        return pd.DataFrame({
+            "mention_id": d["m"].astype(str),
+            "candidate_id": d["c"].astype(str),
+            "jw": d["jw"].astype("float64"),
+            "rank": d["rank"].astype("int64")})[list(cols)]
+
+    return group_blocks(pairs, ["m"], rank_block, batch_format="pandas")

@@ -807,3 +807,30 @@ def bigram_pmi(docs_ds, *, k: int = 100, min_count: int = 5,
     heads = with_c2.map_batches(score, batch_format="pandas")
     return heads.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)
+
+
+def split_assign(docs_ds, *, train_pct: int = 90, val_pct: int = 5):
+    """Deterministic hash-based train/val/test assignment: split =
+    md5(doc_id) mod 100 against the (train, val) thresholds — the
+    seedless, shardable split every training-data pipeline needs
+    (stable under re-runs, re-partitioning and corpus growth; no
+    global state, no exchange — embarrassingly parallel).
+    Out: (doc_id, source, split)."""
+    from ..scorer import md5_u64
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "source": str, "split": str}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        h = md5_u64([str(int(d)) for d in df["doc_id"]]) % np.uint64(100)
+        h = h.astype(np.int64)
+        split = np.where(h < train_pct, "train",
+                         np.where(h < train_pct + val_pct, "val",
+                                  "test"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "source": df["source"].astype(str).to_numpy(),
+            "split": split})
+
+    return docs_ds.map_batches(assign, batch_format="pandas")

@@ -5100,6 +5100,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "el_candidate_topk": f"""
+            WITH m AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            k AS (
+                SELECT mention_id, norm, 'n:' || norm AS bk FROM m
+                UNION ALL
+                SELECT mention_id, norm,
+                       'p:' || substr(split_part(norm, ' ', 1), 1, 6)
+                FROM m WHERE length(split_part(norm, ' ', 1)) >= 3
+            ),
+            p AS (
+                SELECT DISTINCT a.mention_id AS m1, b.mention_id AS m2,
+                       a.norm AS na, b.norm AS nb
+                FROM k a JOIN k b ON a.bk = b.bk
+                         AND a.mention_id != b.mention_id
+            ),
+            s AS (
+                SELECT m1, m2,
+                       floor(jaro_winkler_similarity(na, nb) * 1e5
+                             + 0.5) / 1e5 AS jw
+                FROM p
+            ),
+            r AS (
+                SELECT m1, m2, jw,
+                       row_number() OVER (PARTITION BY m1
+                                          ORDER BY jw DESC, m2) AS rk
+                FROM s
+            )
+            SELECT m1 AS mention_id, m2 AS candidate_id, jw,
+                   CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= 3
+        """,
+        "data_split_assign": """
+            SELECT doc_id, source,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 100 < 90 THEN 'train'
+                        WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "embed_pca_power": _pca_power_sql(),
         "embed_pca_scores": _pca_power_sql(final="""
         SELECT q.vec_id,
@@ -7844,6 +7887,8 @@ def queries():
         "embed_pca_scores": q_embed_pca_scores,
         "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
         "cross_source_dups": q_cross_source_dups,
+        "el_candidate_topk": q_el_candidate_topk,
+        "data_split_assign": q_data_split_assign,
     }
 
 
@@ -11248,3 +11293,28 @@ def q_embed_pca_scores(sf_dir: str):
 
     return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def q_el_candidate_topk(sf_dir: str):
+    """Top-3 JW-ranked blocking candidates per mention
+    (el/ops/er.py::candidate_topk) — the proximity-sorted candidate
+    finder surface (M10)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import candidate_topk
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+    return candidate_topk(gm, k=3)
+
+
+def q_data_split_assign(sf_dir: str):
+    """Deterministic md5-mod train/val/test assignment per document
+    (el/ops/prep.py::split_assign) — seedless, shardable, exchange-
+    free."""
+    from .ops.prep import split_assign
+
+    return split_assign(_read(sf_dir, "documents",
+                              ["doc_id", "source"]))

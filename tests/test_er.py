@@ -1055,3 +1055,35 @@ def test_rule_coverage_bruteforce(ray_session):
     assert out.loc["all", "n_pairs"] == len(pair_rules)
     assert out.loc["all", "tp_pairs"] == sum(
         1 for (a, b) in pair_rules if gold[a] == gold[b])
+
+
+def test_candidate_topk_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.er import _norm_series, candidate_topk
+    from el.sim import jaro_winkler
+
+    df = _mentions(40)
+    out = candidate_topk(ray.data.from_pandas(df).repartition(4), k=3) \
+        .to_pandas()
+
+    base = df.assign(norm=_norm_series(df["surface"]))
+    base = base[base["norm"] != ""]
+    keys = []
+    for _, r in base.iterrows():
+        keys.append((r["mention_id"], r["norm"], "n:" + r["norm"]))
+        first = r["norm"].split(" ")[0]
+        if len(first) >= 3:
+            keys.append((r["mention_id"], r["norm"], "p:" + first[:6]))
+    kdf = pd.DataFrame(keys, columns=["mid", "norm", "bk"])
+    j = kdf.merge(kdf, on="bk")
+    j = j[j["mid_x"] != j["mid_y"]].drop_duplicates(["mid_x", "mid_y"])
+    j["jw"] = [np.floor(jaro_winkler(a, b) * 1e5 + 0.5) / 1e5
+               for a, b in zip(j["norm_x"], j["norm_y"])]
+    j = j.sort_values(["mid_x", "jw", "mid_y"],
+                      ascending=[True, False, True], kind="stable")
+    j["rank"] = j.groupby("mid_x", sort=False).cumcount() + 1
+    want = j[j["rank"] <= 3]
+    got = set(zip(out["mention_id"], out["candidate_id"], out["rank"]))
+    exp = set(zip(want["mid_x"], want["mid_y"], want["rank"]))
+    assert got == exp

@@ -1046,3 +1046,23 @@ def test_zipf_slope_bruteforce(ray_session, tmp_path):
     assert abs(r["slope"] - slope) < 1e-4
     assert abs(r["intercept"] - intercept) < 1e-4
     assert -2.0 < r["slope"] < -0.3  # zipf-ish corpus fits a negative slope
+
+
+def test_split_assign_deterministic(ray_session):
+    import ray.data
+
+    from el.ops.prep import split_assign
+    from el.scorer import md5_u64
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                       "source": ["s"] * 200})
+    out = split_assign(ray.data.from_pandas(df).repartition(4)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    h = md5_u64([str(i) for i in range(200)]) % np.uint64(100)
+    for i in range(200):
+        want = ("train" if h[i] < 90 else
+                "val" if h[i] < 95 else "test")
+        assert out.loc[i, "split"] == want
+    # rough proportions hold on 200 docs
+    counts = out["split"].value_counts()
+    assert counts["train"] > 150
