@@ -5100,6 +5100,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "events_value_ecdf": f"""
+            WITH p AS (SELECT unnest([{', '.join(str(p) for p in ECDF_PROBES)}]) AS probe),
+            c AS (
+                SELECT e.event_type, p.probe,
+                       CAST(count(*) FILTER (e.value <= p.probe)
+                            AS BIGINT) AS n_le,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events e CROSS JOIN p
+                GROUP BY e.event_type, p.probe
+            )
+            SELECT event_type, CAST(probe AS BIGINT) AS probe, n_le, n,
+                   {_roundsql('CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                       AS frac
+            FROM c
+        """,
+        "doc_length_hist": """
+            WITH b AS (
+                SELECT n_chars,
+                       CASE WHEN n_chars <= 0 THEN -1
+                            ELSE CAST(floor(log2(CAST(n_chars AS DOUBLE)))
+                                 AS BIGINT)
+                       END AS len_bin
+                FROM documents
+            )
+            SELECT len_bin,
+                   CAST(CASE WHEN len_bin < 0 THEN 0
+                             ELSE 1 << len_bin END AS BIGINT) AS lo_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM b GROUP BY len_bin
+        """,
+        "windowed_comention": f"""
+            WITH md AS (
+                SELECT DISTINCT conv_id, surface, turn_idx FROM {gm}
+            )
+            SELECT a.surface AS s1, b.surface AS s2,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM md a JOIN md b
+              ON a.conv_id = b.conv_id AND a.surface < b.surface
+             AND abs(a.turn_idx - b.turn_idx) <= 2
+            GROUP BY a.surface, b.surface
+        """,
         "el_candidate_topk": f"""
             WITH m AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -7889,6 +7931,9 @@ def queries():
         "cross_source_dups": q_cross_source_dups,
         "el_candidate_topk": q_el_candidate_topk,
         "data_split_assign": q_data_split_assign,
+        "events_value_ecdf": q_events_value_ecdf,
+        "doc_length_hist": q_doc_length_hist,
+        "windowed_comention": q_windowed_comention,
     }
 
 
@@ -11318,3 +11363,160 @@ def q_data_split_assign(sf_dir: str):
 
     return split_assign(_read(sf_dir, "documents",
                               ["doc_id", "source"]))
+
+
+ECDF_PROBES = [10, 25, 50, 75, 90]
+
+
+def q_events_value_ecdf(sf_dir: str):
+    """Exact ECDF of event value at fixed probe points, per event
+    type: count and fraction of events with value <= p for p in
+    ECDF_PROBES — the distribution profile without a quantile
+    shuffle (counts are per-batch combiner partials; ONE tiny
+    (type, probe) exchange).
+
+    Out: (event_type, probe, n_le, n, frac[6dp])."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+    probes = np.array(ECDF_PROBES, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "probe": "int64", "n_le": "int64",
+                "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            outs.append(pd.DataFrame({
+                "event_type": et,
+                "probe": probes.astype("int64"),
+                "n_le": (v[None, :] <= probes[:, None]).sum(axis=1)
+                .astype("int64"),
+                "n": np.int64(len(v))}))
+        return pd.concat(outs, ignore_index=True)[list(cols)]
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "probe": "int64", "n_le": "int64",
+                "n": "int64", "frac": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["event_type", "probe"], as_index=False) \
+            .agg(n_le=("n_le", "sum"), n=("n", "sum"))
+        g["n_le"] = g["n_le"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        g["frac"] = _round_half_away(
+            g["n_le"].to_numpy(np.float64) / g["n"].to_numpy(np.float64),
+            6)
+        return g[list(cols)]
+
+    return group_blocks(parts, ["event_type", "probe"], merge,
+                        batch_format="pandas")
+
+
+def q_doc_length_hist(sf_dir: str):
+    """Log2 character-length histogram of documents (+ per-bin char
+    mass) — the corpus-shape overview a curation report opens with.
+    floor(log2(n_chars)) is exact on both sides (log2 of powers of
+    two is exactly representable; bins flip only there). One combiner
+    + one bin-bounded exchange. Out: (len_bin, lo_chars, n_docs,
+    total_chars)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"len_bin": "int64", "n_docs": "int64",
+                "total_chars": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        n = df["n_chars"].to_numpy(np.int64)
+        b = np.where(n <= 0, -1,
+                     np.floor(np.log2(np.maximum(n, 1))).astype(np.int64))
+        out = pd.DataFrame({"len_bin": b, "n_chars": n}) \
+            .groupby("len_bin", as_index=False) \
+            .agg(n_docs=("n_chars", "size"),
+                 total_chars=("n_chars", "sum"))
+        return out.astype(cols)
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"len_bin": "int64", "lo_chars": "int64",
+                "n_docs": "int64", "total_chars": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("len_bin", as_index=False).sum()
+        b = g["len_bin"].to_numpy(np.int64)
+        g["lo_chars"] = np.where(b < 0, 0, 2 ** np.maximum(b, 0))
+        return g.astype(cols)[list(cols)]
+
+    return group_blocks(parts, ["len_bin"], merge,
+                        batch_format="pandas")
+
+
+def q_windowed_comention(sf_dir: str):
+    """Turn-windowed co-mention counts: for each unordered surface
+    pair, the number of (conv, turn_a, turn_b) windows where the two
+    surfaces appear within +-2 turns — the reference's coref-window
+    NE search (M9) as a pair-level signal, sharper than conv-level
+    comention_counts.
+
+    Scale shape: ONE conv_id exchange co-locates conversations; the
+    in-block self-merge is conv-bounded (quadratic only within one
+    conversation's distinct (surface, turn) rows — the same bound the
+    reference's window scan has); per-block (s1, s2) count partials,
+    one pair exchange merges. Out: (s1, s2, n_windows)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["conv_id", "surface", "turn_idx"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s1": str, "s2": str, "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        md = df.drop_duplicates(["conv_id", "surface", "turn_idx"])
+        j = md.merge(md, on="conv_id")
+        j = j[(j["surface_x"] < j["surface_y"])
+              & ((j["turn_idx_x"] - j["turn_idx_y"]).abs() <= 2)]
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = j.groupby(["surface_x", "surface_y"], as_index=False) \
+            .size().rename(columns={"surface_x": "s1",
+                                    "surface_y": "s2", "size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out[list(cols)]
+
+    parts = group_blocks(gm, ["conv_id"], pairs, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s1": str, "s2": str, "n_windows": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["s1", "s2"], as_index=False)["c"].sum() \
+            .rename(columns={"c": "n_windows"})
+        return out.astype(cols)
+
+    return group_blocks(parts, ["s1", "s2"], merge,
+                        batch_format="pandas")

@@ -1844,3 +1844,67 @@ def test_embed_pca_scores_exact(ray_session):
         .astype(np.int64)
     want = Q @ v
     assert (got["score_grid"].to_numpy() == want).all()
+
+
+def test_events_value_ecdf_bruteforce(ray_session, tmp_path):
+    from el.queries import ECDF_PROBES, q_events_value_ecdf
+
+    rng = np.random.default_rng(3)
+    n = 300
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2026-01-01").to_datetime64()
+        + np.zeros(n).astype("timedelta64[s]"),
+        "user_id": np.zeros(n, dtype="int64"),
+        "event_type": rng.choice(["x", "y"], n),
+        "value": rng.uniform(0, 100, n), "props": [""] * n,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_value_ecdf(str(tmp_path)).to_pandas() \
+        .set_index(["event_type", "probe"]).sort_index()
+    for et, g in ev.groupby("event_type"):
+        for p in ECDF_PROBES:
+            n_le = int((g["value"] <= p).sum())
+            r = out.loc[(et, p)]
+            assert r["n_le"] == n_le and r["n"] == len(g)
+            assert abs(r["frac"] - n_le / len(g)) < 1e-6
+    # ECDF is monotone per type
+    assert (out.groupby(level=0)["n_le"].diff().dropna() >= 0).all()
+
+
+def test_doc_length_hist_bins(ray_session):
+    from el.queries import q_doc_length_hist
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_length_hist(sf).to_pandas()
+    import pyarrow.parquet as pq
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["n_chars"]).to_pandas()
+    n = d["n_chars"].to_numpy()
+    bins = np.where(n <= 0, -1, np.floor(np.log2(np.maximum(n, 1))))
+    want = pd.Series(bins.astype(int)).value_counts().sort_index()
+    got = out.set_index("len_bin")["n_docs"].sort_index()
+    assert got.to_dict() == {int(k): int(v) for k, v in want.items()}
+    assert int(out["total_chars"].sum()) == int(n.sum())
+
+
+def test_windowed_comention_bruteforce(ray_session):
+    from el.queries import q_windowed_comention
+    import pyarrow.parquet as pq
+    from el.fixtures import ensure_fixture
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    out = q_windowed_comention(sf).to_pandas() \
+        .set_index(["s1", "s2"])["n_windows"]
+    fd = ensure_fixture(sf)
+    gm = pq.read_table(os.path.join(fd, "gold_mentions.parquet"),
+                       columns=["conv_id", "surface", "turn_idx"]) \
+        .to_pandas().drop_duplicates()
+    j = gm.merge(gm, on="conv_id")
+    j = j[(j["surface_x"] < j["surface_y"])
+          & ((j["turn_idx_x"] - j["turn_idx_y"]).abs() <= 2)]
+    want = j.groupby(["surface_x", "surface_y"]).size()
+    assert len(out) == len(want)
+    for (a, b), c in want.items():
+        assert out.loc[(a, b)] == c
