@@ -1195,3 +1195,34 @@ def pca_power(emb_ds, *, iters: int = 6):
         v = [(abs(x) * 10**6) // mx * (1 if x >= 0 else -1) for x in w]
     return pd.DataFrame({"dim": np.arange(1, d + 1, dtype="int64"),
                          "v_grid": np.array(v, dtype="int64")})
+
+
+def quantize_error(emb_ds):
+    """Reconstruction-error report of the int8 quantization: per
+    vector, dequantize dq_i = q_i * scale / 127 and measure
+    e_i = floor((x_i - dq_i) * 1e9 + 0.5) on the 1e-9 integer grid —
+    max |e_i| and sum e_i^2 are then exact int64 (order-free, the
+    cluster_vmeasure quantized-term contract). The sketch-quality
+    eval beside embed_quantize (is int8 good enough for this space,
+    measured not assumed). Stateless scan — embarrassingly parallel.
+    Out: (vec_id, max_abs_err_grid, sse_grid)."""
+
+    def err(t: pa.Table) -> pd.DataFrame:
+        cols = {"vec_id": "int64", "max_abs_err_grid": "int64",
+                "sse_grid": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        X = _matrix_from_arrow(t.column("embedding"))
+        scale = np.abs(X).max(axis=1)
+        safe = np.where(scale > 0, scale, 1.0)
+        Q = np.floor(X * 127.0 / safe[:, None] + 0.5)
+        Q[scale == 0] = 0.0
+        dq = Q * scale[:, None] / 127.0
+        e = np.floor((X - dq) * 1e9 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": t.column("vec_id").to_numpy().astype("int64"),
+            "max_abs_err_grid": np.abs(e).max(axis=1).astype("int64"),
+            "sse_grid": (e * e).sum(axis=1).astype("int64")})
+
+    return emb_ds.map_batches(err, batch_format="pyarrow")

@@ -5100,6 +5100,74 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "embed_quantize_error": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding,
+                            x -> abs(x))) AS DOUBLE) AS sc
+                FROM embeddings
+            ),
+            e AS (SELECT vec_id, sc, unnest(embedding) AS x FROM s),
+            q AS (
+                SELECT vec_id, sc, CAST(x AS DOUBLE) AS xd,
+                       CASE WHEN sc > 0
+                            THEN floor(CAST(x AS DOUBLE) * 127 / sc
+                                       + 0.5)
+                            ELSE 0.0 END AS qv
+                FROM e
+            ),
+            g AS (
+                SELECT vec_id,
+                       CAST(floor((xd - qv * sc / 127) * 1e9 + 0.5)
+                            AS BIGINT) AS ev
+                FROM q
+            )
+            SELECT vec_id,
+                   CAST(max(abs(ev)) AS BIGINT) AS max_abs_err_grid,
+                   CAST(sum(ev * ev) AS BIGINT) AS sse_grid
+            FROM g GROUP BY vec_id
+        """,
+        "minhash_est_error": f"""
+            WITH {_PLANTED_SHINGLES_CTE},
+            {_minhash_cte_chain()},
+            pr AS (
+                SELECT doc_id AS d1, doc_id + 1000000 AS d2
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            est AS (
+                SELECT pr.d1 AS doc_id,
+                       count(*) FILTER (a.v = b.v) / 64.0 AS est
+                FROM pr
+                JOIN vals a ON a.doc_id = pr.d1
+                JOIN vals b ON b.doc_id = pr.d2 AND b.p = a.p
+                GROUP BY pr.d1
+            ),
+            co2 AS (
+                SELECT pr.d1 AS doc_id, count(*) AS co
+                FROM pr
+                JOIN sh s1 ON s1.doc_id = pr.d1
+                JOIN sh s2 ON s2.doc_id = pr.d2 AND s2.s = s1.s
+                GROUP BY pr.d1
+            ),
+            jac AS (
+                SELECT pr.d1 AS doc_id,
+                       CASE WHEN x1.n + x2.n - COALESCE(co2.co, 0) = 0
+                            THEN 1.0
+                            ELSE COALESCE(co2.co, 0)
+                                 / (x1.n + x2.n - COALESCE(co2.co, 0))
+                       END AS j
+                FROM pr
+                JOIN sizes x1 ON x1.doc_id = pr.d1
+                JOIN sizes x2 ON x2.doc_id = pr.d2
+                LEFT JOIN co2 ON co2.doc_id = pr.d1
+            )
+            SELECT e.doc_id,
+                   {_roundsql('e.est', 6)} AS est,
+                   {_roundsql('j.j', 6)} AS jaccard,
+                   {_roundsql(f"abs({_roundsql('e.est', 6)} - {_roundsql('j.j', 6)})", 6)}
+                       AS abs_err
+            FROM est e JOIN jac j USING (doc_id)
+        """,
         "events_value_ecdf": f"""
             WITH p AS (SELECT unnest([{', '.join(str(p) for p in ECDF_PROBES)}]) AS probe),
             c AS (
@@ -7934,6 +8002,8 @@ def queries():
         "events_value_ecdf": q_events_value_ecdf,
         "doc_length_hist": q_doc_length_hist,
         "windowed_comention": q_windowed_comention,
+        "embed_quantize_error": q_embed_quantize_error,
+        "minhash_est_error": q_minhash_est_error,
     }
 
 
@@ -11520,3 +11590,72 @@ def q_windowed_comention(sf_dir: str):
 
     return group_blocks(parts, ["s1", "s2"], merge,
                         batch_format="pandas")
+
+
+def q_embed_quantize_error(sf_dir: str):
+    """int8 reconstruction error per vector on the 1e-9 integer grid
+    (el/ops/ann.py::quantize_error) — the is-int8-good-enough eval
+    beside embed_quantize."""
+    from .ops.ann import quantize_error
+
+    return quantize_error(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]))
+
+
+def q_minhash_est_error(sf_dir: str):
+    """Sketch-accuracy eval of the 64-perm MinHash: for every planted
+    near-dup pair (doc, doc+1e6), the signature-agreement Jaccard
+    estimate vs the exact shingle Jaccard and the absolute error —
+    the measured answer to 'how many permutations do we need'.
+
+    Scale shape: ONE base-doc exchange co-locates each planted pair
+    (clone ids fold back via % 1e6); the in-block kernel runs the
+    shared vectorized MinHasher on the two texts and exact set
+    Jaccard on their shingles — per-pair bounded work, no pair
+    blowup. Out: (doc_id, est, jaccard, abs_err), all on the 1e-6
+    grid; the oracle replays signatures through the bit-exact
+    HUGEINT permutation chain."""
+    from .ops.dedup import _cached_minhasher, word_shingles
+    from .shuffle import group_blocks
+
+    docs = _planted_dups(sf_dir)
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64") % 1_000_000,
+            "doc_id": df["doc_id"].astype("int64"),
+            "text": df["text"].astype(str)})
+
+    keyed = docs.map_batches(key_rows, batch_format="pandas")
+
+    def pair_err(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "est": "float64",
+                "jaccard": "float64", "abs_err": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        mh = _cached_minhasher(64, 16, 3)
+        rows = []
+        for key, g in df.groupby("key", sort=False):
+            if len(g) != 2:
+                continue  # unplanted docs have no clone
+            g = g.sort_values("doc_id")
+            base, clone = g.iloc[0], g.iloc[1]
+            sigs = mh.signatures_batch([base["text"], clone["text"]])
+            est = float((sigs[0] == sigs[1]).sum()) / 64.0
+            s1 = set(word_shingles(base["text"], 3))
+            s2 = set(word_shingles(clone["text"], 3))
+            union = len(s1 | s2)
+            jac = len(s1 & s2) / union if union else 1.0
+            rows.append((int(base["doc_id"]), est, jac))
+        if not rows:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = pd.DataFrame(rows, columns=["doc_id", "est", "jaccard"])
+        out["est"] = _round_half_away(out["est"], 6)
+        out["jaccard"] = _round_half_away(out["jaccard"], 6)
+        out["abs_err"] = _round_half_away(
+            np.abs(out["est"].to_numpy() - out["jaccard"].to_numpy()), 6)
+        return out.astype(cols)[list(cols)]
+
+    return group_blocks(keyed, ["key"], pair_err, batch_format="pandas")

@@ -1908,3 +1908,42 @@ def test_windowed_comention_bruteforce(ray_session):
     assert len(out) == len(want)
     for (a, b), c in want.items():
         assert out.loc[(a, b)] == c
+
+
+def test_quantize_error_bruteforce(ray_session):
+    import ray.data
+
+    from el.ops.ann import quantize_error
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    X[3] = 0.0  # zero vector: scale 0 path
+    emb = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                        "embedding": [x.tolist() for x in X]})
+    out = quantize_error(ray.data.from_pandas(emb).repartition(3)) \
+        .to_pandas().set_index("vec_id").sort_index()
+    Xd = X.astype(np.float64)
+    for i in range(40):
+        x = Xd[i]
+        sc = np.abs(x).max()
+        q = np.floor(x * 127.0 / (sc if sc > 0 else 1.0) + 0.5)
+        if sc == 0:
+            q = np.zeros_like(q)
+        e = np.floor((x - q * sc / 127.0) * 1e9 + 0.5).astype(np.int64)
+        assert out.loc[i, "max_abs_err_grid"] == np.abs(e).max()
+        assert out.loc[i, "sse_grid"] == (e * e).sum()
+    assert out.loc[3, "max_abs_err_grid"] == 0
+
+
+def test_minhash_est_error_bounds(ray_session):
+    from el.queries import q_minhash_est_error
+
+    out = q_minhash_est_error("/root/testdata/sf0.001").to_pandas()
+    # one row per planted pair (doc_id % 5 == 0)
+    assert (out["doc_id"] % 5 == 0).all()
+    assert ((out["est"] >= 0) & (out["est"] <= 1)).all()
+    assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
+    # 64-perm minhash on >=0.8-jaccard clones: errors stay moderate
+    assert out["abs_err"].mean() < 0.15
+    assert (out["abs_err"] - (out["est"] - out["jaccard"]).abs())\
+        .abs().max() < 1e-6
