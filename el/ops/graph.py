@@ -401,3 +401,135 @@ def clustering_coefficients(edges_ds, *, num_partitions: int | None = None,
 
     return group_blocks(tagged, ["node"], finish, batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def neighbor_sim(edges_ds, *, max_hub_degree: int = 4000,
+                 num_partitions: int | None = None):
+    """Common-neighbor link-prediction scores over an undirected edge
+    list (src, dst both directions expected): for every node pair
+    sharing >= 1 neighbor, the common-neighbor count, neighbor-set
+    Jaccard, and Adamic-Adar — with each AA term 1/ln(deg(hub))
+    quantized to the 1e-9 integer grid at the wedge (so cross-wedge
+    sums are exact int64, the cluster_vmeasure contract).
+
+    Scale shape: ONE hub exchange generates wedges (pairs of each
+    hub's neighbors — the triangle_counts wedge bound; hubs over
+    ``max_hub_degree`` raise loudly rather than under-report) and
+    exact degrees in the same pass; ONE (a, b) exchange folds
+    common/aa; two tagged key exchanges attach deg(a)/deg(b) (the
+    hash-join idiom — the degree table is node-scale, never
+    broadcast). Out: (s1, s2, common, jaccard[6dp], aa_grid)."""
+    import math
+
+    w_cols = {"a": str, "b": str, "term": "int64", "kind": str,
+              "d": "int64"}
+
+    def hub_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in w_cols.items()})
+        outs = []
+        for hub, g in df.groupby("src", sort=False):
+            nbrs = np.unique(g["dst"].to_numpy(dtype=object))
+            d = len(nbrs)
+            outs.append(pd.DataFrame({
+                "a": [str(hub)], "b": [""],
+                "term": np.int64(0), "kind": "d",
+                "d": np.int64(d)}))
+            if d < 2:
+                continue
+            if d > max_hub_degree:
+                raise ValueError(
+                    f"neighbor_sim hub {hub!r} has degree {d} "
+                    f"(> {max_hub_degree}); salt or pre-filter hubs")
+            term = np.int64(math.floor(1e9 / math.log(d)))
+            i, j = np.triu_indices(d, k=1)
+            outs.append(pd.DataFrame({
+                "a": nbrs[i], "b": nbrs[j],
+                "term": np.full(len(i), term, dtype=np.int64),
+                "kind": "w", "d": np.int64(0)}))
+        return pd.concat(outs, ignore_index=True)[list(w_cols)] \
+            .astype(w_cols)
+
+    rows = group_blocks(edges_ds, ["src"], hub_block,
+                        batch_format="pandas",
+                        num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": str, "b": str, "common": "int64",
+                "aa_grid": "int64", "kind": str, "d": "int64"}
+        w = df[df["kind"] == "w"]
+        dd = df[df["kind"] == "d"]
+        outs = []
+        if len(w):
+            g = w.groupby(["a", "b"], as_index=False).agg(
+                common=("term", "size"), aa_grid=("term", "sum"))
+            g["kind"] = "w"
+            g["d"] = np.int64(0)
+            outs.append(g)
+        if len(dd):
+            outs.append(pd.DataFrame({
+                "a": dd["a"], "b": dd["b"],
+                "common": np.int64(0), "aa_grid": np.int64(0),
+                "kind": "d", "d": dd["d"]}))
+        if not outs:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return pd.concat(outs, ignore_index=True)[list(cols)] \
+            .astype(cols)
+
+    # wedge rows fold on (a, b); deg rows ride along keyed (node, "")
+    folded = group_blocks(rows, ["a", "b"], fold,
+                          batch_format="pandas",
+                          num_partitions=num_partitions)
+
+    def attach_da(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": str, "b": str, "common": "int64",
+                "aa_grid": "int64", "kind": str, "d": "int64",
+                "da": "int64"}
+        dd = df[df["kind"] == "d"]
+        w = df[df["kind"] == "w"].copy()
+        dmap = dd.set_index("a")["d"]
+        if len(w):
+            w["da"] = w["a"].map(dmap).fillna(0).astype("int64")
+            # re-key on b for the second attach
+            w = w[["a", "b", "common", "aa_grid", "kind", "d", "da"]]
+        dd = dd.assign(da=np.int64(0))
+        out = pd.concat([dd, w], ignore_index=True) if len(w) else dd
+        return out[list(cols)].astype(cols)
+
+    # key stage 2 on a (deg rows have key=node via column 'a')
+    r2 = group_blocks(folded, ["a"], attach_da, batch_format="pandas",
+                      num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s1": str, "s2": str, "common": "int64",
+                "jaccard": "float64", "aa_grid": "int64"}
+        dd = df[df["kind"] == "d"]
+        w = df[df["kind"] == "w"]
+        if len(w) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        dmap = dd.set_index("a")["d"]
+        db = w["b"].map(dmap).fillna(0).astype("int64")
+        union = w["da"].to_numpy("int64") + db.to_numpy("int64") \
+            - w["common"].to_numpy("int64")
+        jac = np.floor(w["common"].to_numpy("int64")
+                       / np.maximum(union, 1) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "s1": w["a"].astype(str), "s2": w["b"].astype(str),
+            "common": w["common"].astype("int64"),
+            "jaccard": jac,
+            "aa_grid": w["aa_grid"].astype("int64")})[list(cols)]
+
+    # stage 3 keys on b: deg rows (key=node in 'a') must land with the
+    # wedge rows keyed by their b — re-tag deg rows' key column
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        dd = out["kind"] == "d"
+        out.loc[dd, "b"] = out.loc[dd, "a"]
+        return out
+
+    r2b = r2.map_batches(rekey, batch_format="pandas")
+    return group_blocks(r2b, ["b"], finish, batch_format="pandas",
+                        num_partitions=num_partitions)

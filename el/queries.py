@@ -5100,6 +5100,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "comention_neighbor_sim": f"""
+            WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+            e AS (
+                SELECT DISTINCT a.surface AS s1, b.surface AS s2
+                FROM m a JOIN m b ON a.conv_id = b.conv_id
+                         AND a.surface < b.surface
+            ),
+            und AS (
+                SELECT s1 AS s, s2 AS t FROM e
+                UNION ALL SELECT s2, s1 FROM e
+            ),
+            deg AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY s
+            ),
+            wed AS (
+                SELECT x.t AS a, y.t AS b, x.s AS hub
+                FROM und x JOIN und y ON x.s = y.s AND x.t < y.t
+            ),
+            term AS (
+                SELECT wed.a, wed.b,
+                       CAST(floor(1e9 / ln(CAST(dh.d AS DOUBLE)))
+                            AS BIGINT) AS t
+                FROM wed JOIN deg dh ON dh.s = wed.hub
+            ),
+            agg AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+                       CAST(sum(t) AS BIGINT) AS aa_grid
+                FROM term GROUP BY a, b
+            )
+            SELECT agg.a AS s1, agg.b AS s2, agg.common,
+                   {_roundsql('CAST(agg.common AS DOUBLE) / (da.d + db.d - agg.common)', 6)}
+                       AS jaccard,
+                   agg.aa_grid
+            FROM agg
+            JOIN deg da ON da.s = agg.a
+            JOIN deg db ON db.s = agg.b
+        """,
+        "part_copurchase": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            p AS (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            ),
+            c AS (SELECT p1, p2, count(*) AS n FROM p GROUP BY 1, 2)
+            SELECT p1, p2, CAST(n AS BIGINT) AS n_orders FROM c
+            QUALIFY row_number() OVER (ORDER BY n DESC, p1, p2) <= 50
+        """,
+        "users_cumulative": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS ft FROM events
+                GROUP BY user_id
+            ),
+            c AS (
+                SELECT strftime(ft, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS new_users
+                FROM f GROUP BY 1
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM c
+        """,
         "embed_quantize_error": """
             WITH s AS (
                 SELECT vec_id, embedding,
@@ -8004,6 +8070,9 @@ def queries():
         "windowed_comention": q_windowed_comention,
         "embed_quantize_error": q_embed_quantize_error,
         "minhash_est_error": q_minhash_est_error,
+        "comention_neighbor_sim": q_comention_neighbor_sim,
+        "part_copurchase": q_part_copurchase,
+        "users_cumulative": q_users_cumulative,
     }
 
 
@@ -11659,3 +11728,160 @@ def q_minhash_est_error(sf_dir: str):
         return out.astype(cols)[list(cols)]
 
     return group_blocks(keyed, ["key"], pair_err, batch_format="pandas")
+
+
+def q_comention_neighbor_sim(sf_dir: str):
+    """Common-neighbor / Jaccard / Adamic-Adar link-prediction scores
+    over the co-mention graph (el/ops/graph.py::neighbor_sim) — the
+    which-entities-will-co-occur-next primitive beside pagerank and
+    triangles."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import neighbor_sim
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df["s1"], df["s2"]], ignore_index=True),
+            "dst": pd.concat([df["s2"], df["s1"]], ignore_index=True)})
+
+    edges = comention_counts(gm).map_batches(both_dirs,
+                                             batch_format="pandas")
+    return neighbor_sim(edges)
+
+
+def q_part_copurchase(sf_dir: str):
+    """Top-50 co-purchased part pairs (market-basket mining on the
+    TPC-H side): distinct parts per order, within-order pairs, global
+    counts, deterministic top-50.
+
+    Scale shape: ONE orderkey exchange (orders are small baskets, the
+    per-order pair set is |basket|^2-bounded); per-batch distinct
+    (order, part) pre-dedup; ONE pair exchange for exact counts;
+    local top-50 per partition then a tiny final merge (each pair
+    lives wholly in one partition, the vocab_topk idiom). Out:
+    (p1, p2, n_orders)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(dedup, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p1": "int64", "p2": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        outs = []
+        for _, g in d.groupby("l_orderkey", sort=False):
+            p = np.sort(g["l_partkey"].to_numpy(np.int64))
+            if len(p) < 2:
+                continue
+            i, j = np.triu_indices(len(p), k=1)
+            outs.append(pd.DataFrame({"p1": p[i], "p2": p[j]}))
+        if not outs:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = pd.concat(outs, ignore_index=True) \
+            .groupby(["p1", "p2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype(cols)
+
+    pair_parts = group_blocks(lp, ["l_orderkey"], pairs,
+                              batch_format="pandas")
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p1": "int64", "p2": "int64", "n_orders": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby(["p1", "p2"], as_index=False)["c"].sum() \
+            .rename(columns={"c": "n_orders"})
+        out = out.sort_values(["n_orders", "p1", "p2"],
+                              ascending=[False, True, True]).head(50)
+        return out.astype(cols)
+
+    merged = group_blocks(pair_parts, ["p1", "p2"], counts,
+                          batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p1": "int64", "p2": "int64", "n_orders": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return df.sort_values(["n_orders", "p1", "p2"],
+                              ascending=[False, True, True]).head(50) \
+            .reset_index(drop=True)[list(cols)].astype(cols)
+
+    return merged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)
+
+
+def q_users_cumulative(sf_dir: str):
+    """User-growth curve: per day, newly seen users (first event that
+    day) and the cumulative user count — the acquisition report.
+
+    Scale shape: ONE user exchange for exact first-seen dates,
+    day-bounded count partials, one single-partition running total
+    (days are few; the exchange never moves event rows twice). Out:
+    (day, new_users, cum_users)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "first_ts": "datetime64[us]"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "first_ts"})
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    parts = ev.map_batches(first_partial, batch_format="pandas")
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": str, "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        first = df.groupby("user_id", as_index=False)["first_ts"].min()
+        day = first["first_ts"].dt.strftime("%Y-%m-%d")
+        out = pd.DataFrame({"day": day}).groupby("day", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    days = group_blocks(parts, ["user_id"], day_counts,
+                        batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": str, "new_users": "int64", "cum_users": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("day", as_index=False)["c"].sum() \
+            .rename(columns={"c": "new_users"}).sort_values("day") \
+            .reset_index(drop=True)
+        out["cum_users"] = out["new_users"].cumsum()
+        return out.astype(cols)[list(cols)]
+
+    return days.repartition(1).map_batches(final, batch_format="pandas",
+                                           batch_size=None)

@@ -1947,3 +1947,80 @@ def test_minhash_est_error_bounds(ray_session):
     assert out["abs_err"].mean() < 0.15
     assert (out["abs_err"] - (out["est"] - out["jaccard"]).abs())\
         .abs().max() < 1e-6
+
+
+def test_neighbor_sim_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from el.ops.graph import neighbor_sim
+
+    rng = np.random.default_rng(13)
+    edges = set()
+    for _ in range(60):
+        a, b = rng.integers(0, 15, 2)
+        if a != b:
+            edges.add((f"n{min(a, b)}", f"n{max(a, b)}"))
+    e = pd.DataFrame(sorted(edges), columns=["s1", "s2"])
+    und = pd.DataFrame({
+        "src": pd.concat([e["s1"], e["s2"]], ignore_index=True),
+        "dst": pd.concat([e["s2"], e["s1"]], ignore_index=True)})
+    out = neighbor_sim(ray.data.from_pandas(und).repartition(3)) \
+        .to_pandas().set_index(["s1", "s2"]).sort_index()
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            aa = sum(int(math.floor(1e9 / math.log(len(adj[w]))))
+                     for w in common)
+            union = len(adj[a]) + len(adj[b]) - len(common)
+            want[(a, b)] = (len(common),
+                            np.floor(len(common) / union * 1e6 + 0.5)
+                            / 1e6, aa)
+    assert len(out) == len(want)
+    for (a, b), (c, j, aa) in want.items():
+        r = out.loc[(a, b)]
+        assert r["common"] == c
+        assert abs(r["jaccard"] - j) < 1e-9
+        assert r["aa_grid"] == aa
+
+
+def test_part_copurchase_topk(ray_session):
+    import duckdb
+
+    from el.queries import q_part_copurchase
+
+    sf = "/root/testdata/sf0.001"
+    out = q_part_copurchase(sf).to_pandas()
+    assert len(out) <= 50
+    assert (out["p1"] < out["p2"]).all()
+    # monotone non-increasing counts under the deterministic order
+    assert (out["n_orders"].diff().dropna() <= 0).all()
+    top = duckdb.sql(f"""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{sf}/lineitem.parquet')),
+        p AS (SELECT a.l_partkey p1, b.l_partkey p2 FROM lp a
+              JOIN lp b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey)
+        SELECT p1, p2, count(*) n FROM p GROUP BY 1, 2
+        ORDER BY n DESC, p1, p2 LIMIT 1""").fetchone()
+    assert (int(out.iloc[0]["p1"]), int(out.iloc[0]["p2"]),
+            int(out.iloc[0]["n_orders"])) == (top[0], top[1], top[2])
+
+
+def test_users_cumulative_monotone(ray_session):
+    from el.queries import q_users_cumulative
+
+    out = q_users_cumulative("/root/testdata/sf0.001").to_pandas()
+    assert out["day"].is_monotonic_increasing
+    assert (out["new_users"] > 0).all()
+    assert out["cum_users"].iloc[-1] == out["new_users"].sum()
