@@ -5100,6 +5100,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "el_phonetic_confusables": f"""
+            WITH m AS (
+                SELECT mention_id, {norm} AS norm FROM {gm}
+                WHERE {norm} != ''
+            ),
+            phb AS (
+                SELECT mention_id, norm,
+                       regexp_extract(norm, '([a-z0-9]+)$', 1) AS last
+                FROM m
+            ),
+            phc AS (
+                SELECT mention_id, norm, last,
+                       regexp_replace(last, '[^a-z]', '', 'g') AS w
+                FROM phb
+            ),
+            phd AS (
+                SELECT mention_id, norm, last, w,
+                       substr(w, 1, 1) AS head,
+                       translate(substr(w, 1, 1) ||
+                           replace(replace(substr(w, 2), 'h', ''),
+                                   'w', ''),
+                           'bfpvcgjkqsxzdtlmnr', '111122222222334556')
+                           AS coded
+                FROM phc
+            ),
+            phe AS (
+                SELECT mention_id, norm, last, w, head,
+                       {_SOUNDEX_COLLAPSE} AS collapsed
+                FROM phd
+            ),
+            k AS (
+                SELECT mention_id, norm,
+                       'ph:' ||
+                       CASE WHEN w = '' THEN '0000'
+                            ELSE upper(head) || substr(
+                                regexp_replace(substr(collapsed, 2),
+                                               '[^1-6]', '', 'g')
+                                || '000', 1, 3)
+                       END || ':' || substr(last, 1, 1) AS block_key
+                FROM phe
+            )
+            SELECT block_key,
+                   CAST(count(DISTINCT norm) AS BIGINT) AS n_norms,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM k GROUP BY block_key
+            HAVING count(DISTINCT norm) >= 2
+        """,
+        "tpch_q21": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ship
+                FROM lineitem GROUP BY 1, 2
+            ),
+            f AS (
+                SELECT ls.l_orderkey, ls.l_suppkey,
+                       (ls.ship > o.o_orderdate + INTERVAL 60 DAY)
+                           AS late
+                FROM ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+            ),
+            g AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+                FROM f GROUP BY 1
+            ),
+            w AS (
+                SELECT f.l_suppkey
+                FROM f JOIN g USING (l_orderkey)
+                WHERE g.n_supp >= 2 AND g.n_late = 1 AND f.late
+            ),
+            c AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(count(*) AS BIGINT) AS numwait
+                FROM w GROUP BY 1
+            )
+            SELECT s_suppkey, numwait FROM c
+            QUALIFY row_number() OVER (ORDER BY numwait DESC,
+                                       s_suppkey) <= 20
+        """,
         "comention_neighbor_sim": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             e AS (
@@ -7867,6 +7944,11 @@ def oracle_sql() -> dict[str, str]:
                    AS rel_err
         FROM ex JOIN es USING (event_type)
     """
+    sqls["session_length_hist"] = f"""
+        SELECT n_events AS session_events,
+               CAST(count(*) AS BIGINT) AS n_sessions
+        FROM ({sqls['sessionize']}) GROUP BY n_events
+    """
     if ivf_cent is not None:
         sqls["ann_ivf_recall"] = f"""
             SELECT bf.q_id,
@@ -8073,6 +8155,9 @@ def queries():
         "comention_neighbor_sim": q_comention_neighbor_sim,
         "part_copurchase": q_part_copurchase,
         "users_cumulative": q_users_cumulative,
+        "session_length_hist": q_session_length_hist,
+        "el_phonetic_confusables": q_el_phonetic_confusables,
+        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -11885,3 +11970,186 @@ def q_users_cumulative(sf_dir: str):
 
     return days.repartition(1).map_batches(final, batch_format="pandas",
                                            batch_size=None)
+
+
+def q_session_length_hist(sf_dir: str):
+    """Histogram of session sizes (n_events per session) — the
+    engagement-shape overview on top of sessionize; composes the
+    oracled session op with one size-bounded histogram exchange.
+    Out: (session_events, n_sessions)."""
+    from .shuffle import group_blocks
+
+    sess = q_sessionize(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"session_events": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("n_events", as_index=False).size() \
+            .rename(columns={"n_events": "session_events",
+                             "size": "c"})
+        return out.astype(cols)
+
+    parts = sess.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"session_events": "int64", "n_sessions": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("session_events", as_index=False)["c"].sum() \
+            .rename(columns={"c": "n_sessions"})
+        return out.astype(cols)
+
+    return group_blocks(parts, ["session_events"], merge,
+                        batch_format="pandas")
+
+
+def q_el_phonetic_confusables(sf_dir: str):
+    """Phonetic-confusable report: Soundex blocks holding >= 2
+    DISTINCT normalized surfaces, with the block's mention volume —
+    where the phonetic key over-merges and the pair scorer must
+    disambiguate (the block-quality lens on el_block_keys_phonetic).
+    Out: (block_key, n_norms, n_mentions)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .shuffle import group_blocks
+    from .text import normalize_name
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        mids, bks, norms = [], [], []
+        for mid, s in zip(t.column("mention_id").to_pylist(),
+                          t.column("surface").to_pylist()):
+            norm = normalize_name(s)
+            if not norm:
+                continue
+            last = norm.split()[-1]
+            mids.append(mid)
+            norms.append(norm)
+            bks.append(f"ph:{soundex(last)}:{last[0]}")
+        return pd.DataFrame({"mention_id": pd.Series(mids, dtype=str),
+                             "norm": pd.Series(norms, dtype=str),
+                             "block_key": pd.Series(bks, dtype=str)})
+
+    keyed = gm.map_batches(keys, batch_format="pyarrow")
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"block_key": str, "n_norms": "int64",
+                "n_mentions": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("block_key", as_index=False).agg(
+            n_norms=("norm", "nunique"),
+            n_mentions=("mention_id", "size"))
+        g = g[g["n_norms"] >= 2]
+        return g.astype(cols)[list(cols)]
+
+    return group_blocks(keyed, ["block_key"], report,
+                        batch_format="pandas")
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: no
+    commit/receipt dates in this catalog, so 'late' = shipped > 60
+    days after the order date): for multi-supplier orders where
+    EXACTLY ONE supplier shipped late, count such orders per late
+    supplier, top 20.
+
+    Scale shape: lineitem pre-reduces per batch to distinct
+    (orderkey, suppkey, shipped-late-max); orders ship (okey,
+    orderdate); ONE orderkey exchange computes per-order supplier /
+    late-supplier sets in-block (the EXISTS + NOT EXISTS pair as one
+    co-located group scan); ONE suppkey-free count exchange; local
+    top-20 + tiny merge. Out: (s_suppkey, numwait)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lag = pd.Timedelta(days=60)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+
+    def li_side(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "l_shipdate"].max()
+        return pd.DataFrame({
+            "k": g["l_orderkey"].astype("int64"),
+            "skey": g["l_suppkey"].astype("int64"),
+            "ship": g["l_shipdate"],
+            "odate": pd.Series([pd.NaT] * len(g),
+                               dtype="datetime64[us]"),
+            "tag": np.int64(0)})
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["o_orderkey"].astype("int64"),
+            "skey": np.int64(0),
+            "ship": pd.Series([pd.NaT] * len(df),
+                              dtype="datetime64[us]"),
+            "odate": df["o_orderdate"],
+            "tag": np.int64(1)})
+
+    tagged = li.map_batches(li_side, batch_format="pandas").union(
+        orders.map_batches(o_side, batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"skey": "int64", "c": "int64"}
+        o = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        if len(l) == 0 or len(o) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        # dedupe partial (okey, skey) rows across batches: keep max ship
+        l = l.groupby(["k", "skey"], as_index=False)["ship"].max()
+        j = l.merge(o[["k", "odate"]], on="k")
+        j["late"] = j["ship"] > (j["odate"] + lag)
+        g = j.groupby("k").agg(n_supp=("skey", "size"),
+                               n_late=("late", "sum"))
+        ok = g[(g["n_supp"] >= 2) & (g["n_late"] == 1)].index
+        late_rows = j[j["k"].isin(ok) & j["late"]]
+        if len(late_rows) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = late_rows.groupby("skey", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype(cols)
+
+    parts = group_blocks(tagged, ["k"], fold, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s_suppkey": "int64", "numwait": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.groupby("skey", as_index=False)["c"].sum() \
+            .rename(columns={"skey": "s_suppkey", "c": "numwait"})
+        out = out.sort_values(["numwait", "s_suppkey"],
+                              ascending=[False, True]).head(20)
+        return out.astype(cols)
+
+    merged = group_blocks(parts, ["skey"], merge,
+                          batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"s_suppkey": "int64", "numwait": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return df.sort_values(["numwait", "s_suppkey"],
+                              ascending=[False, True]).head(20) \
+            .reset_index(drop=True)[list(cols)].astype(cols)
+
+    return merged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)

@@ -2024,3 +2024,53 @@ def test_users_cumulative_monotone(ray_session):
     assert out["day"].is_monotonic_increasing
     assert (out["new_users"] > 0).all()
     assert out["cum_users"].iloc[-1] == out["new_users"].sum()
+
+
+def test_session_length_hist_total(ray_session):
+    from el.queries import q_session_length_hist, q_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    out = q_session_length_hist(sf).to_pandas()
+    sess = q_sessionize(sf).to_pandas()
+    assert int(out["n_sessions"].sum()) == len(sess)
+    want = sess["n_events"].value_counts().sort_index()
+    got = out.set_index("session_events")["n_sessions"].sort_index()
+    assert got.to_dict() == {int(k): int(v) for k, v in want.items()}
+
+
+def test_phonetic_confusables_semantics(ray_session):
+    from el.queries import q_el_phonetic_confusables
+
+    out = q_el_phonetic_confusables("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert (out["n_norms"] >= 2).all()
+    assert (out["n_mentions"] >= out["n_norms"]).all()
+    assert out["block_key"].str.startswith("ph:").all()
+
+
+def test_tpch_q21_semantics(ray_session):
+    import duckdb
+
+    from el.queries import q_tpch_q21
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tpch_q21(sf).to_pandas()
+    assert len(out) <= 20
+    assert (out["numwait"].diff().dropna() <= 0).all()
+    # spot-check the top supplier against a direct DuckDB replay
+    top = duckdb.sql(f"""
+        WITH ls AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) ship
+                    FROM read_parquet('{sf}/lineitem.parquet')
+                    GROUP BY 1, 2),
+        f AS (SELECT ls.l_orderkey, ls.l_suppkey,
+                     ls.ship > o.o_orderdate + INTERVAL 60 DAY AS late
+              FROM ls JOIN read_parquet('{sf}/orders.parquet') o
+                ON o.o_orderkey = ls.l_orderkey),
+        g AS (SELECT l_orderkey, count(*) ns,
+                     sum(CASE WHEN late THEN 1 ELSE 0 END) nl
+              FROM f GROUP BY 1)
+        SELECT f.l_suppkey, count(*) n FROM f JOIN g USING (l_orderkey)
+        WHERE g.ns >= 2 AND g.nl = 1 AND f.late
+        GROUP BY 1 ORDER BY n DESC, f.l_suppkey LIMIT 1""").fetchone()
+    assert (int(out.iloc[0]["s_suppkey"]),
+            int(out.iloc[0]["numwait"])) == (top[0], top[1])
