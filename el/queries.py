@@ -5100,6 +5100,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON co.d2 = s2.doc_id
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
+        "events_approx_quantiles": f"""
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+                FROM events
+            ),
+            g AS (
+                SELECT event_type, cent, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                FROM g GROUP BY 1
+            ),
+            cum AS (
+                SELECT event_type, cent,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY cent) AS cum
+                FROM g
+            ),
+            pv AS (SELECT unnest([{', '.join(str(p) for p in APPROX_Q_PCTS)}]) AS pct),
+            need AS (
+                SELECT tot.event_type, pv.pct, tot.n,
+                       (pv.pct * tot.n + 99) // 100 AS k
+                FROM tot CROSS JOIN pv
+            ),
+            sel AS (
+                SELECT need.event_type, need.pct, need.n,
+                       min(cum.cent) AS cent
+                FROM need JOIN cum ON cum.event_type = need.event_type
+                                  AND cum.cum >= need.k
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type, CAST(pct AS BIGINT) AS pct,
+                   cent / 100.0 AS est_value, n
+            FROM sel
+        """,
+        "doc_token_entropy": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e9
+                                  + 0.5) AS BIGINT) AS term, c
+                FROM c
+            ),
+            a AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(term) AS BIGINT) AS s
+                FROM q GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   COALESCE(a.n_types, CAST(0 AS BIGINT)) AS n_types,
+                   CASE WHEN a.n_tokens IS NULL THEN 0.0
+                        ELSE {_roundsql(
+                            'ln(CAST(a.n_tokens AS DOUBLE)) '
+                            '- CAST(a.s AS DOUBLE) / 1e9 '
+                            '/ CAST(a.n_tokens AS DOUBLE)', 6)}
+                   END AS entropy
+            FROM documents d LEFT JOIN a USING (doc_id)
+        """,
         "el_phonetic_confusables": f"""
             WITH m AS (
                 SELECT mention_id, {norm} AS norm FROM {gm}
@@ -8158,6 +8228,8 @@ def queries():
         "session_length_hist": q_session_length_hist,
         "el_phonetic_confusables": q_el_phonetic_confusables,
         "tpch_q21": q_tpch_q21,
+        "events_approx_quantiles": q_events_approx_quantiles,
+        "doc_token_entropy": q_doc_token_entropy,
     }
 
 
@@ -12153,3 +12225,102 @@ def q_tpch_q21(sf_dir: str):
 
     return merged.repartition(1).map_batches(final, batch_format="pandas",
                                              batch_size=None)
+
+
+APPROX_Q_PCTS = [50, 90, 99]
+
+
+def q_events_approx_quantiles(sf_dir: str):
+    """Streaming percentile ESTIMATES per event type from a fixed
+    integer-cent histogram (values bin at 1e-2): the scale path
+    beside group_quantiles' exact sort — O(bins) partials, no
+    order-statistics shuffle, error bounded by the bin width. The
+    estimate is the smallest bin whose cumulative count reaches
+    ceil(p/100 * n) (lower quantile on the binned grid), identical
+    on both sides. Out: (event_type, pct, est_value[2dp], n)."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "cent": "int64", "c": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        out = df.assign(cent=np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5)
+            .astype(np.int64)) \
+            .groupby(["event_type", "cent"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype(cols)
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+
+    def est(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "pct": "int64",
+                "est_value": "float64", "n": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.groupby("cent", as_index=False)["c"].sum() \
+                .sort_values("cent")
+            n = int(g["c"].sum())
+            cum = g["c"].cumsum().to_numpy(np.int64)
+            cents = g["cent"].to_numpy(np.int64)
+            for p in APPROX_Q_PCTS:
+                need = -(-p * n // 100)  # ceil(p*n/100) in ints
+                idx = int(np.searchsorted(cum, need))
+                rows.append((et, p, cents[min(idx, len(cents) - 1)]
+                             / 100.0, n))
+        return pd.DataFrame(rows, columns=list(cols)).astype(cols)
+
+    return group_blocks(parts, ["event_type"], est,
+                        batch_format="pandas")
+
+
+def q_doc_token_entropy(sf_dir: str):
+    """Per-document Shannon entropy (nats) of the token distribution —
+    the repetition/diversity signal beside doc_ttr and
+    repetition_score, computed as H = ln(n) - (sum c*ln(c))/n with
+    each c*ln(c) term quantized to the 1e-9 integer grid (order-free
+    exactness, the events_entropy contract). Embarrassingly parallel.
+    Out: (doc_id, n_tokens, n_types, entropy[6dp])."""
+    import ray.data
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_tokens": "int64",
+                "n_types": "int64", "entropy": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        toks = df["text"].astype(str).str.lower() \
+            .str.findall(r"[a-z0-9]+")
+        n_tok, n_typ, h = [], [], []
+        for ts in toks:
+            n = len(ts)
+            n_tok.append(n)
+            if n == 0:
+                n_typ.append(0)
+                h.append(0.0)
+                continue
+            c = pd.Series(ts).value_counts().to_numpy(np.int64)
+            n_typ.append(len(c))
+            terms = np.floor(c * np.log(c.astype(np.float64)) * 1e9
+                             + 0.5).astype(np.int64)
+            h.append(np.log(float(n))
+                     - float(terms.sum()) / 1e9 / float(n))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "n_tokens": np.array(n_tok, dtype=np.int64),
+            "n_types": np.array(n_typ, dtype=np.int64),
+            "entropy": _round_half_away(np.array(h, np.float64), 6)})
+
+    return docs.map_batches(ent, batch_format="pandas")

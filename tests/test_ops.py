@@ -2074,3 +2074,50 @@ def test_tpch_q21_semantics(ray_session):
         GROUP BY 1 ORDER BY n DESC, f.l_suppkey LIMIT 1""").fetchone()
     assert (int(out.iloc[0]["s_suppkey"]),
             int(out.iloc[0]["numwait"])) == (top[0], top[1])
+
+
+def test_events_approx_quantiles_error_bound(ray_session, tmp_path):
+    from el.queries import q_events_approx_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 500
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2026-01-01").to_datetime64()
+        + np.zeros(n).astype("timedelta64[s]"),
+        "user_id": np.zeros(n, dtype="int64"),
+        "event_type": ["x"] * n,
+        "value": rng.uniform(0, 100, n), "props": [""] * n,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    out = q_events_approx_quantiles(str(tmp_path)).to_pandas() \
+        .set_index("pct")
+    v = np.sort(ev["value"].to_numpy())
+    for p in (50, 90, 99):
+        exact = v[int(np.ceil(p * n / 100)) - 1]
+        # bin width is 0.01: estimate within one cent of exact
+        assert abs(out.loc[p, "est_value"] - exact) <= 0.01, p
+        assert out.loc[p, "n"] == n
+    assert out["est_value"].is_monotonic_increasing
+
+
+def test_doc_token_entropy_bruteforce(ray_session, tmp_path):
+    import math
+
+    from el.queries import q_doc_token_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["a a a a", "a b c d", "a a b b c", ""],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [7, 7, 9, 0],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = q_doc_token_entropy(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "entropy"] == 0.0           # single type
+    assert abs(out.loc[1, "entropy"] - math.log(4)) < 1e-6  # uniform
+    c = np.array([2, 2, 1], dtype=float)
+    h = math.log(5) - (c * np.log(c)).sum() / 5
+    assert abs(out.loc[2, "entropy"] - h) < 1e-6
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
