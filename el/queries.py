@@ -5247,6 +5247,94 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (ORDER BY numwait DESC,
                                        s_suppkey) <= 20
         """,
+        "tpch_q2": f"""
+            WITH eur AS (
+                SELECT s_suppkey, s_acctbal, s_name, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{TPCH_Q2_REGION}'
+            ),
+            pl AS (
+                SELECT l_partkey AS pkey, l_suppkey AS skey,
+                       min(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS cents
+                FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ),
+            qp AS (
+                SELECT p_partkey, p_brand FROM part
+                WHERE p_size <= {TPCH_Q2_MAX_SIZE}
+                  AND p_type = '{TPCH_Q2_TYPE}'
+            ),
+            j AS (
+                SELECT pl.pkey, pl.skey, pl.cents, qp.p_brand
+                FROM pl JOIN qp ON pl.pkey = qp.p_partkey
+            ),
+            m AS (SELECT pkey, min(cents) AS mc FROM j GROUP BY 1)
+            SELECT e.s_acctbal, e.s_name, e.n_name,
+                   j.pkey AS p_partkey, j.p_brand
+            FROM j JOIN m ON j.pkey = m.pkey AND j.cents = m.mc
+            JOIN eur e ON j.skey = e.s_suppkey
+            QUALIFY row_number() OVER (ORDER BY e.s_acctbal DESC,
+                                       e.n_name, e.s_name,
+                                       j.pkey) <= {TPCH_Q2_LIMIT}
+        """,
+        "tpch_q11": f"""
+            WITH nk AS (SELECT n_nationkey FROM nation
+                        WHERE n_name = '{TPCH_Q11_NATION}'),
+            v AS (
+                SELECT l_partkey AS pkey,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS val
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nk ON s_nationkey = n_nationkey
+                GROUP BY 1
+            ),
+            t AS (SELECT sum(val) AS tot FROM v)
+            SELECT v.pkey AS p_partkey, v.val / 100.0 AS value
+            FROM v, t WHERE v.val * {TPCH_Q11_FRAC_DEN} > t.tot
+        """,
+        "tpch_q16": f"""
+            WITH ok_supp AS (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal >= 0),
+            pairs AS (
+                SELECT DISTINCT l_partkey AS pkey, l_suppkey AS skey
+                FROM lineitem JOIN ok_supp ON l_suppkey = s_suppkey
+            ),
+            qp AS (
+                SELECT p_partkey, p_brand, p_type, p_size FROM part
+                WHERE p_brand <> '{TPCH_Q16_BRAND_EXCL}'
+                  AND p_type <> '{TPCH_Q16_TYPE_EXCL}'
+                  AND p_size IN ({', '.join(str(s) for s in TPCH_Q16_SIZES)})
+            )
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT skey) AS BIGINT) AS supplier_cnt
+            FROM pairs JOIN qp ON pkey = p_partkey
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": f"""
+            WITH li AS (
+                SELECT l_partkey AS pkey, l_suppkey AS skey,
+                       sum(CAST(floor(l_quantity * 100 + 0.5)
+                                AS BIGINT)) AS q
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = '{TPCH_Q20_TYPE}'
+                  AND l_shipdate >= TIMESTAMP '{TPCH_Q20_LO}'
+                  AND l_shipdate < TIMESTAMP '{TPCH_Q20_HI}'
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT pkey, sum(q) AS tq FROM li GROUP BY 1),
+            dom AS (
+                SELECT DISTINCT li.skey
+                FROM li JOIN tot ON li.pkey = tot.pkey
+                WHERE 2 * li.q > tot.tq
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM dom JOIN supplier ON skey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{TPCH_Q20_REGION}'
+        """,
         "comention_neighbor_sim": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             e AS (
@@ -8230,6 +8318,10 @@ def queries():
         "tpch_q21": q_tpch_q21,
         "events_approx_quantiles": q_events_approx_quantiles,
         "doc_token_entropy": q_doc_token_entropy,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
     }
 
 
@@ -12324,3 +12416,501 @@ def q_doc_token_entropy(sf_dir: str):
             "entropy": _round_half_away(np.array(h, np.float64), 6)})
 
     return docs.map_batches(ent, batch_format="pandas")
+
+
+# TPC-H Q2/Q11/Q16/Q20 adaptation constants. No partsupp table in this
+# catalog, so lineitem serves as the part-supplier bridge in all four;
+# every constant is interpolated into the oracle SQL f-string too, so
+# engine and oracle can never desynchronize (the el_soft_tfidf lesson).
+TPCH_Q2_REGION = "EUROPE"
+TPCH_Q2_TYPE = "STANDARD"
+TPCH_Q2_MAX_SIZE = 10
+TPCH_Q2_LIMIT = 100
+TPCH_Q11_NATION = "NATION_7"
+TPCH_Q11_FRAC_DEN = 1000  # keep parts with value > total / FRAC_DEN
+TPCH_Q16_BRAND_EXCL = "Brand#5"
+TPCH_Q16_TYPE_EXCL = "MEDIUM"
+TPCH_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+TPCH_Q20_TYPE = "PROMO"
+TPCH_Q20_LO, TPCH_Q20_HI = "1997-01-01", "1998-01-01"
+TPCH_Q20_REGION = "ASIA"
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier (adapted: 'supply cost' = the
+    cheapest extendedprice the supplier ever shipped the part at): for
+    every STANDARD part of size <= 10, the EUROPE-region supplier(s)
+    whose cheapest line for that part hits the part's minimum among
+    EUROPE suppliers; Q2's ORDER BY acctbal DESC / LIMIT 100 tail.
+
+    Scale shape: nation+region are constant-size dims (driver dicts,
+    25/5 rows at ANY sf); supplier region-filters BEFORE its exchange.
+    Exchange #1 (suppkey) attaches (acctbal, name, nation) to
+    per-batch pre-minimized (pkey, skey, min-cents) lineitem partials
+    — each (pkey, skey) lands in exactly one block, so the fold's
+    re-min is globally exact. Exchange #2 (partkey) joins the
+    qualifying-part side, takes the per-part min price, emits the
+    suppliers achieving it, and pre-sorts a local top-100; a tiny
+    single-block merge finishes. Prices are exact integer cents.
+    Out: (s_acctbal, s_name, n_name, p_partkey, p_brand)."""
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == TPCH_Q2_REGION,
+                       "r_regionkey"].iloc[0])
+    eur_keys = set(nat.loc[nat["n_regionkey"] == rkey,
+                           "n_nationkey"].astype(int))
+    nname = dict(zip(nat["n_nationkey"].astype(int),
+                     nat["n_name"].astype(str)))
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name", "s_acctbal"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_nationkey"].isin(eur_keys)]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "pkey": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "acctbal": pa.array(df["s_acctbal"].astype("float64")),
+            "sname": pa.array(df["s_name"].astype(str), pa.string()),
+            "nname": pa.array([nname[int(x)] for x in df["s_nationkey"]],
+                              pa.string()),
+            "tag": pa.array(np.ones(n, dtype="int64"))})
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        g = (df.assign(cents=cents)
+             .groupby(["l_suppkey", "l_partkey"], as_index=False)["cents"]
+             .min())
+        n = len(g)
+        return pa.table({
+            "k": pa.array(g["l_suppkey"].astype("int64")),
+            "pkey": pa.array(g["l_partkey"].astype("int64")),
+            "cents": pa.array(g["cents"].astype("int64")),
+            "acctbal": pa.nulls(n, pa.float64()),
+            "sname": pa.nulls(n, pa.string()),
+            "nname": pa.nulls(n, pa.string()),
+            "tag": pa.array(np.zeros(n, dtype="int64"))})
+
+    tagged = supp.map_batches(supp_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    ann_cols = {"pkey": "int64", "skey": "int64", "cents": "int64",
+                "acctbal": "float64", "sname": str, "nname": str,
+                "brand": str, "tag": "int64"}
+
+    def attach_supp(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        if len(s) == 0 or len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in ann_cols.items()})
+        l = l.groupby(["k", "pkey"], as_index=False)["cents"].min()
+        j = l.merge(s[["k", "acctbal", "sname", "nname"]], on="k")
+        return pd.DataFrame({
+            "pkey": j["pkey"].astype("int64"),
+            "skey": j["k"].astype("int64"),
+            "cents": j["cents"].astype("int64"),
+            "acctbal": j["acctbal"].astype("float64"),
+            "sname": j["sname"].astype(str),
+            "nname": j["nname"].astype(str),
+            "brand": "",
+            "tag": np.int64(0)})
+
+    annotated = group_blocks(tagged, ["k"], attach_supp,
+                             batch_format="pandas")
+
+    def part_side(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["p_size"] <= TPCH_Q2_MAX_SIZE)
+                  & (df["p_type"] == TPCH_Q2_TYPE)]
+        n = len(keep)
+        return pd.DataFrame({
+            "pkey": keep["p_partkey"].astype("int64"),
+            "skey": np.zeros(n, dtype="int64"),
+            "cents": np.zeros(n, dtype="int64"),
+            "acctbal": np.zeros(n, dtype="float64"),
+            "sname": "",
+            "nname": "",
+            "brand": keep["p_brand"].astype(str),
+            "tag": np.int64(1)})
+
+    tagged2 = annotated.union(
+        part.map_batches(part_side, batch_format="pandas"))
+
+    out_cols = {"s_acctbal": "float64", "s_name": str, "n_name": str,
+                "p_partkey": "int64", "p_brand": str}
+
+    def pick_min(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        j = l.merge(p[["pkey", "brand"]].rename(
+            columns={"brand": "p_brand"}), on="pkey") \
+            if len(p) and len(l) else pd.DataFrame()
+        if len(j) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in out_cols.items()})
+        mc = j.groupby("pkey")["cents"].transform("min")
+        j = j[j["cents"] == mc]
+        out = pd.DataFrame({
+            "s_acctbal": j["acctbal"].astype("float64"),
+            "s_name": j["sname"].astype(str),
+            "n_name": j["nname"].astype(str),
+            "p_partkey": j["pkey"].astype("int64"),
+            "p_brand": j["p_brand"].astype(str)})
+        return out.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True]).head(TPCH_Q2_LIMIT)
+
+    tops = group_blocks(tagged2, ["pkey"], pick_min,
+                        batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in out_cols.items()})
+        return df.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True]) \
+            .head(TPCH_Q2_LIMIT).reset_index(drop=True)
+
+    return tops.repartition(1).map_batches(final, batch_format="pandas",
+                                           batch_size=None)
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock (adapted: a part's 'stock value' from
+    NATION_7 suppliers = the summed extendedprice cents of their lines
+    for it): keep parts whose value exceeds total/1000.
+
+    Scale shape: supplier nation-filters before exchange #1 (suppkey),
+    whose fold semi-joins lineitem partials (pre-summed per (skey,
+    pkey) per batch) and re-aggregates per pkey; exchange #2 (pkey)
+    finishes the per-part sums; the global-fraction gate runs in one
+    single-block pass over per-PART aggregates (dimension-scale, not
+    corpus-scale — the same final shape as q15/q17). Integer cents
+    throughout; the gate is the exact integer predicate
+    val*1000 > tot. Out: (p_partkey, value[2dp])."""
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    nkey = int(nat.loc[nat["n_name"] == TPCH_Q11_NATION,
+                       "n_nationkey"].iloc[0])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_nationkey"] == nkey]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "pkey": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "tag": pa.array(np.ones(n, dtype="int64"))})
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        g = (df.assign(cents=cents)
+             .groupby(["l_suppkey", "l_partkey"], as_index=False)["cents"]
+             .sum())
+        n = len(g)
+        return pa.table({
+            "k": pa.array(g["l_suppkey"].astype("int64")),
+            "pkey": pa.array(g["l_partkey"].astype("int64")),
+            "cents": pa.array(g["cents"].astype("int64")),
+            "tag": pa.array(np.zeros(n, dtype="int64"))})
+
+    tagged = supp.map_batches(supp_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pkey": "int64", "val": "int64"}
+        sk = set(df.loc[df["tag"] == 1, "k"].to_numpy())
+        l = df[(df["tag"] == 0) & df["k"].isin(sk)]
+        if len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return l.groupby("pkey", as_index=False)["cents"].sum() \
+            .rename(columns={"cents": "val"}).astype(cols)
+
+    parts = group_blocks(tagged, ["k"], fold, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pkey": "int64", "val": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return df.groupby("pkey", as_index=False)["val"].sum() \
+            .astype(cols)
+
+    vals = group_blocks(parts, ["pkey"], per_part, batch_format="pandas")
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_partkey": "int64", "value": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        tot = int(df["val"].sum())
+        keep = df[df["val"].to_numpy() * TPCH_Q11_FRAC_DEN > tot]
+        return pd.DataFrame({
+            "p_partkey": keep["pkey"].astype("int64"),
+            "value": keep["val"].to_numpy("int64") / 100.0}) \
+            .sort_values("p_partkey").reset_index(drop=True)
+
+    return vals.repartition(1).map_batches(gate, batch_format="pandas",
+                                           batch_size=None)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 supplier count by part attributes (adapted: the
+    'customer complaints' exclusion = suppliers with negative acctbal;
+    the bridge is distinct lineitem (partkey, suppkey) pairs): distinct
+    supplier count per (brand, type, size) over non-excluded brands /
+    types / the 7 square sizes.
+
+    Scale shape: THREE chained hash exchanges, each over pre-deduped
+    partials — #1 (suppkey) drops complaint suppliers from per-batch
+    distinct (pkey, skey) pairs; #2 (pkey) attaches the qualifying
+    part's (brand, type, size); #3 (brand, type, size) counts distinct
+    suppkey with every row of a group co-located. No limit; ~|brand x
+    type x size| output rows. Out: (p_brand, p_type, p_size,
+    supplier_cnt)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def supp_side(df: pd.DataFrame) -> pa.Table:
+        df = df[df["s_acctbal"].to_numpy() >= 0]
+        n = len(df)
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].astype("int64")),
+            "pkey": pa.nulls(n, pa.int64()),
+            "tag": pa.array(np.ones(n, dtype="int64"))})
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["l_suppkey", "l_partkey"])
+        n = len(g)
+        return pa.table({
+            "k": pa.array(g["l_suppkey"].astype("int64")),
+            "pkey": pa.array(g["l_partkey"].astype("int64")),
+            "tag": pa.array(np.zeros(n, dtype="int64"))})
+
+    tagged = supp.map_batches(supp_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def drop_excluded(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pkey": "int64", "skey": "int64"}
+        sk = set(df.loc[df["tag"] == 1, "k"].to_numpy())
+        l = df[(df["tag"] == 0) & df["k"].isin(sk)]
+        if len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return l.drop_duplicates(["k", "pkey"]) \
+            .rename(columns={"k": "skey"})[["pkey", "skey"]].astype(cols)
+
+    pairs = group_blocks(tagged, ["k"], drop_excluded,
+                         batch_format="pandas")
+
+    sizes = set(TPCH_Q16_SIZES)
+
+    def part_side(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["p_brand"] != TPCH_Q16_BRAND_EXCL)
+                  & (df["p_type"] != TPCH_Q16_TYPE_EXCL)
+                  & df["p_size"].isin(sizes)]
+        n = len(keep)
+        return pd.DataFrame({
+            "pkey": keep["p_partkey"].astype("int64"),
+            "skey": np.zeros(n, dtype="int64"),
+            "brand": keep["p_brand"].astype(str),
+            "ptype": keep["p_type"].astype(str),
+            "psize": keep["p_size"].astype("int64"),
+            "tag": np.int64(1)})
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "pkey": df["pkey"].astype("int64"),
+            "skey": df["skey"].astype("int64"),
+            "brand": "",
+            "ptype": "",
+            "psize": np.zeros(n, dtype="int64"),
+            "tag": np.int64(0)})
+
+    tagged2 = pairs.map_batches(pair_rows, batch_format="pandas").union(
+        part.map_batches(part_side, batch_format="pandas"))
+
+    def attach_attrs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"brand": str, "ptype": str, "psize": "int64",
+                "skey": "int64"}
+        p = df[df["tag"] == 1]
+        l = df[df["tag"] == 0]
+        if len(p) == 0 or len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        j = l[["pkey", "skey"]].merge(
+            p[["pkey", "brand", "ptype", "psize"]], on="pkey")
+        return j[["brand", "ptype", "psize", "skey"]].astype(cols)
+
+    attrs = group_blocks(tagged2, ["pkey"], attach_attrs,
+                         batch_format="pandas")
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": str, "p_type": str, "p_size": "int64",
+                "supplier_cnt": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby(["brand", "ptype", "psize"], as_index=False)[
+            "skey"].nunique().rename(columns={
+                "brand": "p_brand", "ptype": "p_type",
+                "psize": "p_size", "skey": "supplier_cnt"})
+        return g.astype(cols)
+
+    return group_blocks(attrs, ["brand", "ptype", "psize"],
+                        count_distinct, batch_format="pandas")
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion (adapted: no partsupp
+    availqty, so a supplier 'has excess stock' of a part when their
+    1997 shipped quantity of it exceeds HALF the part's total — the
+    dominant supplier): distinct ASIA-region suppliers dominating at
+    least one PROMO part.
+
+    Scale shape: exchange #1 (partkey) folds per-batch pre-summed
+    (pkey, skey, centi-qty) lineitem partials against the PROMO part
+    markers and applies the exact integer gate 2*q > tot in-block
+    (every (pkey, skey) co-located); exchange #2 (suppkey) semi-joins
+    the region-filtered supplier side; tiny single-block sort ends.
+    Out: (s_suppkey, s_name, n_name)."""
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == TPCH_Q20_REGION,
+                       "r_regionkey"].iloc[0])
+    asia_keys = set(nat.loc[nat["n_regionkey"] == rkey,
+                            "n_nationkey"].astype(int))
+    nname = dict(zip(nat["n_nationkey"].astype(int),
+                     nat["n_name"].astype(str)))
+
+    lo = pd.Timestamp(TPCH_Q20_LO)
+    hi = pd.Timestamp(TPCH_Q20_HI)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_name"])
+
+    def part_side(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["p_type"] == TPCH_Q20_TYPE]
+        n = len(keep)
+        return pa.table({
+            "k": pa.array(keep["p_partkey"].astype("int64")),
+            "skey": pa.nulls(n, pa.int64()),
+            "q": pa.nulls(n, pa.int64()),
+            "tag": pa.array(np.ones(n, dtype="int64"))})
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        sd = df["l_shipdate"].to_numpy()
+        df = df[(sd >= lo.to_datetime64()) & (sd < hi.to_datetime64())]
+        qc = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        g = (df.assign(q=qc)
+             .groupby(["l_partkey", "l_suppkey"], as_index=False)["q"]
+             .sum())
+        n = len(g)
+        return pa.table({
+            "k": pa.array(g["l_partkey"].astype("int64")),
+            "skey": pa.array(g["l_suppkey"].astype("int64")),
+            "q": pa.array(g["q"].astype("int64")),
+            "tag": pa.array(np.zeros(n, dtype="int64"))})
+
+    tagged = part.map_batches(part_side, batch_format="pandas").union(
+        li.map_batches(li_side, batch_format="pandas"))
+
+    def dominant(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"k": "int64"}
+        pk = set(df.loc[df["tag"] == 1, "k"].to_numpy())
+        l = df[(df["tag"] == 0) & df["k"].isin(pk)]
+        if len(l) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        l = l.groupby(["k", "skey"], as_index=False)["q"].sum()
+        tot = l.groupby("k")["q"].transform("sum")
+        dom = l[2 * l["q"].to_numpy() > tot.to_numpy()]
+        return pd.DataFrame({"k": dom["skey"].unique().astype("int64")})
+
+    doms = group_blocks(tagged, ["k"], dominant, batch_format="pandas")
+
+    def dom_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "k": df["k"].astype("int64"),
+            "sname": "" if n else pd.Series(dtype=str),
+            "nname": "" if n else pd.Series(dtype=str),
+            "tag": np.zeros(n, dtype="int64")})
+
+    def supp_side(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["s_nationkey"].isin(asia_keys)]
+        n = len(keep)
+        return pd.DataFrame({
+            "k": keep["s_suppkey"].astype("int64"),
+            "sname": keep["s_name"].astype(str),
+            "nname": pd.Series(
+                [nname[int(x)] for x in keep["s_nationkey"]], dtype=str,
+                index=keep.index),
+            "tag": np.ones(n, dtype="int64")})
+
+    tagged2 = doms.map_batches(dom_rows, batch_format="pandas").union(
+        supp.map_batches(supp_side, batch_format="pandas"))
+
+    out_cols = {"s_suppkey": "int64", "s_name": str, "n_name": str}
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        dk = set(df.loc[df["tag"] == 0, "k"].to_numpy())
+        s = df[(df["tag"] == 1) & df["k"].isin(dk)] \
+            .drop_duplicates(["k"])
+        if len(s) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in out_cols.items()})
+        return pd.DataFrame({
+            "s_suppkey": s["k"].astype("int64"),
+            "s_name": s["sname"].astype(str),
+            "n_name": s["nname"].astype(str)})
+
+    hits = group_blocks(tagged2, ["k"], semi, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in out_cols.items()})
+        return df.sort_values("s_suppkey").reset_index(drop=True)
+
+    return hits.repartition(1).map_batches(final, batch_format="pandas",
+                                           batch_size=None)
