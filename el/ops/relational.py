@@ -473,3 +473,56 @@ def global_ntile(ds, *, order_by: list, k: int = 10,
         outs.append(assign_rem.remote(r, off, n, k, out_col))
         off += c
     return ray.data.from_arrow_refs(outs)
+
+
+def _skyline_frame(df: pd.DataFrame, group: str, maxcol: str,
+                   mincol: str) -> pd.DataFrame:
+    """Exact 2-D skyline per group: keep rows not dominated by any row
+    with (maxcol >=, mincol <=) and at least one strict. One
+    sort+sweep per group — O(n log n), fully vectorized: after
+    sorting by (maxcol desc, mincol asc), a row survives iff its
+    mincol is the minimum of its maxcol-level AND strictly below the
+    running minimum over all strictly-better levels (ties on both
+    axes are mutually non-dominating and all survive)."""
+    outs = []
+    for _, sub in df.groupby(group, sort=False):
+        sub = sub.sort_values([maxcol, mincol],
+                              ascending=[False, True], kind="mergesort")
+        lvlmin = sub.groupby(maxcol)[mincol].transform("min")
+        # running min of level minima over strictly-higher levels
+        lvl_first = ~sub[maxcol].duplicated()
+        lvl_idx = lvl_first.cumsum().to_numpy() - 1
+        # cummin shifted one level back; +inf before the first level
+        prev = np.concatenate((
+            [np.inf], np.minimum.accumulate(
+                np.asarray(lvlmin[lvl_first], dtype=np.float64))))[lvl_idx]
+        keep = (sub[mincol].to_numpy() == lvlmin.to_numpy()) \
+            & (sub[mincol].to_numpy(np.float64) < prev)
+        outs.append(sub[keep])
+    return pd.concat(outs, ignore_index=True) if outs else df.iloc[:0]
+
+
+def skyline(ds, *, group: str, maxcol: str, mincol: str):
+    """Distributed exact skyline (Pareto frontier) per group —
+    maximize ``maxcol`` while minimizing ``mincol`` (Borzsony,
+    Kossmann, Stocker, ICDE 2001). Scale shape: the local skyline is
+    a sound filter (any globally non-dominated row is non-dominated
+    in its batch), so each batch prunes to its own frontier first and
+    the per-group exchange moves only frontier candidates; the fold
+    recomputes the exact skyline over the union. Output rows keep the
+    input schema."""
+    from ..shuffle import group_blocks
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return _skyline_frame(df, group, maxcol, mincol)
+
+    parts = ds.map_batches(local, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return _skyline_frame(df, group, maxcol, mincol)
+
+    return group_blocks(parts, [group], fold, batch_format="pandas")

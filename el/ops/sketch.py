@@ -188,3 +188,87 @@ def cms_heavy_hitters(docs_ds, k: int = 20,
     return heads.repartition(1).map_batches(
         _Estimate, fn_constructor_args=(cms_ref,),
         batch_format="pandas", batch_size=None, concurrency=1)
+
+
+# ------------------------------------------------------------ HyperLogLog
+HLL_P = 10
+HLL_M = 1 << HLL_P            # 1024 registers
+HLL_MAXRHO = 64 - HLL_P + 1   # 55: rho when the 54 payload bits are all 0
+HLL_POW = 1 << HLL_MAXRHO     # 2^55 — the integer scale for Z
+HLL_LC_LIMIT = 2.5 * HLL_M    # linear-counting switchover (Flajolet 2007)
+
+
+def hll_distinct(ds, group_col: str, value_col: str):
+    """HyperLogLog distinct-count estimate per group (Flajolet, Fusy,
+    Gandouet, Meunier 2007) — the fixed-memory companion to KMV: the
+    exchange moves at most ``groups x m`` register partials no matter
+    the corpus size.
+
+    The SQL oracle replays the sketch EXACTLY, not just its
+    expectation: hash = md5-lower-8-bytes (the md5_number_lower
+    contract), register j = h % m, and rho uses the trailing-zeros
+    form popcount(w XOR (w-1)) over the remaining 54 payload bits —
+    chosen over the textbook leading-zeros form because it is exact
+    integer bit math on BOTH sides (DuckDB bit_count; no float log2).
+    The indicator sum Z is scaled by 2^55 so every register term
+    2^(55-rho) is an exact integer (HUGEINT / Python int — no
+    float-sum order sensitivity). Small-range linear counting
+    m*ln(m/V) applies below 2.5m with V empty registers; results land
+    on the shared 4dp grid. Out: (group, v_zero, est_distinct)."""
+    import math
+
+    from ..shuffle import group_blocks
+    from .ann import _popcount64
+    from .textstats import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: object, "j": "int64", "rho": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        outs = []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = np.unique(_value_hashes(
+                pd.unique(sub[value_col].to_numpy())))
+            j = (h % np.uint64(HLL_M)).astype(np.int64)
+            w = h >> np.uint64(HLL_P)
+            w_safe = np.where(w == 0, np.uint64(1), w)
+            x = w_safe ^ (w_safe - np.uint64(1))
+            rho = np.where(w == 0, np.int64(HLL_MAXRHO),
+                           _popcount64(x).astype(np.int64))
+            part = pd.DataFrame({"j": j, "rho": rho}) \
+                .groupby("j", as_index=False)["rho"].max()
+            part.insert(0, group_col, g)
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True).astype(cols)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=4096)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: object, "v_zero": "int64",
+                "est_distinct": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rows = []
+        for g, sub in df.groupby(group_col, sort=True):
+            regs = sub.groupby("j")["rho"].max().to_numpy(np.int64)
+            v_zero = HLL_M - len(regs)
+            # exact integer register sum (Python ints: the max possible
+            # total 1024*2^55 = 2^65 overflows int64 by design)
+            s = sum(1 << (HLL_MAXRHO - int(r)) for r in regs) \
+                + v_zero * HLL_POW
+            raw = (0.7213 / (1.0 + 1.079 / float(HLL_M))) \
+                * float(HLL_M) * float(HLL_M) * float(HLL_POW) / float(s)
+            if raw <= HLL_LC_LIMIT and v_zero > 0:
+                est = float(HLL_M) * math.log(float(HLL_M) / v_zero)
+            else:
+                est = raw
+            rows.append((g, v_zero, est))
+        out = pd.DataFrame(rows, columns=list(cols))
+        out["est_distinct"] = round_half_away(out["est_distinct"], 4)
+        return out.astype(cols)
+
+    return group_blocks(partials, [group_col], merge,
+                        batch_format="pandas")

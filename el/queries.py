@@ -15,6 +15,7 @@ identical half-away behavior regardless of engine rounding mode.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -3684,6 +3685,7 @@ def _pca_power_sql(iters: int = 6, final: str | None = None) -> str:
 def oracle_sql() -> dict[str, str]:
     from .ops.er import (_MONGE_ELKAN_SQL, _TRIGRAM_SIM_SQL,
                          SOFT_TFIDF_THETA)
+    from .ops.sketch import HLL_LC_LIMIT, HLL_M, HLL_MAXRHO, HLL_POW
     from .ops.textstats import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO,
                                 GOPHER_MAX_TOKENS, GOPHER_MIN_ALPHA_RATIO,
                                 GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
@@ -5334,6 +5336,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = '{TPCH_Q20_REGION}'
+        """,
+        "hll_distinct": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT
+                           AS h
+                FROM events
+            ),
+            b AS (
+                SELECT event_type,
+                       CAST(h % {HLL_M} AS BIGINT) AS j,
+                       h // {HLL_M} AS w
+                FROM h
+            ),
+            r AS (
+                SELECT event_type, j,
+                       max(CASE WHEN w = 0 THEN {HLL_MAXRHO}
+                           ELSE bit_count(CAST(xor(
+                               CASE WHEN w = 0 THEN 1 ELSE w END,
+                               CASE WHEN w = 0 THEN 1 ELSE w END - 1)
+                               AS BIGINT)) END) AS rho
+                FROM b GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+                       sum(1::HUGEINT << ({HLL_MAXRHO} - rho))
+                           + ({HLL_M} - count(*))::HUGEINT
+                             * (1::HUGEINT << {HLL_MAXRHO}) AS s
+                FROM r GROUP BY 1
+            ),
+            raws AS (
+                SELECT event_type, v_zero,
+                       (0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+                           * {float(HLL_M)} * {float(HLL_M)}
+                           * {float(HLL_POW)}
+                           / CAST(s AS DOUBLE) AS raw
+                FROM agg
+            )
+            SELECT event_type, v_zero,
+                   {_roundsql(
+                       f"CASE WHEN raw <= {HLL_LC_LIMIT} AND v_zero > 0 "
+                       f"THEN {float(HLL_M)} * ln({float(HLL_M)} / v_zero) "
+                       "ELSE raw END", 4)} AS est_distinct
+            FROM raws
+        """,
+        "part_skyline": """
+            SELECT p_type, p_partkey, p_retailprice, p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_type = p.p_type
+                  AND q.p_retailprice >= p.p_retailprice
+                  AND q.p_size <= p.p_size
+                  AND (q.p_retailprice > p.p_retailprice
+                       OR q.p_size < p.p_size))
+        """,
+        "el_fingerprint_cluster": f"""
+            WITH k AS (
+                SELECT mention_id,
+                       array_to_string(list_sort(list_distinct(
+                           regexp_extract_all({norm}, '[a-z0-9]+'))),
+                           ' ') AS fp_key
+                FROM {gm}
+            )
+            SELECT mention_id, fp_key,
+                   min(mention_id) OVER (PARTITION BY fp_key)
+                       AS cluster_id
+            FROM k
         """,
         "comention_neighbor_sim": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
@@ -8322,6 +8393,9 @@ def queries():
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
+        "hll_distinct": q_hll_distinct,
+        "part_skyline": q_part_skyline,
+        "el_fingerprint_cluster": q_el_fingerprint_cluster,
     }
 
 
@@ -12914,3 +12988,69 @@ def q_tpch_q20(sf_dir: str):
 
     return hits.repartition(1).map_batches(final, batch_format="pandas",
                                            batch_size=None)
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct users per event type — the fixed-memory
+    sketch beside KMV/CMS/bloom (el/ops/sketch.py::hll_distinct); the
+    oracle replays registers, rho and the estimator exactly."""
+    from .ops.sketch import hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ev, "event_type", "user_id")
+
+
+def q_part_skyline(sf_dir: str):
+    """Distributed exact skyline per p_type: the Pareto frontier
+    maximizing p_retailprice while minimizing p_size (Borzsony et al.
+    2001; el/ops/relational.py::skyline — local frontier prune, one
+    group exchange, exact fold). Out: the frontier rows."""
+    from .ops.relational import skyline
+
+    part = _read(sf_dir, "part",
+                 ["p_type", "p_partkey", "p_retailprice", "p_size"])
+    return skyline(part, group="p_type", maxcol="p_retailprice",
+                   mincol="p_size")
+
+
+def q_el_fingerprint_cluster(sf_dir: str):
+    """OpenRefine-style fingerprint key-collision clustering: key =
+    space-joined sorted UNIQUE tokens of the normalized surface, so
+    token order and repetition collapse ('acme corp' == 'corp acme
+    corp'); cluster representative = min mention_id — the word-bag
+    analog of el_exact_cluster's clusterNils semantics
+    (RunKBPEntityLinkerSystem.scala:160-192).
+    Out: (mention_id, fp_key, cluster_id)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .shuffle import group_map
+    from .text import normalize_name
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface"])
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fps = []
+        for s in t.column("surface").to_pylist():
+            toks = sorted(set(re.findall(
+                r"[a-z0-9]+", normalize_name(s))))
+            fps.append(" ".join(toks))
+        return pa.table({"mention_id": t.column("mention_id"),
+                         "fp_key": pa.array(fps, pa.string())})
+
+    def group_min(g: pa.Table) -> pa.Table:
+        mids = g.column("mention_id").to_pylist()
+        if not mids:
+            return pa.table({"mention_id": pa.array([], pa.string()),
+                             "fp_key": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], pa.string())})
+        lo = min(mids)
+        return pa.table({"mention_id": g.column("mention_id"),
+                         "fp_key": g.column("fp_key"),
+                         "cluster_id": pa.array([lo] * len(mids),
+                                                pa.string())})
+
+    return group_map(gm.map_batches(add_fp, batch_format="pyarrow"),
+                     "fp_key", group_min)

@@ -2121,3 +2121,80 @@ def test_doc_token_entropy_bruteforce(ray_session, tmp_path):
     h = math.log(5) - (c * np.log(c)).sum() / 5
     assert abs(out.loc[2, "entropy"] - h) < 1e-6
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL estimate lands within ~3x the theoretical rel-error
+    (1.04/sqrt(1024) ~ 3.3%) of the exact distinct count, per group,
+    and the linear-counting regime is exact-ish for tiny groups."""
+    import ray.data
+
+    from el.ops.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame({"g": "big",
+                        "v": rng.integers(0, 5000, size=20000)})
+    small = pd.DataFrame({"g": "small", "v": np.arange(37)})
+    ds = ray.data.from_pandas(pd.concat([big, small],
+                                        ignore_index=True))
+    out = hll_distinct(ds, "g", "v").to_pandas().set_index("g")
+    exact_big = big["v"].nunique()
+    assert abs(out.loc["big", "est_distinct"] - exact_big) \
+        <= 0.10 * exact_big
+    assert abs(out.loc["small", "est_distinct"] - 37) <= 3
+
+
+def test_hll_partial_split_invariance(ray_session):
+    """Register merge is order/partition-free: 1 block vs many blocks
+    give the identical estimate."""
+    import ray.data
+
+    from el.ops.sketch import hll_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], size=4000),
+                       "v": rng.integers(0, 900, size=4000)})
+    one = hll_distinct(ray.data.from_pandas(df), "g", "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    many = hll_distinct(
+        ray.data.from_pandas([df.iloc[i::7] for i in range(7)]),
+        "g", "v").to_pandas().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+
+
+def _skyline_brute(df, group, maxcol, mincol):
+    keep = []
+    for i, p in df.iterrows():
+        dominated = False
+        for _, q in df[df[group] == p[group]].iterrows():
+            if (q[maxcol] >= p[maxcol] and q[mincol] <= p[mincol]
+                    and (q[maxcol] > p[maxcol] or q[mincol] < p[mincol])):
+                dominated = True
+                break
+        if not dominated:
+            keep.append(i)
+    return df.loc[keep]
+
+
+@pytest.mark.parametrize("seed", [0, 5, 9])
+def test_skyline_matches_bruteforce(ray_session, seed):
+    """Distributed skyline == O(n^2) brute force on random points with
+    deliberate ties on both axes."""
+    import ray.data
+
+    from el.ops.relational import skyline
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=120),
+        "id": np.arange(120),
+        "price": rng.integers(0, 12, size=120).astype(float),
+        "size": rng.integers(0, 12, size=120)})
+    got = skyline(ray.data.from_pandas(df), group="g", maxcol="price",
+                  mincol="size").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = _skyline_brute(df, "g", "price", "size") \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "id", "price", "size"]],
+        want[["g", "id", "price", "size"]])
