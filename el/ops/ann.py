@@ -1226,3 +1226,47 @@ def quantize_error(emb_ds):
             "sse_grid": (e * e).sum(axis=1).astype("int64")})
 
     return emb_ds.map_batches(err, batch_format="pyarrow")
+
+
+def range_search(emb_ds, queries: np.ndarray, theta: float,
+                 concurrency: int = 2):
+    """Cosine RANGE query: all table vectors with sim >= theta per
+    query row — the radius sibling of brute_force_topk (same broadcast
+    query matrix, same per-batch matmul), but embarrassingly parallel
+    end-to-end: the threshold filters in-batch, so there is NO merge
+    exchange at all and the output streams straight out. The filter
+    compares the 5dp-rounded sim (the ann grid), keeping the boundary
+    decision identical to the oracle. Out: (q_id, vec_id, sim)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    class _RangeScorer:
+        def __init__(self, q_ref, theta):
+            self.Q = ray.get(q_ref)
+            self.Qn = self.Q / np.linalg.norm(self.Q, axis=1,
+                                              keepdims=True)
+            self.theta = theta
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {"q_id": "int64", "vec_id": "int64",
+                    "sim": "float64"}
+            if t.num_rows == 0:
+                return pd.DataFrame({c: pd.Series(dtype=v)
+                                     for c, v in cols.items()})
+            X = _matrix_from_arrow(t.column("embedding"))
+            Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                             1e-30, None)
+            sims = self.Qn @ Xn.T  # (nq, batch)
+            sims = np.floor(sims * 1e5 + 0.5) / 1e5
+            qi, xi = np.nonzero(sims >= self.theta)
+            vec_ids = t.column("vec_id").to_numpy()
+            return pd.DataFrame({
+                "q_id": qi.astype(np.int64),
+                "vec_id": vec_ids[xi].astype(np.int64),
+                "sim": sims[qi, xi]})
+
+    return emb_ds.map_batches(
+        _RangeScorer, fn_constructor_args=(q_ref, theta),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=0.5)

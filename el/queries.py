@@ -5393,6 +5393,33 @@ def oracle_sql() -> dict[str, str]:
                   AND (q.p_retailprice > p.p_retailprice
                        OR q.p_size < p.p_size))
         """,
+        "ann_range_search": f"""
+            WITH q AS (SELECT vec_id AS q_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                         {_roundsql(
+                             "list_cosine_similarity(q.qe, "
+                             "CAST(e.embedding AS DOUBLE[]))", 5)} AS sim
+                  FROM q CROSS JOIN embeddings e)
+            SELECT q_id, vec_id, sim FROM s
+            WHERE sim >= {ANN_RANGE_THETA}
+        """,
+        "click_conversion_window": f"""
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+                   CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM p
+                       WHERE p.user_id = c.user_id
+                         AND p.ts >= c.ts
+                         AND p.ts < c.ts
+                             + INTERVAL {CONV_WINDOW_MIN} MINUTE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM c GROUP BY 1
+        """,
         "el_fingerprint_cluster": f"""
             WITH k AS (
                 SELECT mention_id,
@@ -8396,6 +8423,8 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "part_skyline": q_part_skyline,
         "el_fingerprint_cluster": q_el_fingerprint_cluster,
+        "ann_range_search": q_ann_range_search,
+        "click_conversion_window": q_click_conversion_window,
     }
 
 
@@ -13054,3 +13083,75 @@ def q_el_fingerprint_cluster(sf_dir: str):
 
     return group_map(gm.map_batches(add_fp, batch_format="pyarrow"),
                      "fp_key", group_min)
+
+
+ANN_RANGE_THETA = 0.25
+CONV_WINDOW_MIN = 10
+
+
+def q_ann_range_search(sf_dir: str):
+    """Cosine RANGE search (radius query): every table vector with
+    5dp-rounded sim >= 0.25 of each of the 3 probe vectors — the
+    no-exchange sibling of ann_topk (el/ops/ann.py::range_search)."""
+    from .ops.ann import range_search
+
+    Q = _query_matrix(sf_dir)
+    out = range_search(_read(sf_dir, "embeddings",
+                             ["vec_id", "embedding"]),
+                       Q, theta=ANN_RANGE_THETA)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q_id"] = df["q_id"].astype("int64")
+        return df[["q_id", "vec_id", "sim"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_click_conversion_window(sf_dir: str):
+    """Windowed sequential-pattern match: per user, how many clicks
+    are followed by a purchase by the SAME user within 10 minutes
+    (inclusive start, exclusive end) — the time-bounded sibling of
+    event_funnel's unbounded ordering. ONE user exchange; in-fold
+    per-user sorted purchase timestamps + searchsorted over the click
+    vector (no per-event Python loop).
+    Out: (user_id, n_clicks, n_converted)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    win = np.timedelta64(CONV_WINDOW_MIN * 60 * 1_000_000, "us")
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin(("click", "purchase"))]
+        return pd.DataFrame({
+            "k": keep["user_id"].astype("int64"),
+            "ts": keep["ts"],
+            "is_click": (keep["event_type"] == "click")
+            .to_numpy(np.int64)})
+
+    tagged = ev.map_batches(sides, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_clicks": "int64",
+                "n_converted": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        rows = []
+        for u, sub in df.groupby("k", sort=False):
+            clicks = sub.loc[sub["is_click"] == 1, "ts"] \
+                .to_numpy("datetime64[us]")
+            if len(clicks) == 0:
+                continue
+            purch = np.sort(sub.loc[sub["is_click"] == 0, "ts"]
+                            .to_numpy("datetime64[us]"))
+            idx = np.searchsorted(purch, clicks, side="left")
+            ok = idx < len(purch)
+            conv = np.zeros(len(clicks), dtype=bool)
+            conv[ok] = purch[idx[ok]] < clicks[ok] + win
+            rows.append((int(u), len(clicks), int(conv.sum())))
+        return pd.DataFrame(rows, columns=list(cols)).astype(cols)
+
+    return group_blocks(tagged, ["k"], fold, batch_format="pandas")
