@@ -1270,3 +1270,103 @@ def range_search(emb_ds, queries: np.ndarray, theta: float,
         _RangeScorer, fn_constructor_args=(q_ref, theta),
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency, num_cpus=0.5)
+
+
+# ------------------------------------------------------- integer k-means
+KMEANS_K = 4
+KMEANS_ITERS = 3
+KMEANS_GRID = 1000          # embedding values quantize to the 1e-3 grid
+KMEANS_B = 1 << 20          # positivity offset for the floor-div requantize
+
+
+def _kmeans_int_batch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    X = _matrix_from_arrow(t.column("embedding"))
+    Xi = np.floor(X * KMEANS_GRID + 0.5).astype(np.int64)
+    return Xi, t.column("vec_id").to_numpy().astype(np.int64)
+
+
+def _kmeans_argmin(Xi: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact integer squared-euclidean argmin; ties go to the lowest
+    centroid INDEX (C must be ordered by ascending centroid id so the
+    tie-break matches the oracle's ORDER BY d, c)."""
+    d = (Xi * Xi).sum(axis=1, keepdims=True) - 2 * (Xi @ C.T) \
+        + (C * C).sum(axis=1)
+    return np.argmin(d, axis=1)
+
+
+def kmeans_assign(emb_ds, c0: np.ndarray, c_ids: np.ndarray,
+                  iters: int = KMEANS_ITERS):
+    """Lloyd's k-means with EXACT integer arithmetic, deterministic
+    init and a fixed iteration count, so the SQL oracle can replay
+    every assignment bit-for-bit (the embed_pca_power unrolled-oracle
+    contract): vectors quantize to the 1e-3 integer grid; assignment
+    distance is exact int64; the centroid update re-quantizes the
+    exact rational mean back to the grid with pure floor-div integer
+    math, (2*s + n + 2*n*B) // (2*n) - B == floor(s/n + 1/2) (the B
+    offset keeps the numerator positive, where DuckDB's truncating
+    ``//`` equals Python's flooring one). A cluster that loses all
+    members drops out (both sides GROUP BY assigned clusters only).
+
+    Scale shape: centroids are k x d driver state (constant size); each
+    iteration is one streaming pass — per-batch int sums pre-reduced,
+    ONE k-key exchange to k rows, a documented k-row driver collect —
+    and the final pass emits assignments with no exchange at all.
+    Out: (vec_id, cluster)."""
+    import ray
+
+    from ..shuffle import group_blocks
+
+    ncols = {"c": "int64", "n": "int64"}
+    d = c0.shape[1]
+    scols = [f"s{i}" for i in range(d)]
+
+    C, ids = c0.astype(np.int64), c_ids.astype(np.int64)
+    for _ in range(iters):
+        c_ref, i_ref = ray.put(C), ray.put(ids)
+
+        def partial(t: pa.Table, c_ref=c_ref, i_ref=i_ref) -> pd.DataFrame:
+            cols = dict(ncols, **{s: "int64" for s in scols})
+            if t.num_rows == 0:
+                return pd.DataFrame({k: pd.Series(dtype=v)
+                                     for k, v in cols.items()})
+            Cc, cid = ray.get(c_ref), ray.get(i_ref)
+            Xi, _ = _kmeans_int_batch(t)
+            a = _kmeans_argmin(Xi, Cc)
+            rows = []
+            for j in np.unique(a):
+                sel = Xi[a == j]
+                rows.append([int(cid[j]), len(sel)]
+                            + [int(x) for x in sel.sum(axis=0)])
+            return pd.DataFrame(rows, columns=["c", "n"] + scols) \
+                .astype(cols)
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            cols = dict(ncols, **{s: "int64" for s in scols})
+            if len(df) == 0:
+                return pd.DataFrame({k: pd.Series(dtype=v)
+                                     for k, v in cols.items()})
+            return df.groupby("c", as_index=False).sum().astype(cols)
+
+        # documented bounded collect: exactly k rows of (c, n, s_0..s_d)
+        agg = pd.DataFrame(
+            group_blocks(parts, ["c"], fold, batch_format="pandas")
+            .take_all()).sort_values("c")
+        n = agg["n"].to_numpy(np.int64)[:, None]
+        s = agg[scols].to_numpy(np.int64)
+        C = (2 * s + n + 2 * n * KMEANS_B) // (2 * n) - KMEANS_B
+        ids = agg["c"].to_numpy(np.int64)
+
+    c_ref, i_ref = ray.put(C), ray.put(ids)
+
+    def assign(t: pa.Table, c_ref=c_ref, i_ref=i_ref) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        Cc, cid = ray.get(c_ref), ray.get(i_ref)
+        Xi, vids = _kmeans_int_batch(t)
+        a = _kmeans_argmin(Xi, Cc)
+        return pd.DataFrame({"vec_id": vids, "cluster": cid[a]})
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")

@@ -3685,7 +3685,57 @@ def _pca_power_sql(iters: int = 6, final: str | None = None) -> str:
 def oracle_sql() -> dict[str, str]:
     from .ops.er import (_MONGE_ELKAN_SQL, _TRIGRAM_SIM_SQL,
                          SOFT_TFIDF_THETA)
+    from .ops.ann import KMEANS_B, KMEANS_GRID, KMEANS_ITERS, KMEANS_K
     from .ops.sketch import HLL_LC_LIMIT, HLL_M, HLL_MAXRHO, HLL_POW
+
+    # kmeans_assign: unroll the fixed iteration chain — c0 -> a1 -> c1
+    # -> ... -> c{I} -> final assignment a{I+1} (same CTE templates the
+    # engine mirrors in exact integer math; see kmeans_assign docstring)
+    def _km_assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, c FROM (
+                SELECT d.vec_id, d.c,
+                       row_number() OVER (PARTITION BY d.vec_id
+                                          ORDER BY d.d, d.c) AS rn
+                FROM (
+                    SELECT x.vec_id, {cent}.c,
+                           sum((x.v - {cent}.v) * (x.v - {cent}.v)) AS d
+                    FROM x JOIN {cent} ON x.i = {cent}.i
+                    GROUP BY x.vec_id, {cent}.c
+                ) d
+            ) WHERE rn = 1
+        )"""
+
+    def _km_update_cte(name: str, asg: str) -> str:
+        return f"""{name} AS (
+            SELECT {asg}.c, x.i,
+                   CAST((2 * sum(x.v) + count(*)
+                         + 2 * count(*) * {KMEANS_B})
+                        // (2 * count(*)) - {KMEANS_B} AS BIGINT) AS v
+            FROM x JOIN {asg} USING (vec_id)
+            GROUP BY {asg}.c, x.i
+        )"""
+
+    _km_ctes = [f"""x AS (
+            SELECT vec_id, i - 1 AS i,
+                   CAST(floor(v * {KMEANS_GRID} + 0.5) AS BIGINT) AS v
+            FROM (SELECT vec_id,
+                         unnest(CAST(embedding AS DOUBLE[])) AS v,
+                         generate_subscripts(
+                             CAST(embedding AS DOUBLE[]), 1) AS i
+                  FROM embeddings)
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS c, i, v FROM x WHERE vec_id < {KMEANS_K}
+        )"""]
+    for _it in range(1, KMEANS_ITERS + 1):
+        _km_ctes.append(_km_assign_cte(f"a{_it}", f"c{_it - 1}"))
+        _km_ctes.append(_km_update_cte(f"c{_it}", f"a{_it}"))
+    _km_ctes.append(_km_assign_cte(f"a{KMEANS_ITERS + 1}",
+                                   f"c{KMEANS_ITERS}"))
+    kmeans_sql = ("WITH " + ",\n".join(_km_ctes)
+                  + f"\nSELECT vec_id, c AS cluster "
+                    f"FROM a{KMEANS_ITERS + 1}")
     from .ops.textstats import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_SYMBOL_RATIO,
                                 GOPHER_MAX_TOKENS, GOPHER_MIN_ALPHA_RATIO,
                                 GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
@@ -5393,6 +5443,7 @@ def oracle_sql() -> dict[str, str]:
                   AND (q.p_retailprice > p.p_retailprice
                        OR q.p_size < p.p_size))
         """,
+        "kmeans_assign": kmeans_sql,
         "ann_range_search": f"""
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS qe
@@ -8425,6 +8476,7 @@ def queries():
         "el_fingerprint_cluster": q_el_fingerprint_cluster,
         "ann_range_search": q_ann_range_search,
         "click_conversion_window": q_click_conversion_window,
+        "kmeans_assign": q_kmeans_assign,
     }
 
 
@@ -13155,3 +13207,24 @@ def q_click_conversion_window(sf_dir: str):
         return pd.DataFrame(rows, columns=list(cols)).astype(cols)
 
     return group_blocks(tagged, ["k"], fold, batch_format="pandas")
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Fixed-iteration Lloyd's k-means over the embeddings table with
+    exact integer-grid arithmetic (el/ops/ann.py::kmeans_assign):
+    init = the k smallest vec_ids' vectors, 3 iterations, ties to the
+    lowest centroid id. The oracle unrolls every iteration —
+    assignments are hash-checked bit-for-bit, the embed_pca_power
+    contract for iterative algorithms. Out: (vec_id, cluster)."""
+    import pyarrow.parquet as pq
+
+    from .ops.ann import KMEANS_GRID, KMEANS_K, kmeans_assign
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(KMEANS_K)
+    c0 = np.floor(np.array(
+        [np.asarray(v, np.float64) for v in df["embedding"]])
+        * KMEANS_GRID + 0.5).astype(np.int64)
+    ids = df["vec_id"].to_numpy(np.int64)
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), c0, ids)

@@ -2198,3 +2198,35 @@ def test_skyline_matches_bruteforce(ray_session, seed):
     pd.testing.assert_frame_equal(
         got[["g", "id", "price", "size"]],
         want[["g", "id", "price", "size"]])
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    """Fixed-iteration integer k-means recovers 4 well-separated blobs
+    regardless of how the input is partitioned, and both partitionings
+    agree exactly (the order-free integer-update contract)."""
+    import ray.data
+
+    from el.ops.ann import KMEANS_GRID, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[8.0, 8.0], [-8.0, 8.0], [8.0, -8.0],
+                        [-8.0, -8.0]])
+    pts = np.concatenate([c + rng.normal(0, 0.5, size=(25, 2))
+                          for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(100),
+                       "embedding": [r.astype(np.float32) for r in pts]})
+    c0 = np.floor(pts[[0, 25, 50, 75]] * KMEANS_GRID + 0.5) \
+        .astype(np.int64)
+    ids = np.array([0, 25, 50, 75], dtype=np.int64)
+
+    one = kmeans_assign(ray.data.from_pandas(df), c0, ids) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    many = kmeans_assign(
+        ray.data.from_pandas([df.iloc[i::5] for i in range(5)]),
+        c0, ids).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+    # each blob of 25 lands in exactly one cluster
+    lab = one["cluster"].to_numpy()
+    for b in range(4):
+        assert len(np.unique(lab[b * 25:(b + 1) * 25])) == 1
+    assert len(np.unique(lab[::25])) == 4
