@@ -2450,3 +2450,101 @@ def candidate_topk(mentions_ds, *, k: int = 3, cap: int = 10_000):
             "rank": d["rank"].astype("int64")})[list(cols)]
 
     return group_blocks(pairs, ["m"], rank_block, batch_format="pandas")
+
+
+def cluster_nmi(mentions_ds, *, num_partitions: int | None = None):
+    """Normalized mutual information of the exact-alias clustering vs
+    gold labels — the symmetric companion to :func:`cluster_vmeasure`:
+    MI = H(C) + H(K) - H(C,K), NMI = MI / ((H(C) + H(K)) / 2)
+    (arithmetic-mean normalization, the sklearn default). Same
+    per-cell 1e-9 integer-grid entropy quantization, so cross-cell
+    sums are exact int64 on both sides; THREE combiner exchanges (two
+    marginals + the joint keyed by norm, which co-locates every
+    (norm, gold) cell whole) and a one-row merge.
+    Out: (n_mentions, mi, nmi), 6dp."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "norm": _norm_series(df["surface"].astype(str)),
+            "gold": df["gold_kb_id"].astype(str)})
+        return out[out["norm"] != ""].reset_index(drop=True)
+
+    base = mentions_ds.map_batches(prep, batch_format="pandas") \
+        .materialize()
+    n_total = base.count()
+
+    def q_terms(counts: np.ndarray) -> int:
+        t = counts.astype(np.float64) * np.log(
+            counts.astype(np.float64) / float(n_total))
+        return int(np.floor(t * 1e9 + 0.5).astype(np.int64).sum())
+
+    def count_partial(cols):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({**{c: pd.Series(dtype=str)
+                                        for c in cols},
+                                     "c": pd.Series(dtype="int64")})
+            out = df.groupby(cols, as_index=False).size().rename(
+                columns={"size": "c"})
+            out["c"] = out["c"].astype("int64")
+            return out
+        return partial
+
+    def sum_q(cols):
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"q": pd.Series(dtype="int64")})
+            s = df.groupby(cols)["c"].sum().to_numpy(np.int64)
+            return pd.DataFrame({"q": [q_terms(s)]})
+        return total
+
+    from ..shuffle import group_blocks
+
+    hc = group_blocks(base.map_batches(count_partial(["norm"]),
+                                       batch_format="pandas"),
+                      ["norm"], sum_q(["norm"]), batch_format="pandas",
+                      num_partitions=num_partitions)
+    hk = group_blocks(base.map_batches(count_partial(["gold"]),
+                                       batch_format="pandas"),
+                      ["gold"], sum_q(["gold"]), batch_format="pandas",
+                      num_partitions=num_partitions)
+    hj = group_blocks(base.map_batches(count_partial(["norm", "gold"]),
+                                       batch_format="pandas"),
+                      ["norm"], sum_q(["norm", "gold"]),
+                      batch_format="pandas",
+                      num_partitions=num_partitions)
+
+    def tag(kind):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["kind"] = kind
+            return df
+        return f
+
+    tagged = (hc.map_batches(tag("hc"), batch_format="pandas")
+              .union(hk.map_batches(tag("hk"), batch_format="pandas"))
+              .union(hj.map_batches(tag("hj"), batch_format="pandas")))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_mentions": "int64", "mi": "float64",
+                "nmi": "float64"}
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        g = df.groupby("kind")["q"].sum()
+        qs = {k: int(g.get(k, 0)) for k in ("hc", "hk", "hj")}
+        n = float(n_total)
+        h_c = -(qs["hc"] / 1e9) / n
+        h_k = -(qs["hk"] / 1e9) / n
+        h_j = -(qs["hj"] / 1e9) / n
+        mi = h_c + h_k - h_j
+        denom = (h_c + h_k) / 2.0
+        nmi = 0.0 if denom == 0.0 else mi / denom
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        return pd.DataFrame({
+            "n_mentions": pd.array([n_total], dtype="int64"),
+            "mi": [r6(mi)],
+            "nmi": [r6(nmi)]})
+
+    return tagged.repartition(1).map_batches(final, batch_format="pandas",
+                                             batch_size=None)

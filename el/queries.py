@@ -5444,6 +5444,74 @@ def oracle_sql() -> dict[str, str]:
                        OR q.p_size < p.p_size))
         """,
         "kmeans_assign": kmeans_sql,
+        "el_cluster_nmi": f"""
+            WITH f AS (
+                SELECT {norm} AS norm, gold_kb_id AS gold FROM {gm}
+                WHERE {norm} != ''
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+            na AS (
+                SELECT norm, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm
+            ),
+            nb AS (
+                SELECT gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY gold
+            ),
+            ng AS (
+                SELECT norm, gold, CAST(count(*) AS BIGINT) AS c
+                FROM f GROUP BY norm, gold
+            ),
+            qhc AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(na.c AS DOUBLE)
+                    * ln(CAST(na.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM na, nt
+            ),
+            qhk AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(nb.c AS DOUBLE)
+                    * ln(CAST(nb.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM nb, nt
+            ),
+            qhj AS (
+                SELECT CAST(COALESCE(sum(CAST(floor(
+                    CAST(ng.c AS DOUBLE)
+                    * ln(CAST(ng.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS q
+                FROM ng, nt
+            ),
+            h AS (
+                SELECT nt.n,
+                       -(qhc.q / 1e9) / nt.n AS h_c,
+                       -(qhk.q / 1e9) / nt.n AS h_k,
+                       -(qhj.q / 1e9) / nt.n AS h_j
+                FROM nt, qhc, qhk, qhj
+            )
+            SELECT n AS n_mentions,
+                   {_roundsql('h_c + h_k - h_j', 6)} AS mi,
+                   {_roundsql(
+                       "CASE WHEN (h_c + h_k) / 2.0 = 0.0 THEN 0.0 "
+                       "ELSE (h_c + h_k - h_j) / ((h_c + h_k) / 2.0) "
+                       "END", 6)} AS nmi
+            FROM h
+        """,
+        "events_cube": f"""
+            WITH e AS (
+                SELECT event_type,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            )
+            SELECT COALESCE(event_type, '{CUBE_ALL}') AS event_type,
+                   COALESCE(hod, -1) AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM e GROUP BY CUBE(event_type, hod)
+        """,
         "ann_range_search": f"""
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS qe
@@ -8477,6 +8545,8 @@ def queries():
         "ann_range_search": q_ann_range_search,
         "click_conversion_window": q_click_conversion_window,
         "kmeans_assign": q_kmeans_assign,
+        "el_cluster_nmi": q_el_cluster_nmi,
+        "events_cube": q_events_cube,
     }
 
 
@@ -13228,3 +13298,73 @@ def q_kmeans_assign(sf_dir: str):
     ids = df["vec_id"].to_numpy(np.int64)
     return kmeans_assign(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), c0, ids)
+
+
+CUBE_ALL = "(all)"
+
+
+def q_el_cluster_nmi(sf_dir: str):
+    """Normalized mutual information of exact-alias clustering vs gold
+    (arithmetic normalization, sklearn default) on the shared 1e-9
+    integer entropy grid (el/ops/er.py::cluster_nmi); one row out."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.er import cluster_nmi
+
+    gm = ray.data.read_parquet(
+        os.path.join(fd, "gold_mentions.parquet"),
+        columns=["mention_id", "surface", "gold_kb_id"])
+    return cluster_nmi(gm)
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE(event_type, hour-of-day) counts and exact value-cents sums
+    — all four grouping sets ('(all)' / -1 sentinels instead of SQL
+    NULL keys). The per-batch combiner derives every coarser set from
+    the finest LOCALLY, so ONE (event_type, hod) exchange moves at
+    most 4 x |types| x 24 pre-aggregated rows per batch regardless of
+    corpus size. Out: (event_type, hod, n, value_cents)."""
+    import ray.data  # noqa: F401
+
+    from .shuffle import group_blocks
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    cols = {"event_type": str, "hod": "int64", "n": "int64",
+            "value_cents": "int64"}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        base = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "hod": df["ts"].dt.hour.astype("int64"),
+            "cents": np.floor(df["value"].to_numpy(np.float64) * 100
+                              + 0.5).astype("int64")})
+        fine = base.groupby(["event_type", "hod"], as_index=False) \
+            .agg(n=("cents", "size"), value_cents=("cents", "sum"))
+        outs = [fine]
+        t_only = fine.groupby("event_type", as_index=False)[
+            ["n", "value_cents"]].sum().assign(hod=np.int64(-1))
+        h_only = fine.groupby("hod", as_index=False)[
+            ["n", "value_cents"]].sum().assign(event_type=CUBE_ALL)
+        total = pd.DataFrame({"event_type": [CUBE_ALL],
+                              "hod": pd.array([-1], dtype="int64"),
+                              "n": [fine["n"].sum()],
+                              "value_cents": [fine["value_cents"].sum()]})
+        outs += [t_only, h_only, total]
+        return pd.concat(outs, ignore_index=True)[list(cols)] \
+            .astype(cols)
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        return df.groupby(["event_type", "hod"], as_index=False)[
+            ["n", "value_cents"]].sum().astype(cols)
+
+    return group_blocks(parts, ["event_type", "hod"], fold,
+                        batch_format="pandas")
