@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..shuffle import group_blocks
+from ..shuffle import arrowize, group_blocks
 
 SCALE = 10 ** 12
 
@@ -532,4 +532,162 @@ def neighbor_sim(edges_ds, *, max_hub_degree: int = 4000,
 
     r2b = r2.map_batches(rekey, batch_format="pandas")
     return group_blocks(r2b, ["b"], finish, batch_format="pandas",
+                        num_partitions=num_partitions)
+
+
+def hits_int(edges_ds, *, iters: int = 2,
+             num_partitions: int | None = None):
+    """Integer HITS (Kleinberg hubs/authorities,
+    "Authoritative sources in a hyperlinked environment", JACM 1999)
+    over a DIRECTED edge list (src, dst), each edge exactly once.
+
+    ``iters`` unrolled iterations of pure int64 sums with NO
+    normalization — a0 = 1 for every node, then per iteration
+    h_k(u) = SUM_{u->v} a_{k-1}(v) and a_k(v) = SUM_{u->v} h_k(u) —
+    so the result is bit-deterministic regardless of partial-sum order
+    and a SQL oracle replays the iterations unrolled (the textbook
+    L2-normalized HITS would make engine-vs-oracle equality a float
+    rounding lottery; the unnormalized ranks have the same ORDER as
+    the normalized ones at every step). Magnitudes grow like
+    (d_max^2)^k, so the per-key sum kernels raise OverflowError past
+    2^62 instead of wrapping — the iters=2 default stays inside the
+    int64 envelope for any real co-mention degree distribution.
+
+    Same Pregel shape as pagerank_int: each half-step is a join-key
+    hash exchange (edge rows meet node-score rows, tagged union, no
+    Dataset.join) emitting block-local PARTIAL sums, then a node-key
+    sum exchange over partials plus one zero row per node (keeps
+    sink/source nodes alive with score 0); node-scale score tables are
+    materialized between half-steps. Out: (node, hub_units,
+    auth_units), every node present.
+    """
+    edges = arrowize(edges_ds).materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["src"], df["dst"]],
+                      ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": n.astype(str)})
+
+    def node_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].drop_duplicates().astype(str)})
+
+    nodes = group_blocks(
+        edges.map_batches(node_rows, batch_format="pandas"),
+        ["node"], node_distinct, batch_format="pandas",
+        num_partitions=num_partitions).materialize()
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "v": np.zeros(len(df), dtype=np.int64)})
+
+    zeros = nodes.map_batches(zero_rows,
+                              batch_format="pandas").materialize()
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": t.column("src").cast(pa.string()),
+            "dst": t.column("dst").cast(pa.string()),
+            "v": pa.nulls(n, pa.int64()),
+            "is_score": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow").materialize()
+
+    def _tag_scores(t: pa.Table, key: str) -> pa.Table:
+        n = t.num_rows
+        cols = {"src": pa.nulls(n, pa.string()),
+                "dst": pa.nulls(n, pa.string())}
+        cols[key] = t.column("node").cast(pa.string())
+        cols["v"] = t.column("v").cast(pa.int64())
+        cols["is_score"] = pa.array([1] * n, pa.int64())
+        return pa.table(cols)
+
+    def _half_step(scores, join_key: str, out_key: str):
+        """new(node at out_key) = SUM over edges of score(join_key)."""
+        tagged = tagged_edges.union(scores.map_batches(
+            lambda t, k=join_key: _tag_scores(t, k),
+            batch_format="pyarrow"))
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series(dtype=str),
+                                  "v": pd.Series(dtype="int64")})
+            if len(df) == 0:
+                return empty
+            e = df[df["is_score"] == 0]
+            s = df[df["is_score"] == 1]
+            j = e[["src", "dst"]].merge(
+                s[[join_key, "v"]], on=join_key)
+            if len(j) == 0:
+                return empty
+            out = pd.DataFrame({"node": j[out_key], "v": j["v"]}) \
+                .groupby("node", as_index=False)["v"].sum()
+            out["v"] = out["v"].astype("int64")
+            return out
+
+        def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"node": pd.Series(dtype=str),
+                                     "v": pd.Series(dtype="int64")})
+            out = df.groupby("node", as_index=False)["v"].sum()
+            # scores are nonnegative, so the final per-node sum bounds
+            # every block-local partial that fed it
+            if len(out) and int(out["v"].max()) > 2 ** 62:
+                raise OverflowError(
+                    "hits_int: score exceeds 2^62 at iters=%d; "
+                    "reduce iters" % iters)
+            out["v"] = out["v"].astype("int64")
+            return out
+
+        part = group_blocks(tagged, [join_key], partials,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
+        return group_blocks(part.union(zeros), ["node"], final_sum,
+                            batch_format="pandas",
+                            num_partitions=num_partitions).materialize()
+
+    def init_ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "v": np.ones(len(df), dtype=np.int64)})
+
+    auth = nodes.map_batches(init_ones,
+                             batch_format="pandas").materialize()
+    hub = None
+    for _ in range(iters):
+        # h(u) = sum of a(v) over out-edges u->v: scores join on dst
+        hub = _half_step(auth, "dst", "src")
+        # a(v) = sum of h(u) over in-edges u->v: scores join on src
+        auth = _half_step(hub, "src", "dst")
+
+    def _tag_out(t: pa.Table, which: int) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "v": t.column("v").cast(pa.int64()),
+                         "w": pa.array([which] * n, pa.int64())})
+
+    both = hub.map_batches(lambda t: _tag_out(t, 0),
+                           batch_format="pyarrow").union(
+        auth.map_batches(lambda t: _tag_out(t, 1),
+                         batch_format="pyarrow"))
+
+    def zip_scores(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "node": pd.Series(dtype=str),
+                "hub_units": pd.Series(dtype="int64"),
+                "auth_units": pd.Series(dtype="int64")})
+        p = df.pivot_table(index="node", columns="w", values="v",
+                           aggfunc="first", fill_value=0)
+        return pd.DataFrame({
+            "node": p.index.astype(str),
+            "hub_units": p.get(0, 0).astype("int64")
+            if 0 in p.columns else np.zeros(len(p), dtype=np.int64),
+            "auth_units": p.get(1, 0).astype("int64")
+            if 1 in p.columns else np.zeros(len(p), dtype=np.int64),
+        }).reset_index(drop=True)
+
+    return group_blocks(both, ["node"], zip_scores,
+                        batch_format="pandas",
                         num_partitions=num_partitions)

@@ -699,6 +699,34 @@ def q_comention_pagerank(sf_dir: str):
     return pagerank_int(edges, iters=5)
 
 
+def q_comention_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the DIRECTED co-mention
+    graph (each unordered co-mention pair oriented s1 -> s2 by the
+    lexicographic order comention_counts already emits — deterministic
+    and asymmetric, so hubs and authorities genuinely differ). Two
+    unrolled iterations of pure int64 sums, no normalization (same
+    integer-iteration discipline as comention_pagerank); oracle =
+    both iterations unrolled in DuckDB. Reference analog: authority
+    scoring over the extraction-vector co-occurrence graph
+    (ExtrSolrHelper.scala:17-45 builds the vectors this graph joins).
+    """
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import hits_int
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["s1"], "dst": df["s2"]})
+
+    edges = comention_counts(gm).map_batches(directed,
+                                             batch_format="pandas")
+    return hits_int(edges, iters=2)
+
+
 def q_comention_pmi(sf_dir: str):
     """Pointwise mutual information per co-mention pair (collocation
     mining over the conversation corpus): ln(c_ab * N / (c_a * c_b)).
@@ -3498,6 +3526,41 @@ def _pagerank_sql() -> str:
             + "\n        SELECT node, r AS rank_units FROM r5")
 
 
+def _hits_sql(iters: int = 2) -> str:
+    """comention_hits oracle: the DIRECTED co-mention graph (s1 < s2
+    orientation), then ``iters`` UNROLLED integer HITS iterations —
+    a0 = 1, h_k(u) = sum a_{k-1}(dst), a_k(v) = sum h_k(src) — pure
+    int64 sums so the hash is exact between the engine's partial-sum
+    exchanges and DuckDB (sum widens to HUGEINT, cast back)."""
+    gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
+    head = f"""
+        WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+        e AS (SELECT DISTINCT a.surface AS src, b.surface AS dst
+              FROM m a JOIN m b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst AS node FROM e),
+        a0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+        h{i} AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS v
+                 FROM nodes n LEFT JOIN (
+                     SELECT e.src AS node, sum(a.v) AS s
+                     FROM e JOIN a{i - 1} a ON a.node = e.dst
+                     GROUP BY e.src) s USING (node)),
+        a{i} AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS v
+                 FROM nodes n LEFT JOIN (
+                     SELECT e.dst AS node, sum(h.v) AS s
+                     FROM e JOIN h{i} h ON h.node = e.src
+                     GROUP BY e.dst) s USING (node))""")
+    return (head + "".join(its) + f"""
+        SELECT n.node, h.v AS hub_units, a.v AS auth_units
+        FROM nodes n
+        JOIN h{iters} h USING (node)
+        JOIN a{iters} a USING (node)""")
+
+
 def _pair_features_sql() -> str:
     """el_pair_features oracle: the scorer's own DuckDB feature SQL
     (el/scorer.py _FEATURE_SQL — the ENGINE computes features with
@@ -4531,6 +4594,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_roundsql('co.co / (s1.n + s2.n - co.co)', 6)} >= 0.5
         """,
         "comention_pagerank": _pagerank_sql(),
+        "comention_hits": _hits_sql(),
         "comention_pmi": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS nn
@@ -8373,6 +8437,7 @@ def queries():
         "el_benchmark_report": q_el_benchmark_report,
         "comention_counts": q_comention_counts,
         "comention_pagerank": q_comention_pagerank,
+        "comention_hits": q_comention_hits,
         "comention_pmi": q_comention_pmi,
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,

@@ -2230,3 +2230,39 @@ def test_kmeans_recovers_separated_blobs(ray_session):
     for b in range(4):
         assert len(np.unique(lab[b * 25:(b + 1) * 25])) == 1
     assert len(np.unique(lab[::25])) == 4
+
+
+def test_hits_int_known_graph(ray_session):
+    """Integer HITS on a directed bipartite-ish graph with a local
+    replay of the unrolled recurrence, plus block-structure
+    invariance and zero-score survival of pure sources/sinks."""
+    import ray
+
+    from el.ops.graph import hits_int
+
+    # h1, h2 both point at a1, a2; h1 also at a3.
+    edges = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+             ("h2", "a1"), ("h2", "a2")]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = (hits_int(ray.data.from_pandas(df), iters=2)
+           .to_pandas().set_index("node"))
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    adj_out = {n: [d for s, d in edges if s == n] for n in nodes}
+    adj_in = {n: [s for s, d in edges if d == n] for n in nodes}
+    a = {n: 1 for n in nodes}
+    for _ in range(2):
+        h = {n: sum(a[v] for v in adj_out[n]) for n in nodes}
+        a = {n: sum(h[u] for u in adj_in[n]) for n in nodes}
+    assert dict(out["hub_units"]) == h
+    assert dict(out["auth_units"]) == a
+    # pure sources have auth 0, pure sinks hub 0 — but all present
+    assert out.loc["h1", "auth_units"] == 0
+    assert out.loc["a1", "hub_units"] == 0
+    assert out.loc["h1", "hub_units"] > out.loc["h2", "hub_units"]
+    assert out.loc["a1", "auth_units"] == out.loc["a2", "auth_units"]
+    assert out.loc["a1", "auth_units"] > out.loc["a3", "auth_units"]
+    # block-structure invariance
+    out2 = (hits_int(ray.data.from_pandas(df).repartition(4), iters=2)
+            .to_pandas().set_index("node"))
+    assert dict(out2["hub_units"]) == h
+    assert dict(out2["auth_units"]) == a
