@@ -691,3 +691,104 @@ def hits_int(edges_ds, *, iters: int = 2,
     return group_blocks(both, ["node"], zip_scores,
                         batch_format="pandas",
                         num_partitions=num_partitions)
+
+
+def kcore_prune(edges_ds, *, k: int = 3, rounds: int = 3,
+                num_partitions: int | None = None):
+    """Fixed-round k-core pruning over an UNDIRECTED edge list
+    (s1, s2), each unordered edge exactly once — the dense-subgraph /
+    community-seed primitive (Seidman 1983 k-cores; the distributed
+    iterated-pruning formulation of Montresor et al.).
+
+    Each round drops every edge with an endpoint of current degree
+    < k; ``rounds`` is FIXED (not run-to-convergence) so a SQL oracle
+    replays the exact same unrolled iterations — at convergence the
+    survivors are exactly the k-core, and a fixed small round count is
+    the scale-safe contract anyway (each round is a full edge
+    exchange; convergence detection would add a driver-side loop on a
+    corpus-scale predicate). Out: (node, deg) — degree within the
+    surviving edge set after the last round, nodes with >= 1
+    surviving edge.
+
+    Scale shape per round: one node-key exchange folds per-batch
+    degree partials; the edge filter is TWO tagged-union hash
+    exchanges (degrees meet edges on s1, then on s2) — no node-table
+    broadcast, so a vocabulary larger than the object store still
+    streams."""
+    edges = arrowize(edges_ds).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "d": pd.Series(dtype="int64")})
+        n = pd.concat([df["s1"], df["s2"]], ignore_index=True)
+        out = n.to_frame("node").groupby("node", as_index=False).size() \
+            .rename(columns={"size": "d"})
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str),
+                                 "d": pd.Series(dtype="int64")})
+        out = df.groupby("node", as_index=False)["d"].sum()
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def _degrees(e):
+        part = e.map_batches(deg_partial, batch_format="pandas")
+        return group_blocks(part, ["node"], deg_sum,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "s1": t.column("s1").cast(pa.string()),
+            "s2": t.column("s2").cast(pa.string()),
+            "d": pa.nulls(n, pa.int64()),
+            "is_deg": pa.array([0] * n, pa.int64()),
+        })
+
+    def _tag_deg(t: pa.Table, slot: str) -> pa.Table:
+        n = t.num_rows
+        cols = {"s1": pa.nulls(n, pa.string()),
+                "s2": pa.nulls(n, pa.string())}
+        cols[slot] = t.column("node").cast(pa.string())
+        cols["d"] = t.column("d").cast(pa.int64())
+        cols["is_deg"] = pa.array([1] * n, pa.int64())
+        return pa.table(cols)
+
+    def _filter_on(e, degs, slot: str):
+        tagged = e.map_batches(_tag_edges, batch_format="pyarrow") \
+            .union(degs.map_batches(
+                lambda t, s=slot: _tag_deg(t, s),
+                batch_format="pyarrow"))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"s1": pd.Series(dtype=str),
+                                  "s2": pd.Series(dtype=str)})
+            if len(df) == 0:
+                return empty
+            ed = df[df["is_deg"] == 0]
+            dg = df[(df["is_deg"] == 1) & (df["d"] >= k)]
+            j = ed[["s1", "s2"]].merge(
+                dg[[slot]].drop_duplicates(), on=slot)
+            if len(j) == 0:
+                return empty
+            return j[["s1", "s2"]].reset_index(drop=True)
+
+        return group_blocks(tagged, [slot], keep,
+                            batch_format="pandas",
+                            num_partitions=num_partitions)
+
+    e = edges
+    for _ in range(rounds):
+        degs = _degrees(e).materialize()
+        e = _filter_on(e, degs, "s1")
+        e = _filter_on(e, degs, "s2").materialize()
+
+    out = _degrees(e)
+    return out.map_batches(
+        lambda df: df.rename(columns={"d": "deg"}),
+        batch_format="pandas")

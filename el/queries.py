@@ -727,6 +727,30 @@ def q_comention_hits(sf_dir: str):
     return hits_int(edges, iters=2)
 
 
+def q_comention_kcore(sf_dir: str):
+    """Fixed-round k-core pruning (k=3, 3 rounds) over the undirected
+    co-mention graph — the dense-community-seed view of the same
+    extraction-vector co-occurrence structure comention_pagerank
+    ranks. Each round = one degree exchange + two tagged edge-filter
+    exchanges, no node-table broadcast; oracle = the three rounds
+    unrolled in DuckDB (pure integer degree counts, hash-exact)."""
+    fd = ensure_fixture(sf_dir)
+    import ray.data
+
+    from .ops.cooccur import comention_counts
+    from .ops.graph import kcore_prune
+
+    gm = ray.data.read_parquet(os.path.join(fd, "gold_mentions.parquet"),
+                               columns=["conv_id", "surface"])
+
+    def undirected(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s1": df["s1"], "s2": df["s2"]})
+
+    edges = comention_counts(gm).map_batches(undirected,
+                                             batch_format="pandas")
+    return kcore_prune(edges, k=3, rounds=3)
+
+
 def q_comention_pmi(sf_dir: str):
     """Pointwise mutual information per co-mention pair (collocation
     mining over the conversation corpus): ln(c_ab * N / (c_a * c_b)).
@@ -3526,6 +3550,34 @@ def _pagerank_sql() -> str:
             + "\n        SELECT node, r AS rank_units FROM r5")
 
 
+def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    """comention_kcore oracle: the undirected co-mention graph, then
+    ``rounds`` UNROLLED prune iterations — drop every edge with an
+    endpoint of current degree < k — pure integer counts so the hash
+    is exact between the engine's exchanges and DuckDB."""
+    gm = f"read_parquet('{FIXTURE_SQL_DIR}/gold_mentions.parquet')"
+    head = f"""
+        WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
+        e0 AS (SELECT DISTINCT a.surface AS s1, b.surface AS s2
+               FROM m a JOIN m b
+                 ON a.conv_id = b.conv_id AND a.surface < b.surface)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+        d{i} AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+                 (SELECT s1 AS node FROM e{i - 1}
+                  UNION ALL SELECT s2 AS node FROM e{i - 1})
+                 GROUP BY node),
+        e{i} AS (SELECT e.s1, e.s2 FROM e{i - 1} e
+                 JOIN d{i} x ON x.node = e.s1 AND x.d >= {k}
+                 JOIN d{i} y ON y.node = e.s2 AND y.d >= {k})""")
+    return (head + "".join(its) + f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT s1 AS node FROM e{rounds}
+         UNION ALL SELECT s2 AS node FROM e{rounds})
+        GROUP BY node""")
+
+
 def _hits_sql(iters: int = 2) -> str:
     """comention_hits oracle: the DIRECTED co-mention graph (s1 < s2
     orientation), then ``iters`` UNROLLED integer HITS iterations —
@@ -4595,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "comention_pagerank": _pagerank_sql(),
         "comention_hits": _hits_sql(),
+        "comention_kcore": _kcore_sql(),
         "comention_pmi": f"""
             WITH m AS (SELECT DISTINCT conv_id, surface FROM {gm}),
             n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS nn
@@ -7280,6 +7333,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY j.rev DESC, c.c_custkey
             LIMIT 20
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o.o_orderdate < TIMESTAMP '1995-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "tpch_q12": """
             SELECT l_returnflag,
                    CAST(COALESCE(sum(CASE WHEN o_orderpriority IN
@@ -8438,6 +8504,7 @@ def queries():
         "comention_counts": q_comention_counts,
         "comention_pagerank": q_comention_pagerank,
         "comention_hits": q_comention_hits,
+        "comention_kcore": q_comention_kcore,
         "comention_pmi": q_comention_pmi,
         "transcripts_passthrough": q_transcripts_passthrough,
         "conv_stats": q_conv_stats,
@@ -8519,6 +8586,7 @@ def queries():
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
+        "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
         "tpch_q7": q_tpch_q7,
         "tpch_q3": q_tpch_q3,
@@ -9267,6 +9335,102 @@ def q_tpch_q12(sf_dir: str):
         out["high_line_count"] = out["high_line_count"].astype("int64")
         out["low_line_count"] = out["low_line_count"].astype("int64")
         return out.sort_values("l_returnflag").reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas",
+                                            batch_size=None)
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking, adapted to this catalog (no
+    commit/receipt dates, so the EXISTS gate is q_tpch_q21's 'late'
+    notion: some lineitem shipped > 60 days after the order date):
+    orders placed in 1995Q3 with at least one late line, counted per
+    priority (TPC-H spec Q4 / reference's per-category benchmark
+    groupings).
+
+    Scale shape: orders are date-filtered per batch and ship (okey,
+    priority, orderdate); lineitem pre-reduces per batch to ONE
+    (okey, max shipdate) partial row; both meet in ONE tagged-union
+    hash exchange on orderkey where the EXISTS is a co-located
+    group-max compare, emitting per-block priority partials; final
+    one-row-per-priority merge. Out: (o_orderpriority, order_count)
+    sorted by priority."""
+    import ray.data
+
+    from .shuffle import group_blocks
+
+    lo, hi = pd.Timestamp("1995-07-01"), pd.Timestamp("1995-10-01")
+    lag = pd.Timedelta(days=60)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        od = df["o_orderdate"].to_numpy()
+        df = df[(od >= lo.to_datetime64()) & (od < hi.to_datetime64())]
+        n = len(df)
+        return pa.table({
+            "okey": pa.array(df["o_orderkey"].astype("int64")),
+            "prio": pa.array(df["o_orderpriority"].astype(str),
+                             pa.string()),
+            "odate": pa.Array.from_pandas(df["o_orderdate"]).cast(
+                pa.timestamp("us")),
+            "ms": pa.nulls(n, pa.timestamp("us")),
+            "is_order": pa.array([1] * n, pa.int64()),
+        })
+
+    def li_side(df: pd.DataFrame) -> pa.Table:
+        part = df.groupby("l_orderkey", as_index=False)["l_shipdate"] \
+            .max()
+        n = len(part)
+        return pa.table({
+            "okey": pa.array(part["l_orderkey"].astype("int64")),
+            "prio": pa.nulls(n, pa.string()),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "ms": pa.Array.from_pandas(part["l_shipdate"]).cast(
+                pa.timestamp("us")),
+            "is_order": pa.array([0] * n, pa.int64()),
+        })
+
+    tagged = orders.map_batches(order_side, batch_format="pandas") \
+        .union(li.map_batches(li_side, batch_format="pandas"))
+
+    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderpriority": pd.Series(dtype=str),
+            "n": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        o = df[df["is_order"] == 1]
+        l = df[df["is_order"] == 0]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        ms = l.groupby("okey", as_index=False)["ms"].max()
+        j = o[["okey", "prio", "odate"]].merge(ms, on="okey")
+        j = j[j["ms"] > j["odate"] + lag]
+        if len(j) == 0:
+            return empty
+        out = j.groupby("prio", as_index=False).size().rename(
+            columns={"prio": "o_orderpriority", "size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = group_blocks(tagged, ["okey"], join_fold,
+                         batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype=str),
+                "order_count": pd.Series(dtype="int64")})
+        out = df.groupby("o_orderpriority", as_index=False)["n"].sum() \
+            .rename(columns={"n": "order_count"})
+        out["order_count"] = out["order_count"].astype("int64")
+        return out.sort_values("o_orderpriority").reset_index(drop=True)
 
     return parts.repartition(1).map_batches(final, batch_format="pandas",
                                             batch_size=None)

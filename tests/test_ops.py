@@ -2266,3 +2266,28 @@ def test_hits_int_known_graph(ray_session):
             .to_pandas().set_index("node"))
     assert dict(out2["hub_units"]) == h
     assert dict(out2["auth_units"]) == a
+
+
+def test_kcore_prune_cascade(ray_session):
+    """k=2 pruning must CASCADE: removing the pendant vertex drops its
+    neighbor below k in the next round. Graph: triangle a-b-c, path
+    c-d-e (e pendant). Round 1 drops e (deg 1) -> round 2 drops d
+    (now deg 1) -> triangle survives with degree 2 everywhere."""
+    import ray
+
+    from el.ops.graph import kcore_prune
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = pd.DataFrame(edges, columns=["s1", "s2"])
+    out = (kcore_prune(ray.data.from_pandas(df), k=2, rounds=3)
+           .to_pandas().set_index("node")["deg"].to_dict())
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # one round is NOT enough: d still present with the c-d edge
+    one = (kcore_prune(ray.data.from_pandas(df), k=2, rounds=1)
+           .to_pandas().set_index("node")["deg"].to_dict())
+    assert one == {"a": 2, "b": 2, "c": 3, "d": 1}
+    # block-structure invariance
+    out2 = (kcore_prune(ray.data.from_pandas(df).repartition(4),
+                        k=2, rounds=3)
+            .to_pandas().set_index("node")["deg"].to_dict())
+    assert out2 == out
